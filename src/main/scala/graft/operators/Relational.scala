@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Relational operator catalog (SURVEY.md §2.3–§2.8).
+  *
+  * Each query re-expresses one operator family from the reference
+  * (firefly-vcut embeds these as SQL strings run by Postgres or as
+  * Python dict/set dataflow) as a declarative DataFrame program, so
+  * Catalyst gets pushdown/pruning/join-selection for free.
+  *
+  * Scale notes (100 TB stance): dimension joins broadcast the small
+  * side (region/nation/supplier are classic broadcast dims); fact-fact
+  * joins (orders⋈lineitem) shuffle on the join key and benefit from
+  * AQE; aggregations rely on partial (map-side) aggregation, which
+  * Spark's hash aggregate applies automatically.
+  */
+object Relational extends QueryModule {
+
+  /** Exact decimal sum of a money expression, surfaced as double.
+    * Addition over DECIMAL(18,2) is exact and order-independent, so
+    * Spark and DuckDB produce bit-identical doubles (QueryModule doc).
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1/P5: projected scan + filter; predicate and projection push
+    // into the parquet scan (ReadSchema/PushedFilters).
+    "s1_scan_filter" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // A1/A6: group-by aggregate with exact decimal sums (TPC-H Q1 shape;
+    // reference A5 running totals, db/song.py:19-26 anchors).
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1: fact ⋈ broadcast dim (reference J1 archive⋈profile,
+    // dblocal.py:24). supplier is small at every SF → broadcast hint.
+    "j1_broadcast_dim" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J2: 3-way inner chain (reference J2 song⋈vtuberSong⋈profile,
+    // dblocal.py:77-81). customer/nation broadcast under the fact.
+    "j2_three_way" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J3/J4 + A2: left outer keeping empty groups (reference
+    // db/song.py:19-26 keeps vtubers with no songs → NULL anchor).
+    "j3_left_outer_agg" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer")
+        .where(col("c_acctbal") > 9500.0)
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          count(col("c_custkey")).as("n_cust"))
+    }),
+
+    // J5/A3: left join + ordered array_agg rendered as string (PG
+    // ARRAY_AGG keeps NULLs, collect_list drops them — we normalize by
+    // filtering, then sort for determinism; db/song.py:105-115).
+    "j5_array_agg" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val sup = Tables.load(s, dir, "supplier")
+        .where(col("s_acctbal") > 9000.0)
+      n.join(sup, n("n_nationkey") === sup("s_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_list(col("s_suppkey"))), ",").as("supp_ids"),
+          count(col("s_suppkey")).as("n_supp"))
+    }),
+
+    // J6/E1/P8: left anti join = the reference's set-difference /
+    // skip-if-done memoization (cmdline.py:163-170, 289-296).
+    "j6_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 450000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J7 (semi): EXISTS-style membership (cmdline.py:317-319).
+    "j7_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // J9: cross join of two small dims (reference songs×archives
+    // nested loops, modal/occurrence.py:90-100); both sides tiny →
+    // BroadcastNestedLoopJoin.
+    "j9_cross_join" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val n = Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      r.crossJoin(n)
+    }),
+
+    // A7: distinct / dedup by key (reference set((song,archive)),
+    // cmdline.py:291-296).
+    "a7_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+    }),
+
+    // O1/O2: ORDER BY … LIMIT n → TakeOrderedAndProject (no global
+    // sort; per-partition top-k then merge — the 100 TB-safe top-k).
+    // Tie-broken by unique key for determinism.
+    "o1_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // W2: top-k per group via ranking window (reference A4 argmax
+    // top-1 per (song, archive), fuzz.py:16-43).
+    "w2_rank_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.load(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rk"))
+    }),
+
+    // W1-shape: forward-looking rows-frame aggregation (the segment
+    // sliding window generalized; fuzz.py:34-41).
+    "w1_rows_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.currentRow, 2)
+      Tables.load(s, dir, "orders")
+        .withColumn("win_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("win_total"), col("win_n"))
+    }),
+
+    // E1: EXCEPT set difference (cmdline.py:163-170).
+    "e1_except" -> ((s, dir) => {
+      val all = Tables.load(s, dir, "customer").select(col("c_custkey"))
+      val withBigOrders = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(withBigOrders)
+    }),
+
+    // A6 + countDistinct (reference rowcounts; plus approx_count_distinct
+    // is benched separately — exact here so the oracle can check it).
+    "a6_count_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_scan_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "j1_broadcast_dim" ->
+      """SELECT s_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name""",
+    "j2_three_way" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "j3_left_outer_agg" ->
+      """SELECT n_name, MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal,
+           COUNT(c_custkey) AS n_cust
+         FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9500.0) c
+           ON n_nationkey = c_nationkey
+         GROUP BY n_name""",
+    "j5_array_agg" ->
+      """SELECT n_name,
+           COALESCE(array_to_string(array_agg(s_suppkey ORDER BY s_suppkey)
+                    FILTER (WHERE s_suppkey IS NOT NULL), ','), '') AS supp_ids,
+           COUNT(s_suppkey) AS n_supp
+         FROM nation LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000.0) s
+           ON n_nationkey = s_nationkey
+         GROUP BY n_name""",
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
+    "j7_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+    "j9_cross_join" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation""",
+    "a7_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+    "o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "w2_rank_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+           FROM customer) t
+         WHERE rk <= 3""",
+    "w1_rows_frame" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS DOUBLE) AS win_total,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS win_n
+         FROM orders""",
+    "e1_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT SELECT o_custkey AS c_custkey FROM orders
+                WHERE o_totalprice > 450000.0""",
+    "a6_count_distinct" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_parts,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

