@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Normalized indel similarity × 100 — the score the reference calls
+  * `rapidfuzz.fuzz.ratio` (reference `src/firefly_vcut/fuzz.py:1,26,36`):
+  * Levenshtein restricted to insert/delete (no substitution),
+  * normalized by the summed lengths:
+  *
+  *   ratio(a, b) = 100 · (1 − indel_dist(a, b) / (|a| + |b|))
+  *               = 200 · LCS(a, b) / (|a| + |b|)
+  *
+  * Unicode-codepoint based (the content is CJK; byte- or UTF-16-unit
+  * distances would mis-score), two empty strings score 100.
+  *
+  * Implemented as a native Catalyst expression with codegen so the
+  * scoring loop of the fuzzy pipeline stays inside whole-stage codegen
+  * (no UDF serialization, no Row boxing) — this is the hot inner loop
+  * of the flagship query and the main CPU cost at scale.
+  */
+object FuzzUtils {
+  /** Indel distance over codepoints via the LCS DP (two-row, O(m·n)
+    * time, O(min(m,n)) space) with common prefix/suffix trimming.
+    * Equal-affix trimming never changes the indel distance.
+    */
+  def indelDistance(sa: String, sb: String): Int = {
+    val a0 = sa.codePoints().toArray
+    val b0 = sb.codePoints().toArray
+    // trim common prefix / suffix
+    var lo = 0
+    val maxLo = math.min(a0.length, b0.length)
+    while (lo < maxLo && a0(lo) == b0(lo)) lo += 1
+    var aHi = a0.length
+    var bHi = b0.length
+    while (aHi > lo && bHi > lo && a0(aHi - 1) == b0(bHi - 1)) { aHi -= 1; bHi -= 1 }
+    val m = aHi - lo
+    val n = bHi - lo
+    if (m == 0) return n
+    if (n == 0) return m
+    // ensure the inner array is the shorter side
+    val (x, xLen, y, yLen) =
+      if (m >= n) (a0, m, b0, n) else (b0, n, a0, m)
+    // LCS length DP, rows over y
+    val prev = new Array[Int](yLen + 1)
+    val cur = new Array[Int](yLen + 1)
+    var i = 1
+    while (i <= xLen) {
+      val xi = x(lo + i - 1)
+      var j = 1
+      while (j <= yLen) {
+        cur(j) =
+          if (xi == y(lo + j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, yLen + 1)
+      i += 1
+    }
+    m + n - 2 * prev(yLen)
+  }
+
+  /** rapidfuzz-compatible `fuzz.ratio` in [0, 100]. */
+  def ratio(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.toString
+    val sb = b.toString
+    val la = sa.codePointCount(0, sa.length)
+    val lb = sb.codePointCount(0, sb.length)
+    if (la + lb == 0) return 100.0
+    100.0 * (1.0 - indelDistance(sa, sb).toDouble / (la + lb))
+  }
+}
+
+/** `indel_ratio(a, b)` as a codegen'd Catalyst expression. */
+case class IndelRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] &&
+        right.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"indel_ratio requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "indel_ratio"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FuzzUtils.ratio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FuzzUtils.ratio($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IndelRatio {
+  /** Column-API entry point: `indel_ratio($"a", $"b")`. */
+  def indel_ratio(a: Column, b: Column): Column =
+    GraftShims.column(
+      IndelRatio(GraftShims.expression(a), GraftShims.expression(b)))
+}

@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+import graft.functions.FuzzUtils
+
+/** Property tests for the indel-ratio core (SURVEY.md §5.2):
+  * vs a brute-force full-matrix DP, plus invariants and known
+  * rapidfuzz vectors. Deterministic seeded generation (the offline
+  * cache has no scalatest/scalacheck bridge, so properties are
+  * exercised with an explicit seeded loop).
+  */
+class FuzzSpec extends SparkFunSuite {
+
+  /** Brute-force full-matrix indel distance (no trimming, no space
+    * optimization) — the independent oracle for the optimized impl.
+    */
+  private def bruteIndel(a: String, b: String): Int = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val d = Array.ofDim[Int](x.length + 1, y.length + 1)
+    for (i <- 0 to x.length) d(i)(0) = i
+    for (j <- 0 to y.length) d(0)(j) = j
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) =
+        if (x(i - 1) == y(j - 1)) d(i - 1)(j - 1)
+        else 1 + math.min(d(i - 1)(j), d(i)(j - 1))
+    d(x.length)(y.length)
+  }
+
+  private def ratio(a: String, b: String): Double =
+    FuzzUtils.ratio(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private val alphabet: IndexedSeq[Char] =
+    ('a' to 'e') ++ "夜空中最亮的星 \n".toIndexedSeq
+
+  private def randomString(rnd: Random): String = {
+    val n = rnd.nextInt(31)
+    (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("indel distance matches brute force DP (500 seeded cases)") {
+    val rnd = new Random(42)
+    for (_ <- 0 until 500) {
+      val a = randomString(rnd)
+      val b = randomString(rnd)
+      assert(FuzzUtils.indelDistance(a, b) == bruteIndel(a, b),
+        s"mismatch on a='$a' b='$b'")
+    }
+  }
+
+  test("ratio invariants: symmetry, range, identity") {
+    val rnd = new Random(7)
+    for (_ <- 0 until 300) {
+      val a = randomString(rnd)
+      val b = randomString(rnd)
+      val r = ratio(a, b)
+      assert(r >= 0.0 && r <= 100.0)
+      assert(math.abs(r - ratio(b, a)) < 1e-12)
+      assert(ratio(a, a) == 100.0)
+    }
+  }
+
+  test("known rapidfuzz vectors") {
+    assert(ratio("", "") == 100.0)
+    assert(ratio("", "a") == 0.0)
+    assert(ratio("abc", "abc") == 100.0)
+    // "abc" vs "axc": LCS=2 → dist=2 → 100*(1-2/6)
+    assert(math.abs(ratio("abc", "axc") - 100.0 * (1 - 2.0 / 6)) < 1e-9)
+    // one pure insertion
+    assert(math.abs(ratio("this is a test", "this is a test!")
+      - 100.0 * (1 - 1.0 / 29)) < 1e-9)
+    // CJK codepoint-based (would differ if byte-based)
+    assert(math.abs(ratio("夜空中最亮的星", "夜空中最暗的星")
+      - 100.0 * (1 - 2.0 / 14)) < 1e-9)
+    // supplementary-plane codepoint counts as ONE unit
+    assert(math.abs(ratio("a😀", "a") - 100.0 * (1 - 1.0 / 3)) < 1e-9)
+  }
+
+  test("indel_ratio expression works in a plan with codegen") {
+    import spark.implicits._
+    import graft.functions.IndelRatio.indel_ratio
+    import org.apache.spark.sql.functions._
+    val df = Seq(("abc", "axc"), ("夜空", "夜空"), ("", ""))
+      .toDF("a", "b")
+      .select(indel_ratio(col("a"), col("b")).as("r"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 100.0 * (1 - 2.0 / 6)) < 1e-9)
+    assert(got(1) == 100.0)
+    assert(got(2) == 100.0)
+    // null propagation
+    val nulls = Seq((Some("a"), Option.empty[String])).toDF("a", "b")
+      .select(indel_ratio(col("a"), col("b")).as("r"))
+    assert(nulls.collect()(0).isNullAt(0))
+  }
+}
