@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.FuzzyOccurrence
+    operators.FuzzyOccurrence,
+    operators.Scalars,
+    operators.EventWindows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

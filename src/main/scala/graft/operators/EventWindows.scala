@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.11).
+  *
+  * The reference has no event-time windows (its only window is the
+  * ordinal segment window W1); these are the north-star extensions a
+  * training-data pipeline needs. The same `window`/`session_window`
+  * expressions run unchanged under Structured Streaming with a
+  * watermark (see [[graft.streaming.EventStreams]]); here they're
+  * exercised in batch so the DuckDB oracle can hash-check them.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregations on
+  * (window, keys) — partial aggregation + AQE handle skew; session
+  * windows shuffle once on the session key then sort within partition,
+  * which holds at 100 TB as long as per-key event counts fit a
+  * partition (user_id cardinality ≫ executor count here).
+  */
+object EventWindows extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window per event_type.
+    "ev_tumbling" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // Sliding 1-hour window every 30 minutes (each event lands in 2).
+    "ev_sliding" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n"), col("total_value"))
+    }),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "ev_session" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("total_value"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // sliding(1h, 30m): the windows covering ts start at bucket30(ts)
+    // and bucket30(ts) − 30min.
+    "ev_sliding" ->
+      """WITH slid AS (
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS ws, value
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM slid GROUP BY 1""",
+    // session windows = gaps-and-islands with a 30-minute gap. Spark's
+    // session interval is half-open [start, last+gap), so an event at
+    // exactly last+gap starts a NEW session → new_session on diff >= gap.
+    "ev_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         islands AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM islands GROUP BY user_id, sid"""
+  )
+}

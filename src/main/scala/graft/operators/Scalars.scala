@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Scalar-function catalog (SURVEY.md §2.9, F1–F15).
+  *
+  * The reference implements these as Python string/regex/datetime
+  * helpers; here each is a codegen'd built-in (`functions._` — no
+  * UDFs), so they fuse into whole-stage codegen with the surrounding
+  * plan and push down where the optimizer allows.
+  */
+object Scalars extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: regex datetime extraction (reference parses
+    // '2025年8月10日1点场' titles, db/recording.py:22-33). We build the
+    // title from o_orderdate and extract it back — rows whose title
+    // doesn't match are dropped, like the reference's insert filter.
+    "f1_regex_datetime" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .where(col("o_orderkey") < 5000)
+        .withColumn("title",
+          concat(year(col("o_orderdate")), lit("年"),
+            month(col("o_orderdate")), lit("月"),
+            dayofmonth(col("o_orderdate")), lit("日8点场直播")))
+        .withColumn("ey", regexp_extract(col("title"), "(\\d{4})年(\\d{1,2})月(\\d{1,2})日(\\d{1,2})点场", 1))
+        .withColumn("em", regexp_extract(col("title"), "(\\d{4})年(\\d{1,2})月(\\d{1,2})日(\\d{1,2})点场", 2))
+        .withColumn("ed", regexp_extract(col("title"), "(\\d{4})年(\\d{1,2})月(\\d{1,2})日(\\d{1,2})点场", 3))
+        .where(col("ey") =!= "")
+        .select(col("o_orderkey"), col("title"),
+          col("ey").cast("int").as("ey"),
+          col("em").cast("int").as("em"),
+          col("ed").cast("int").as("ed"))
+    }),
+
+    // F2: first-matching-pattern extraction with preserved order
+    // (reference tries 《》, 『』, 「」 in order, modal/video.py:14-18).
+    "f2_first_pattern" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          coalesce(
+            nullif(regexp_extract(col("p_name"), "(widget)", 1), lit("")),
+            nullif(regexp_extract(col("p_name"), "(bolt)", 1), lit("")),
+            nullif(regexp_extract(col("p_name"), "(gear)", 1), lit("")),
+            lit("other")).as("kind"))
+    }),
+
+    // F3: epoch/instant → Asia/Shanghai date parts (partition keys;
+    // reference modal/transcribe.py:139-146). Asia/Shanghai is a fixed
+    // +08:00 for all post-1991 instants, so the offset form is exact
+    // and keeps the oracle engine-agnostic.
+    "f3_tz_date_parts" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("sh", from_utc_timestamp(col("ts"), "+08:00"))
+        .groupBy(year(col("sh")).as("y"), month(col("sh")).as("m"),
+          dayofmonth(col("sh")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }),
+
+    // F4: strftime-style naming (reference cmdline.py:437).
+    "f4_strftime" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd_HH-mm-ss").as("stamp"))
+    }),
+
+    // F5: seconds → hh:mm:ss (reference cmdline.py:549-568).
+    "f5_seconds_hms" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .where(col("event_id") < 2000)
+        .withColumn("secs", col("event_id") % 90000)
+        .select(col("event_id"),
+          format_string("%02d:%02d:%02d",
+            floor(col("secs") / 3600).cast("int"),
+            floor((col("secs") % 3600) / 60).cast("int"),
+            (col("secs") % 60).cast("int")).as("hms"))
+    }),
+
+    // F6: hive-style object-key construction
+    // (reference modal/stream.py:344, audio/{mid}/{y}/{m:02d}/{d:02d}/…).
+    "f6_key_construction" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("sh", from_utc_timestamp(col("ts"), "+08:00"))
+        .select(col("event_id"),
+          concat(lit("audio/"), col("user_id"), lit("/"),
+            year(col("sh")), lit("/"),
+            lpad(month(col("sh")).cast("string"), 2, "0"), lit("/"),
+            lpad(dayofmonth(col("sh")).cast("string"), 2, "0"), lit("/"),
+            col("event_id"), lit(".mp4")).as("key"))
+    }),
+
+    // F7 + F8 + F9 + F15: prefix match, split+size, join, indexing
+    // (reference transcribe.py:75-77, fuzz.py:21-35).
+    "f7_string_ops" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .where(col("text").startsWith("the "))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"),
+          element_at(split(col("text"), " "), 1).as("first_tok"),
+          element_at(split(col("text"), " "), -1).as("last_tok"))
+    }),
+
+    // F11: JSON parse (reference json.load of transcripts/meta;
+    // testdata events.props is the JSON column).
+    "f11_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }),
+
+    // F12 + F13: md5 digest and char-class strip
+    // (reference wbi.py:26-32).
+    "f12_md5_translate" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .where(col("c_custkey") < 2000)
+        .select(col("c_custkey"),
+          md5(col("c_name")).as("digest"),
+          translate(col("c_name"), "#0", "").as("stripped"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f1_regex_datetime" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             concat(year(o_orderdate), '年', month(o_orderdate), '月',
+                    day(o_orderdate), '日8点场直播') AS title
+           FROM orders WHERE o_orderkey < 5000)
+         SELECT o_orderkey, title,
+           CAST(regexp_extract(title, '(\d{4})年(\d{1,2})月(\d{1,2})日(\d{1,2})点场', 1) AS INT) AS ey,
+           CAST(regexp_extract(title, '(\d{4})年(\d{1,2})月(\d{1,2})日(\d{1,2})点场', 2) AS INT) AS em,
+           CAST(regexp_extract(title, '(\d{4})年(\d{1,2})月(\d{1,2})日(\d{1,2})点场', 3) AS INT) AS ed
+         FROM t
+         WHERE regexp_extract(title, '(\d{4})年(\d{1,2})月(\d{1,2})日(\d{1,2})点场', 1) <> ''""",
+    "f2_first_pattern" ->
+      """SELECT p_partkey,
+           coalesce(nullif(regexp_extract(p_name, '(widget)', 1), ''),
+                    nullif(regexp_extract(p_name, '(bolt)', 1), ''),
+                    nullif(regexp_extract(p_name, '(gear)', 1), ''),
+                    'other') AS kind
+         FROM part""",
+    "f3_tz_date_parts" ->
+      """SELECT year(ts + INTERVAL 8 HOUR) AS y,
+                month(ts + INTERVAL 8 HOUR) AS m,
+                day(ts + INTERVAL 8 HOUR) AS d,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2, 3""",
+    "f4_strftime" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d_%H-%M-%S') AS stamp
+         FROM orders WHERE o_orderkey < 1000""",
+    "f5_seconds_hms" ->
+      """SELECT event_id,
+           printf('%02d:%02d:%02d', (event_id % 90000) // 3600,
+                  ((event_id % 90000) % 3600) // 60, (event_id % 90000) % 60) AS hms
+         FROM events WHERE event_id < 2000""",
+    "f6_key_construction" ->
+      """SELECT event_id,
+           concat('audio/', user_id, '/',
+                  year(ts + INTERVAL 8 HOUR), '/',
+                  lpad(CAST(month(ts + INTERVAL 8 HOUR) AS VARCHAR), 2, '0'), '/',
+                  lpad(CAST(day(ts + INTERVAL 8 HOUR) AS VARCHAR), 2, '0'), '/',
+                  event_id, '.mp4') AS key
+         FROM events""",
+    "f7_string_ops" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           array_to_string(string_split(text, ' ')[1:3], '_') AS first3,
+           string_split(text, ' ')[1] AS first_tok,
+           string_split(text, ' ')[-1] AS last_tok
+         FROM documents WHERE starts_with(text, 'the ')""",
+    "f11_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1""",
+    "f12_md5_translate" ->
+      """SELECT c_custkey, md5(c_name) AS digest,
+           translate(c_name, '#0', '') AS stripped
+         FROM customer WHERE c_custkey < 2000"""
+  )
+}
