@@ -15,7 +15,11 @@ object SparkEntry {
     operators.Relational,
     operators.FuzzyOccurrence,
     operators.Scalars,
-    operators.EventWindows
+    operators.EventWindows,
+    operators.Dedup,
+    operators.Similarity,
+    operators.TextAnalysis,
+    operators.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

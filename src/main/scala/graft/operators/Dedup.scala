@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline extensions (BASELINE.json north star). The
+  * reference's only dedup is exact key-set membership (SURVEY.md §2.8
+  * E2/A7); a 100 TB corpus needs the full ladder:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle,
+  *    map-side combinable, linear;
+  *  - near-dup MinHash + LSH banding: per-doc signatures (narrow),
+  *    explode to (band, bucket) keys, shuffle on bucket, pairs only
+  *    within buckets — candidate generation is O(docs × bands), never
+  *    O(docs²); exact shingle-Jaccard then verifies candidates;
+  *  - SimHash: 64-bit signature + banded bucket keys, same shape;
+  *  - shingle-Jaccard inside tight blocks: the oracle-checkable
+  *    ground-truth variant (DuckDB can express it with list ops).
+  *
+  * Word UNIGRAM sets are non-discriminative on this corpus (shared
+  * small vocabulary → almost every pair has token-Jaccard ≥ 0.5), so
+  * all near-dup measures use word 3-shingles, which separate the
+  * planted near-duplicates (~28 pairs ≥ 0.8) from the noise floor.
+  *
+  * Signatures use xxhash64 with per-seed salt columns — deterministic
+  * across runs and cluster layouts (no RNG, no partition dependence).
+  */
+object Dedup extends QueryModule {
+
+  /** Word 3-shingles of a text column (codegen'd, no UDF). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => length(s) > lit(0))
+  }
+
+  /** MinHash signature: for each of `k` seeds, the minimum
+    * xxhash64(shingle, seed) over the doc's shingles. array<long>.
+    */
+  private def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** Candidate pairs via LSH banding over MinHash signatures: equal
+    * (band, hash-of-band-slice) → candidate. `bands` must divide `k`.
+    * The self-join keys on (band, bucket) — at scale this is a shuffle
+    * on bucket ids whose fan-out is bounded by bucket occupancy, never
+    * an all-pairs product.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val buckets = docs
+      .select(col("doc_id"), minhashSig(shingles(col("text")), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))
+          .as(Seq("band", "bucket")))
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over word-3-shingle sets (codegen'd). */
+  def shingleJaccard(a: Column, b: Column): Column = {
+    val sa = array_distinct(shingles(a))
+    val sb = array_distinct(shingles(b))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content fingerprint: keep the smallest doc_id per
+    // fingerprint (deterministic survivor), report group size.
+    "dedup_exact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with
+    // exact shingle-Jaccard ≥ 0.8. Rows-only check (not expressible in
+    // DuckDB); DedupSpec pins recall vs brute force on sf0.001.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cands = minhashCandidates(docs, k = 32, bands = 8)
+      val byId = docs.select(col("doc_id"), col("text"))
+      cands
+        .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("jacc", shingleJaccard(col("da.text"), col("db.text")))
+        .where(col("jacc") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+    }),
+
+    // SimHash signatures + 16-bit banded bucket keys (the near-dup
+    // index a 100 TB pipeline would persist; near-Hamming pairs share
+    // a band bucket). Rows-only; semantics pinned in DedupSpec.
+    "dedup_simhash" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("hashes",
+          transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
+        .withColumn("sig", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, bit) -> acc |
+               if(aggregate(hashes, 0,
+                    (c, h) -> c + int(shiftrightunsigned(h, bit) & 1))
+                    * 2 > size(hashes),
+                  shiftleft(1L, bit), 0L))"""))
+        .select(col("doc_id"), col("sig"),
+          expr("int(shiftrightunsigned(sig,  0) & 65535)").as("band0"),
+          expr("int(shiftrightunsigned(sig, 16) & 65535)").as("band1"),
+          expr("int(shiftrightunsigned(sig, 32) & 65535)").as("band2"),
+          expr("int(shiftrightunsigned(sig, 48) & 65535)").as("band3"))
+    }),
+
+    // Oracle-checkable shingle-Jaccard inside tight blocks (same lang,
+    // source, length bucket): ground truth for near-dup detection.
+    "dedup_jaccard_block" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jacc", shingleJaccard(col("a.text"), col("b.text")))
+        .where(col("jacc") >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(col("jacc"), 6).as("jacc"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "dedup_jaccard_block" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+                            for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
+  )
+}

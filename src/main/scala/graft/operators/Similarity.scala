@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`) — north-star ANN operators.
+  *
+  * Cosine is computed with a left-to-right double fold
+  * (`aggregate(zip_with(...))`, codegen'd — no UDF) so the IEEE result
+  * is bit-identical to the DuckDB oracle's `list_reduce` fold: both
+  * evaluate ((x1 + x2) + x3)…, both cast floats to double before
+  * multiplying, and sqrt/divide are correctly-rounded IEEE ops.
+  *
+  * Scale paths:
+  *  - brute-force top-k: queries × corpus broadcast product, ranked
+  *    per query with TakeOrdered-style windows — right when the query
+  *    set is small and broadcastable (the common serving shape);
+  *  - IVF: corpus bucketed by nearest centroid once (narrow,
+  *    broadcast codebook), probes search only their centroid's bucket
+  *    — the partition-pruned shape that survives 100 TB because the
+  *    per-query work is corpus/K, and buckets can be written as
+  *    hive-partitioned parquet for pruning on read.
+  */
+object Similarity extends QueryModule {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm of a float-array column, in double. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 for 8 fixed query vectors (oracle-
+    // checked). The query side broadcasts; ranking is per-query.
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF-style ANN: 16 fixed centroids (vec_id < 16 as codebook);
+    // vectors assigned to nearest centroid; probes search only their
+    // bucket. Rows-only; SimilaritySpec pins recall vs brute force.
+    "ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      def assign(df: DataFrame, vecCol: String): DataFrame = {
+        val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
+        df.crossJoin(broadcast(cents))
+          .withColumn("c_cos", cosine(col(vecCol), col("c_vec")))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1)
+          .drop("c_vec", "c_cos", "__rk")
+      }
+      val corpus = assign(
+        e.select(col("vec_id").as("__aid"), col("embedding")), "embedding")
+        .select(col("__aid").as("vec_id"), col("embedding"), col("c_id"))
+      val probes = assign(
+        e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("__aid"), col("embedding").as("q_vec")), "q_vec")
+        .select(col("__aid").as("q_id"), col("q_vec"), col("c_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(probes, "c_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Embedding-cosine near-dup: the 20 most-similar pairs in the
+    // corpus (oracle-checked; the corpus has no planted near-dup
+    // embeddings, so top-k is the meaningful shape, not a threshold).
+    "sim_top_pairs" -> ((s, dir) => {
+      val a = embeddings(s, dir)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = embeddings(s, dir)
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    })
+  )
+
+  private val duckCosine =
+    """WITH e AS (
+         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+           sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+         FROM e)"""
+
+  def oracle: Map[String, String] = Map(
+    "ann_cosine_topk" -> (duckCosine +
+      """
+         SELECT q_id, vec_id, rk, round(c, 6) AS cos_r FROM (
+           SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+             list_reduce([q.v[i] * v.v[i] for i in range(1, len(q.v) + 1)],
+                         (a, b) -> a + b) / (q.nrm * v.nrm) AS c,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce([q.v[i] * v.v[i] for i in range(1, len(q.v) + 1)],
+                           (a, b) -> a + b) / (q.nrm * v.nrm) DESC,
+               v.vec_id ASC) AS rk
+           FROM n q JOIN n v ON q.vec_id < 8 AND v.vec_id <> q.vec_id) t
+         WHERE rk <= 5"""),
+    "sim_top_pairs" -> (duckCosine +
+      """
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_r
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         ORDER BY list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
+                              (x, y) -> x + y) / (a.nrm * b.nrm) DESC,
+                  a.vec_id ASC, b.vec_id ASC
+         LIMIT 20""")
+  )
+}

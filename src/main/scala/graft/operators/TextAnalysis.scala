@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting (north-star extensions for
+  * a training-data pipeline; the reference's text processing is the
+  * fuzzy scan itself).
+  *
+  * Everything is built-ins/higher-order functions (no UDFs): the whole
+  * module is one narrow codegen'd projection per query — embarrassingly
+  * parallel, no shuffle except the final aggregations, which is the
+  * shape that scales to 100 TB of raw text.
+  */
+object TextAnalysis extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality scoring: token stats + stopword ratio. Integer sums and
+    // single divisions only → bit-identical to the oracle.
+    "text_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("sum_len",
+          aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x))
+        .withColumn("n_stop",
+          size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "in"))))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sum_len").cast("double") / col("n_tokens")).as("avg_tok_len"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+    }),
+
+    // Language ID: n-gram/charset heuristic (CJK chars → zh; stopword
+    // density → en; else unknown), counted per (pred, labeled lang).
+    "text_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("pred",
+          when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+            .when(size(filter(col("toks"),
+              t => t.isin("the", "a", "of", "and", "in", "is", "to"))) * 20
+              > size(col("toks")), "en")
+            .otherwise("unknown"))
+        .groupBy(col("pred"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword pieces
+    // (alpha runs / digit runs / single other chars).
+    "text_token_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("bpe_ish"))
+    }),
+
+    // Document fingerprint: exact modular polynomial rolling hash over
+    // per-token codepoint values — deterministic integer arithmetic,
+    // reproducible in any engine (same fold in the oracle).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), " "),
+              t => (ascii(t) * lit(7L) + length(t))),
+            lit(0L),
+            (acc, v) => (acc * 131 + v) % 2147483647L).as("fp"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_sum([len(t) for t in string_split(text, ' ')]) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_tok_len,
+           CAST(len([t for t in string_split(text, ' ')
+                     if t IN ('the', 'a', 'of', 'and', 'in')]) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio
+         FROM documents""",
+    "text_langid" ->
+      """SELECT CASE
+           WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           WHEN len([t for t in string_split(text, ' ')
+                     if t IN ('the', 'a', 'of', 'and', 'in', 'is', 'to')]) * 20
+                > len(string_split(text, ' ')) THEN 'en'
+           ELSE 'unknown' END AS pred,
+           lang, COUNT(*) AS n
+         FROM documents GROUP BY 1, 2""",
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish
+         FROM documents""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],
+                       (a, b) -> (a * 131 + b) % 2147483647) AS fp
+         FROM documents"""
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the non-oracle ANN op: IVF results are a subset of valid
+  * neighbors and overlap well with brute-force top-k.
+  */
+class SimilaritySpec extends SparkFunSuite {
+
+  test("ivf results are valid and overlap brute-force top-k") {
+    val brute = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // approximate search trades recall for partition pruning; on
+    // 500 vecs × 16 centroids it must still find a fair share
+    val overlap = ivf.intersect(brute).size.toDouble / brute.size
+    assert(overlap >= 0.2, s"IVF overlap with brute force too low: $overlap")
+    // each query returns at most 5 ranked neighbors, none are self
+    val perQ = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      .groupBy(col("q_id")).count().collect()
+    assert(perQ.forall(_.getLong(1) <= 5))
+    assert(!ivf.exists { case (q, v) => q == v })
+  }
+
+  test("cosine of identical vectors is 1") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings").limit(10)
+    val c = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(c.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+}
