@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.sinks.Merge
+
+/** Pipeline-state operators: MERGE-emulation sinks exercised as
+  * queries, incremental anchor scans, and the NULL-encoded stage
+  * machine (SURVEY.md §2.2, §2.11, §1.2).
+  *
+  * The reference's "streaming" is incremental batch over a mutable
+  * state table: watermark anchors (`db/song.py:19-26` +
+  * `bilibili/video.py:84-100`), two-sided backfill bounds
+  * (`bilibili/series.py:100-109`), and a row state machine encoded in
+  * NULL columns (`db/recording.py:96-210`). Each is re-expressed as a
+  * declarative plan over the star schema so the oracle can check it.
+  */
+object Pipeline extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K1: upsert-ignore — existing keys keep their row, new keys append.
+    "k1_upsert_ignore" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val incoming = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      Merge.upsertIgnore(target, incoming, Seq("o_orderkey"))
+    }),
+
+    // K2: upsert-update — incoming wins on collision.
+    "k2_upsert_update" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val incoming = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      Merge.upsertUpdate(target, incoming, Seq("o_orderkey"))
+    }),
+
+    // K3: bulk join-update — set order priority from a per-customer
+    // updates relation; unmatched rows keep their value. The scan
+    // marker uses a fixed literal timestamp (deterministic stand-in
+    // for the reference's NOW(), dblocal.py:235).
+    "k3_join_update" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val updates = Tables.load(s, dir, "customer")
+        .where(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey").as("o_custkey"),
+          lit("0-REVIEWED").as("o_orderpriority"),
+          lit("2026-01-01 00:00:00").as("scanned_at"))
+      Merge.joinUpdate(
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          lit(null).cast("string").as("scanned_at")),
+        updates, "o_custkey", Seq("o_orderpriority", "scanned_at"))
+    }),
+
+    // S5/A1: incremental watermark scan — per-customer anchor =
+    // max(o_orderdate) over the "already ingested" era; new rows are
+    // strictly later (or from customers never seen).
+    "incr_anchor_scan" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val anchors = o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("anchor"))
+      o.join(anchors, Seq("o_custkey"), "left")
+        .where(col("anchor").isNull || col("o_orderdate") > col("anchor"))
+        .select(col("o_custkey"), col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    }),
+
+    // S6: two-sided bounded backfill — known range per customer from
+    // the 1996–1997 era; accept rows strictly outside [oldest, newest]
+    // (NOT(older-than-newest AND newer-than-oldest)).
+    "incr_two_sided" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val bounds = o.where(year(col("o_orderdate")).between(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("newest"), min(col("o_orderdate")).as("oldest"))
+      o.join(bounds, Seq("o_custkey"), "inner")
+        .where(!(col("o_orderdate") <= col("newest") &&
+          col("o_orderdate") >= col("oldest")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    }),
+
+    // §1.2: NULL-state stage machine with PG array semantics. A
+    // synthetic audio_keys array is NULL / empty / populated;
+    // PG's array_length('{}') IS NULL while Spark's size([]) is 0, so
+    // the predicate normalizes through nullif(size, 0) (SURVEY P3).
+    "state_machine" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("audio_keys",
+          when(col("o_orderkey") % 4 === 0, lit(null).cast("array<string>"))
+            .when(col("o_orderkey") % 4 === 1, array())
+            .otherwise(array(concat(lit("a/"), col("o_orderkey")))))
+        .withColumn("transcript_key",
+          when(col("o_orderkey") % 3 === 0, concat(lit("t/"), col("o_orderkey")))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("scanned_at",
+          when(col("o_orderkey") % 6 === 0, lit("2026-01-01"))
+            .otherwise(lit(null).cast("string")))
+      o.withColumn("stage",
+          when(col("transcript_key").isNull &&
+            nullif(size(coalesce(col("audio_keys"), array())), lit(0)).isNull &&
+            col("scanned_at").isNull, "needs_stream")
+            .when(col("transcript_key").isNull &&
+              size(coalesce(col("audio_keys"), array())) > 0, "needs_transcribe")
+            .when(col("scanned_at").isNull &&
+              col("transcript_key").isNotNull, "needs_scan")
+            .otherwise("done"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "k1_upsert_ignore" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM target
+         UNION ALL
+         SELECT * FROM incoming
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)""",
+    "k2_upsert_update" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM incoming
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k3_join_update" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN '0-REVIEWED'
+                ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN u.c_custkey IS NOT NULL THEN '2026-01-01 00:00:00'
+                ELSE NULL END AS scanned_at
+         FROM orders LEFT JOIN
+           (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) u
+           ON o_custkey = u.c_custkey""",
+    "incr_anchor_scan" ->
+      """WITH anchors AS (
+           SELECT o_custkey, MAX(o_orderdate) AS anchor FROM orders
+           WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+         SELECT o.o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+         FROM orders o LEFT JOIN anchors a ON o.o_custkey = a.o_custkey
+         WHERE a.anchor IS NULL OR o.o_orderdate > a.anchor""",
+    "incr_two_sided" ->
+      """WITH bounds AS (
+           SELECT o_custkey, MAX(o_orderdate) AS newest, MIN(o_orderdate) AS oldest
+           FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+           GROUP BY o_custkey)
+         SELECT o.o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+         FROM orders o JOIN bounds b ON o.o_custkey = b.o_custkey
+         WHERE NOT (o.o_orderdate <= b.newest AND o.o_orderdate >= b.oldest)""",
+    "state_machine" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  WHEN o_orderkey % 4 = 1 THEN 0
+                  ELSE 1 END AS n_audio,
+             CASE WHEN o_orderkey % 3 = 0 THEN 't/' || o_orderkey END AS transcript_key,
+             CASE WHEN o_orderkey % 6 = 0 THEN '2026-01-01' END AS scanned_at
+           FROM orders)
+         SELECT CASE
+             WHEN transcript_key IS NULL AND nullif(coalesce(n_audio, 0), 0) IS NULL
+                  AND scanned_at IS NULL THEN 'needs_stream'
+             WHEN transcript_key IS NULL AND coalesce(n_audio, 0) > 0 THEN 'needs_transcribe'
+             WHEN scanned_at IS NULL AND transcript_key IS NOT NULL THEN 'needs_scan'
+             ELSE 'done' END AS stage,
+           COUNT(*) AS n
+         FROM t GROUP BY 1"""
+  )
+}

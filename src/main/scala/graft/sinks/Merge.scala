@@ -1,0 +1,44 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE emulation (SURVEY.md §2.2 K1–K3). No Delta jar ships in this
+  * image, so upserts are expressed as pure DataFrame rewrites — the
+  * same plans a `MERGE INTO` would produce, minus the transactional
+  * commit (idempotency comes from the rewrite-whole-table pattern the
+  * reference also relies on via `ON CONFLICT`, `db/recording.py:49`).
+  *
+  * Scale notes: both sides shuffle on the merge keys (or the small
+  * side broadcasts); at 100 TB the target would be bucketed/partitioned
+  * on the key so the anti-join co-locates instead of reshuffling, and
+  * the rewrite touches only affected partitions (dynamic partition
+  * overwrite).
+  */
+object Merge {
+
+  /** K1: `INSERT … ON CONFLICT DO NOTHING` — keep target rows, add
+    * incoming rows whose key is absent (`db/recording.py:44-66`).
+    */
+  def upsertIgnore(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(incoming.join(target, keys, "left_anti"))
+
+  /** K2: `INSERT … ON CONFLICT DO UPDATE` — incoming wins on key
+    * collision (`db/occurrence.py:22-51`).
+    */
+  def upsertUpdate(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.unionByName(target.join(incoming, keys, "left_anti"))
+
+  /** K3: `UPDATE target SET col = v FROM updates WHERE key match` —
+    * left join + coalesce, non-matching rows untouched
+    * (`dblocal.py:225-250`).
+    */
+  def joinUpdate(target: DataFrame, updates: DataFrame, key: String,
+      setCols: Seq[String]): DataFrame = {
+    val u = updates.select(
+      col(key) +: setCols.map(c => col(c).as(s"__new_$c")): _*)
+    setCols.foldLeft(target.join(u, Seq(key), "left")) { (df, c) =>
+      df.withColumn(c, coalesce(col(s"__new_$c"), col(c)))
+    }.drop(setCols.map(c => s"__new_$c"): _*)
+  }
+}

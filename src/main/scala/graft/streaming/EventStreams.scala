@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.11 + §7.2 step 7).
+  *
+  * The reference's pipeline is incremental batch over a state table;
+  * here the same computations run as real streams: file source →
+  * event-time windows with a watermark → sink, with
+  * `Trigger.AvailableNow` giving the reference's cron-style "drain
+  * what's new, then stop" semantics. The windowed aggregations reuse
+  * the exact expressions of the batch queries (EventWindows), so batch
+  * and stream results coincide — asserted by StreamingSpec.
+  *
+  * Scale: file-source streams shard by file; state (windows, sessions,
+  * per-key counters) lives in the state store keyed by groupBy keys,
+  * so capacity scales with executors like any shuffle. Watermarks
+  * bound state: late events beyond 1 hour are dropped instead of
+  * accumulating unbounded window state.
+  */
+object EventStreams {
+
+  /** events schema as the stream source sees it (ts arrives as raw
+    * nanos — see graft.Tables: Spark cannot read TIMESTAMP(NANOS)
+    * natively — and is converted to a micros timestamp here).
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a DIRECTORY of events parquet files
+    * (file streams consume directories — new files appearing under
+    * `eventsDir` become new micro-batches; that's the drop-folder
+    * ingestion shape).
+    */
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark — the streaming
+    * twin of the batch `ev_tumbling` query.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event
+    * count and last-seen timestamp (the canonical stateful-op shape;
+    * the reference's equivalent is the mutable LiveRecordingArchive
+    * state row, SURVEY.md §1.2).
+    */
+  def userRunningCounts(spark: SparkSession, events: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+  }
+
+  /** Drain a streaming frame into an in-memory table with
+    * AvailableNow semantics; returns the collected result. Used by
+    * tests and the local demo CLI — production would writeStream to
+    * parquet/foreachBatch instead.
+    */
+  def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
