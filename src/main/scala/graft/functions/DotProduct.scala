@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `dot_d(a, b)` — dot product of two array<double> columns as one
+  * codegen'd expression.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)` —
+  * the same left-to-right IEEE addition order, so results are
+  * bit-identical to that formulation AND to the DuckDB oracle's
+  * `list_reduce` fold — but the HOF version interprets its lambdas per
+  * element and allocates an intermediate array per pair, which
+  * dominates all-pairs similarity workloads. This loop is the
+  * allocation-free native kernel.
+  */
+object DotProductKernel {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_d requires (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProductKernel.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot_d(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}

@@ -29,32 +29,24 @@ import graft.{QueryModule, Tables}
   */
 object Dedup extends QueryModule {
 
-  /** Word 3-shingles of a text column (codegen'd, no UDF). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => length(s) > lit(0))
-  }
-
-  /** MinHash signature: for each of `k` seeds, the minimum
-    * xxhash64(shingle, seed) over the doc's shingles. array<long>.
+  /** Word 3-shingles of a text column — native codegen'd kernel (one
+    * tokenize pass per row; see [[graft.functions.WordShingles]]).
     */
-  private def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles.word_shingles(text, n)
 
-  /** Candidate pairs via LSH banding over MinHash signatures: equal
-    * (band, hash-of-band-slice) → candidate. `bands` must divide `k`.
-    * The self-join keys on (band, bucket) — at scale this is a shuffle
-    * on bucket ids whose fan-out is bounded by bucket occupancy, never
-    * an all-pairs product.
+  /** Candidate pairs via LSH banding over MinHash signatures
+    * ([[graft.functions.MinHashSig]] — one codegen'd pass per doc):
+    * equal (band, hash-of-band-slice) → candidate. `bands` must divide
+    * `k`. The self-join keys on (band, bucket) — at scale this is a
+    * shuffle on bucket ids whose fan-out is bounded by bucket
+    * occupancy, never an all-pairs product.
     */
   def minhashCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val buckets = docs
-      .select(col("doc_id"), minhashSig(shingles(col("text")), k).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(shingles(col("text")), k).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ","))))
@@ -67,12 +59,16 @@ object Dedup extends QueryModule {
   }
 
   /** Exact Jaccard over word-3-shingle sets (codegen'd). */
-  def shingleJaccard(a: Column, b: Column): Column = {
-    val sa = array_distinct(shingles(a))
-    val sb = array_distinct(shingles(b))
+  def shingleJaccard(a: Column, b: Column): Column =
+    shingleSetJaccard(array_distinct(shingles(a)), array_distinct(shingles(b)))
+
+  /** Jaccard over two precomputed distinct-shingle arrays. Prefer this
+    * after a join: shingling inside the pair expression would redo the
+    * split/slice work for every pair instead of once per row.
+    */
+  def shingleSetJaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content fingerprint: keep the smallest doc_id per
@@ -89,11 +85,13 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val cands = minhashCandidates(docs, k = 32, bands = 8)
-      val byId = docs.select(col("doc_id"), col("text"))
+      // shingle sets computed once per doc (narrow), joined to pairs
+      val byId = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
       cands
         .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
         .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
-        .withColumn("jacc", shingleJaccard(col("da.text"), col("db.text")))
+        .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
         .where(col("jacc") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
     }),
@@ -122,14 +120,15 @@ object Dedup extends QueryModule {
     // source, length bucket): ground truth for near-dup detection.
     "dedup_jaccard_block" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          expr("n_chars div 100").as("len_bucket"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"),
+          array_distinct(shingles(col("text"))).as("sh"))
       d.as("a").join(d.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") &&
             col("a.len_bucket") === col("b.len_bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jacc", shingleJaccard(col("a.text"), col("b.text")))
+        .withColumn("jacc", shingleSetJaccard(col("a.sh"), col("b.sh")))
         .where(col("jacc") >= 0.5)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           round(col("jacc"), 6).as("jacc"))

@@ -109,7 +109,10 @@ object Scalars extends QueryModule {
     // testdata events.props is the JSON column).
     "f11_json_extract" -> ((s, dir) => {
       Tables.load(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
     }),

@@ -26,11 +26,12 @@ import graft.{QueryModule, Tables}
   */
 object Similarity extends QueryModule {
 
-  /** Double-precision dot product of two float-array columns. */
+  /** Double-precision dot product of two array<double> columns —
+    * native codegen'd kernel, same left-to-right IEEE fold as the HOF
+    * formulation (see [[graft.functions.DotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_d(a, b)
 
   /** Euclidean norm of a float-array column, in double. */
   def norm(v: Column): Column =
@@ -38,10 +39,19 @@ object Similarity extends QueryModule {
       transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    dot(transform(a, _.cast("double")), transform(b, _.cast("double"))) /
+      (norm(a) * norm(b))
 
+  /** Embeddings with the float vector widened to array<double> and the
+    * norm precomputed ONCE PER ROW — pair-wise ops after a join must
+    * not recompute per-row quantities per pair (at n² pairs that turns
+    * an O(n·d) prep into O(n²·d) waste).
+    */
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+      .withColumn("vd", transform(col("embedding"), _.cast("double")))
+      .withColumn("nrm", norm(col("embedding")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for 8 fixed query vectors (oracle-
@@ -49,12 +59,12 @@ object Similarity extends QueryModule {
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .select(col("vec_id").as("q_id"), col("vd").as("q_vd"), col("nrm").as("q_nrm"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("q_id"), col("vec_id"), col("rk"),
@@ -67,27 +77,27 @@ object Similarity extends QueryModule {
     "ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val cents = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      def assign(df: DataFrame, vecCol: String): DataFrame = {
+        .select(col("vec_id").as("c_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
+      def assign(df: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
         df.crossJoin(broadcast(cents))
-          .withColumn("c_cos", cosine(col(vecCol), col("c_vec")))
+          .withColumn("c_cos",
+            dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
           .withColumn("__rk", row_number().over(w))
           .where(col("__rk") === 1)
-          .drop("c_vec", "c_cos", "__rk")
+          .drop("c_vd", "c_nrm", "c_cos", "__rk")
       }
-      val corpus = assign(
-        e.select(col("vec_id").as("__aid"), col("embedding")), "embedding")
-        .select(col("__aid").as("vec_id"), col("embedding"), col("c_id"))
-      val probes = assign(
-        e.where(col("vec_id") < 8)
-          .select(col("vec_id").as("__aid"), col("embedding").as("q_vec")), "q_vec")
-        .select(col("__aid").as("q_id"), col("q_vec"), col("c_id"))
+      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+      val corpus = assign(base)
+        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
+      val probes = assign(base.where(col("__aid") < 8))
+        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
+          col("nrm").as("q_nrm"), col("c_id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       corpus.join(probes, "c_id")
         .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("embedding"), col("q_vec")))
+        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("q_id"), col("vec_id"), col("rk"),
@@ -99,11 +109,11 @@ object Similarity extends QueryModule {
     // embeddings, so top-k is the meaningful shape, not a threshold).
     "sim_top_pairs" -> ((s, dir) => {
       val a = embeddings(s, dir)
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .select(col("vec_id").as("id_a"), col("vd").as("va"), col("nrm").as("na"))
       val b = embeddings(s, dir)
-        .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .select(col("vec_id").as("id_b"), col("vd").as("vb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
