@@ -177,6 +177,27 @@ object Relational extends QueryModule {
       all.except(withBigOrders)
     }),
 
+    // Union with dedup (multi-page REST appends are unions in spirit,
+    // bilibililocal.py:92-102).
+    "u1_union" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .union(c.where(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_name")))
+        .distinct()
+    }),
+
+    // Sketch aggregation: HLL approximate distinct (north-star for
+    // 100 TB cardinality estimation; rows-only — sketch values are
+    // engine-specific — with accuracy pinned in RelationalSpec).
+    "a8_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
     // A6 + countDistinct (reference rowcounts; plus approx_count_distinct
     // is benched separately — exact here so the oracle can check it).
     "a6_count_distinct" -> ((s, dir) => {
@@ -263,6 +284,10 @@ object Relational extends QueryModule {
       """SELECT c_custkey FROM customer
          EXCEPT SELECT o_custkey AS c_custkey FROM orders
                 WHERE o_totalprice > 450000.0""",
+    "u1_union" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0""",
     "a6_count_distinct" ->
       """SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS nd_parts,

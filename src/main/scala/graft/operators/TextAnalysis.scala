@@ -56,6 +56,31 @@ object TextAnalysis extends QueryModule {
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("bpe_ish"))
     }),
 
+    // TF-DF term ranking (tf-idf with an exact rational weight,
+    // tf·N/df, instead of a log — keeps the oracle engine-agnostic;
+    // log libm results differ across engines in the last ulp): top-3
+    // highest-weighted tokens per document.
+    "text_tf_df" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
     // Document fingerprint: exact modular polynomial rolling hash over
     // per-token codepoint values — deterministic integer arithmetic,
     // reproducible in any engine (same fold in the oracle).
@@ -92,6 +117,20 @@ object TextAnalysis extends QueryModule {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish
          FROM documents""",
+    "text_tf_df" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, tok, tf, df, round(score, 6) AS score_r FROM (
+           SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC,
+                        tf.tok ASC) AS rk
+           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
+         WHERE rk <= 3""",
     "text_fingerprint" ->
       """SELECT doc_id,
            list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],

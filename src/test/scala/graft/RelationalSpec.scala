@@ -41,6 +41,30 @@ class RelationalSpec extends SparkFunSuite {
     assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("a8_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("a6_count_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05,
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
+  test("custom expressions are callable from SQL after register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT indel_ratio('abc', 'axc') AS r, " +
+        "size(word_shingles('a b c d', 3)) AS ns, " +
+        "size(minhash_sig(word_shingles('a b c d', 3), 16)) AS k, " +
+        "dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").collect()(0)
+    assert(math.abs(r.getDouble(0) - 100.0 * (1 - 2.0 / 6)) < 1e-9)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 16)
+    assert(r.getDouble(3) == 11.0)
+  }
+
   test("w2 rank per group caps at 3 rows per nation") {
     val df = SparkEntry.queries("w2_rank_per_group")(spark, sfDir)
     val maxPerGroup = df.groupBy(col("c_nationkey")).count()
