@@ -177,6 +177,50 @@ object Relational extends QueryModule {
       all.except(withBigOrders)
     }),
 
+    // P7/J10/A3: parallel arrays collected per group (struct-sorted so
+    // both stay aligned — the reference relies on PG emitting two
+    // ARRAY_AGGs in the same order, modal/occurrence.py:48-51), zipped
+    // back positionally and filtered. The oracle derives the same rows
+    // relationally, proving the zip preserved alignment.
+    "p7_zip_filter" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val arrays = o
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus")))).as("rows"))
+        .select(col("o_custkey"),
+          expr("transform(rows, r -> r.o_orderkey)").as("keys"),
+          expr("transform(rows, r -> r.o_orderstatus)").as("statuses"))
+      arrays
+        .select(col("o_custkey"),
+          posexplode(arrays_zip(col("keys"), col("statuses"))).as(Seq("pos", "z")))
+        .where(col("z.statuses") === "F")
+        .select(col("o_custkey"), col("pos"), col("z.keys").as("o_orderkey"))
+    }),
+
+    // J7: left anti on a COMPOSITE key (the reference's already-scanned
+    // skip keys on (vtuber_song_id, archive_id), cmdline.py:289-296).
+    "j7_anti_composite" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val done = li.where(col("l_quantity") > 30.0)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      li.join(done, Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // J8: two-key broadcast inner join (the reference's nested
+    // dict-of-dicts lookup on (title, vtuber_profile_id),
+    // modal/video.py:42-47) — a derived small dim joined on both keys.
+    "j8_two_key_join" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val dim = d.groupBy(col("lang"), col("source"))
+        .agg(min(col("doc_id")).as("bucket_id"))
+      d.join(broadcast(dim), Seq("lang", "source"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
     // Union with dedup (multi-page REST appends are unions in spirit,
     // bilibililocal.py:92-102).
     "u1_union" -> ((s, dir) => {
@@ -284,6 +328,27 @@ object Relational extends QueryModule {
       """SELECT c_custkey FROM customer
          EXCEPT SELECT o_custkey AS c_custkey FROM orders
                 WHERE o_totalprice > 450000.0""",
+    "p7_zip_filter" ->
+      """SELECT o_custkey, CAST(rk - 1 AS INT) AS pos, o_orderkey FROM (
+           SELECT o_custkey, o_orderkey, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey, o_orderstatus) AS rk
+           FROM orders) t
+         WHERE o_orderstatus = 'F'""",
+    "j7_anti_composite" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem l
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem d
+           WHERE d.l_quantity > 30.0 AND d.l_orderkey = l.l_orderkey
+             AND d.l_linenumber = l.l_linenumber)
+         GROUP BY l_returnflag""",
+    "j8_two_key_join" ->
+      """WITH dim AS (
+           SELECT lang, source, MIN(doc_id) AS bucket_id
+           FROM documents GROUP BY 1, 2)
+         SELECT bucket_id, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents d JOIN dim USING (lang, source)
+         GROUP BY bucket_id""",
     "u1_union" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
          UNION

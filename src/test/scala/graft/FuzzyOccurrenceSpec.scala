@@ -48,6 +48,8 @@ class FuzzyOccurrenceSpec extends SparkFunSuite {
     3L -> "完全不相关的歌词内容啊",                    // decoy, should stay <40
     4L -> "心中的日月",                               // 1-line fragment
     5L -> "雪花飘飘\n北风萧萧",                       // 2-line, matches short page fallback
+    6L -> null,                                       // P4: NULL fragment filtered
+    7L -> "",                                         // P4: empty fragment filtered
   )
 
   private val transcripts: Map[String, Seq[Seq[(Double, String)]]] = Map(
@@ -94,6 +96,7 @@ class FuzzyOccurrenceSpec extends SparkFunSuite {
 
     val want = (for {
       (songId, lyrics) <- songs
+      if lyrics != null && lyrics.nonEmpty // P4 filter (dblocal.py:80)
       (bvid, pages) <- transcripts
       (score, start, page) <- refSearch(lyrics, pages)
       if score >= 40.0

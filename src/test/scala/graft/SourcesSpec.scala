@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage not exercised by the query catalog:
+  * S3 recursive metadata glob scan, S7 binary file source, K5 nested
+  * JSON document sink (SURVEY.md §2.1/§2.2).
+  */
+class SourcesSpec extends SparkFunSuite {
+
+  private lazy val root: String = {
+    // <root>/<mid>/<year>/<month>/<stamp_bvid>/meta.json — the local
+    // CLI layout (reference cmdline.py:388-401)
+    val dir = Files.createTempDirectory("metas")
+    Seq(
+      ("42", "2025", "07", "0701_BVx1", """{"bvid": "BVx1", "duration": 3600, "title": "t1"}"""),
+      ("42", "2025", "08", "0802_BVx2", """{"bvid": "BVx2", "duration": 1800, "title": "t2"}"""),
+      ("77", "2024", "12", "1231_BVx3", """{"bvid": "BVx3", "duration": 900, "title": "t3"}""")
+    ).foreach { case (mid, y, m, stamp, json) =>
+      val d = dir.resolve(mid).resolve(y).resolve(m).resolve(stamp)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"), json)
+    }
+    dir.toString
+  }
+
+  test("S3: glob scan replaces the recursive FS walk") {
+    val metas = spark.read
+      .json(s"$root/*/*/*/*/meta.json")
+      .withColumn("path", input_file_name())
+      .withColumn("mid", regexp_extract(col("path"), "metas[^/]*/(\\d+)/", 1))
+    val rows = metas.select(col("mid"), col("bvid"), col("duration"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("42", "BVx1", 3600L), ("42", "BVx2", 1800L),
+      ("77", "BVx3", 900L)))
+  }
+
+  test("S7: binaryFile source reads opaque payloads with metadata") {
+    val bin = spark.read.format("binaryFile")
+      .load(s"$root/*/*/*/*/meta.json")
+      .select(col("path"), col("length"), col("content"))
+    val got = bin.collect()
+    assert(got.length == 3)
+    assert(got.forall(r => r.getAs[Array[Byte]]("content").length == r.getLong(1)))
+  }
+
+  test("K5: nested JSON document sink round-trips through files") {
+    val dir = Files.createTempDirectory("transcripts_sink").toString
+    Files.writeString(Paths.get(s"$dir/BVw.json"),
+      """[[{"start": 1.0, "text": "a"}, {"start": 2.0, "text": "b"}],
+         [{"start": 0.5, "text": "c"}]]""")
+    val segs = sources.TranscriptJson.readSegments(spark, s"$dir/*.json")
+    val outDir = Files.createTempDirectory("transcripts_out").toString
+    sources.TranscriptJson.assembleNested(segs)
+      .write.mode("overwrite").json(outDir)
+    val back = spark.read
+      .schema("bvid STRING, pages ARRAY<ARRAY<STRUCT<start: DOUBLE, text: STRING>>>")
+      .json(outDir)
+    val row = back.collect()(0)
+    assert(row.getString(0) == "BVw")
+    val pages = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+    assert(pages.length == 2)
+    assert(pages(0).map(_.getString(1)) == Seq("a", "b"))
+    assert(pages(1).map(_.getDouble(0)) == Seq(0.5))
+  }
+}
