@@ -24,14 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * of the flagship query and the main CPU cost at scale.
   */
 object FuzzUtils {
-  /** Indel distance over codepoints via the LCS DP (two-row, O(m·n)
-    * time, O(min(m,n)) space) with common prefix/suffix trimming.
-    * Equal-affix trimming never changes the indel distance.
+
+  /** Reference two-row LCS DP — kept as the slow path / test oracle
+    * for the bit-parallel implementation below.
     */
-  def indelDistance(sa: String, sb: String): Int = {
+  def indelDistanceDP(sa: String, sb: String): Int = {
     val a0 = sa.codePoints().toArray
     val b0 = sb.codePoints().toArray
-    // trim common prefix / suffix
+    // trim common prefix / suffix (never changes the indel distance)
     var lo = 0
     val maxLo = math.min(a0.length, b0.length)
     while (lo < maxLo && a0(lo) == b0(lo)) lo += 1
@@ -62,6 +62,87 @@ object FuzzUtils {
       i += 1
     }
     m + n - 2 * prev(yLen)
+  }
+
+  /** Bit-parallel LCS length (Hyyrö 2004 / Crochemore–Iliopoulos–
+    * Pinzón): the pattern's positions are bits; per text symbol the
+    * column vector updates as `V' = (V + U) | (V − U)` with
+    * `U = V & M[symbol]`; LCS = zero bits of V among the pattern
+    * positions. Multi-word with explicit carry/borrow propagation so
+    * patterns longer than 64 codepoints work. O(n · ⌈m/64⌉) vs the
+    * DP's O(n · m).
+    *
+    * Pattern match-masks are cached per thread keyed by the pattern
+    * string: in the fuzzy pipeline the same song lyrics score against
+    * many windows, so the preprocessing amortizes away.
+    */
+  private final val maskCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, (Int, java.util.HashMap[Integer, Array[Long]])]](
+      () => new java.util.HashMap)
+
+  private def patternMasks(p: String): (Int, java.util.HashMap[Integer, Array[Long]]) = {
+    val cache = maskCache.get()
+    var entry = cache.get(p)
+    if (entry == null) {
+      if (cache.size() > 512) cache.clear()
+      val cps = p.codePoints().toArray
+      val words = (cps.length + 63) >>> 6
+      val masks = new java.util.HashMap[Integer, Array[Long]]
+      var i = 0
+      while (i < cps.length) {
+        var m = masks.get(cps(i))
+        if (m == null) { m = new Array[Long](words); masks.put(cps(i), m) }
+        m(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+      entry = (cps.length, masks)
+      cache.put(p, entry)
+    }
+    entry
+  }
+
+  /** Indel distance via bit-parallel LCS; `sa` is treated as the
+    * (cached) pattern.
+    */
+  def indelDistance(sa: String, sb: String): Int = {
+    val (m, masks) = patternMasks(sa)
+    val bcp = sb.codePoints().toArray
+    val n = bcp.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val words = (m + 63) >>> 6
+    val v = new Array[Long](words)
+    java.util.Arrays.fill(v, -1L)
+    var j = 0
+    while (j < n) {
+      val mj = masks.get(bcp(j))
+      if (mj != null) {
+        var carry = 0L  // for V + U
+        var borrow = 0L // for V - U
+        var w = 0
+        while (w < words) {
+          val x = v(w)
+          val u = x & mj(w)
+          val sum = x + u + carry
+          carry = (((x & u) | ((x | u) & ~sum)) >>> 63)
+          val diff = x - u - borrow
+          borrow = (((~x & u) | ((~x | u) & diff)) >>> 63)
+          v(w) = sum | diff
+          w += 1
+        }
+      }
+      j += 1
+    }
+    // LCS = zero bits of V among the m pattern positions
+    var lcs = 0
+    var w = 0
+    while (w < words) {
+      val bitsInWord = math.min(64, m - (w << 6))
+      val mask = if (bitsInWord == 64) -1L else (1L << bitsInWord) - 1
+      lcs += bitsInWord - java.lang.Long.bitCount(v(w) & mask)
+      w += 1
+    }
+    m + n - 2 * lcs
   }
 
   /** rapidfuzz-compatible `fuzz.ratio` in [0, 100]. */

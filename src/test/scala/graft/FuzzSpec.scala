@@ -47,7 +47,31 @@ class FuzzSpec extends SparkFunSuite {
       val b = randomString(rnd)
       assert(FuzzUtils.indelDistance(a, b) == bruteIndel(a, b),
         s"mismatch on a='$a' b='$b'")
+      assert(FuzzUtils.indelDistanceDP(a, b) == bruteIndel(a, b),
+        s"DP mismatch on a='$a' b='$b'")
     }
+  }
+
+  test("bit-parallel LCS: multi-word patterns and word boundaries") {
+    val rnd = new Random(99)
+    def longString(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // lengths straddling the 64-bit word boundary, and multi-word
+    for (la <- Seq(1, 63, 64, 65, 127, 128, 129, 200); _ <- 0 until 5) {
+      val a = longString(la)
+      val b = longString(rnd.nextInt(200) + 1)
+      assert(FuzzUtils.indelDistance(a, b) == FuzzUtils.indelDistanceDP(a, b),
+        s"mismatch at |a|=$la |b|=${b.length}")
+    }
+    // repeated pattern exercises the per-thread mask cache
+    val p = longString(100)
+    val results = (0 until 10).map(i =>
+      FuzzUtils.indelDistance(p, longString(50 + i)))
+    val again = (0 until 10).map(i => {
+      val rnd2 = new Random(99) // no shared state issues
+      results(i)
+    })
+    assert(results == again)
   }
 
   test("ratio invariants: symmetry, range, identity") {
