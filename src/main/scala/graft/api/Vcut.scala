@@ -1,0 +1,214 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyOccurrence
+import graft.sinks.Merge
+
+/** The user-facing domain API: every operation a user of the
+  * reference runs today, re-expressed over domain-schema DataFrames
+  * (SURVEY.md §1.2 tables, snake_case per FIXTURES.md §B).
+  *
+  * Entry-point mapping (SURVEY.md §3):
+  *  - EP1 `discover_new_recordings` → [[recordingAnchors]] +
+  *    [[discoverNewRecordings]]
+  *  - EP1 stage queries → [[needsStream]] / [[needsTranscribe]] /
+  *    [[needsOccurrenceScan]], advanced by [[markScanned]]
+  *  - EP2 `discover_new_song_videos` → [[songAnchors]] +
+  *    [[extractSongTitle]]
+  *  - EP3 `sync_occurrences` → [[syncOccurrences]]
+  *  - `vcut search` → [[search]]
+  *  - object-store layout → [[audioObjectKey]] / [[transcriptObjectKey]]
+  *
+  * All inputs/outputs are DataFrames: on a cluster these are reads
+  * from / MERGE-emulated writes to the warehouse tables.
+  */
+object Vcut {
+
+  /** PG `array_length(x,1)` semantics: NULL for both NULL and empty
+    * arrays (SURVEY P3 — Spark's `size` returns 0 for `[]`).
+    */
+  private def pgArrayLen(c: Column): Column =
+    nullif(size(coalesce(c, array())), lit(0))
+
+  // ---- NULL-state stage machine (db/recording.py:96-210) ----------------
+
+  /** Recordings that still need their audio streamed: no transcript,
+    * no audio objects, never scanned; newest first, bounded batch
+    * (`db/recording.py:119-138`, default limit 10).
+    */
+  def needsStream(archives: DataFrame, limit: Int = 10): DataFrame =
+    archives
+      .where(col("transcript_object_key").isNull &&
+        pgArrayLen(col("audio_object_keys")).isNull &&
+        col("last_song_occurrence_scan").isNull)
+      .orderBy(col("pubdate").desc, col("id").asc)
+      .limit(limit)
+
+  /** Audio present but not yet transcribed (`db/recording.py:174-176`). */
+  def needsTranscribe(archives: DataFrame): DataFrame =
+    archives.where(col("transcript_object_key").isNull &&
+      size(coalesce(col("audio_object_keys"), array())) > 0)
+
+  /** Transcribed but never fuzzy-scanned (`db/recording.py:207-208`). */
+  def needsOccurrenceScan(archives: DataFrame): DataFrame =
+    archives.where(col("last_song_occurrence_scan").isNull &&
+      col("transcript_object_key").isNotNull)
+
+  /** Advance scanned recordings' state (K3, `db/recording.py:287-300`). */
+  def markScanned(archives: DataFrame, scannedBvids: DataFrame,
+      scanTime: String): DataFrame =
+    Merge.joinUpdate(archives,
+      scannedBvids.select(col("bvid"),
+        lit(scanTime).cast("timestamp").as("last_song_occurrence_scan")),
+      "bvid", Seq("last_song_occurrence_scan"))
+
+  // ---- anchors (A1/A2; db/song.py:19-26, db/recording.py:85-93) ---------
+
+  /** Per-vtuber newest song-video pubdate; vtubers with no songs keep
+    * a NULL anchor (left outer).
+    */
+  def songAnchors(profiles: DataFrame, vtuberSongs: DataFrame): DataFrame =
+    profiles.as("p")
+      .join(vtuberSongs.as("vs"),
+        col("p.id") === col("vs.vtuber_profile_id"), "left")
+      .groupBy(col("p.id").as("vtuber_profile_id"), col("p.mid").as("mid"))
+      .agg(max(col("vs.pubdate")).as("anchor"))
+
+  /** Per-vtuber newest/oldest recording pubdates (two-sided bounds). */
+  def recordingAnchors(profiles: DataFrame, archives: DataFrame): DataFrame =
+    profiles.as("p")
+      .join(archives.as("a"),
+        col("p.id") === col("a.vtuber_profile_id"), "left")
+      .groupBy(col("p.id").as("vtuber_profile_id"), col("p.mid").as("mid"))
+      .agg(max(col("a.pubdate")).as("newest"), min(col("a.pubdate")).as("oldest"))
+
+  // ---- discovery (EP1/EP2) ----------------------------------------------
+
+  private val titleDatePattern = "(\\d{4})年(\\d{1,2})月(\\d{1,2})日(\\d{1,2})点场"
+
+  /** F1: parse the `2025年8月10日1点场…` live date out of a title into
+    * an Asia/Shanghai instant (+08:00 — exact for all dates the
+    * pipeline sees). NULL when the title doesn't match.
+    */
+  def parseArchiveDate(title: Column): Column = {
+    val y = regexp_extract(title, titleDatePattern, 1)
+    when(y =!= "",
+      to_utc_timestamp(
+        make_timestamp(
+          y.cast("int"),
+          regexp_extract(title, titleDatePattern, 2).cast("int"),
+          regexp_extract(title, titleDatePattern, 3).cast("int"),
+          regexp_extract(title, titleDatePattern, 4).cast("int"),
+          lit(0), lit(0)),
+        "+08:00"))
+  }
+
+  /** EP1 ingest: rename `pic`→`cover` (F16), parse the title date and
+    * DROP unparsable rows (the reference's insert filter,
+    * `db/recording.py:62`), then upsert-ignore on bvid (K1).
+    */
+  def discoverNewRecordings(archives: DataFrame, fetched: DataFrame): DataFrame = {
+    val incoming = fetched
+      .withColumnRenamed("pic", "cover")
+      .withColumn("date", parseArchiveDate(col("title")))
+      .where(col("date").isNotNull)
+      .select(archives.columns.map(col): _*)
+    Merge.upsertIgnore(archives, incoming, Seq("bvid"))
+  }
+
+  /** F2: first-matching bracket style wins (《》 then 『』 then 「」,
+    * `modal/video.py:14-18`).
+    */
+  def extractSongTitle(videoTitle: Column): Column =
+    coalesce(
+      nullif(regexp_extract(videoTitle, "《(.*)》", 1), lit("")),
+      nullif(regexp_extract(videoTitle, "『(.*)』", 1), lit("")),
+      nullif(regexp_extract(videoTitle, "「(.*)」", 1), lit("")))
+
+  // ---- the flagship (EP3, cmdline.py:182-367) ---------------------------
+
+  /** Full `sync_occurrences`: fuzzy-scan every (song, transcribed
+    * recording) pair, keep per-pair best windows over the threshold,
+    * attribute them to the vtuber_song of the recording's OWN profile
+    * (the reference's parallel-array zip filter P7,
+    * `modal/occurrence.py:48-51`, expressed relationally), skip pairs
+    * already recorded unless `forceUpdate`, and upsert (K2, unique on
+    * (vtuber_song_id, live_recording_archive_id)).
+    *
+    * @param segments flat transcript segments `(bvid, page, seg_idx,
+    *                 start, text)` — from
+    *                 [[graft.sources.TranscriptJson.readSegments]]
+    */
+  def syncOccurrences(
+      existing: DataFrame,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      segments: DataFrame,
+      threshold: Double = 40.0,
+      forceUpdate: Boolean = false): DataFrame = {
+    val matches = FuzzyOccurrence.scan(
+      segments.withColumnRenamed("bvid", "recording_id"),
+      songs.select(col("id").as("song_id"),
+        col("lyrics_fragment").as("lyrics")),
+      threshold)
+    val attributed = matches
+      .join(archives.select(col("id").as("live_recording_archive_id"),
+        col("bvid"), col("vtuber_profile_id")),
+        col("recording_id") === col("bvid"))
+      .join(vtuberSongs.select(col("id").as("vtuber_song_id"),
+        col("song_id"), col("vtuber_profile_id")),
+        Seq("song_id", "vtuber_profile_id"))
+      .select(col("song_id"), col("vtuber_song_id"),
+        col("live_recording_archive_id"),
+        floor(col("start")).cast("long").as("start"), col("page"))
+    val incoming =
+      if (forceUpdate) attributed
+      else attributed.join(existing,
+        Seq("vtuber_song_id", "live_recording_archive_id"), "left_anti")
+    Merge.upsertUpdate(existing, incoming,
+      Seq("vtuber_song_id", "live_recording_archive_id"))
+  }
+
+  /** `vcut search` (cmdline.py:477-505): where is this text sung in
+    * this recording? One (bvid, probe) point lookup.
+    */
+  def search(segments: DataFrame, bvid: String, text: String,
+      threshold: Double = 0.0): DataFrame =
+    FuzzyOccurrence.scan(
+      segments.where(col("bvid") === bvid)
+        .withColumnRenamed("bvid", "recording_id"),
+      segments.sparkSession.range(1)
+        .select(col("id").as("song_id"), lit(text).as("lyrics")),
+      threshold)
+      .select(col("recording_id").as("bvid"), col("page"), col("start"),
+        col("score"), col("matched_text"))
+
+  // ---- object-store layout (F6; §1.4) -----------------------------------
+
+  private def shDateParts(pubdate: Column): (Column, Column, Column) = {
+    val sh = from_utc_timestamp(timestamp_seconds(pubdate), "+08:00")
+    (year(sh), lpad(month(sh).cast("string"), 2, "0"),
+      lpad(dayofmonth(sh).cast("string"), 2, "0"))
+  }
+
+  /** `audio/{mid}/{y}/{m:02d}/{d:02d}/{bvid}/{page}.mp4`
+    * (`modal/stream.py:317-344`).
+    */
+  def audioObjectKey(mid: Column, pubdate: Column, bvid: Column,
+      page: Column): Column = {
+    val (y, m, d) = shDateParts(pubdate)
+    concat_ws("/", lit("audio"), mid, y, m, d, bvid,
+      concat(page, lit(".mp4")))
+  }
+
+  /** `transcripts/{mid}/{y}/{m:02d}/{d:02d}/{bvid}.json`
+    * (`modal/transcribe.py:131-146`).
+    */
+  def transcriptObjectKey(mid: Column, pubdate: Column, bvid: Column): Column = {
+    val (y, m, d) = shDateParts(pubdate)
+    concat_ws("/", lit("transcripts"), mid, y, m, d,
+      concat(bvid, lit(".json")))
+  }
+}
