@@ -77,6 +77,39 @@ object EventStreams {
       }
   }
 
+  /** Streaming MERGE: drain a stream into a parquet "table" with
+    * idempotent upsert-update semantics per micro-batch (foreachBatch
+    * + [[graft.sinks.Merge.upsertUpdate]] + full-target rewrite — the
+    * reference's ON CONFLICT re-runnability, SURVEY §2.11, as a
+    * stream). Returns after all available data is processed.
+    *
+    * The rewrite goes through a staging directory then swaps, because
+    * a parquet overwrite cannot read its own target mid-write. On a
+    * real deployment the target would be a transactional table format;
+    * the merge PLAN is the same.
+    */
+  def upsertStream(spark: SparkSession, incoming: DataFrame,
+      targetDir: String, keys: Seq[String]): Unit = {
+    val q = incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target = spark.read.parquet(targetDir)
+        val merged = graft.sinks.Merge.upsertUpdate(
+          target, batch.select(target.columns.map(col): _*), keys)
+        val staging = targetDir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming frame into an in-memory table with
     * AvailableNow semantics; returns the collected result. Used by
     * tests and the local demo CLI — production would writeStream to

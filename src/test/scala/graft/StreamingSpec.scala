@@ -32,6 +32,28 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("foreachBatch streaming MERGE upserts idempotently") {
+    import spark.implicits._
+    val targetDir = java.nio.file.Files.createTempDirectory("merge_target")
+      .toString + "/t"
+    // seed target: event 0 with a stale value, plus a row the stream
+    // never touches
+    Seq((0L, -1.0), (-42L, 7.0)).toDF("event_id", "value")
+      .write.parquet(targetDir)
+    val incoming = EventStreams.readEvents(spark, eventsDir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+    EventStreams.upsertStream(spark, incoming, targetDir, Seq("event_id"))
+    val merged = spark.read.parquet(targetDir)
+    val batch = Tables.load(spark, sfDir, "events")
+    assert(merged.count() == batch.count() + 1) // untouched row survives
+    val v0 = merged.where($"event_id" === 0L).select("value").as[Double].collect()(0)
+    val want0 = batch.where($"event_id" === 0L)
+      .select("value").as[Double].collect()(0)
+    assert(v0 == want0) // stale value overwritten by the stream
+    assert(merged.where($"event_id" === -42L).count() == 1)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
