@@ -95,7 +95,7 @@ object Similarity extends QueryModule {
           col("nrm").as("q_nrm"), col("c_id"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
-      corpus.join(probes, "c_id")
+      corpus.join(broadcast(probes), "c_id")
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
         .withColumn("rk", row_number().over(w))
