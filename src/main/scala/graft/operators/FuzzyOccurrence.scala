@@ -140,14 +140,18 @@ object FuzzyOccurrence extends QueryModule {
     * the dedup module instead.
     */
   def documentProbes(s: SparkSession, dir: String): DataFrame = {
+    // probe lengths cycle 2/3/4 lines so the flagship exercises the
+    // multi-window-size path (windows built once per distinct N)
     documentSegments(s, dir)
-      .where(col("recording_id").isin(0L, 25L, 50L, 75L, 100L, 125L, 150L, 175L)
-        && col("seg_idx").between(2, 4))
+      .where(col("recording_id").isin(0L, 25L, 50L, 75L, 100L, 125L, 150L, 175L))
+      .withColumn("probe_len",
+        ((col("recording_id") / 25).cast("int") % 3 + 2))
+      .where(col("seg_idx") >= 2 && col("seg_idx") < col("probe_len") + 2)
       .groupBy(col("recording_id"))
       .agg(array_join(sort_array(collect_list(struct(col("seg_idx"), col("text"))))
         .getField("text"), "\n").as("lyrics"),
-        count(lit(1)).as("nseg"))
-      .where(col("nseg") === 3)
+        count(lit(1)).as("nseg"), first(col("probe_len")).as("probe_len"))
+      .where(col("nseg") === col("probe_len"))
       .select(col("recording_id").as("song_id"), col("lyrics"))
   }
 

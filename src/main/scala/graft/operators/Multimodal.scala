@@ -64,10 +64,74 @@ object Multimodal extends QueryModule {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** STUB featurizer: deterministic 8-dim "embedding" from byte
+    * statistics (stands in for a vision/audio encoder; the plumbing —
+    * binary in, fixed-width vector out, per-partition model init — is
+    * the real contract).
+    */
+  def embedMedia(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        val dims = 8 // "model" loaded once per partition
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val v = new Array[Double](dims)
+          var i = 0
+          while (i < bytes.length) {
+            v(i % dims) += (bytes(i) & 0xFF).toDouble
+            i += 1
+          }
+          Row(r.getLong(0), v.toSeq)
+        }
+      }(enc)
+  }
+
+  /** STUB resize: truncate the payload to `maxBytes` (stands in for an
+    * image downscale; binary-to-binary per-partition transform).
+    */
+  def resizeMedia(media: DataFrame, maxBytes: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("n_bytes", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val out =
+            if (bytes.length <= maxBytes) bytes
+            else java.util.Arrays.copyOfRange(bytes, 0, maxBytes)
+          Row(r.getLong(0), out, out.length)
+        }
+      }(enc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary decode → typed metadata (oracle on the length-determined
     // stub values; strlen(text) == n_bytes for ASCII payloads).
     "mm_decode_meta" -> ((s, dir) => decodeMeta(mediaTable(s, dir))),
+
+    // Binary → fixed-width feature vector at the partition boundary
+    // (sum of byte values per modulo-8 lane — integer-exact in double,
+    // so the oracle reproduces it engine-agnostically).
+    "mm_embed" -> ((s, dir) => {
+      embedMedia(mediaTable(s, dir))
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1), 1).as("e0"),
+          round(element_at(col("embedding"), 8), 1).as("e7"))
+    }),
+
+    // Binary resize/truncate; checksum proves the byte transform.
+    "mm_resize" -> ((s, dir) => {
+      resizeMedia(mediaTable(s, dir), maxBytes = 100)
+        .select(col("doc_id"), col("n_bytes"),
+          md5(col("payload")).as("digest"))
+    }),
 
     // Frame sampling: every 10th frame index per "video" — a
     // generator expansion, one output row per sampled frame.
@@ -81,6 +145,20 @@ object Multimodal extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_embed" ->
+      """SELECT doc_id,
+           round(CAST(list_sum([unicode(substr(text, i, 1))
+             for i in range(1, CAST(strlen(text) AS INT) + 1)
+             if (i - 1) % 8 = 0]) AS DOUBLE), 1) AS e0,
+           round(CAST(coalesce(list_sum([unicode(substr(text, i, 1))
+             for i in range(1, CAST(strlen(text) AS INT) + 1)
+             if (i - 1) % 8 = 7]), 0) AS DOUBLE), 1) AS e7
+         FROM documents""",
+    "mm_resize" ->
+      """SELECT doc_id,
+           CAST(least(strlen(text), 100) AS INT) AS n_bytes,
+           md5(substr(text, 1, 100)) AS digest
+         FROM documents""",
     "mm_decode_meta" ->
       """SELECT doc_id,
            CAST(strlen(text) AS INT) AS n_bytes,
