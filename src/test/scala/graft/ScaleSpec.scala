@@ -28,9 +28,19 @@ class ScaleSpec extends SparkFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh session's in-memory catalog can't DROP tables left on
+    // disk by a previous JVM — clear the locations directly
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.load(spark, sfDir, "orders")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
