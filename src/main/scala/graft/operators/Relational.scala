@@ -232,6 +232,41 @@ object Relational extends QueryModule {
         .distinct()
     }),
 
+    // Multi-level aggregation: ROLLUP over (returnflag, linestatus)
+    // with NULL markers rendered for oracle parity (beyond the
+    // reference's flat GROUP BYs; free from Catalyst's Expand).
+    "agg_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // Pivot with an explicit value list (wide conditional aggregation;
+    // the oracle spells out the equivalent CASE sums).
+    "agg_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+    }),
+
+    // Exact continuous percentiles (median / p90).
+    "agg_percentile" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+    }),
+
     // Sketch aggregation: HLL approximate distinct (north-star for
     // 100 TB cardinality estimation; rows-only — sketch values are
     // engine-specific — with accuracy pinned in RelationalSpec).
@@ -349,6 +384,24 @@ object Relational extends QueryModule {
          SELECT bucket_id, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents d JOIN dim USING (lang, source)
          GROUP BY bucket_id""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50
+         FROM lineitem GROUP BY l_returnflag""",
     "u1_union" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
          UNION
