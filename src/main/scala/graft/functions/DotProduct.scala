@@ -47,6 +47,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "dot_d"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -168,6 +168,7 @@ case class IndelRatio(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "indel_ratio"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -69,6 +69,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(v: Any): Any =

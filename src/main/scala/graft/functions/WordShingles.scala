@@ -49,6 +49,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
   override def prettyName: String = "word_shingles"
 
   override protected def nullSafeEval(v: Any): Any =
