@@ -171,6 +171,26 @@ object Vcut {
       Seq("vtuber_song_id", "live_recording_archive_id"))
   }
 
+  /** Typed variant of [[syncOccurrences]] for callers that want
+    * compile-time field checks on the merged occurrence set.
+    */
+  def syncOccurrencesTyped(
+      existing: DataFrame,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      segments: DataFrame,
+      threshold: Double = 40.0,
+      forceUpdate: Boolean = false)
+      : org.apache.spark.sql.Dataset[model.SongOccurrence] = {
+    val out = syncOccurrences(existing, songs, vtuberSongs, archives,
+      segments, threshold, forceUpdate)
+    import out.sparkSession.implicits._
+    out.select(col("song_id"), col("vtuber_song_id"),
+      col("live_recording_archive_id"), col("start"), col("page"))
+      .as[model.SongOccurrence]
+  }
+
   /** `vcut search` (cmdline.py:477-505): where is this text sung in
     * this recording? One (bvid, probe) point lookup.
     */

@@ -167,6 +167,18 @@ class VcutApiSpec extends SparkFunSuite {
     assert(forced((102L, 1003L)) == ((11L, 9L, 1)))
   }
 
+  test("typed sync returns Dataset[SongOccurrence]") {
+    val dir = writeTranscripts()
+    val segments = TranscriptJson.readSegments(spark, s"$dir/*.json")
+    val existing = Seq.empty[(Long, Long, Long, Long, Int)]
+      .toDF("song_id", "vtuber_song_id", "live_recording_archive_id",
+        "start", "page")
+    val ds = Vcut.syncOccurrencesTyped(existing, songs, vtuberSongs,
+      archives, segments)
+    val occ: Seq[graft.api.model.SongOccurrence] = ds.collect().toSeq
+    assert(occ.exists(o => o.vtuber_song_id == 101L && o.page == 1))
+  }
+
   test("search point query finds the planted lyric") {
     val dir = writeTranscripts()
     val segments = TranscriptJson.readSegments(spark, s"$dir/*.json")
