@@ -32,6 +32,10 @@ object Merge {
   /** K3: `UPDATE target SET col = v FROM updates WHERE key match` —
     * left join + coalesce, non-matching rows untouched
     * (`dblocal.py:225-250`).
+    *
+    * Precondition: `updates` has at most one row per `key` (the
+    * reference's `UPDATE … FROM VALUES` has the same requirement —
+    * duplicate keys would multiply target rows through the join).
     */
   def joinUpdate(target: DataFrame, updates: DataFrame, key: String,
       setCols: Seq[String]): DataFrame = {
