@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.api.Vcut
+
+/** The reference's cron stage 4 (`populate_occurrences`,
+  * `modal/cron.py:14-21` + `modal/occurrence.py:78-130`) as a real
+  * incremental stream: transcript JSON files landing in a directory
+  * ARE the trigger — each micro-batch fuzzy-scans only the NEW
+  * transcripts and merges the occurrences into the target, replacing
+  * the reference's cron + `lastSongOccurrenceScan` state column with
+  * the stream's own source offsets (exactly-once file tracking).
+  *
+  * `Trigger.AvailableNow` gives the cron semantics ("drain whatever
+  * arrived, then stop"); a continuous deployment would use a
+  * processing-time trigger unchanged.
+  */
+object OccurrenceStream {
+
+  /** Stream of flat transcript segments from a drop-folder of
+    * `<bvid>.json` documents (the streaming twin of
+    * [[graft.sources.TranscriptJson.readSegments]]).
+    */
+  def readSegmentsStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TranscriptJson.transcriptSchema
+    spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1).as("bvid"),
+        from_json(col("value"), transcriptSchema).as("pages"))
+      .select(col("bvid"), posexplode(col("pages")).as(Seq("page", "segs")))
+      .select(col("bvid"), col("page"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+      .select(col("bvid"), col("page"), col("seg_idx"),
+        col("seg.start").as("start"), col("seg.text").as("text"))
+  }
+
+  /** Run the incremental occurrence sync over a transcript drop-folder
+    * until all currently-available files are processed. The target
+    * parquet path accumulates occurrences across batches (MERGE per
+    * micro-batch via [[graft.api.Vcut.syncOccurrences]]). Checkpoint
+    * state makes re-runs process only unseen files.
+    */
+  def runAvailable(
+      spark: SparkSession,
+      transcriptsDir: String,
+      checkpointDir: String,
+      targetDir: String,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      threshold: Double = 40.0): Unit = {
+    val segments = readSegmentsStream(spark, transcriptsDir)
+    val q = segments.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val existing = spark.read.parquet(targetDir)
+          val merged = Vcut.syncOccurrences(
+            existing, songs, vtuberSongs, archives, batch, threshold)
+            .select(existing.columns.map(col): _*)
+          val staging = targetDir + ".staging"
+          merged.write.mode("overwrite").parquet(staging)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val dst = new org.apache.hadoop.fs.Path(targetDir)
+          fs.delete(dst, true)
+          fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.OccurrenceStream
+
+/** The cron-as-stream test: transcript files dropped into a folder
+  * drive incremental occurrence sync; a second run with a new file
+  * processes ONLY that file (checkpoint offsets replace the
+  * reference's lastSongOccurrenceScan state column) and merges into
+  * the accumulated target.
+  */
+class OccurrenceStreamSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def songs = Seq(
+    (10L, "s", "夜空中最亮的星\n能否听清\n那仰望的人")
+  ).toDF("id", "title", "lyrics_fragment")
+
+  private def vtuberSongs = Seq(
+    (100L, 10L, 1L, "BVs", 1L)
+  ).toDF("id", "song_id", "vtuber_profile_id", "bvid", "pubdate")
+
+  private def archives = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("vtuber_profile_id", LongType),
+      StructField("bvid", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 1L, "BVa"),
+      org.apache.spark.sql.Row(2L, 1L, "BVb")), schema)
+  }
+
+  private val doc =
+    """[[{"start": 4.0, "text": "夜空中最亮的星"}, {"start": 9.0, "text": "能否听清"}, {"start": 14.0, "text": "那仰望的人"}]]"""
+
+  test("incremental transcript stream merges occurrences per batch") {
+    val root = Files.createTempDirectory("occ_stream")
+    val drop = root.resolve("transcripts"); Files.createDirectories(drop)
+    val target = root.resolve("occurrences").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // empty target table
+    Seq.empty[(Long, Long, Long, Long, Int)]
+      .toDF("song_id", "vtuber_song_id", "live_recording_archive_id",
+        "start", "page")
+      .write.parquet(target)
+
+    // batch 1: one transcript
+    Files.writeString(drop.resolve("BVa.json"), doc)
+    OccurrenceStream.runAvailable(spark, drop.toString, ckpt, target,
+      songs, vtuberSongs, archives)
+    val after1 = spark.read.parquet(target)
+    assert(after1.count() == 1)
+    assert(after1.select("live_recording_archive_id").as[Long].collect()(0) == 1L)
+
+    // batch 2: a second file appears; only it is processed, target
+    // accumulates both occurrences
+    Files.writeString(drop.resolve("BVb.json"), doc)
+    OccurrenceStream.runAvailable(spark, drop.toString, ckpt, target,
+      songs, vtuberSongs, archives)
+    val after2 = spark.read.parquet(target)
+    assert(after2.count() == 2)
+    assert(after2.select("live_recording_archive_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+
+    // re-run with nothing new: no change (exactly-once file tracking)
+    OccurrenceStream.runAvailable(spark, drop.toString, ckpt, target,
+      songs, vtuberSongs, archives)
+    assert(spark.read.parquet(target).count() == 2)
+  }
+}
