@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WordShingles.word_shingles
+import graft.operators.FuzzyOccurrence
+
+/** Edge cases the golden fixtures don't force: exact score ties
+  * (first-wins), lyrics longer than every page, supplementary-plane
+  * codepoints, and kernel ≡ HOF equivalence for shingling.
+  */
+class EdgeCaseSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("score tie: first (page, window) strictly-best wins") {
+    // identical window text planted at page 0 w0=1 and page 1 w0=0 —
+    // scores are exactly equal, reference keeps the FIRST (fuzz.py:27)
+    val segments = Seq(
+      ("BV", 0, 0, 0.0, "开场白"),
+      ("BV", 0, 1, 5.0, "重复的歌词"),
+      ("BV", 1, 0, 2.0, "重复的歌词"),
+      ("BV", 1, 1, 7.0, "结束")
+    ).toDF("recording_id", "page", "seg_idx", "start", "text")
+    val songs = Seq((1L, "重复的歌词")).toDF("song_id", "lyrics")
+    val out = FuzzyOccurrence.scan(segments, songs, 40.0).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getInt(2) == 1 && r.getDouble(3) == 5.0, // page 1 (1-based), start 5
+      s"tie must resolve to first window, got page=${r.getInt(2)} start=${r.getDouble(3)}")
+  }
+
+  test("lyrics longer than every page: whole-page fallback everywhere") {
+    val segments = Seq(
+      ("BV", 0, 0, 1.0, "夜空中最亮的星"),
+      ("BV", 0, 1, 6.0, "能否听清"),
+      ("BV", 1, 0, 2.0, "那仰望的人")
+    ).toDF("recording_id", "page", "seg_idx", "start", "text")
+    // 5-line fragment, pages have 2 and 1 segments
+    val songs = Seq((1L, "夜空中最亮的星\n能否听清\n那仰望的人\n谢谢\n再见"))
+      .toDF("song_id", "lyrics")
+    val out = FuzzyOccurrence.scan(segments, songs, 10.0).collect()
+    assert(out.length == 1)
+    // page 0's whole-page window shares more content → must win
+    assert(out(0).getInt(2) == 1 && out(0).getDouble(3) == 1.0)
+  }
+
+  test("supplementary-plane codepoints survive the pipeline") {
+    val segments = Seq(
+      ("BV", 0, 0, 0.0, "前奏🎵🎶"),
+      ("BV", 0, 1, 5.0, "𝄞乐谱记号𝄢"),
+      ("BV", 0, 2, 9.0, "尾奏")
+    ).toDF("recording_id", "page", "seg_idx", "start", "text")
+    val songs = Seq((1L, "𝄞乐谱记号𝄢")).toDF("song_id", "lyrics")
+    val out = FuzzyOccurrence.scan(segments, songs, 40.0).collect()
+    assert(out.length == 1 && out(0).getDouble(4) == 100.0 &&
+      out(0).getDouble(3) == 5.0)
+  }
+
+  test("word_shingles kernel ≡ HOF formulation (incl. short texts)") {
+    val hof = {
+      val toks = split(col("t"), " ")
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(3)), " ")),
+        s => length(s) > lit(0))
+    }
+    val texts = Seq("", "a", "a b", "a b c", "a b c d e",
+      "x  y", " lead", "trail ", "夜 空 中 最 亮").toDF("t")
+    val rows = texts
+      .select(col("t"), word_shingles(col("t"), 3).as("k"), hof.as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for '${r.getString(0)}': ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("dot_d uses the shorter length on mismatched arrays") {
+    import graft.functions.DotProduct.dot_d
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 20.0)))
+      .toDF("a", "b").select(dot_d(col("a"), col("b"))).collect()(0)
+    assert(r.getDouble(0) == 50.0)
+  }
+
+  test("empty documents produce no windows, not a crash") {
+    val segments = Seq.empty[(String, Int, Int, Double, String)]
+      .toDF("recording_id", "page", "seg_idx", "start", "text")
+    val songs = Seq((1L, "任意歌词")).toDF("song_id", "lyrics")
+    assert(FuzzyOccurrence.scan(segments, songs, 40.0).count() == 0)
+  }
+}
