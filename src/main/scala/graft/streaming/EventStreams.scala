@@ -59,6 +59,23 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Session windows as a stream: 30-minute gap per user with a
+    * 1-hour watermark. Append mode emits a session only once the
+    * watermark passes its close — sessions still open when the
+    * available data ends are withheld until more data (or a final
+    * batch) advances the watermark, which is the correct streaming
+    * semantics for an unbounded source.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * count and last-seen timestamp (the canonical stateful-op shape;
     * the reference's equivalent is the mutable LiveRecordingArchive

@@ -32,6 +32,27 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming session windows emit a correct subset of batch sessions") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = EventStreams.sessionCounts(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.drainToMemory(spark, stream, "session_out",
+      OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = SparkEntry.queries("ev_session")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // append mode withholds sessions the watermark hasn't closed (the
+    // tail of the data) — everything emitted must match batch exactly
+    assert(got.nonEmpty, "watermark should have closed most sessions")
+    got.foreach { case (k, v) =>
+      assert(want.get(k).contains(v), s"streamed session $k -> $v not in batch result")
+    }
+    assert(got.size >= want.size / 2,
+      s"only ${got.size}/${want.size} sessions emitted")
+  }
+
   test("foreachBatch streaming MERGE upserts idempotently") {
     import spark.implicits._
     val targetDir = java.nio.file.Files.createTempDirectory("merge_target")
