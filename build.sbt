@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet carries TIMESTAMP(NANOS); sessions must read it as
+  // long (graft.Tables). Set once per JVM, not mutated per query.
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked `run` output goes straight to this process's stdout, without
+// sbt's [info] prefix — the driver parses Bench's single JSON line.
+run / outputStrategy := Some(StdoutOutput)

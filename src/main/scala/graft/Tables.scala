@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * re-declaring StructTypes here (explicit schemas are used for JSON
   * sources, see [[graft.sources.TranscriptJson]]). Filters/projections
   * applied downstream push into the scan (PushedFilters / ReadSchema).
+  *
+  * Session contract: `spark.sql.legacy.parquet.nanosAsLong=true` must
+  * be set AT SESSION BUILD (Verify/Bench/SparkTestBase all do; build.sbt
+  * also sets it as a JVM-wide default for forked runs) — events.ts is
+  * parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+  * timestamp, so it arrives as raw nanos and is truncated to a
+  * microsecond TimestampType here with integer division (`div` — a
+  * double division would lose precision above 2^53 ns; DuckDB performs
+  * the same nanos → micros truncation on read). The conf is
+  * deliberately NOT mutated per load call: a global `conf.set` in a
+  * read path races concurrent queries on the same session.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -17,12 +28,6 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-      // to read as a timestamp. Read nanos as long and truncate to a
-      // microsecond TimestampType with integer division (`div` — a
-      // double division would lose precision above 2^53 ns). DuckDB
-      // performs the same nanos → micros truncation on read.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {

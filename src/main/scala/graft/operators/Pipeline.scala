@@ -45,6 +45,33 @@ object Pipeline extends QueryModule {
       Merge.upsertUpdate(target, incoming, Seq("o_orderkey"))
     }),
 
+    // K2 at scale: the same upsert-update, but against an on-disk
+    // hive-partitioned target via PartitionedMerge — only partitions
+    // holding affected keys are read or rewritten (pk = key-derived
+    // hash bucket, so the partition is determined by the merge key).
+    // The read-back of the merged table is what the oracle checks:
+    // partition-pruned merge must equal the whole-frame K2 semantics.
+    "k2_upsert_partitioned" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      // incoming touches only buckets 0 and 1 — buckets 2-4 of the
+      // on-disk target are never read, never rewritten
+      val incoming = o.where(col("o_orderkey") % 2 === 0 &&
+          pmod(col("o_orderkey"), lit(5L)) < 2)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_k2p_${math.abs(dir.hashCode)}"
+      target.write.mode("overwrite").partitionBy("pk").parquet(base)
+      graft.sinks.PartitionedMerge.upsertUpdate(
+        s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+      s.read.parquet(base).select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("pk").cast("long").as("pk"))
+    }),
+
     // K3: bulk join-update — set order priority from a per-customer
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
@@ -141,6 +168,21 @@ object Pipeline extends QueryModule {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
              'U' AS o_orderstatus
            FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM incoming
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_upsert_partitioned" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 < 2)
          SELECT * FROM incoming
          UNION ALL
          SELECT * FROM target

@@ -1,0 +1,165 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+
+/** Partition-pruned MERGE into a hive-partitioned parquet target.
+  *
+  * [[Merge]] expresses the K1–K3 plans on whole frames; at 100 TB a
+  * merge must touch only the partitions that actually contain affected
+  * keys (the reference's PG `ON CONFLICT` touches only affected index
+  * pages for the same reason, `db/occurrence.py:22-51`). This object
+  * does that for a directory laid out with `partitionBy(cols)`:
+  *
+  *   1. collect the DISTINCT partition tuples present in `incoming`
+  *      (driver-side, but bounded by partition count, not row count)
+  *   2. read the target pruned to those partitions — the predicate is
+  *      on partition columns only, so the scan lists just the matching
+  *      directories (partition pruning, no data files of untouched
+  *      partitions are opened)
+  *   3. run the merge plan on that pruned slice + incoming
+  *   4. write the result to a staging root in the same partitioned
+  *      layout, then swap ONLY the affected partition directories in
+  *      via the [[AtomicDir]] rename-aside protocol
+  *
+  * Untouched partitions are never read, never rewritten — their files
+  * stay byte-identical (PartitionedMergeSpec asserts this). Each
+  * partition swap is individually crash-safe; cross-partition
+  * atomicity (all-or-nothing over many partitions) would need a
+  * snapshot/manifest commit on top, which is the table-format
+  * (Delta/Iceberg) layer and out of scope here.
+  *
+  * Precondition: the partition columns must be determined by the merge
+  * keys (same key => same partition tuple in target and incoming) —
+  * e.g. a key-derived date or hash bucket. Otherwise a key could
+  * "move" partitions and the partition-scoped anti-join would miss its
+  * old row. This is the standard contract for partitioned upserts.
+  */
+object PartitionedMerge {
+
+  /** K1 on a partitioned target: keep existing rows, add unseen keys. */
+  def upsertIgnore(spark: SparkSession, targetDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Unit =
+    merge(spark, targetDir, incoming, partCols)(
+      (target, inc) => Merge.upsertIgnore(target, inc, keys))
+
+  /** K2 on a partitioned target: incoming wins on key collision. */
+  def upsertUpdate(spark: SparkSession, targetDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Unit =
+    merge(spark, targetDir, incoming, partCols)(
+      (target, inc) => Merge.upsertUpdate(target, inc, keys))
+
+  /** Generic partition-pruned merge: `mergeFn(prunedTarget, incoming)`
+    * replaces exactly the partitions `incoming` touches.
+    */
+  def merge(spark: SparkSession, targetDir: String, incoming: DataFrame,
+      partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    val fs = AtomicDir.fileSystem(spark)
+    val root = new Path(targetDir)
+    AtomicDir.recover(fs, root)
+    recoverPartitions(spark, targetDir)
+
+    val parts: Array[Row] =
+      incoming.select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return
+    require(parts.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
+      "null partition values are not supported")
+
+    // Partition-pruned read of the affected slice. The OR-of-ANDs
+    // predicate references partition columns only => directory-level
+    // pruning, no untouched data file is opened.
+    val pruned =
+      if (AtomicDir.hasData(fs, root)) {
+        val pred = parts.map { r =>
+          partCols.zipWithIndex
+            .map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        spark.read.parquet(targetDir).where(pred)
+      } else {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], incoming.schema)
+      }
+
+    val merged = mergeFn(pruned, incoming)
+
+    // Stage the replacement partitions OUTSIDE the root (a staging dir
+    // inside it would corrupt partition discovery for readers).
+    val stagingRoot = new Path(targetDir + ".stagingparts")
+    val oldRoot = new Path(targetDir + ".oldparts")
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    // Cluster rows by partition before writing: without this every
+    // write task emits a file into every affected partition dir
+    // (tasks × partitions small files); with it AQE coalesces to a
+    // handful of writers per partition.
+    merged.repartition(partCols.map(col): _*).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(stagingRoot.toString)
+
+    // Swap each affected partition dir: rename-aside, rename-in,
+    // delete-aside — crash at any point leaves that partition readable
+    // from either the root or the aside copy (recoverPartitions).
+    fs.mkdirs(root)
+    parts.foreach { r =>
+      val suffix = partCols.zipWithIndex.map { case (c, i) =>
+        ExternalCatalogUtils.getPartitionPathString(
+          c, String.valueOf(r.get(i)))
+      }.mkString("/")
+      val src = new Path(stagingRoot, suffix)
+      val dst = new Path(root, suffix)
+      val aside = new Path(oldRoot, suffix)
+      if (fs.exists(src)) {
+        fs.mkdirs(aside.getParent)
+        fs.mkdirs(dst.getParent)
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (fs.exists(dst) && !fs.rename(dst, aside))
+          throw new java.io.IOException(s"rename $dst -> $aside failed")
+        if (!fs.rename(src, dst)) {
+          if (fs.exists(aside)) fs.rename(aside, dst)
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+        }
+        fs.delete(aside, true)
+      } else if (fs.exists(dst)) {
+        // the merge emitted no rows for this partition => it is deleted
+        if (fs.exists(aside)) fs.delete(aside, true)
+        fs.mkdirs(aside.getParent)
+        fs.rename(dst, aside)
+        fs.delete(aside, true)
+      }
+      ()
+    }
+    fs.delete(stagingRoot, true)
+    fs.delete(oldRoot, true)
+    ()
+  }
+
+  /** Restore any partition renamed aside by a crashed swap: a leaf dir
+    * present under `<target>.oldparts` but missing under the root goes
+    * back; one also present under the root (crash before delete-aside)
+    * is dropped. Idempotent.
+    */
+  def recoverPartitions(spark: SparkSession, targetDir: String): Unit = {
+    val fs = AtomicDir.fileSystem(spark)
+    val root = new Path(targetDir)
+    val oldRoot = new Path(targetDir + ".oldparts")
+    if (!fs.exists(oldRoot)) return
+    val base = oldRoot.toUri.getPath
+    val it = fs.listFiles(oldRoot, true)
+    val leafDirs = scala.collection.mutable.Set[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      if (rel.nonEmpty) leafDirs += rel
+    }
+    leafDirs.foreach { rel =>
+      val dst = new Path(root, rel)
+      if (!fs.exists(dst)) {
+        fs.mkdirs(dst.getParent)
+        fs.rename(new Path(oldRoot, rel), dst)
+      }
+    }
+    fs.delete(oldRoot, true)
+    ()
+  }
+}

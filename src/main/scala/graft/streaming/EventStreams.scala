@@ -41,7 +41,8 @@ object EventStreams {
     * ingestion shape).
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at session
+    // build (see graft.Tables scaladoc) — not mutated per call here.
     spark.readStream.schema(rawSchema)
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -96,36 +97,60 @@ object EventStreams {
 
   /** Streaming MERGE: drain a stream into a parquet "table" with
     * idempotent upsert-update semantics per micro-batch (foreachBatch
-    * + [[graft.sinks.Merge.upsertUpdate]] + full-target rewrite — the
-    * reference's ON CONFLICT re-runnability, SURVEY §2.11, as a
-    * stream). Returns after all available data is processed.
+    * + [[graft.sinks.Merge.upsertUpdate]] — the reference's ON
+    * CONFLICT re-runnability, SURVEY §2.11, as a stream). Returns
+    * after all available data is processed.
     *
-    * The rewrite goes through a staging directory then swaps, because
-    * a parquet overwrite cannot read its own target mid-write. On a
-    * real deployment the target would be a transactional table format;
-    * the merge PLAN is the same.
+    * The rewrite goes through a staging directory and the
+    * [[graft.sinks.AtomicDir]] rename-aside swap: a crash at any point
+    * leaves a complete copy of the table recoverable, and a
+    * checkpoint-driven retry (or a first batch with no target yet)
+    * starts from an empty frame instead of failing on a missing path.
+    *
+    * With `partitionCols` set, each micro-batch rewrites ONLY the
+    * partitions its rows touch ([[graft.sinks.PartitionedMerge]],
+    * dynamic-partition-overwrite shape) — O(|affected partitions|)
+    * per batch instead of O(|target|), the difference between a
+    * streaming merge that survives a 100 TB target and one that
+    * rereads the world every trigger. Partition columns must be
+    * key-determined (see PartitionedMerge's contract).
     */
   def upsertStream(spark: SparkSession, incoming: DataFrame,
-      targetDir: String, keys: Seq[String]): Unit = {
+      targetDir: String, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
+    import graft.sinks.{AtomicDir, Merge, PartitionedMerge}
     val q = incoming.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = spark.read.parquet(targetDir)
-        val merged = graft.sinks.Merge.upsertUpdate(
-          target, batch.select(target.columns.map(col): _*), keys)
-        val staging = targetDir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+        if (partitionCols.nonEmpty) {
+          PartitionedMerge.upsertUpdate(
+            spark, targetDir, batch, keys, partitionCols)
+        } else {
+          val target = AtomicDir.readOrEmpty(spark, targetDir, batch.schema)
+          val merged = Merge.upsertUpdate(
+            target, batch.select(target.columns.map(col): _*), keys)
+          merged.write.mode("overwrite").parquet(targetDir + ".staging")
+          AtomicDir.commit(AtomicDir.fileSystem(spark),
+            new org.apache.hadoop.fs.Path(targetDir))
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming exactly-once dedup: drop duplicate `event_id`s arriving
+    * within the watermark delay (`dropDuplicatesWithinWatermark` keeps
+    * dedup state only until the watermark passes, so state is bounded —
+    * the reference's PG unique-index dedup, re-expressed as bounded
+    * stream state). Batch parity: equals `dropDuplicates("event_id")`
+    * when all duplicates arrive within the delay (StreamingSpec).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Drain a streaming frame into an in-memory table with
     * AvailableNow semantics; returns the collected result. Used by

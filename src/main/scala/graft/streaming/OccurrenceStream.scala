@@ -58,17 +58,20 @@ object OccurrenceStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // Crash-safe swap (graft.sinks.AtomicDir): recover any
+          // half-finished swap from a previous crashed run, merge, then
+          // publish via rename-aside — a checkpoint-driven retry always
+          // finds a readable target.
+          import graft.sinks.AtomicDir
+          val fs = AtomicDir.fileSystem(spark)
+          val dst = new org.apache.hadoop.fs.Path(targetDir)
+          AtomicDir.recover(fs, dst)
           val existing = spark.read.parquet(targetDir)
           val merged = Vcut.syncOccurrences(
             existing, songs, vtuberSongs, archives, batch, threshold)
             .select(existing.columns.map(col): _*)
-          val staging = targetDir + ".staging"
-          merged.write.mode("overwrite").parquet(staging)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          val dst = new org.apache.hadoop.fs.Path(targetDir)
-          fs.delete(dst, true)
-          fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+          merged.write.mode("overwrite").parquet(targetDir + ".staging")
+          AtomicDir.commit(fs, dst)
         }
         ()
       }

@@ -75,6 +75,68 @@ class StreamingSpec extends SparkFunSuite {
     assert(merged.where($"event_id" === -42L).count() == 1)
   }
 
+  test("streaming MERGE handles a missing target on the first batch") {
+    import spark.implicits._
+    val targetDir = java.nio.file.Files.createTempDirectory("merge_first")
+      .toString + "/t" // does NOT exist yet
+    val incoming = EventStreams.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("value"))
+    EventStreams.upsertStream(spark, incoming, targetDir, Seq("event_id"))
+    val merged = spark.read.parquet(targetDir)
+    assert(merged.count() == Tables.load(spark, sfDir, "events").count())
+  }
+
+  test("partitioned streaming MERGE rewrites only affected partitions") {
+    import spark.implicits._
+    val targetDir = java.nio.file.Files.createTempDirectory("merge_part")
+      .toString + "/t"
+    // seed: a stale row for event 0 in its key-derived partition, plus
+    // a row in a partition the stream never touches (pk=99)
+    Seq((0L, -1.0, 0L), (-42L, 7.0, 99L)).toDF("event_id", "value", "pk")
+      .write.partitionBy("pk").parquet(targetDir)
+    val untouched = java.nio.file.Paths.get(targetDir, "pk=99")
+    def files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(untouched).iterator().asScala
+        .filter(p => !p.getFileName.toString.startsWith("."))
+        .map(p => p.toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq).toMap
+    }
+    val before = files
+    val incoming = EventStreams.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("value"),
+        pmod(col("event_id"), lit(8L)).as("pk"))
+    EventStreams.upsertStream(spark, incoming, targetDir, Seq("event_id"),
+      partitionCols = Seq("pk"))
+    val merged = spark.read.parquet(targetDir)
+    val batch = Tables.load(spark, sfDir, "events")
+    assert(merged.count() == batch.count() + 1)
+    val v0 = merged.where($"event_id" === 0L).select("value").as[Double].collect()(0)
+    assert(v0 == batch.where($"event_id" === 0L).select("value").as[Double].collect()(0))
+    assert(files == before, "untouched partition pk=99 was rewritten")
+  }
+
+  test("streaming dedup within watermark == batch distinct on event_id") {
+    // stage the same events file TWICE: the stream sees every event
+    // duplicated; dropDuplicatesWithinWatermark must emit each once
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("b.parquet"))
+    import org.apache.spark.sql.streaming.OutputMode
+    val deduped = EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, dir.toString))
+    val got = EventStreams.drainToMemory(spark, deduped, "dedup_out",
+      OutputMode.Append())
+    val batch = Tables.load(spark, sfDir, "events")
+    assert(got.count() == batch.count(),
+      "each duplicated event must be emitted exactly once")
+    assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
