@@ -64,12 +64,21 @@ object Pipeline extends QueryModule {
           (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
             .cast("double").as("o_totalprice"),
           lit("U").as("o_orderstatus"), pk)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_k2p_${math.abs(dir.hashCode)}"
+      // Fresh temp dir per invocation: a path keyed by dir.hashCode
+      // would race when bench and verify run over the same SF dir
+      // concurrently, and would leak in /tmp between runs.
+      val base = java.nio.file.Files.createTempDirectory("graft_k2p_").toString + "/t"
       target.write.mode("overwrite").partitionBy("pk").parquet(base)
       graft.sinks.PartitionedMerge.upsertUpdate(
         s, base, incoming, Seq("o_orderkey"), Seq("pk"))
-      s.read.parquet(base).select(col("o_orderkey"), col("o_totalprice"),
+      // localCheckpoint materializes the read-back into executor block
+      // storage so the temp dir can be removed before the frame is used.
+      val out = s.read.parquet(base).select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderstatus"), col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
     }),
 
     // K3: bulk join-update — set order priority from a per-customer

@@ -32,8 +32,13 @@ object AtomicDir {
   def oldPath(dir: Path): Path = dir.suffix(".old")
   def stagingPath(dir: Path): Path = dir.suffix(".staging")
 
-  def fileSystem(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sessionState.newHadoopConf())
+  /** Filesystem OF THE TARGET PATH — `FileSystem.get(conf)` would
+    * resolve the default scheme and silently operate on the wrong store
+    * for any table dir on s3a://, hdfs:// vs local, or explicit file:
+    * URIs under an HDFS-default deployment.
+    */
+  def fileSystem(spark: SparkSession, dir: Path): FileSystem =
+    dir.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Publish `dir.staging` as `dir` via the two-rename swap. */
   def commit(fs: FileSystem, dir: Path): Unit = {
@@ -87,8 +92,8 @@ object AtomicDir {
     * require the target to pre-exist).
     */
   def readOrEmpty(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val fs = fileSystem(spark)
     val p = new Path(dir)
+    val fs = fileSystem(spark, p)
     recover(fs, p)
     if (hasData(fs, p)) spark.read.parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -57,8 +57,8 @@ object PartitionedMerge {
   def merge(spark: SparkSession, targetDir: String, incoming: DataFrame,
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
-    val fs = AtomicDir.fileSystem(spark)
     val root = new Path(targetDir)
+    val fs = AtomicDir.fileSystem(spark, root)
     AtomicDir.recover(fs, root)
     recoverPartitions(spark, targetDir)
 
@@ -68,17 +68,28 @@ object PartitionedMerge {
     require(parts.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
       "null partition values are not supported")
 
-    // Partition-pruned read of the affected slice. The OR-of-ANDs
-    // predicate references partition columns only => directory-level
-    // pruning, no untouched data file is opened.
+    // Partition-pruned read of the affected slice. Per-column IN-lists
+    // reference partition columns only => directory-level pruning, no
+    // untouched data file is opened — and the expression stays LINEAR
+    // in the number of touched partitions (an OR-of-ANDs over thousands
+    // of tuples would blow up Catalyst analysis / codegen constant
+    // pools). For composite keys the IN-list conjunction is a cartesian
+    // superset, so a broadcast semi-join against the distinct tuples
+    // restores exactness after the coarse prune.
     val pruned =
       if (AtomicDir.hasData(fs, root)) {
-        val pred = parts.map { r =>
-          partCols.zipWithIndex
-            .map { case (c, i) => col(c) === lit(r.get(i)) }
-            .reduce(_ && _)
-        }.reduce(_ || _)
-        spark.read.parquet(targetDir).where(pred)
+        val coarse = partCols.zipWithIndex.map { case (c, i) =>
+          col(c).isin(parts.map(_.get(i)).distinct.toSeq: _*)
+        }.reduce(_ && _)
+        val base = spark.read.parquet(targetDir).where(coarse)
+        if (partCols.lengthCompare(1) == 0) base
+        else {
+          val tupleSchema = org.apache.spark.sql.types.StructType(
+            partCols.map(c => incoming.schema(c)))
+          val tuples = spark.createDataFrame(
+            java.util.Arrays.asList(parts: _*), tupleSchema)
+          base.join(broadcast(tuples), partCols, "left_semi")
+        }
       } else {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], incoming.schema)
       }
@@ -121,11 +132,13 @@ object PartitionedMerge {
         }
         fs.delete(aside, true)
       } else if (fs.exists(dst)) {
-        // the merge emitted no rows for this partition => it is deleted
-        if (fs.exists(aside)) fs.delete(aside, true)
-        fs.mkdirs(aside.getParent)
-        fs.rename(dst, aside)
-        fs.delete(aside, true)
+        // The merge emitted no rows for this partition => it is
+        // deleted. Delete directly: a rename-aside here buys nothing
+        // (the aside is unconditionally dropped) and a crash between
+        // the rename and the delete would leave (dst missing, aside
+        // present) — which recoverPartitions would misread as a
+        // crashed swap and resurrect the deleted partition.
+        fs.delete(dst, true)
       }
       ()
     }
@@ -140,8 +153,8 @@ object PartitionedMerge {
     * is dropped. Idempotent.
     */
   def recoverPartitions(spark: SparkSession, targetDir: String): Unit = {
-    val fs = AtomicDir.fileSystem(spark)
     val root = new Path(targetDir)
+    val fs = AtomicDir.fileSystem(spark, root)
     val oldRoot = new Path(targetDir + ".oldparts")
     if (!fs.exists(oldRoot)) return
     val base = oldRoot.toUri.getPath

@@ -130,8 +130,8 @@ object EventStreams {
           val merged = Merge.upsertUpdate(
             target, batch.select(target.columns.map(col): _*), keys)
           merged.write.mode("overwrite").parquet(targetDir + ".staging")
-          AtomicDir.commit(AtomicDir.fileSystem(spark),
-            new org.apache.hadoop.fs.Path(targetDir))
+          val dst = new org.apache.hadoop.fs.Path(targetDir)
+          AtomicDir.commit(AtomicDir.fileSystem(spark, dst), dst)
         }
         ()
       }

@@ -63,8 +63,8 @@ object OccurrenceStream {
           // publish via rename-aside — a checkpoint-driven retry always
           // finds a readable target.
           import graft.sinks.AtomicDir
-          val fs = AtomicDir.fileSystem(spark)
           val dst = new org.apache.hadoop.fs.Path(targetDir)
+          val fs = AtomicDir.fileSystem(spark, dst)
           AtomicDir.recover(fs, dst)
           val existing = spark.read.parquet(targetDir)
           val merged = Vcut.syncOccurrences(

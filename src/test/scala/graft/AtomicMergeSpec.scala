@@ -15,7 +15,7 @@ import graft.sinks.{AtomicDir, Merge, PartitionedMerge}
 class AtomicMergeSpec extends SparkFunSuite {
   import spark.implicits._
 
-  private def fs = AtomicDir.fileSystem(spark)
+  private def fs = AtomicDir.fileSystem(spark, new Path("/tmp"))
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString + "/t"

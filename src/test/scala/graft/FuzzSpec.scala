@@ -63,15 +63,28 @@ class FuzzSpec extends SparkFunSuite {
       assert(FuzzUtils.indelDistance(a, b) == FuzzUtils.indelDistanceDP(a, b),
         s"mismatch at |a|=$la |b|=${b.length}")
     }
-    // repeated pattern exercises the per-thread mask cache
+    // The per-thread pattern-mask cache must not bleed state across
+    // threads: hammer the same + different patterns from many threads
+    // concurrently and check every result against the DP oracle.
     val p = longString(100)
-    val results = (0 until 10).map(i =>
-      FuzzUtils.indelDistance(p, longString(50 + i)))
-    val again = (0 until 10).map(i => {
-      val rnd2 = new Random(99) // no shared state issues
-      results(i)
-    })
-    assert(results == again)
+    val texts = (0 until 10).map(i => longString(50 + i))
+    val expected = texts.map(t => FuzzUtils.indelDistanceDP(p, t))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 64).map { k =>
+        Future {
+          // interleave an unrelated pattern to force cache eviction races
+          FuzzUtils.indelDistance(longString(80), texts(k % texts.length))
+          texts.map(t => FuzzUtils.indelDistance(p, t))
+        }
+      }
+      Await.result(Future.sequence(futures), 60.seconds)
+        .foreach(rs => assert(rs == expected))
+    } finally pool.shutdown()
   }
 
   test("ratio invariants: symmetry, range, identity") {
