@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import graft.sources.v2.{ArchiveRecord, PageFetcher, PagedArchiveSource}
+
+/** Synthetic page server for the S4 source. Three creators, each with
+  * 70 records at pubdates 1000..70000 step 1000, served newest-first
+  * in pages of `pageSize` — the shape of the reference's paginated
+  * listing (`bilibili/video.py:83-97`). Every `fetch` bumps a global
+  * counter so specs can assert how many pages were actually pulled.
+  */
+class SyntheticFetcher extends PageFetcher {
+  import SyntheticFetcher._
+  override def keys(): Seq[Long] = Seq(101L, 102L, 103L)
+  override def fetch(key: Long, pn: Int, pageSize: Int): Seq[ArchiveRecord] = {
+    fetches.incrementAndGet()
+    perKeyFetches.merge(key, 1, _ + _)
+    all(key).slice((pn - 1) * pageSize, pn * pageSize)
+  }
+}
+
+object SyntheticFetcher {
+  val fetches = new AtomicInteger(0)
+  val perKeyFetches = new ConcurrentHashMap[Long, Int]()
+  def reset(): Unit = { fetches.set(0); perKeyFetches.clear() }
+
+  /** 70 records per key, pubdate descending (70000 down to 1000). */
+  def all(key: Long): Seq[ArchiveRecord] =
+    (70 to 1 by -1).map(i => ArchiveRecord(s"BV${key}_$i", s"title $i", i * 1000L))
+}
+
+/** S4: the paginated-REST source with watermark early-stop and
+  * short-page termination (reference `bilibili/video.py:84-100`,
+  * `bilibililocal.py:92-102`). The analytic semantics are the S5
+  * anchor filter already oracle-checked as `incr_anchor_scan`; these
+  * specs pin the SOURCE behavior: what comes out, and — the point of
+  * the early-stop — which pages are never fetched at all.
+  */
+class PagedArchiveSourceSpec extends SparkFunSuite {
+
+  private def read(anchors: String) = {
+    val r = spark.read.format("paged-archives")
+      .option("fetcher", classOf[SyntheticFetcher].getName)
+      .option("pageSize", 30)
+    (if (anchors.isEmpty) r else r.option("anchors", anchors)).load()
+  }
+
+  test("full scan: all pages, short-page termination ends each walk") {
+    SyntheticFetcher.reset()
+    val rows = read("").collect()
+    assert(rows.length == 3 * 70)
+    // 70 records at pageSize 30 => pages of 30/30/10; the 10-record
+    // short page terminates the walk with no 4th probe fetch.
+    assert(SyntheticFetcher.fetches.get() == 3 * 3)
+  }
+
+  test("watermark early-stop skips already-ingested pages") {
+    SyntheticFetcher.reset()
+    // anchor 55000 for key 101: records 56000..70000 are new (15 rows,
+    // all on page 1) — pages 2 and 3 must never be fetched.
+    val rows = read("101:55000").collect()
+    assert(SyntheticFetcher.perKeyFetches.get(101L) == 1)
+    assert(SyntheticFetcher.perKeyFetches.get(102L) == 3)
+    val k101 = rows.filter(_.getLong(0) == 101L)
+    assert(k101.length == 15)
+    assert(k101.forall(_.getLong(3) > 55000L))
+  }
+
+  test("anchor at the newest record costs exactly one page per key") {
+    SyntheticFetcher.reset()
+    val rows = read("101:70000,102:70000,103:70000").collect()
+    assert(rows.isEmpty)
+    assert(SyntheticFetcher.fetches.get() == 3)
+    assert(SyntheticFetcher.perKeyFetches.get(103L) == 1)
+  }
+
+  test("output equals the S5 anchor-filter semantics on the full listing") {
+    import spark.implicits._
+    SyntheticFetcher.reset()
+    val anchors = Map(101L -> 55000L, 102L -> 12000L) // 103 unanchored
+    val got = read("101:55000,102:12000")
+      .select("mid", "bvid", "pubdate").as[(Long, String, Long)].collect().toSet
+    // oracle: filter the full synthetic listing the incr_anchor_scan way
+    val expect = (for {
+      k <- Seq(101L, 102L, 103L)
+      r <- SyntheticFetcher.all(k)
+      if r.pubdate > anchors.getOrElse(k, Long.MinValue)
+    } yield (k, r.bvid, r.pubdate)).toSet
+    assert(got == expect)
+  }
+
+  test("column pruning reaches the reader") {
+    val pruned = read("").select("mid", "pubdate")
+    assert(pruned.queryExecution.optimizedPlan.schema.fieldNames
+      .sameElements(Array("mid", "pubdate")))
+    assert(pruned.where(col("pubdate") > 69000L).count() == 3)
+  }
+
+  test("one input partition per scan key — the parallel axis is keys") {
+    val scan = read("").queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined)
+    assert(scan.get.inputRDD.getNumPartitions == 3)
+  }
+}
