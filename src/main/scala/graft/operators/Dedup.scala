@@ -118,6 +118,12 @@ object Dedup extends QueryModule {
 
     // Oracle-checkable shingle-Jaccard inside tight blocks (same lang,
     // source, length bucket): ground truth for near-dup detection.
+    // EVAL-ONLY at scale: block keys have fixed cardinality, so block
+    // population grows linearly with the corpus and the within-block
+    // pair count quadratically. The production-exact path is
+    // dedup_jaccard_prefix below (identical output, candidate set
+    // bounded by shared prefix tokens instead of block size);
+    // DedupSpec pins their equality.
     "dedup_jaccard_block" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
@@ -132,6 +138,49 @@ object Dedup extends QueryModule {
         .where(col("jacc") >= 0.5)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           round(col("jacc"), 6).as("jacc"))
+    }),
+
+    // EXACT near-dup join at scale: prefix filtering (the AllPairs /
+    // PPJoin family). Under any global token order, two shingle sets
+    // with Jaccard ≥ t MUST share a token within each set's first
+    // |sh| − ⌈t·|sh|⌉ + 1 tokens — so an equi-join on prefix tokens
+    // (an inverted-index / postings join) generates a candidate
+    // superset, and exact Jaccard verification of candidates yields
+    // precisely the dedup_jaccard_block result (same oracle SQL; the
+    // same-block restriction rides along as extra join keys). The
+    // global order is xxhash64 of the shingle — pseudo-random, so
+    // prefixes land on rare tokens as often as common ones, and fully
+    // deterministic across runs and cluster layouts. Candidates are
+    // bounded by postings-list co-occurrence, not block population —
+    // the shape that survives a corpus 100× larger. The prefix is one
+    // token longer than the tight bound (floor instead of ceil):
+    // extra candidates are harmless, a too-short prefix is not.
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"),
+          array_distinct(shingles(col("text"))).as("sh"))
+      val byId = d.select(col("doc_id"), col("sh"))
+      val prefixes = d
+        .withColumn("h", array_sort(transform(col("sh"), t => xxhash64(t))))
+        .withColumn("plen",
+          least(size(col("h")), size(col("h")) - (size(col("h")) / 2).cast("int") + 1))
+        .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
+          explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+      val cands = prefixes.as("a").join(prefixes.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
+        .where(col("jacc") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
     })
   )
 
@@ -139,7 +188,12 @@ object Dedup extends QueryModule {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
-    "dedup_jaccard_block" ->
+    "dedup_jaccard_block" -> jaccardBlockSql,
+    // identical result by construction — same brute-force oracle
+    "dedup_jaccard_prefix" -> jaccardBlockSql
+  )
+
+  private def jaccardBlockSql: String =
       """WITH d AS (
            SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
              list_distinct([array_to_string(tk[i:i+2], ' ')
@@ -153,5 +207,4 @@ object Dedup extends QueryModule {
           AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
-  )
 }

@@ -107,6 +107,10 @@ object Similarity extends QueryModule {
     // Embedding-cosine near-dup: the 20 most-similar pairs in the
     // corpus (oracle-checked; the corpus has no planted near-dup
     // embeddings, so top-k is the meaningful shape, not a threshold).
+    // EVAL-ONLY ground truth: the theta join is a
+    // BroadcastNestedLoopJoin — O(n²) through one executor's loop.
+    // The production shape is sim_top_pairs_blocked below (identical
+    // output, distributed equi-join).
     "sim_top_pairs" -> ((s, dir) => {
       val a = embeddings(s, dir)
         .select(col("vec_id").as("id_a"), col("vd").as("va"), col("nrm").as("na"))
@@ -114,6 +118,46 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("id_b"), col("vd").as("vb"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Scale-safe EXACT top-pairs: block-partitioned self-join. Each
+    // vector lands in one of P hash blocks; every unordered block pair
+    // (i ≤ j) becomes an equi-join key, with block-i rows replicated
+    // to keys (i, j≥i) on the left and block-j rows to keys (i≤j, j)
+    // on the right — every vector pair is joined EXACTLY once, so the
+    // result provably equals the brute-force oracle (same oracle SQL).
+    // Unlike the theta join this is a shuffled hash join on (pi, pj):
+    // no cartesian / BroadcastNestedLoopJoin in the plan, the O(n²)
+    // compute spreads over P(P+1)/2 ≈ 136 independent partitions, and
+    // per-task memory is bounded by 2n/P rows. (LSH/IVF candidate
+    // pruning — ann_ivf, dedup_minhash_lsh — is the sublinear path
+    // when approximation is acceptable; on this corpus the top pairs
+    // sit in the random-similarity noise floor, where sound LSH
+    // pruning is impossible, so the exact path must stay exhaustive.)
+    // Per-block-pair top-20 (partial TakeOrdered) feeds a global
+    // top-20, so the final sort sees ≤ 20·P(P+1)/2 rows, not n².
+    "sim_top_pairs_blocked" -> ((s, dir) => {
+      val P = 16
+      val e = embeddings(s, dir)
+        .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(P)).cast("int"))
+      val left = e.withColumn("pj", explode(sequence(col("blk"), lit(P - 1))))
+        .select(col("blk").as("pi"), col("pj"),
+          col("vec_id").as("ida"), col("vd").as("va"), col("nrm").as("na"))
+      val right = e.withColumn("pi", explode(sequence(lit(0), col("blk"))))
+        .select(col("pi"), col("blk").as("pj"),
+          col("vec_id").as("idb"), col("vd").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("pi"), col("pj"))
+        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      left.join(right, Seq("pi", "pj"))
+        .where(col("pi") =!= col("pj") || col("ida") < col("idb"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .withColumn("id_a", least(col("ida"), col("idb")))
+        .withColumn("id_b", greatest(col("ida"), col("idb")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
@@ -142,8 +186,13 @@ object Similarity extends QueryModule {
                v.vec_id ASC) AS rk
            FROM n q JOIN n v ON q.vec_id < 8 AND v.vec_id <> q.vec_id) t
          WHERE rk <= 5"""),
-    "sim_top_pairs" -> (duckCosine +
-      """
+    "sim_top_pairs" -> (duckCosine + topPairsSql),
+    // identical result by construction — same brute-force oracle
+    "sim_top_pairs_blocked" -> (duckCosine + topPairsSql)
+  )
+
+  private def topPairsSql: String =
+    """
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
                              (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_r
@@ -151,6 +200,5 @@ object Similarity extends QueryModule {
          ORDER BY list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)],
                               (x, y) -> x + y) / (a.nrm * b.nrm) DESC,
                   a.vec_id ASC, b.vec_id ASC
-         LIMIT 20""")
-  )
+         LIMIT 20"""
 }

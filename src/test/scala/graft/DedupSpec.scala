@@ -30,6 +30,20 @@ class DedupSpec extends SparkFunSuite {
       s"LSH recall too low: ${found.size}/${truth.size}")
   }
 
+  test("prefix-filtered jaccard equals the block ground truth, no cartesian") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val block = SparkEntry.queries("dedup_jaccard_block")(spark, sfDir)
+      .collect().map(key).toSet
+    val prefixed = SparkEntry.queries("dedup_jaccard_prefix")(spark, sfDir)
+    assert(prefixed.collect().map(key).toSet == block)
+    assert(block.nonEmpty, "fixture should contain near-dup pairs")
+    val plan = prefixed.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"prefix join must stay an equi-join:\n$plan")
+  }
+
   test("simhash: near-dup pairs are close in hamming space") {
     val sigs = SparkEntry.queries("dedup_simhash")(spark, sfDir)
       .select(col("doc_id"), col("sig"))

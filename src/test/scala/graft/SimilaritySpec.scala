@@ -24,6 +24,24 @@ class SimilaritySpec extends SparkFunSuite {
     assert(!ivf.exists { case (q, v) => q == v })
   }
 
+  test("blocked top-pairs equals brute force, with no cartesian in the plan") {
+    val blocked = SparkEntry.queries("sim_top_pairs_blocked")(spark, sfDir)
+    val brute = SparkEntry.queries("sim_top_pairs")(spark, sfDir)
+    // exact equality, ranks and rounded cosines included — the block
+    // decomposition covers every unordered pair exactly once
+    assert(blocked.collect().toSeq == brute.collect().toSeq)
+    // the scale claim: an equi-join on block-pair keys, never a
+    // nested-loop product over the corpus
+    val plan = blocked.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked top-pairs must not plan a cartesian:\n$plan")
+    // ...whereas the eval-only brute-force variant does (the reason
+    // sim_top_pairs_blocked exists)
+    assert(brute.queryExecution.executedPlan.toString()
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cosine of identical vectors is 1") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings").limit(10)
