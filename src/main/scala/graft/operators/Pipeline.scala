@@ -81,6 +81,38 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // K2 with cross-partition atomicity: the same partitioned
+    // upsert-update, but through SnapshotMerge — replacement
+    // partitions land in an immutable batch dir and publish via ONE
+    // atomic pointer swap, so a crash can never expose a mixed
+    // old/new table (the guarantee the reference gets from a single
+    // PG transaction). Oracle-checked against the same K2 semantics.
+    "k2_upsert_snapshot" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val incoming = o.where(col("o_orderkey") % 2 === 0 &&
+          pmod(col("o_orderkey"), lit(5L)) < 2)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2s_").toString + "/t"
+      // seed snapshot v1 = target, then merge incoming as v2
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+      val out = graft.sinks.SnapshotMerge.read(s, base, target.schema)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // K3: bulk join-update — set order priority from a per-customer
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
@@ -182,6 +214,21 @@ object Pipeline extends QueryModule {
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
     "k2_upsert_partitioned" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'U' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 < 2)
+         SELECT * FROM incoming
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_upsert_snapshot" ->
       """WITH target AS (
            SELECT o_orderkey, o_totalprice, o_orderstatus,
                   o_orderkey % 5 AS pk

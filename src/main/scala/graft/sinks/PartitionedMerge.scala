@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Untouched partitions are never read, never rewritten — their files
   * stay byte-identical (PartitionedMergeSpec asserts this). Each
-  * partition swap is individually crash-safe; cross-partition
-  * atomicity (all-or-nothing over many partitions) would need a
-  * snapshot/manifest commit on top, which is the table-format
-  * (Delta/Iceberg) layer and out of scope here.
+  * partition swap is individually crash-safe; for cross-partition
+  * atomicity (all-or-nothing over many partitions) use
+  * [[SnapshotMerge]], which publishes the same merge through a
+  * manifest + atomic pointer swap instead of a per-partition rename
+  * loop.
   *
   * Precondition: the partition columns must be determined by the merge
   * keys (same key => same partition tuple in target and incoming) —
@@ -100,6 +101,7 @@ object PartitionedMerge {
     // inside it would corrupt partition discovery for readers).
     val stagingRoot = new Path(targetDir + ".stagingparts")
     val oldRoot = new Path(targetDir + ".oldparts")
+    val deletingRoot = new Path(targetDir + ".deleting")
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
     // Cluster rows by partition before writing: without this every
     // write task emits a file into every affected partition dir
@@ -133,17 +135,26 @@ object PartitionedMerge {
         fs.delete(aside, true)
       } else if (fs.exists(dst)) {
         // The merge emitted no rows for this partition => it is
-        // deleted. Delete directly: a rename-aside here buys nothing
-        // (the aside is unconditionally dropped) and a crash between
-        // the rename and the delete would leave (dst missing, aside
-        // present) — which recoverPartitions would misread as a
-        // crashed swap and resurrect the deleted partition.
-        fs.delete(dst, true)
+        // deleted. A direct recursive delete is not atomic on local FS
+        // or S3A — a crash mid-delete would leave a torn partition
+        // visible to readers. Rename into a dedicated doomed namespace
+        // first (atomic), then delete; recoverPartitions DROPS
+        // anything found under `.deleting` instead of restoring it, so
+        // the partition is gone whether or not the delete finished.
+        // (Using `.oldparts` here would be wrong: recovery would
+        // misread the doomed copy as a crashed swap and resurrect it.)
+        val doomed = new Path(deletingRoot, suffix)
+        fs.mkdirs(doomed.getParent)
+        if (fs.exists(doomed)) fs.delete(doomed, true)
+        if (!fs.rename(dst, doomed))
+          throw new java.io.IOException(s"rename $dst -> $doomed failed")
+        fs.delete(doomed, true)
       }
       ()
     }
     fs.delete(stagingRoot, true)
     fs.delete(oldRoot, true)
+    fs.delete(deletingRoot, true)
     ()
   }
 
@@ -155,6 +166,9 @@ object PartitionedMerge {
   def recoverPartitions(spark: SparkSession, targetDir: String): Unit = {
     val root = new Path(targetDir)
     val fs = AtomicDir.fileSystem(spark, root)
+    // Partitions renamed into the doomed namespace were scheduled for
+    // deletion — finish the delete, never restore them.
+    fs.delete(new Path(targetDir + ".deleting"), true)
     val oldRoot = new Path(targetDir + ".oldparts")
     if (!fs.exists(oldRoot)) return
     val base = oldRoot.toUri.getPath

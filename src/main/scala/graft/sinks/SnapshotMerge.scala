@@ -1,0 +1,120 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partition-pruned merge with cross-partition atomicity, on top of
+  * [[SnapshotStore]].
+  *
+  * Same plan shape as [[PartitionedMerge]] — distinct touched
+  * partition tuples, pruned read of just those partitions, merge,
+  * write replacements — but the publish step is ONE atomic pointer
+  * swap instead of a per-partition rename loop, so a crash anywhere
+  * leaves readers on the previous complete snapshot: all-old or
+  * all-new, never mixed (the guarantee the reference gets from a
+  * single Postgres transaction, `db/occurrence.py:22-51`).
+  *
+  * Untouched partitions are carried forward in the manifest by
+  * reference — never read, never rewritten, zero data movement, same
+  * as PartitionedMerge's untouched-directory guarantee. Partitions
+  * the merge empties out are dropped from the manifest, which makes
+  * deletes atomic too (no torn-delete window at all).
+  *
+  * Same precondition as PartitionedMerge: partition columns must be
+  * determined by the merge keys.
+  */
+object SnapshotMerge {
+
+  /** K1 on a snapshot table: keep existing rows, add unseen keys. */
+  def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Unit =
+    merge(spark, rootDir, incoming, partCols)(
+      (target, inc) => Merge.upsertIgnore(target, inc, keys))
+
+  /** K2 on a snapshot table: incoming wins on key collision. */
+  def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String]): Unit =
+    merge(spark, rootDir, incoming, partCols)(
+      (target, inc) => Merge.upsertUpdate(target, inc, keys))
+
+  /** Read the committed snapshot (empty frame with `schema` when the
+    * table has never committed).
+    */
+  def read(spark: SparkSession, rootDir: String, schema: StructType): DataFrame =
+    new SnapshotStore(spark, new Path(rootDir)).read(schema)
+
+  /** Hive-style partition path suffix for one tuple, e.g. "pk=0" or
+    * "a=1/b=x%20y" (values escaped the same way Spark's partitioned
+    * writer escapes directory names, so manifest suffixes and
+    * on-disk dirs always agree).
+    */
+  def partitionSuffix(partCols: Seq[String], r: Row): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      ExternalCatalogUtils.getPartitionPathString(c, String.valueOf(r.get(i)))
+    }.mkString("/")
+
+  def merge(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val fs = store.fs
+
+    val parts: Array[Row] =
+      incoming.select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return
+    require(parts.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
+      "null partition values are not supported")
+    val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
+
+    val cur = store.current()
+    val curVersion = cur.map(_._1).getOrElse(0L)
+    val curEntries = cur.map(_._2).getOrElse(Map.empty[String, String])
+
+    // Manifest-level prune: only the touched partitions' data dirs
+    // become scan inputs; untouched partitions are not even listed.
+    val pruned = store.readPartitions(incoming.schema, touched)
+    val merged = mergeFn(pruned, incoming)
+
+    // Stage the replacement partitions into a fresh immutable batch
+    // dir. Unreferenced until the commit below — a crash here leaves
+    // only an orphan for vacuum.
+    val newVersion = curVersion + 1
+    val batch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
+    val batchPath = store.dataPath(batch)
+    merged.repartition(partCols.map(col): _*).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(batchPath.toString)
+
+    // The partitions the merge actually produced (a touched partition
+    // the merge emptied simply has no dir => dropped from the
+    // manifest => atomically deleted).
+    val written = listPartitionDirs(fs, batchPath)
+    require(written.subsetOf(touched),
+      s"merge produced unexpected partitions: ${(written -- touched).mkString(", ")}")
+
+    val entries = (curEntries -- touched) ++ written.map(_ -> batch)
+    store.commit(newVersion, entries)
+    store.vacuum()
+  }
+
+  /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
+    * under `batchPath` (the parents of its data files).
+    */
+  private def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      batchPath: Path): Set[String] = {
+    val base = batchPath.toUri.getPath
+    val out = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(batchPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        if (rel.nonEmpty) out += rel
+      }
+    }
+    out.toSet
+  }
+}

@@ -1,0 +1,171 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Versioned-snapshot table layout with an atomic pointer commit —
+  * cross-partition all-or-nothing for partitioned merges.
+  *
+  * [[PartitionedMerge]] makes each partition swap individually
+  * crash-safe, but a crash mid-loop over many partitions leaves a
+  * mixed old/new table. The reference never sees that window because
+  * its whole upsert runs inside one Postgres transaction
+  * (`db/occurrence.py:22-51`). This object provides the same
+  * all-or-nothing guarantee for a parquet table without a table-format
+  * dependency, using the manifest/pointer pattern Iceberg and Delta
+  * are built on:
+  *
+  * {{{
+  *   <root>/CURRENT                      pointer file: "v-000000000001"
+  *   <root>/manifests/v-000000000001     manifest: partition -> batch
+  *   <root>/data/<batch>/pk=0/part-*.parquet   immutable once written
+  * }}}
+  *
+  * A manifest maps every live partition suffix (`pk=0`, `a=1/b=2`) to
+  * the batch directory holding its current data. Data directories are
+  * NEVER mutated after being written: a merge writes touched
+  * partitions into a fresh batch dir, builds the next manifest
+  * (touched partitions point at the new batch, untouched partitions
+  * carry their old entry forward — zero data movement), and commits by
+  * atomically swapping the `CURRENT` pointer (posix/HDFS rename with
+  * OVERWRITE via [[FileContext]] — a single metadata op). A reader
+  * resolves `CURRENT` once and sees one consistent version; a crash at
+  * any point before the pointer swap leaves only unreferenced orphans,
+  * which [[vacuum]] collects. Partition DELETES are atomic for free:
+  * the suffix is simply absent from the next manifest.
+  *
+  * Single-writer by contract (the reference's cron is too). Readers
+  * may race the writer: [[vacuum]] retains the previous manifest and
+  * its uniquely-referenced batches as a grace window; a production
+  * deployment would widen retention to its longest reader.
+  *
+  * This is also the object-store-safe variant promised in
+  * [[AtomicDir]]'s scaladoc: on S3, directory renames are copies but a
+  * single small pointer object PUT is atomic — the protocol holds one
+  * indirection up.
+  */
+final class SnapshotStore(val spark: SparkSession, val root: Path) {
+
+  val fs: FileSystem = AtomicDir.fileSystem(spark, root)
+  private val pointer = new Path(root, "CURRENT")
+  private val manifestsDir = new Path(root, "manifests")
+  private val dataDir = new Path(root, "data")
+
+  private def versionName(v: Long): String = f"v-$v%012d"
+
+  def dataPath(batch: String): Path = new Path(dataDir, batch)
+
+  /** Current committed version, or None for a table that has never
+    * committed.
+    */
+  def currentVersion(): Option[Long] = {
+    if (!fs.exists(pointer)) return None
+    val in = fs.open(pointer)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    Some(name.stripPrefix("v-").toLong)
+  }
+
+  /** Live partition map of `version`: suffix -> batch dir name. */
+  def readManifest(version: Long): Map[String, String] = {
+    val in = fs.open(new Path(manifestsDir, versionName(version)))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    require(lines.headOption.contains("graft-snapshot 1"),
+      s"unrecognized manifest header in $manifestsDir/${versionName(version)}")
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(suffix, batch) = l.split('\t')
+      suffix -> batch
+    }.toMap
+  }
+
+  /** `(version, manifest)` of the committed snapshot, if any. */
+  def current(): Option[(Long, Map[String, String])] =
+    currentVersion().map(v => (v, readManifest(v)))
+
+  /** Write manifest `version` then atomically swap the CURRENT
+    * pointer to it. The manifest and every batch it references must
+    * already be fully written — after the pointer rename the commit is
+    * durable; before it, nothing referenced has changed.
+    */
+  def commit(version: Long, entries: Map[String, String]): Unit = {
+    fs.mkdirs(manifestsDir)
+    val body = ("graft-snapshot 1" +:
+      entries.toSeq.sortBy(_._1).map { case (s, b) => s"$s\t$b" }).mkString("\n")
+    val manifestTmp = new Path(manifestsDir, s".tmp-${java.util.UUID.randomUUID()}")
+    writeFile(manifestTmp, body)
+    val manifestFinal = new Path(manifestsDir, versionName(version))
+    if (!fs.rename(manifestTmp, manifestFinal))
+      throw new java.io.IOException(s"rename $manifestTmp -> $manifestFinal failed")
+    // The commit point: one atomic overwrite-rename of the pointer.
+    val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
+    writeFile(pointerTmp, versionName(version))
+    val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
+  }
+
+  private def writeFile(p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Read the committed snapshot as one DataFrame. Entries are grouped
+    * by batch so each batch dir is scanned once with itself as
+    * `basePath` (partition columns parse from the `col=val` suffix
+    * dirs); batches then union. Missing table -> empty frame with
+    * `schema`.
+    */
+  def read(schema: StructType): DataFrame = readPartitions(schema, null)
+
+  /** Read only the partitions whose suffix is in `suffixes` (all when
+    * `suffixes` is null). This is manifest-level pruning: unlisted
+    * partitions contribute no input paths at all, so the scan never
+    * lists their directories — the snapshot twin of
+    * [[PartitionedMerge]]'s IN-list directory pruning.
+    */
+  def readPartitions(schema: StructType, suffixes: Set[String]): DataFrame = {
+    val selected = current().map(_._2).getOrElse(Map.empty)
+      .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
+    if (selected.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val frames = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, entries) =>
+      val base = dataPath(batch)
+      val paths = entries.keys.toSeq.sorted.map(s => new Path(base, s).toString)
+      spark.read.option("basePath", base.toString).parquet(paths: _*)
+    }
+    val aligned = frames.map(f =>
+      f.select(schema.fields.map(fld => col(fld.name).cast(fld.dataType)): _*))
+    aligned.reduce(_.unionByName(_))
+  }
+
+  /** Delete orphans: batch dirs and manifests not reachable from the
+    * `retain` most recent committed versions (default: current +
+    * previous, a grace window for readers that resolved the pointer
+    * just before a commit), plus crashed `.tmp-*` leftovers. Only
+    * unreferenced state is touched, so vacuum is crash-safe and
+    * idempotent.
+    */
+  def vacuum(retain: Int = 2): Unit = {
+    val cur = currentVersion().getOrElse(return)
+    val keepVersions = (math.max(0L, cur - retain + 1) to cur).toSet
+    val liveBatches = keepVersions.flatMap { v =>
+      val m = new Path(manifestsDir, versionName(v))
+      if (fs.exists(m)) readManifest(v).values.toSet else Set.empty[String]
+    }
+    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
+      val n = st.getPath.getName
+      val doomed = n.startsWith(".tmp-") ||
+        (n.startsWith("v-") && !keepVersions.contains(n.stripPrefix("v-").toLong))
+      if (doomed) fs.delete(st.getPath, true)
+    }
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!liveBatches.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith(".CURRENT.tmp-")) fs.delete(st.getPath, false)
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import graft.sinks.{Merge, PartitionedMerge, SnapshotMerge, SnapshotStore}
+
+/** Cross-partition atomicity pins for the snapshot/manifest commit
+  * layer: a crash at ANY point before the pointer swap must leave a
+  * reader on the complete previous snapshot (all-old), and the swap
+  * itself flips every touched partition at once (all-new) — never a
+  * mixed table. This is the parquet re-expression of the reference's
+  * single-transaction upsert (`db/occurrence.py:22-51`).
+  */
+class SnapshotMergeSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def targetRows = (0L until 10L).map(i => (i, s"t$i", i % 5)).toDF("id", "v", "pk")
+
+  private def incomingRows = Seq(
+    (0L, "U0", 0L), (5L, "U5", 0L), (1L, "U1", 1L), (6L, "U6", 1L),
+    (10L, "N10", 0L), (11L, "N11", 1L)).toDF("id", "v", "pk")
+
+  private def readVals(dir: String): Map[Long, String] =
+    SnapshotMerge.read(spark, dir, targetRows.schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+
+  private def seed(): String = {
+    val dir = tmp("smerge")
+    SnapshotMerge.upsertUpdate(spark, dir, targetRows, Seq("id"), Seq("pk"))
+    dir
+  }
+
+  test("snapshot upsertUpdate equals the whole-frame merge") {
+    val dir = seed()
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    val want = Merge.upsertUpdate(targetRows, incomingRows, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(readVals(dir) == want)
+  }
+
+  test("snapshot upsertIgnore keeps existing rows") {
+    val dir = seed()
+    SnapshotMerge.upsertIgnore(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    val want = targetRows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ++
+      Map(10L -> "N10", 11L -> "N11")
+    assert(readVals(dir) == want)
+  }
+
+  test("untouched partitions are carried forward by reference — same batch, same bytes") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val before = store.current().get._2
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    val after = store.current().get._2
+    (2L to 4L).foreach { pk =>
+      assert(after(s"pk=$pk") == before(s"pk=$pk"),
+        s"untouched pk=$pk must keep its original batch entry (zero data movement)")
+    }
+    assert(after("pk=0") != before("pk=0") && after("pk=1") != before("pk=1"))
+  }
+
+  test("crash before the pointer swap leaves a reader on all-old; the swap flips to all-new") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v1 = readVals(dir)
+    // Simulate the crash window: stage the whole next batch + manifest
+    // by hand, dying just before commit's pointer rename.
+    val batch = "b-000000000002-crashtest"
+    val merged = Merge.upsertUpdate(
+      store.readPartitions(targetRows.schema, Set("pk=0", "pk=1")),
+      incomingRows, Seq("id"))
+    merged.write.partitionBy("pk").parquet(store.dataPath(batch).toString)
+    // reader still sees v1 in full — the staged batch is invisible
+    assert(readVals(dir) == v1, "uncommitted batch must be invisible")
+    // now the commit point: one pointer swap publishes every touched
+    // partition at once
+    val entries = store.current().get._2 -- Set("pk=0", "pk=1") ++
+      Map("pk=0" -> batch, "pk=1" -> batch)
+    store.commit(2L, entries)
+    val want = Merge.upsertUpdate(targetRows, incomingRows, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(readVals(dir) == want, "committed snapshot must be all-new")
+  }
+
+  test("emptying a partition drops it atomically from the manifest") {
+    val dir = seed()
+    // a merge that deletes every row of pk=3 (and touches nothing else)
+    val doomed = targetRows.where($"pk" === 3L)
+    SnapshotMerge.merge(spark, dir, doomed, Seq("pk"))(
+      (target, inc) => target.join(inc, Seq("id"), "left_anti"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(!store.current().get._2.contains("pk=3"), "emptied partition must leave the manifest")
+    assert(readVals(dir) == targetRows.where($"pk" =!= 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("vacuum keeps the retention window and collects orphans") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // orphan batch + orphan manifest tmp (a crashed writer's leftovers)
+    val orphan = store.dataPath("b-000000000099-orphan")
+    store.fs.mkdirs(orphan)
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((0L, "U0b", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    assert(!store.fs.exists(orphan), "orphan batch must be collected")
+    val manifests = store.fs.listStatus(new Path(dir, "manifests")).map(_.getPath.getName).toSet
+    assert(manifests == Set("v-000000000002", "v-000000000003"),
+      s"retention window is current + previous, got $manifests")
+    assert(readVals(dir)(0L) == "U0b")
+  }
+
+  test("merge with empty incoming is a no-op commit-wise") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v = store.currentVersion()
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows.limit(0), Seq("id"), Seq("pk"))
+    assert(store.currentVersion() == v)
+  }
+
+  test("PartitionedMerge recovery drops doomed partitions instead of restoring them") {
+    val dir = tmp("pdel")
+    targetRows.write.partitionBy("pk").parquet(dir)
+    val fs = graft.sinks.AtomicDir.fileSystem(spark, new Path(dir))
+    // simulate a crash mid-delete: pk=4 renamed into the doomed
+    // namespace, the recursive delete never finished
+    val doomed = new Path(dir + ".deleting/pk=4")
+    fs.mkdirs(doomed.getParent)
+    assert(fs.rename(new Path(dir + "/pk=4"), doomed))
+    PartitionedMerge.recoverPartitions(spark, dir)
+    assert(!fs.exists(new Path(dir + ".deleting")))
+    val ids = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 10L).filter(_ % 5 != 4L).toSet,
+      "doomed partition must stay deleted after recovery")
+  }
+}
