@@ -70,6 +70,45 @@ object Dedup extends QueryModule {
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
 
+  /** 64-bit SimHash per document (majority vote of token-hash bits,
+    * weights 1) plus four 16-bit band keys for bucketed indexing.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hashes",
+        transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, bit) -> acc |
+             if(aggregate(hashes, 0,
+                  (c, h) -> c + int(shiftrightunsigned(h, bit) & 1))
+                  * 2 > size(hashes),
+                shiftleft(1L, bit), 0L))"""))
+      .select(col("doc_id"), col("sig"),
+        expr("int(shiftrightunsigned(sig,  0) & 65535)").as("band0"),
+        expr("int(shiftrightunsigned(sig, 16) & 65535)").as("band1"),
+        expr("int(shiftrightunsigned(sig, 32) & 65535)").as("band2"),
+        expr("int(shiftrightunsigned(sig, 48) & 65535)").as("band3"))
+
+  /** Candidate pairs from the banded SimHash index, exact-verified to
+    * Hamming distance ≤ `maxHamming`. Complete (no false negatives)
+    * for `maxHamming` < number of bands, by pigeonhole.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val byBand = (0 to 3).map { b =>
+      sigs.select(col("doc_id"), col("sig"),
+        lit(b).as("band"), col(s"band$b").as("bucket"))
+    }.reduce(_.unionByName(_))
+    byBand.as("l").join(byBand.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content fingerprint: keep the smallest doc_id per
     // fingerprint (deterministic survivor), report group size.
@@ -98,23 +137,21 @@ object Dedup extends QueryModule {
 
     // SimHash signatures + 16-bit banded bucket keys (the near-dup
     // index a 100 TB pipeline would persist; near-Hamming pairs share
-    // a band bucket). Rows-only; semantics pinned in DedupSpec.
-    "dedup_simhash" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
-        .withColumn("hashes",
-          transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
-        .withColumn("sig", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, bit) -> acc |
-               if(aggregate(hashes, 0,
-                    (c, h) -> c + int(shiftrightunsigned(h, bit) & 1))
-                    * 2 > size(hashes),
-                  shiftleft(1L, bit), 0L))"""))
-        .select(col("doc_id"), col("sig"),
-          expr("int(shiftrightunsigned(sig,  0) & 65535)").as("band0"),
-          expr("int(shiftrightunsigned(sig, 16) & 65535)").as("band1"),
-          expr("int(shiftrightunsigned(sig, 32) & 65535)").as("band2"),
-          expr("int(shiftrightunsigned(sig, 48) & 65535)").as("band3"))
-    }),
+    // a band bucket). Rows-only; semantics pinned in DedupSpec. The
+    // query stage over this index is dedup_simhash_pairs below.
+    "dedup_simhash" -> ((s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))),
+
+    // The SimHash index exercised AS an index: band-bucket self-join
+    // generates candidates (two signatures within Hamming distance 3
+    // of each other differ in ≤ 3 of 64 bits, so by pigeonhole at
+    // least one of the four 16-bit bands is IDENTICAL — the equi-join
+    // is guaranteed to surface every such pair), then an exact
+    // popcount verify keeps pairs with bit_count(sig_a ^ sig_b) ≤ 3.
+    // Candidates are bounded by band-bucket occupancy, never all
+    // pairs — the same scale shape as minhash LSH. Rows-only;
+    // DedupSpec pins exact agreement with a brute-force Hamming scan.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(simhashSignatures(Tables.load(s, dir, "documents")), maxHamming = 3)),
 
     // Oracle-checkable shingle-Jaccard inside tight blocks (same lang,
     // source, length bucket): ground truth for near-dup detection.
@@ -124,21 +161,7 @@ object Dedup extends QueryModule {
     // dedup_jaccard_prefix below (identical output, candidate set
     // bounded by shared prefix tokens instead of block size);
     // DedupSpec pins their equality.
-    "dedup_jaccard_block" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          expr("n_chars div 100").as("len_bucket"),
-          array_distinct(shingles(col("text"))).as("sh"))
-      d.as("a").join(d.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jacc", shingleSetJaccard(col("a.sh"), col("b.sh")))
-        .where(col("jacc") >= 0.5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(col("jacc"), 6).as("jacc"))
-    }),
+    "dedup_jaccard_block" -> ((s, dir) => jaccardBlock(Tables.load(s, dir, "documents"))),
 
     // EXACT near-dup join at scale: prefix filtering (the AllPairs /
     // PPJoin family). Under any global token order, two shingle sets
@@ -155,34 +178,61 @@ object Dedup extends QueryModule {
     // the shape that survives a corpus 100× larger. The prefix is one
     // token longer than the tight bound (floor instead of ceil):
     // extra candidates are harmless, a too-short prefix is not.
-    "dedup_jaccard_prefix" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          expr("n_chars div 100").as("len_bucket"),
-          array_distinct(shingles(col("text"))).as("sh"))
-      val byId = d.select(col("doc_id"), col("sh"))
-      val prefixes = d
-        .withColumn("h", array_sort(transform(col("sh"), t => xxhash64(t))))
-        .withColumn("plen",
-          least(size(col("h")), size(col("h")) - (size(col("h")) / 2).cast("int") + 1))
-        .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
-          explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
-      val cands = prefixes.as("a").join(prefixes.as("b"),
-          col("a.tok") === col("b.tok") &&
-            col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cands
-        .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
-        .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
-        .where(col("jacc") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
-    })
+    "dedup_jaccard_prefix" -> ((s, dir) => jaccardPrefix(Tables.load(s, dir, "documents")))
   )
+
+  /** Block keys + distinct shingle sets shared by the block and prefix
+    * variants.
+    */
+  private def blocked(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("len_bucket"),
+      array_distinct(shingles(col("text"))).as("sh"))
+
+  /** Ground-truth all-pairs Jaccard within tight blocks (eval-only at
+    * scale — see the `dedup_jaccard_block` query comment).
+    */
+  def jaccardBlock(docs: DataFrame): DataFrame = {
+    val d = blocked(docs)
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jacc", shingleSetJaccard(col("a.sh"), col("b.sh")))
+      .where(col("jacc") >= 0.5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** Prefix-filtered exact Jaccard — identical output to
+    * [[jaccardBlock]] with candidates bounded by postings
+    * co-occurrence (see the `dedup_jaccard_prefix` query comment).
+    */
+  def jaccardPrefix(docs: DataFrame): DataFrame = {
+    val d = blocked(docs)
+    val byId = d.select(col("doc_id"), col("sh"))
+    val prefixes = d
+      .withColumn("h", array_sort(transform(col("sh"), t => xxhash64(t))))
+      .withColumn("plen",
+        least(size(col("h")), size(col("h")) - (size(col("h")) / 2).cast("int") + 1))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
+        explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
+      .where(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+  }
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -62,6 +62,52 @@ class DedupSpec extends SparkFunSuite {
       "near-dups should be much closer in hamming space than random pairs")
   }
 
+  test("simhash pair stage agrees exactly with a brute-force Hamming scan") {
+    val sigs = SparkEntry.queries("dedup_simhash")(spark, sfDir)
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: every pair within Hamming distance 3 (O(n²) fine at
+    // sf0.001) — the banded index must find ALL of them (pigeonhole:
+    // ≤3 differing bits can't touch all 4 bands) and nothing else
+    // (exact popcount verify)
+    val ids = sigs.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val got = SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "fixture should contain Hamming-close pairs")
+    assert(got == want)
+  }
+
+  test("prefix bound holds across odd and even distinct-shingle counts") {
+    import spark.implicits._
+    // ADVICE pin: plen = |sh| - floor(|sh|/2) + 1 must stay a safe
+    // superset where floor vs ceil of t·|sh| differs. Build near-dup
+    // pairs (b = a plus one trailing word => jacc = n/(n+1) >= 0.5)
+    // whose distinct-3-shingle counts straddle odd/even: n words =>
+    // n-2 shingles, so word counts 7..12 give 5,6,7,8,9,10 shingles.
+    // Disjoint vocabularies per pair keep cross-pair jaccard at 0; a
+    // same-block control pair sits just under the threshold.
+    val docs = (7 to 12).zipWithIndex.flatMap { case (nWords, p) =>
+      val words = (0 until nWords).map(w => s"p${p}w$w")
+      Seq((2L * p, words.mkString(" ")),
+          (2L * p + 1, (words :+ s"p${p}extra").mkString(" ")))
+    } ++ Seq((100L, "c0 c1 c2 c3 c4 c5 c6 c7 c8"),
+             (101L, "c0 c1 c2 c3 x4 x5 x6 x7 x8")) // jacc 4/10 < 0.5
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", lit("en").as("lang"), lit("syn").as("source"),
+        lit(50L).as("n_chars"), $"text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val block = graft.operators.Dedup.jaccardBlock(df).collect().map(key).toSet
+    val prefix = graft.operators.Dedup.jaccardPrefix(df).collect().map(key).toSet
+    assert(block.map(t => (t._1, t._2)) == (0 to 5).map(p => (2L * p, 2L * p + 1)).toSet,
+      s"ground truth should be exactly the planted pairs: $block")
+    assert(prefix == block)
+  }
+
   test("exact dedup keeps deterministic survivor") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     assert(df.count() > 0)
