@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -112,35 +112,106 @@ class PagedArchiveTable(options: CaseInsensitiveStringMap)
     new PagedArchiveScanBuilder(o)
 }
 
+/** Filter pushdown (the Spark-native spelling of the reference's
+  * anchor-driven early-stop, `bilibili/video.py:84-100`):
+  *
+  *  - `pubdate > x` / `pubdate >= x` becomes a GLOBAL anchor, merged
+  *    (max) with any per-key `anchors` option — the reader stops
+  *    paging at the anchor, so the predicate prunes page FETCHES, not
+  *    just rows. Exact under the source's pubdate-descending page
+  *    contract, so the filter is consumed (no residual re-filter).
+  *  - `mid = k` / `mid IN (…)` prunes scan KEYS — unlisted keys get
+  *    no input partition and no fetch at all.
+  *
+  * Anything else stays a residual for Spark to evaluate post-scan.
+  */
 class PagedArchiveScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PagedArchiveSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var pushedAnchor: Option[Long] = None
+  private var pushedKeys: Option[Set[Long]] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagedArchiveScan(
-    options.get("fetcher"),
-    options.getInt("pageSize", 30),
-    Option(options.get("anchors")).map(PagedArchiveSource.parseAnchors)
-      .getOrElse(Map.empty),
-    required)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("pubdate", v) => asLong(v).exists { x =>
+        pushedAnchor = Some(pushedAnchor.fold(x)(math.max(_, x))); true
+      }
+      case GreaterThanOrEqual("pubdate", v) => asLong(v).exists { x =>
+        // pubdate >= x  <=>  pubdate > x-1 on longs
+        pushedAnchor = Some(pushedAnchor.fold(x - 1)(math.max(_, x - 1))); true
+      }
+      case EqualTo("mid", v) => asLong(v).exists { k =>
+        pushedKeys = Some(pushedKeys.fold(Set(k))(_ intersect Set(k))); true
+      }
+      case In("mid", vs) => {
+        val ks = vs.flatMap(asLong).toSet
+        if (ks.size == vs.length) {
+          pushedKeys = Some(pushedKeys.fold(ks)(_ intersect ks)); true
+        } else false
+      }
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val optionAnchors = Option(options.get("anchors"))
+      .map(PagedArchiveSource.parseAnchors).getOrElse(Map.empty)
+    new PagedArchiveScan(
+      options.get("fetcher"),
+      options.getInt("pageSize", 30),
+      optionAnchors,
+      pushedAnchor,
+      pushedKeys,
+      Option(options.get("keys"))
+        .map(_.split(",").iterator.filter(_.nonEmpty).map(_.trim.toLong).toSeq),
+      required)
+  }
 }
 
 class PagedArchiveScan(fetcherClass: String, pageSize: Int,
-    anchors: Map[Long, Long], required: StructType) extends Scan with Batch {
+    anchors: Map[Long, Long], pushedAnchor: Option[Long],
+    pushedKeys: Option[Set[Long]], keysOption: Option[Seq[Long]],
+    required: StructType) extends Scan with Batch {
   require(fetcherClass != null, "option 'fetcher' (PageFetcher class name) is required")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PagedArchiveScan(fetcher=$fetcherClass, pageSize=$pageSize)"
+    s"PagedArchiveScan(fetcher=$fetcherClass, pageSize=$pageSize" +
+      pushedAnchor.map(a => s", pushedAnchor=$a").getOrElse("") +
+      pushedKeys.map(ks => s", pushedKeys=${ks.toSeq.sorted.mkString("[", ",", "]")}")
+        .getOrElse("") + ")"
 
-  /** One partition per scan key — the key list comes from a
-    * driver-side fetcher instance (metadata-sized), the page walks run
-    * on executors.
+  /** One partition per scan key. The key list comes from the `keys`
+    * option when given (capping the driver-side fetcher call for
+    * fetchers whose own key list is huge), else from a driver-side
+    * fetcher instance (metadata-sized). A pushed `mid` predicate
+    * prunes keys before any partition is planned; each key's anchor is
+    * the max of its per-key option anchor and the pushed global one.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    PagedArchiveSource.instantiate(fetcherClass).keys().map { k =>
-      PagedKeyPartition(k, anchors.getOrElse(k, Long.MinValue)): InputPartition
+  override def planInputPartitions(): Array[InputPartition] = {
+    val allKeys = keysOption.getOrElse(
+      PagedArchiveSource.instantiate(fetcherClass).keys())
+    val keys = pushedKeys.fold(allKeys)(ks => allKeys.filter(ks.contains))
+    keys.map { k =>
+      val anchor = math.max(anchors.getOrElse(k, Long.MinValue),
+        pushedAnchor.getOrElse(Long.MinValue))
+      PagedKeyPartition(k, anchor): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(fetcherClass, pageSize, required)

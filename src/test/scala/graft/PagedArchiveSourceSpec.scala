@@ -18,6 +18,7 @@ class SyntheticFetcher extends PageFetcher {
   override def fetch(key: Long, pn: Int, pageSize: Int): Seq[ArchiveRecord] = {
     fetches.incrementAndGet()
     perKeyFetches.merge(key, 1, _ + _)
+    pages.put((key, pn), true)
     all(key).slice((pn - 1) * pageSize, pn * pageSize)
   }
 }
@@ -25,7 +26,16 @@ class SyntheticFetcher extends PageFetcher {
 object SyntheticFetcher {
   val fetches = new AtomicInteger(0)
   val perKeyFetches = new ConcurrentHashMap[Long, Int]()
-  def reset(): Unit = { fetches.set(0); perKeyFetches.clear() }
+  // The SET of (key, page) pairs ever fetched — unlike the raw
+  // counters this is stable under Spark task retries/speculation
+  // (a retry refetches the SAME pages), so the must-not-fetch
+  // assertions below can be exact without flaking.
+  val pages = new ConcurrentHashMap[(Long, Int), Boolean]()
+  def reset(): Unit = { fetches.set(0); perKeyFetches.clear(); pages.clear() }
+  def pagesFetched: Set[(Long, Int)] = {
+    import scala.jdk.CollectionConverters._
+    pages.keySet.asScala.toSet
+  }
 
   /** 70 records per key, pubdate descending (70000 down to 1000). */
   def all(key: Long): Seq[ArchiveRecord] =
@@ -54,7 +64,8 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     assert(rows.length == 3 * 70)
     // 70 records at pageSize 30 => pages of 30/30/10; the 10-record
     // short page terminates the walk with no 4th probe fetch.
-    assert(SyntheticFetcher.fetches.get() == 3 * 3)
+    assert(SyntheticFetcher.pagesFetched ==
+      (for (k <- Seq(101L, 102L, 103L); pn <- 1 to 3) yield (k, pn)).toSet)
   }
 
   test("watermark early-stop skips already-ingested pages") {
@@ -62,8 +73,9 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     // anchor 55000 for key 101: records 56000..70000 are new (15 rows,
     // all on page 1) — pages 2 and 3 must never be fetched.
     val rows = read("101:55000").collect()
-    assert(SyntheticFetcher.perKeyFetches.get(101L) == 1)
-    assert(SyntheticFetcher.perKeyFetches.get(102L) == 3)
+    val fetched = SyntheticFetcher.pagesFetched
+    assert(fetched.filter(_._1 == 101L) == Set((101L, 1)))
+    assert(fetched.filter(_._1 == 102L) == Set((102L, 1), (102L, 2), (102L, 3)))
     val k101 = rows.filter(_.getLong(0) == 101L)
     assert(k101.length == 15)
     assert(k101.forall(_.getLong(3) > 55000L))
@@ -73,8 +85,8 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     SyntheticFetcher.reset()
     val rows = read("101:70000,102:70000,103:70000").collect()
     assert(rows.isEmpty)
-    assert(SyntheticFetcher.fetches.get() == 3)
-    assert(SyntheticFetcher.perKeyFetches.get(103L) == 1)
+    assert(SyntheticFetcher.pagesFetched ==
+      Set((101L, 1), (102L, 1), (103L, 1)))
   }
 
   test("output equals the S5 anchor-filter semantics on the full listing") {
@@ -105,5 +117,66 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     }
     assert(scan.isDefined)
     assert(scan.get.inputRDD.getNumPartitions == 3)
+  }
+
+  // ---- filter pushdown --------------------------------------------------
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+
+  test("pushed pubdate predicate drives the early-stop — pages pruned, not post-filtered") {
+    SyntheticFetcher.reset()
+    // the natural spelling: a plain .where, no anchors option
+    val df = read("").where(col("pubdate") > 55000L)
+    assert(batchScan(df).scan.description().contains("pushedAnchor=55000"))
+    val rows = df.collect()
+    assert(rows.length == 3 * 15 && rows.forall(_.getLong(3) > 55000L))
+    // the predicate reached the page walk: only page 1 of each key
+    assert(SyntheticFetcher.pagesFetched ==
+      Set((101L, 1), (102L, 1), (103L, 1)))
+    // and it matches the anchors-option spelling exactly
+    val viaOption = read("101:55000,102:55000,103:55000").collect()
+    assert(rows.map(_.toSeq).toSet == viaOption.map(_.toSeq).toSet)
+  }
+
+  test("pubdate >= pushes as anchor value-1; mid IN prunes scan keys") {
+    SyntheticFetcher.reset()
+    val df = read("").where(col("mid").isin(101L, 103L) && col("pubdate") >= 69000L)
+    val rows = df.collect()
+    assert(rows.length == 2 * 2) // 69000 and 70000 per kept key
+    assert(batchScan(df).inputRDD.getNumPartitions == 2,
+      "pruned keys must not get input partitions")
+    assert(SyntheticFetcher.pagesFetched == Set((101L, 1), (103L, 1)),
+      "pruned key 102 must never be fetched")
+  }
+
+  test("pushed anchor merges with per-key option anchors — max wins") {
+    SyntheticFetcher.reset()
+    val rows = read("101:60000").where(col("pubdate") > 55000L).collect()
+    assert(rows.filter(_.getLong(0) == 101L).length == 10) // 61000..70000
+    assert(rows.filter(_.getLong(0) == 102L).length == 15) // 56000..70000
+    assert(SyntheticFetcher.pagesFetched ==
+      Set((101L, 1), (102L, 1), (103L, 1)))
+  }
+
+  test("mid equality prunes to a single key partition") {
+    SyntheticFetcher.reset()
+    val df = read("").where(col("mid") === 102L)
+    assert(df.count() == 70)
+    assert(batchScan(df).inputRDD.getNumPartitions == 1)
+    assert(SyntheticFetcher.pagesFetched.forall(_._1 == 102L))
+  }
+
+  test("keys option overrides the driver-side fetcher key list") {
+    SyntheticFetcher.reset()
+    val df = spark.read.format("paged-archives")
+      .option("fetcher", classOf[SyntheticFetcher].getName)
+      .option("pageSize", 30)
+      .option("keys", "103")
+      .load()
+    assert(df.count() == 70)
+    assert(SyntheticFetcher.pagesFetched.forall(_._1 == 103L))
   }
 }
