@@ -117,6 +117,68 @@ object Vcut {
     Merge.upsertIgnore(archives, incoming, Seq("bvid"))
   }
 
+  /** EP1 end-to-end, incremental: the full `discover_new_recordings`
+    * job (`modal/recording.py:9-57`) as one composition —
+    *
+    *   1. A2 anchors: per-creator newest pubdate already in the
+    *      archive table (collected driver-side; one row per vtuber,
+    *      metadata-sized — the reference iterates this same list
+    *      serially);
+    *   2. S4 paged scan with those anchors: each creator's page walk
+    *      early-stops at its anchor, so already-ingested history is
+    *      never re-fetched — and a creator with nothing new costs
+    *      exactly one page;
+    *   3. F16 `pic`→`cover`, F1 title-date parse dropping unparseable
+    *      rows (`db/recording.py:62`);
+    *   4. K1 upsert-ignore on bvid into a [[graft.sinks.SnapshotMerge]]
+    *      table partitioned by `mid` (bvid determines mid, so the
+    *      partitioned-merge key/partition contract holds) — the
+    *      all-or-nothing commit the reference gets from its PG
+    *      transaction.
+    *
+    * Idempotent: a second run fetches one page per creator, finds
+    * nothing past the anchors, and commits nothing.
+    *
+    * @return number of new recordings ingested (the reference's
+    *         return value)
+    */
+  def discoverNewRecordingsIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      mids: Seq[Long],
+      archiveTableDir: String,
+      fetcherClass: String,
+      pageSize: Int = 30): Long = {
+    import org.apache.spark.sql.types._
+    val tableSchema = StructType(Seq(
+      StructField("mid", LongType), StructField("bvid", StringType),
+      StructField("title", StringType), StructField("cover", StringType),
+      StructField("pubdate", LongType), StructField("date", TimestampType)))
+    val existing = graft.sinks.SnapshotMerge.read(spark, archiveTableDir, tableSchema)
+    val anchors = existing.groupBy(col("mid"))
+      .agg(max(col("pubdate")).as("anchor"))
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}")
+    val fetched = spark.read.format("paged-archives")
+      .option("fetcher", fetcherClass)
+      .option("pageSize", pageSize)
+      .option("keys", mids.mkString(","))
+      .option("anchors", anchors.mkString(","))
+      .load()
+    val incoming = fetched
+      .withColumnRenamed("pic", "cover")
+      .withColumn("date", parseArchiveDate(col("title")))
+      .where(col("date").isNotNull)
+      .select(tableSchema.fieldNames.map(col): _*)
+      // one fetch pass: the frame feeds the count AND the merge's
+      // partition-tuple collect + write, and re-running it would
+      // re-page the remote listing
+      .localCheckpoint(true)
+    val n = incoming.count()
+    if (n > 0)
+      graft.sinks.SnapshotMerge.upsertIgnore(
+        spark, archiveTableDir, incoming, Seq("bvid"), Seq("mid"))
+    n
+  }
+
   /** F2: first-matching bracket style wins (《》 then 『』 then 「」,
     * `modal/video.py:14-18`).
     */

@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's discovery scan consumes (bvid, title, pubdate per
   * video, reference `bilibili/video.py:83-97`).
   */
-case class ArchiveRecord(bvid: String, title: String, pubdate: Long)
+case class ArchiveRecord(bvid: String, title: String, pubdate: Long,
+    pic: String = "")
 
 /** The pluggable page iterator behind [[PagedArchiveSource]] (S4).
   *
@@ -88,7 +89,8 @@ object PagedArchiveSource {
     StructField("mid", LongType),
     StructField("bvid", StringType),
     StructField("title", StringType),
-    StructField("pubdate", LongType)))
+    StructField("pubdate", LongType),
+    StructField("pic", StringType)))
 
   def instantiate(className: String): PageFetcher =
     Class.forName(className).getDeclaredConstructor()
@@ -269,6 +271,7 @@ class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
     if (idx("bvid") >= 0) row.update(idx("bvid"), UTF8String.fromString(current.bvid))
     if (idx("title") >= 0) row.update(idx("title"), UTF8String.fromString(current.title))
     if (idx("pubdate") >= 0) row.setLong(idx("pubdate"), current.pubdate)
+    if (idx("pic") >= 0) row.update(idx("pic"), UTF8String.fromString(current.pic))
     row
   }
 

@@ -52,4 +52,91 @@ class EndToEndSpec extends SparkFunSuite {
     assert(hit.getInt(2) == 1 && hit.getDouble(3) == 0.0 &&
       hit.getDouble(4) == 100.0)
   }
+
+  test("EP1 discovery end to end: paged listing → parsed archives → snapshot table, idempotent") {
+    import graft.sources.v2.PagedArchiveSource
+    val dir = java.nio.file.Files.createTempDirectory("e2e_disc").toString + "/archives"
+    def run(): Long = Vcut.discoverNewRecordingsIncremental(
+      spark, Seq(201L, 202L), dir,
+      classOf[DiscoveryFetcher].getName, pageSize = 2)
+
+    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    def table() = graft.sinks.SnapshotMerge.read(spark, dir, tableSchema)
+
+    // run 1: full backfill. Creator 201 serves 3 parseable titles + 1
+    // junk (dropped by the F1 filter); creator 202 serves 2 parseable.
+    DiscoveryFetcher.newestFirst = false
+    assert(run() == 5)
+    val t1 = table()
+    assert(t1.count() == 5)
+    assert(t1.where(col("bvid") === "BVjunk").isEmpty, "unparseable title must be dropped")
+    assert(t1.columns.contains("cover") && !t1.columns.contains("pic"))
+    // partitioned by mid inside the snapshot batch dirs
+    assert(t1.select("mid").distinct().count() == 2)
+
+    // run 2: nothing new upstream → one page per creator, no commit
+    DiscoveryFetcher.pages.clear()
+    val store = new graft.sinks.SnapshotStore(spark, new org.apache.hadoop.fs.Path(dir))
+    val v1 = store.currentVersion()
+    assert(run() == 0)
+    assert(store.currentVersion() == v1, "no-op run must not commit a new version")
+    assert(DiscoveryFetcher.pagesFetched == Set((201L, 1), (202L, 1)),
+      "a creator with nothing new costs exactly one page")
+
+    // run 3: one new upload for 201 → only it is ingested. 201's two
+    // past-anchor records exactly fill page 1, so the walk probes
+    // page 2 and stops at its first (anchored) record; 202 still
+    // costs one page.
+    DiscoveryFetcher.newestFirst = true
+    DiscoveryFetcher.pages.clear()
+    assert(run() == 1)
+    val t3 = table()
+    assert(t3.count() == 6)
+    assert(t3.where(col("bvid") === "BVnew").count() == 1)
+    assert(DiscoveryFetcher.pagesFetched ==
+      Set((201L, 1), (201L, 2), (202L, 1)))
+  }
+}
+
+/** Synthetic bilibili listing for the EP1 test: per-creator recording
+  * pages, newest-first, titles in the reference's `…年…月…日…点场`
+  * format (plus one junk title the F1 parse must drop). Flipping
+  * `newestFirst` simulates a new upload appearing after the first
+  * ingest.
+  */
+class DiscoveryFetcher extends graft.sources.v2.PageFetcher {
+  import DiscoveryFetcher._
+  override def keys(): Seq[Long] = Seq(201L, 202L)
+  override def fetch(key: Long, pn: Int, pageSize: Int)
+      : Seq[graft.sources.v2.ArchiveRecord] = {
+    pages.put((key, pn), true)
+    listing(key).slice((pn - 1) * pageSize, pn * pageSize)
+  }
+}
+
+object DiscoveryFetcher {
+  import graft.sources.v2.ArchiveRecord
+  @volatile var newestFirst = false // true => BVnew exists upstream
+  val pages = new java.util.concurrent.ConcurrentHashMap[(Long, Int), Boolean]()
+  def pagesFetched: Set[(Long, Int)] = {
+    import scala.jdk.CollectionConverters._
+    pages.keySet.asScala.toSet
+  }
+  // pubdates: 2025-08-0{d} 20:00 +08 as epoch seconds, descending
+  private def ts(day: Int): Long = 1753963200L + day * 86400L
+  def listing(key: Long): Seq[ArchiveRecord] = {
+    val base =
+      if (key == 201L) Seq(
+        ArchiveRecord("BVjunk", "【剪辑】高光合集", ts(9), "p0.jpg"),
+        ArchiveRecord("BV201c", "2025年8月3日20点场 歌回", ts(3), "p3.jpg"),
+        ArchiveRecord("BV201b", "2025年8月2日20点场 杂谈", ts(2), "p2.jpg"),
+        ArchiveRecord("BV201a", "2025年8月1日20点场 初见", ts(1), "p1.jpg"))
+      else Seq(
+        ArchiveRecord("BV202b", "2025年8月5日20点场 翻唱", ts(5), "q5.jpg"),
+        ArchiveRecord("BV202a", "2025年8月4日20点场 闲聊", ts(4), "q4.jpg"))
+    if (newestFirst && key == 201L)
+      ArchiveRecord("BVnew", "2025年8月10日20点场 新回放", ts(10), "pn.jpg") +: base
+    else base
+  }
 }
