@@ -145,4 +145,20 @@ class FuzzyOccurrenceSpec extends SparkFunSuite {
     assert(self.length == probes.toInt)
     assert(self.forall(_.getDouble(4) == 100.0))
   }
+
+  test("flagship matches the committed sf0.01 golden file exactly") {
+    // Hard regression gate for the one headline query whose driver
+    // check is rows-only: full-frame equality against a reviewed
+    // golden dump (FIXTURES.md §C documents regeneration). A scoring
+    // or windowing regression that keeps the row count stable cannot
+    // slip through this.
+    val golden = spark.read.parquet(
+      "src/test/resources/golden/fuzzy_occurrence_sf0.01.parquet")
+    val got = FuzzyOccurrence.queries("fuzzy_occurrence")(spark, "/root/testdata/sf0.01")
+    assert(got.schema.fieldNames.sameElements(golden.schema.fieldNames))
+    val extra = got.exceptAll(golden).count()
+    val missing = golden.exceptAll(got).count()
+    assert(extra == 0 && missing == 0,
+      s"flagship drifted from golden: $extra unexpected rows, $missing missing rows")
+  }
 }
