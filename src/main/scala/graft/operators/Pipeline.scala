@@ -66,7 +66,12 @@ object Pipeline extends QueryModule {
           lit("U").as("o_orderstatus"), pk)
       // Fresh temp dir per invocation: a path keyed by dir.hashCode
       // would race when bench and verify run over the same SF dir
-      // concurrently, and would leak in /tmp between runs.
+      // concurrently, and would leak in /tmp between runs. NOTE: a
+      // driver-local java.nio temp path assumes driver and executors
+      // share a filesystem — true only in local mode, which is where
+      // this QUERY-harness scaffolding runs. On a cluster, callers use
+      // PartitionedMerge directly against shared storage (the library
+      // path resolves filesystems per-path via AtomicDir.fileSystem).
       val base = java.nio.file.Files.createTempDirectory("graft_k2p_").toString + "/t"
       target.write.mode("overwrite").partitionBy("pk").parquet(base)
       graft.sinks.PartitionedMerge.upsertUpdate(
@@ -98,6 +103,8 @@ object Pipeline extends QueryModule {
           (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
             .cast("double").as("o_totalprice"),
           lit("U").as("o_orderstatus"), pk)
+      // driver-local temp path: local-mode-only harness scaffolding,
+      // same caveat as k2_upsert_partitioned above
       val base = java.nio.file.Files.createTempDirectory("graft_k2s_").toString + "/t"
       // seed snapshot v1 = target, then merge incoming as v2
       graft.sinks.SnapshotMerge.upsertUpdate(

@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    JDBC cursor;
   *  - '''writes''' (K4): executors write `foreachPartition`-style via
   *    Spark's JDBC sink with the `batchsize` knob — the reference
-  *    chunks inserts at 50 rows per executemany
-  *    (`dblocal.py:118-133`); the same figure is the default here;
+  *    chunks inserts at 50 rows per executemany (`dblocal.py:118-133`,
+  *    kept as [[ReferenceParityBatchSize]]); the write DEFAULT is
+  *    Spark's 1000 — 50-row round trips would throttle a large
+  *    cluster's insert throughput;
   *  - '''merge semantics''' stay in [[Merge]]/[[PartitionedMerge]]:
   *    Spark's JDBC sink has no ON CONFLICT, so K1–K3 run as
   *    read → merge plan → write-back, exactly the shape the catalog's
@@ -27,8 +29,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object JdbcAdapter {
 
-  /** Reference insert chunk size (`dblocal.py:118-133`). */
-  val DefaultBatchSize = 50
+  /** Reference insert chunk size (`dblocal.py:118-133`) — kept as a
+    * documented parity constant for callers reproducing the
+    * reference's exact round-trip pattern. NOT the write default:
+    * 50 rows per round trip is a throughput hazard at scale, so
+    * [[write]] defaults to Spark's own JDBC batch size (1000).
+    */
+  val ReferenceParityBatchSize = 50
+
+  /** Spark's JDBC sink default (`JDBCOptions.JDBC_BATCH_INSERT_SIZE`). */
+  val DefaultBatchSize = 1000
 
   def read(spark: SparkSession, url: String, driver: String,
       table: String): DataFrame =

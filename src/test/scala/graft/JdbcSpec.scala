@@ -21,7 +21,7 @@ class JdbcSpec extends SparkFunSuite {
         col("o_orderstatus"))
       .limit(137) // odd size: exercises a final short chunk < batchsize
     JdbcAdapter.write(orders, u, driver, "ORDERS_RT",
-      mode = SaveMode.Overwrite, batchSize = 50)
+      mode = SaveMode.Overwrite, batchSize = JdbcAdapter.ReferenceParityBatchSize)
     val back = JdbcAdapter.read(spark, u, driver, "ORDERS_RT")
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
