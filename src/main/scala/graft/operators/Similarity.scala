@@ -137,8 +137,21 @@ object Similarity extends QueryModule {
     // when approximation is acceptable; on this corpus the top pairs
     // sit in the random-similarity noise floor, where sound LSH
     // pruning is impossible, so the exact path must stay exhaustive.)
-    // Per-block-pair top-20 (partial TakeOrdered) feeds a global
-    // top-20, so the final sort sees ≤ 20·P(P+1)/2 rows, not n².
+    // The top-20 runs as TakeOrderedAndProject directly on the
+    // narrow (id_a, id_b, cos) pair stream: a bounded HEAP per join
+    // partition feeding a 20·numPartitions driver merge — no sort of
+    // the n² pair set ever materializes, and the wide vector columns
+    // are projected away before the heap. (An earlier variant ran a
+    // per-block-pair row_number window first; that forced a sort-based
+    // window over every pair WITH the vectors still attached —
+    // measured 7× slower than brute force at 6k vectors. TakeOrdered
+    // already IS the partial-top-k-then-merge that window tried to
+    // hand-build.) The join carries a shuffle_hash hint: with only
+    // P(P+1)/2 distinct keys and huge per-key groups, sort-merge-join
+    // pays a per-key sort + group buffering that dominates the whole
+    // query (measured 3× at 20k vectors); a shuffled hash join builds
+    // one small per-partition map and streams the probe side through
+    // codegen. NOTES_r4.md has the crossover measurements.
     "sim_top_pairs_blocked" -> ((s, dir) => {
       val P = 16
       val e = embeddings(s, dir)
@@ -149,15 +162,11 @@ object Similarity extends QueryModule {
       val right = e.withColumn("pi", explode(sequence(lit(0), col("blk"))))
         .select(col("pi"), col("blk").as("pj"),
           col("vec_id").as("idb"), col("vd").as("vb"), col("nrm").as("nb"))
-      val w = Window.partitionBy(col("pi"), col("pj"))
-        .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-      left.join(right, Seq("pi", "pj"))
+      left.hint("shuffle_hash").join(right, Seq("pi", "pj"))
         .where(col("pi") =!= col("pj") || col("ida") < col("idb"))
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .withColumn("id_a", least(col("ida"), col("idb")))
-        .withColumn("id_b", greatest(col("ida"), col("idb")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 20)
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
