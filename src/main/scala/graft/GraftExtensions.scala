@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotProduct, IndelRatio, MinHashSig, WordShingles}
+import graft.functions.{DotProduct, IndelRatio, MinHashSig, SimHashSig, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so `spark.sql("SELECT indel_ratio(a, b) …")` works the
@@ -35,6 +35,7 @@ object GraftExtensions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "indel_ratio" -> (exprs => IndelRatio(exprs(0), exprs(1))),
     "minhash_sig" -> (exprs => MinHashSig(exprs(0), intLit(exprs(1)))),
+    "simhash_sig" -> (exprs => SimHashSig(exprs(0))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), intLit(exprs(1)))),
     "dot_d" -> (exprs => DotProduct(exprs(0), exprs(1))))
 

@@ -72,17 +72,14 @@ object Dedup extends QueryModule {
 
   /** 64-bit SimHash per document (majority vote of token-hash bits,
     * weights 1) plus four 16-bit band keys for bucketed indexing.
+    * The signature is one codegen'd pass per row
+    * ([[graft.functions.SimHashSig]] — the HOF spelling re-walked the
+    * token hashes 64 times interpreted; same output bits).
     */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .withColumn("hashes",
-        transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, bit) -> acc |
-             if(aggregate(hashes, 0,
-                  (c, h) -> c + int(shiftrightunsigned(h, bit) & 1))
-                  * 2 > size(hashes),
-                shiftleft(1L, bit), 0L))"""))
+      .withColumn("sig", graft.functions.SimHashSig.simhash_sig(
+        array_distinct(split(col("text"), " "))))
       .select(col("doc_id"), col("sig"),
         expr("int(shiftrightunsigned(sig,  0) & 65535)").as("band0"),
         expr("int(shiftrightunsigned(sig, 16) & 65535)").as("band1"),
@@ -94,10 +91,12 @@ object Dedup extends QueryModule {
     * for `maxHamming` < number of bands, by pigeonhole.
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val byBand = (0 to 3).map { b =>
-      sigs.select(col("doc_id"), col("sig"),
-        lit(b).as("band"), col(s"band$b").as("bucket"))
-    }.reduce(_.unionByName(_))
+    // posexplode, not a 4-way union: one signature computation per
+    // row, and both join legs share an identical shuffle subtree so
+    // ReuseExchange materializes the banded index ONCE
+    val byBand = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band", "bucket")))
     byBand.as("l").join(byBand.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
