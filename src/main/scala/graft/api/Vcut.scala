@@ -209,6 +209,24 @@ object Vcut {
       archives: DataFrame,
       segments: DataFrame,
       threshold: Double = 40.0,
+      forceUpdate: Boolean = false): DataFrame =
+    Merge.upsertUpdate(existing,
+      occurrenceIncrement(existing, songs, vtuberSongs, archives,
+        segments, threshold, forceUpdate),
+      Seq("vtuber_song_id", "live_recording_archive_id"))
+
+  /** The INCREMENT of [[syncOccurrences]]: just the new/updated
+    * occurrence rows, before any merge — what a partitioned or
+    * snapshot sink upserts directly instead of rewriting the table
+    * (`existing` is consulted only for the skip anti-join).
+    */
+  def occurrenceIncrement(
+      existing: DataFrame,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      segments: DataFrame,
+      threshold: Double = 40.0,
       forceUpdate: Boolean = false): DataFrame = {
     val matches = FuzzyOccurrence.scan(
       segments.withColumnRenamed("bvid", "recording_id"),
@@ -225,12 +243,10 @@ object Vcut {
       .select(col("song_id"), col("vtuber_song_id"),
         col("live_recording_archive_id"),
         floor(col("start")).cast("long").as("start"), col("page"))
-    val incoming =
-      if (forceUpdate) attributed
-      else attributed.join(existing,
-        Seq("vtuber_song_id", "live_recording_archive_id"), "left_anti")
-    Merge.upsertUpdate(existing, incoming,
-      Seq("vtuber_song_id", "live_recording_archive_id"))
+    if (forceUpdate) attributed
+    else attributed.join(
+      existing.select(col("vtuber_song_id"), col("live_recording_archive_id")),
+      Seq("vtuber_song_id", "live_recording_archive_id"), "left_anti")
   }
 
   /** Typed variant of [[syncOccurrences]] for callers that want

@@ -98,6 +98,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     val manifestTmp = new Path(manifestsDir, s".tmp-${java.util.UUID.randomUUID()}")
     writeFile(manifestTmp, body)
     val manifestFinal = new Path(manifestsDir, versionName(version))
+    // A writer that crashed between this rename and the pointer swap
+    // leaves an unreferenced manifest under the SAME next version; the
+    // retry must replace it (rename-onto-existing fails on HDFS).
+    if (fs.exists(manifestFinal)) fs.delete(manifestFinal, false)
     if (!fs.rename(manifestTmp, manifestFinal))
       throw new java.io.IOException(s"rename $manifestTmp -> $manifestFinal failed")
     // The commit point: one atomic overwrite-rename of the pointer.

@@ -149,8 +149,11 @@ class PagedArchiveScanBuilder(options: CaseInsensitiveStringMap)
         pushedAnchor = Some(pushedAnchor.fold(x)(math.max(_, x))); true
       }
       case GreaterThanOrEqual("pubdate", v) => asLong(v).exists { x =>
-        // pubdate >= x  <=>  pubdate > x-1 on longs
-        pushedAnchor = Some(pushedAnchor.fold(x - 1)(math.max(_, x - 1))); true
+        // pubdate >= x  <=>  pubdate > x-1 on longs; x = MinValue
+        // would wrap, so leave that (vacuous) filter as a residual
+        x > Long.MinValue && {
+          pushedAnchor = Some(pushedAnchor.fold(x - 1)(math.max(_, x - 1))); true
+        }
       }
       case EqualTo("mid", v) => asLong(v).exists { k =>
         pushedKeys = Some(pushedKeys.fold(Set(k))(_ intersect Set(k))); true

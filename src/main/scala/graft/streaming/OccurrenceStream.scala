@@ -79,4 +79,54 @@ object OccurrenceStream {
       .start()
     q.awaitTermination()
   }
+
+  /** [[runAvailable]] with a bucketed snapshot-table sink: the 100 TB
+    * variant. Instead of rewriting the whole occurrence table each
+    * micro-batch, the batch's occurrence INCREMENT upserts through
+    * [[graft.sinks.SnapshotMerge]] into a table hash-bucketed on
+    * `live_recording_archive_id` (part of the merge key, so the
+    * key→partition contract holds): only buckets holding new
+    * occurrences are read or rewritten, untouched buckets carry
+    * forward by manifest reference, and each batch commits with one
+    * atomic pointer swap — a checkpoint-driven retry of a crashed
+    * batch finds the previous snapshot intact and re-merges
+    * idempotently (upsert on the unique key).
+    */
+  def runAvailableSnapshot(
+      spark: SparkSession,
+      transcriptsDir: String,
+      checkpointDir: String,
+      targetDir: String,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      threshold: Double = 40.0,
+      buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.types._
+    val tableSchema = StructType(Seq(
+      StructField("song_id", LongType), StructField("vtuber_song_id", LongType),
+      StructField("live_recording_archive_id", LongType),
+      StructField("start", LongType), StructField("page", IntegerType),
+      StructField("bucket", LongType)))
+    val segments = readSegmentsStream(spark, transcriptsDir)
+    val q = segments.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.sinks.SnapshotMerge
+          val existing = SnapshotMerge.read(spark, targetDir, tableSchema)
+          val inc = Vcut.occurrenceIncrement(
+            existing, songs, vtuberSongs, archives, batch, threshold)
+            .withColumn("bucket",
+              pmod(col("live_recording_archive_id"), lit(buckets.toLong)))
+          SnapshotMerge.upsertUpdate(spark, targetDir, inc,
+            Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -69,4 +69,45 @@ class OccurrenceStreamSpec extends SparkFunSuite {
       songs, vtuberSongs, archives)
     assert(spark.read.parquet(target).count() == 2)
   }
+
+  test("snapshot-sink stream upserts increments, untouched buckets carry forward") {
+    val root = Files.createTempDirectory("occ_snap")
+    val drop = root.resolve("transcripts"); Files.createDirectories(drop)
+    val target = root.resolve("occurrences").toString
+    val ckpt = root.resolve("ckpt").toString
+    def run() = OccurrenceStream.runAvailableSnapshot(spark, drop.toString,
+      ckpt, target, songs, vtuberSongs, archives, buckets = 8)
+    def table() = {
+      val schema = StructType(Seq(
+        StructField("song_id", LongType), StructField("vtuber_song_id", LongType),
+        StructField("live_recording_archive_id", LongType),
+        StructField("start", LongType), StructField("page", IntegerType),
+        StructField("bucket", LongType)))
+      graft.sinks.SnapshotMerge.read(spark, target, schema)
+    }
+
+    // batch 1 creates the table (no pre-seeding needed)
+    Files.writeString(drop.resolve("BVa.json"), doc)
+    run()
+    assert(table().select("live_recording_archive_id").as[Long].collect().toSeq == Seq(1L))
+
+    // batch 2: archive 2 lands in a different bucket; bucket 1's
+    // manifest entry must carry forward untouched
+    val store = new graft.sinks.SnapshotStore(
+      spark, new org.apache.hadoop.fs.Path(target))
+    val m1 = store.current().get._2
+    Files.writeString(drop.resolve("BVb.json"), doc)
+    run()
+    val m2 = store.current().get._2
+    assert(table().select("live_recording_archive_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    assert(m2("bucket=1") == m1("bucket=1"),
+      "bucket of archive 1 must carry forward by reference")
+    assert(m2.contains("bucket=2") && !m1.contains("bucket=2"))
+
+    // drained re-run: no new version
+    val v = store.currentVersion()
+    run()
+    assert(store.currentVersion() == v)
+  }
 }

@@ -113,6 +113,19 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir)(0L) == "U0b")
   }
 
+  test("a retry after crashing between manifest write and pointer swap succeeds") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // crashed attempt: manifest for the NEXT version exists on disk,
+    // pointer still at v1 — the stale manifest must not block a retry
+    store.fs.create(new Path(dir + "/manifests/v-000000000002"), true).close()
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    assert(store.currentVersion().contains(2L))
+    val want = Merge.upsertUpdate(targetRows, incomingRows, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(readVals(dir) == want)
+  }
+
   test("merge with empty incoming is a no-op commit-wise") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
