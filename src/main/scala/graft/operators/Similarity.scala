@@ -53,6 +53,60 @@ object Similarity extends QueryModule {
       .withColumn("vd", transform(col("embedding"), _.cast("double")))
       .withColumn("nrm", norm(col("embedding")))
 
+  /** Public handle on the prepared (widened + norm'd) embeddings for
+    * callers composing their own ANN/training plans.
+    */
+  def preparedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+
+  /** Deterministic seed codebook: the first `k` vectors by id. */
+  def seedCodebook(e: DataFrame, k: Int): DataFrame =
+    e.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
+
+  /** Assign each row (keyed `__aid`, vectors `vd`/`nrm`) to its
+    * argmax-cosine centroid: broadcast the k-row codebook, keep rank 1.
+    */
+  def assignToCentroid(df: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("c_vd", "c_nrm", "c_cos", "__rk")
+  }
+
+  /** Spherical k-means via `iters` Lloyd iterations, all distributed:
+    * assignment is [[assignToCentroid]]; the update explodes member
+    * vectors to (centroid, dim, value), takes the per-dimension mean
+    * in one hash aggregate, and reassembles the k mean vectors. A
+    * centroid that loses all members keeps its previous position
+    * (left join + coalesce) so the codebook never shrinks.
+    */
+  def ivfTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+    var cents = seedCodebook(e, k)
+    for (_ <- 1 to iters) {
+      val means = assignToCentroid(base, cents)
+        .select(col("c_id"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("new_vd"))
+      cents = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("new_vd"), col("c_vd")).as("c_vd"))
+        .withColumn("c_nrm", sqrt(aggregate(
+          transform(col("c_vd"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        // materialize the k-row codebook so each iteration's plan
+        // doesn't nest the previous one (lineage would grow
+        // exponentially across iterations)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for 8 fixed query vectors (oracle-
     // checked). The query side broadcasts; ranking is per-query.
@@ -76,21 +130,40 @@ object Similarity extends QueryModule {
     // bucket. Rows-only; SimilaritySpec pins recall vs brute force.
     "ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
-      def assign(df: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
-        df.crossJoin(broadcast(cents))
-          .withColumn("c_cos",
-            dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
-          .withColumn("__rk", row_number().over(w))
-          .where(col("__rk") === 1)
-          .drop("c_vd", "c_nrm", "c_cos", "__rk")
-      }
+      val cents = seedCodebook(e, 16)
       val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
-      val corpus = assign(base)
+      val corpus = assignToCentroid(base, cents)
         .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
-      val probes = assign(base.where(col("__aid") < 8))
+      val probes = assignToCentroid(base.where(col("__aid") < 8), cents)
+        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
+          col("nrm").as("q_nrm"), col("c_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(broadcast(probes), "c_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF with a TRAINED codebook: 3 Lloyd iterations of spherical
+    // k-means run as DataFrame ops — assignment is a broadcast
+    // argmax-cosine (the data side never moves), the centroid update
+    // is a per-dimension hash aggregate, and only the k-row codebook
+    // ever collects. This is the shape that trains on 100 TB: per
+    // iteration one broadcast join + one partial-aggregating groupBy,
+    // no iteration state on the driver beyond the codebook itself.
+    // Rows-only; SimilaritySpec pins that training strictly reduces
+    // quantization error vs the untrained seed codebook.
+    "ann_ivf_trained" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = ivfTrain(e, k = 16, iters = 3)
+      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+      val corpus = assignToCentroid(base, cents)
+        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
+      val probes = assignToCentroid(base.where(col("__aid") < 8), cents)
         .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
           col("nrm").as("q_nrm"), col("c_id"))
       val w = Window.partitionBy(col("q_id"))

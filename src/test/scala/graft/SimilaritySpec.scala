@@ -42,6 +42,28 @@ class SimilaritySpec extends SparkFunSuite {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Lloyd training strictly reduces quantization error") {
+    import graft.operators.Similarity
+    val e = Similarity.preparedEmbeddings(spark, sfDir)
+    val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+    // quantization error = avg over vectors of (1 - cos to nearest centroid)
+    def err(cents: org.apache.spark.sql.DataFrame): Double =
+      base.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          Similarity.dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
+        .groupBy(col("__aid")).agg(max(col("c_cos")).as("best"))
+        .agg(avg(lit(1.0) - col("best")))
+        .collect()(0).getDouble(0)
+    val seed = Similarity.seedCodebook(e, 16)
+    val trained = Similarity.ivfTrain(e, k = 16, iters = 3)
+    assert(trained.count() == 16, "codebook must not shrink")
+    val (e0, e1) = (err(seed), err(trained))
+    assert(e1 < e0, f"training must reduce quantization error: seed $e0%.4f -> trained $e1%.4f")
+    // and the trained index still answers queries
+    val out = SparkEntry.queries("ann_ivf_trained")(spark, sfDir)
+    assert(out.count() > 0)
+  }
+
   test("cosine of identical vectors is 1") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings").limit(10)
