@@ -60,7 +60,6 @@ object SnapshotMerge {
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val fs = store.fs
 
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
@@ -90,31 +89,12 @@ object SnapshotMerge {
     // The partitions the merge actually produced (a touched partition
     // the merge emptied simply has no dir => dropped from the
     // manifest => atomically deleted).
-    val written = listPartitionDirs(fs, batchPath)
+    val written = store.listPartitionDirs(batchPath)
     require(written.subsetOf(touched),
       s"merge produced unexpected partitions: ${(written -- touched).mkString(", ")}")
 
     val entries = (curEntries -- touched) ++ written.map(_ -> batch)
     store.commit(newVersion, entries)
     store.vacuum()
-  }
-
-  /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
-    * under `batchPath` (the parents of its data files).
-    */
-  private def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
-      batchPath: Path): Set[String] = {
-    val base = batchPath.toUri.getPath
-    val out = scala.collection.mutable.Set[String]()
-    val it = fs.listFiles(batchPath, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
-        if (rel.nonEmpty) out += rel
-      }
-    }
-    out.toSet
   }
 }

@@ -145,6 +145,45 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     aligned.reduce(_.unionByName(_))
   }
 
+  /** Rewrite every live partition into ONE fresh batch and commit it
+    * as the next version — bounds read fragmentation (each referenced
+    * batch dir costs the reader a scan subtree) after many incremental
+    * merges. Same crash contract as a merge: the rewrite is invisible
+    * until the pointer swap, and a crash leaves only orphans for
+    * [[vacuum]]. No-op when the table is empty or already compact.
+    */
+  def compact(schema: StructType, partCols: Seq[String]): Unit = {
+    val (version, entries) = current().getOrElse(return)
+    if (entries.values.toSet.size <= 1) return
+    val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    read(schema).repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(dataPath(batch).toString)
+    val written = listPartitionDirs(dataPath(batch))
+    require(written == entries.keySet,
+      s"compaction must preserve the partition set; lost ${entries.keySet -- written}")
+    commit(version + 1, written.map(_ -> batch).toMap)
+    vacuum()
+  }
+
+  /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
+    * under `batchPath` (the parents of its data files).
+    */
+  def listPartitionDirs(batchPath: Path): Set[String] = {
+    val base = batchPath.toUri.getPath
+    val out = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(batchPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        if (rel.nonEmpty) out += rel
+      }
+    }
+    out.toSet
+  }
+
   /** Delete orphans: batch dirs and manifests not reachable from the
     * `retain` most recent committed versions (default: current +
     * previous, a grace window for readers that resolved the pointer

@@ -126,6 +126,23 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir) == want)
   }
 
+  test("compaction folds all live partitions into one batch, data unchanged") {
+    val dir = seed()
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((2L, "U2", 2L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val before = readVals(dir)
+    assert(store.current().get._2.values.toSet.size > 1, "fixture should be fragmented")
+    store.compact(targetRows.schema, Seq("pk"))
+    assert(store.current().get._2.values.toSet.size == 1, "one batch after compaction")
+    assert(readVals(dir) == before, "compaction must not change the data")
+    // compacting a compact table is a no-op version-wise
+    val v = store.currentVersion()
+    store.compact(targetRows.schema, Seq("pk"))
+    assert(store.currentVersion() == v)
+  }
+
   test("merge with empty incoming is a no-op commit-wise") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
