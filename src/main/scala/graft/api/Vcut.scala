@@ -147,22 +147,36 @@ object Vcut {
       mids: Seq[Long],
       archiveTableDir: String,
       fetcherClass: String,
-      pageSize: Int = 30): Long = {
+      pageSize: Int = 30,
+      backfillLimit: Int = 0): Long = {
     import org.apache.spark.sql.types._
     val tableSchema = StructType(Seq(
       StructField("mid", LongType), StructField("bvid", StringType),
       StructField("title", StringType), StructField("cover", StringType),
       StructField("pubdate", LongType), StructField("date", TimestampType)))
     val existing = graft.sinks.SnapshotMerge.read(spark, archiveTableDir, tableSchema)
-    val anchors = existing.groupBy(col("mid"))
-      .agg(max(col("pubdate")).as("anchor"))
-      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}")
-    val fetched = spark.read.format("paged-archives")
+    val spans = existing.groupBy(col("mid"))
+      .agg(max(col("pubdate")).as("newest"), min(col("pubdate")).as("oldest"))
+      .collect()
+    val reader = spark.read.format("paged-archives")
       .option("fetcher", fetcherClass)
       .option("pageSize", pageSize)
       .option("keys", mids.mkString(","))
-      .option("anchors", anchors.mkString(","))
-      .load()
+    // A2 one-sided anchors by default; with a backfill budget, the
+    // reference's two-sided window + per-creator limit (S6,
+    // `bilibili/series.py:100-117` via `modal/recording.py:26-40`):
+    // records inside [oldest, newest] are skipped, newer AND older
+    // history both ingest, at most `backfillLimit` per creator.
+    val fetched =
+      (if (backfillLimit > 0)
+        reader
+          .option("bounds", spans.map(r =>
+            s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}").mkString(","))
+          .option("limitPerKey", backfillLimit)
+      else
+        reader.option("anchors", spans.map(r =>
+          s"${r.getLong(0)}:${r.getLong(1)}").mkString(",")))
+        .load()
     val incoming = fetched
       .withColumnRenamed("pic", "cover")
       .withColumn("date", parseArchiveDate(col("title")))

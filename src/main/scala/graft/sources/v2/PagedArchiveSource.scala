@@ -102,6 +102,15 @@ object PagedArchiveSource {
       val Array(k, v) = kv.split(":")
       k.trim.toLong -> v.trim.toLong
     }.toMap
+
+  /** `"101:17:9,..."` → `Map(101L -> (after 17, before 9))` — the
+    * two-sided backfill window per key.
+    */
+  def parseBounds(s: String): Map[Long, (Long, Long)] =
+    s.split(",").iterator.filter(_.nonEmpty).map { kv =>
+      val Array(k, a, b) = kv.split(":")
+      k.trim.toLong -> (a.trim.toLong, b.trim.toLong)
+    }.toMap
 }
 
 class PagedArchiveTable(options: CaseInsensitiveStringMap)
@@ -183,6 +192,9 @@ class PagedArchiveScanBuilder(options: CaseInsensitiveStringMap)
       pushedKeys,
       Option(options.get("keys"))
         .map(_.split(",").iterator.filter(_.nonEmpty).map(_.trim.toLong).toSeq),
+      Option(options.get("bounds"))
+        .map(PagedArchiveSource.parseBounds).getOrElse(Map.empty),
+      options.getInt("limitPerKey", Int.MaxValue),
       required)
   }
 }
@@ -190,6 +202,7 @@ class PagedArchiveScanBuilder(options: CaseInsensitiveStringMap)
 class PagedArchiveScan(fetcherClass: String, pageSize: Int,
     anchors: Map[Long, Long], pushedAnchor: Option[Long],
     pushedKeys: Option[Set[Long]], keysOption: Option[Seq[Long]],
+    bounds: Map[Long, (Long, Long)], limitPerKey: Int,
     required: StructType) extends Scan with Batch {
   require(fetcherClass != null, "option 'fetcher' (PageFetcher class name) is required")
   override def readSchema(): StructType = required
@@ -214,7 +227,7 @@ class PagedArchiveScan(fetcherClass: String, pageSize: Int,
     keys.map { k =>
       val anchor = math.max(anchors.getOrElse(k, Long.MinValue),
         pushedAnchor.getOrElse(Long.MinValue))
-      PagedKeyPartition(k, anchor): InputPartition
+      PagedKeyPartition(k, anchor, bounds.get(k), limitPerKey): InputPartition
     }.toArray
   }
 
@@ -222,7 +235,9 @@ class PagedArchiveScan(fetcherClass: String, pageSize: Int,
     new PagedReaderFactory(fetcherClass, pageSize, required)
 }
 
-case class PagedKeyPartition(key: Long, anchor: Long) extends InputPartition
+case class PagedKeyPartition(key: Long, anchor: Long,
+    bounds: Option[(Long, Long)] = None,
+    limit: Int = Int.MaxValue) extends InputPartition
 
 class PagedReaderFactory(fetcherClass: String, pageSize: Int,
     required: StructType) extends PartitionReaderFactory {
@@ -230,15 +245,27 @@ class PagedReaderFactory(fetcherClass: String, pageSize: Int,
     val kp = p.asInstanceOf[PagedKeyPartition]
     new PagedPartitionReader(
       PagedArchiveSource.instantiate(fetcherClass),
-      kp.key, kp.anchor, pageSize, required)
+      kp.key, kp.anchor, kp.bounds, kp.limit, pageSize, required)
   }
 }
 
-/** Walks one key's page sequence with the two stop rules. Pages are
+/** Walks one key's page sequence with the stop rules. Pages are
   * pulled lazily — a key whose newest record is already behind the
   * anchor costs exactly one page fetch.
+  *
+  * Two modes, matching the reference:
+  *  - '''anchor''' (no bounds): records arrive pubdate-descending; the
+  *    first record at or below the anchor ends the walk
+  *    (`bilibili/video.py:84-100`).
+  *  - '''two-sided backfill''' (bounds = (after, before)): records
+  *    inside the closed window `[before, after]` are skipped (already
+  *    ingested), everything outside is emitted — old history is WANTED
+  *    here, so the walk cannot anchor-stop; it ends at `limit` emitted
+  *    records or the short page, exactly the reference's loop
+  *    (`bilibili/series.py:100-117`).
   */
 class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
+    bounds: Option[(Long, Long)], limit: Int,
     pageSize: Int, required: StructType) extends PartitionReader[InternalRow] {
 
   private val idx = PagedArchiveSource.schema.fieldNames
@@ -248,22 +275,34 @@ class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
   private var page: Seq[ArchiveRecord] = Nil
   private var pos = 0
   private var lastPage = false
+  private var emitted = 0
   private var current: ArchiveRecord = _
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false // per-key fetch budget
     while (true) {
       if (pos < page.length) {
         val rec = page(pos)
         pos += 1
-        if (rec.pubdate <= anchor) return false // watermark early-stop
-        current = rec
-        return true
+        bounds match {
+          case None =>
+            if (rec.pubdate <= anchor) return false // watermark early-stop
+            emitted += 1; current = rec
+            return true
+          case Some((after, before)) =>
+            // skip only the already-ingested closed window; keep paging
+            if (!(rec.pubdate <= after && rec.pubdate >= before)) {
+              emitted += 1; current = rec
+              return true
+            }
+        }
+      } else {
+        if (lastPage) return false
+        pn += 1
+        page = fetcher.fetch(key, pn, pageSize)
+        pos = 0
+        lastPage = page.length < pageSize // short-page termination
       }
-      if (lastPage) return false
-      pn += 1
-      page = fetcher.fetch(key, pn, pageSize)
-      pos = 0
-      lastPage = page.length < pageSize // short-page termination
     }
     false
   }

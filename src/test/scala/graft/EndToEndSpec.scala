@@ -97,6 +97,31 @@ class EndToEndSpec extends SparkFunSuite {
     assert(DiscoveryFetcher.pagesFetched ==
       Set((201L, 1), (201L, 2), (202L, 1)))
   }
+
+  test("EP1 backfill: two-sided window ingests older history the anchors skip") {
+    val dir = java.nio.file.Files.createTempDirectory("e2e_bf").toString + "/archives"
+    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    // seed: only the MIDDLE of 201's history is ingested (ts2..ts3) —
+    // newer (BVnew ts10) and older (BV201a ts1) both exist upstream
+    DiscoveryFetcher.newestFirst = true
+    val seed = Seq(
+      (201L, "BV201b", "2025年8月2日20点场 杂谈", "p2.jpg",
+        DiscoveryFetcher.ts(2), new java.sql.Timestamp(0L)),
+      (201L, "BV201c", "2025年8月3日20点场 歌回", "p3.jpg",
+        DiscoveryFetcher.ts(3), new java.sql.Timestamp(0L)))
+      .toDF(tableSchema.fieldNames: _*)
+    graft.sinks.SnapshotMerge.upsertIgnore(spark, dir, seed, Seq("bvid"), Seq("mid"))
+
+    // anchors-only run would never see BV201a; the backfill run must
+    val n = Vcut.discoverNewRecordingsIncremental(
+      spark, Seq(201L), dir, classOf[DiscoveryFetcher].getName,
+      pageSize = 2, backfillLimit = 10)
+    val bvids = graft.sinks.SnapshotMerge.read(spark, dir, tableSchema)
+      .select("bvid").as[String].collect().toSet
+    assert(bvids == Set("BV201a", "BV201b", "BV201c", "BVnew"), s"got $bvids")
+    assert(n == 2, "exactly the two out-of-window parseable records ingest")
+  }
 }
 
 /** Synthetic bilibili listing for the EP1 test: per-creator recording
@@ -124,7 +149,7 @@ object DiscoveryFetcher {
     pages.keySet.asScala.toSet
   }
   // pubdates: 2025-08-0{d} 20:00 +08 as epoch seconds, descending
-  private def ts(day: Int): Long = 1753963200L + day * 86400L
+  def ts(day: Int): Long = 1753963200L + day * 86400L
   def listing(key: Long): Seq[ArchiveRecord] = {
     val base =
       if (key == 201L) Seq(

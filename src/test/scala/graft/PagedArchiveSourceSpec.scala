@@ -169,6 +169,38 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     assert(SyntheticFetcher.pagesFetched.forall(_._1 == 102L))
   }
 
+  test("two-sided backfill: window skipped, limit caps the walk and its fetches") {
+    SyntheticFetcher.reset()
+    // already ingested: [30000, 55000]. New records (>55000: 15 on
+    // page 1) come first; backfill (<30000) starts on page 2; the
+    // 20-record limit is reached at 25000, so page 3 is never fetched.
+    val rows = spark.read.format("paged-archives")
+      .option("fetcher", classOf[SyntheticFetcher].getName)
+      .option("pageSize", 30)
+      .option("keys", "101")
+      .option("bounds", "101:55000:30000")
+      .option("limitPerKey", 20)
+      .load().collect()
+    assert(rows.length == 20)
+    val pubdates = rows.map(_.getLong(3)).toSet
+    assert(pubdates == ((56 to 70) ++ (25 to 29)).map(_ * 1000L).toSet)
+    assert(SyntheticFetcher.pagesFetched == Set((101L, 1), (101L, 2)),
+      "limit must stop the page walk before page 3")
+  }
+
+  test("two-sided backfill without a limit drains everything outside the window") {
+    SyntheticFetcher.reset()
+    val rows = spark.read.format("paged-archives")
+      .option("fetcher", classOf[SyntheticFetcher].getName)
+      .option("pageSize", 30)
+      .option("keys", "101")
+      .option("bounds", "101:55000:30000")
+      .load().collect()
+    assert(rows.length == 15 + 29) // 56000..70000 and 1000..29000
+    assert(rows.forall(r =>
+      r.getLong(3) > 55000L || r.getLong(3) < 30000L))
+  }
+
   test("keys option overrides the driver-side fetcher key list") {
     SyntheticFetcher.reset()
     val df = spark.read.format("paged-archives")
