@@ -138,11 +138,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     val frames = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, entries) =>
       val base = dataPath(batch)
       val paths = entries.keys.toSeq.sorted.map(s => new Path(base, s).toString)
-      spark.read.option("basePath", base.toString).parquet(paths: _*)
+      // The caller's schema governs partition-column TYPES: inference
+      // would turn a string partition value like "00123" into int 123
+      // (dropping the padding) and widen/narrow numerics batch by
+      // batch. With an explicit schema the `col=val` dir names parse
+      // directly to the declared types.
+      spark.read.option("basePath", base.toString).schema(schema).parquet(paths: _*)
     }
-    val aligned = frames.map(f =>
-      f.select(schema.fields.map(fld => col(fld.name).cast(fld.dataType)): _*))
-    aligned.reduce(_.unionByName(_))
+    frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
   }
 
   /** Rewrite every live partition into ONE fresh batch and commit it

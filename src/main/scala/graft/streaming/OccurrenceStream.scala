@@ -101,7 +101,8 @@ object OccurrenceStream {
       vtuberSongs: DataFrame,
       archives: DataFrame,
       threshold: Double = 40.0,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      compactAbove: Int = 16): Unit = {
     import org.apache.spark.sql.types._
     val tableSchema = StructType(Seq(
       StructField("song_id", LongType), StructField("vtuber_song_id", LongType),
@@ -122,6 +123,13 @@ object OccurrenceStream {
               pmod(col("live_recording_archive_id"), lit(buckets.toLong)))
           SnapshotMerge.upsertUpdate(spark, targetDir, inc,
             Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
+          // bound read fragmentation: a long-running stream commits a
+          // new batch dir per micro-batch; fold them once the manifest
+          // references more than `compactAbove` batches
+          val store = new graft.sinks.SnapshotStore(
+            spark, new org.apache.hadoop.fs.Path(targetDir))
+          if (store.current().exists(_._2.values.toSet.size > compactAbove))
+            store.compact(tableSchema, Seq("bucket"))
         }
         ()
       }

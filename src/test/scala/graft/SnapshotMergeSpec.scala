@@ -126,6 +126,16 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir) == want)
   }
 
+  test("string partition values keep their exact form (no numeric inference)") {
+    val dir = tmp("sstr")
+    // "00123" would infer as int 123 and read back as "123"
+    val rows = Seq((1L, "a", "00123"), (2L, "b", "7x")).toDF("id", "v", "part")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("part"))
+    val got = SnapshotMerge.read(spark, dir, rows.schema)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("part")).toMap
+    assert(got == Map(1L -> "00123", 2L -> "7x"))
+  }
+
   test("compaction folds all live partitions into one batch, data unchanged") {
     val dir = seed()
     SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
