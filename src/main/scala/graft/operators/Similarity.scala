@@ -65,15 +65,19 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("c_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
 
   /** Assign each row (keyed `__aid`, vectors `vd`/`nrm`) to its
-    * argmax-cosine centroid: broadcast the k-row codebook, keep rank 1.
+    * `nprobe` nearest centroids by cosine: broadcast the k-row
+    * codebook, keep the top ranks. `nprobe = 1` is plain assignment
+    * (corpus side); probes pass `nprobe > 1` to search several
+    * buckets — the standard IVF recall/latency knob (per-query work
+    * scales with nprobe/k of the corpus, still never all of it).
     */
-  def assignToCentroid(df: DataFrame, cents: DataFrame): DataFrame = {
+  def assignToCentroid(df: DataFrame, cents: DataFrame, nprobe: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
     df.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
+      .where(col("__rk") <= nprobe)
       .drop("c_vd", "c_nrm", "c_cos", "__rk")
   }
 
@@ -135,6 +139,31 @@ object Similarity extends QueryModule {
       val corpus = assignToCentroid(base, cents)
         .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
       val probes = assignToCentroid(base.where(col("__aid") < 8), cents)
+        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
+          col("nrm").as("q_nrm"), col("c_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(broadcast(probes), "c_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Multi-probe IVF: probes search their 4 nearest centroid buckets
+    // instead of 1 — recall rises toward brute force while per-query
+    // work stays nprobe/k of the corpus (each corpus vector still
+    // lives in exactly one bucket, so no result duplicates). Rows-only;
+    // SimilaritySpec pins recall(multiprobe) ≥ recall(single-probe).
+    "ann_ivf_multiprobe" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cents = seedCodebook(e, 16)
+      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+      val corpus = assignToCentroid(base, cents)
+        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
+      val probes = assignToCentroid(base.where(col("__aid") < 8), cents, nprobe = 4)
         .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
           col("nrm").as("q_nrm"), col("c_id"))
       val w = Window.partitionBy(col("q_id"))

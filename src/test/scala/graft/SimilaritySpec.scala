@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkFunSuite {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("multi-probe recall dominates single-probe recall") {
+    val brute = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SparkEntry.queries("ann_ivf_multiprobe")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = single.intersect(brute).size.toDouble / brute.size
+    val rm = multi.intersect(brute).size.toDouble / brute.size
+    assert(rm >= rs, f"multiprobe recall $rm%.2f must dominate single-probe $rs%.2f")
+    assert(rm > rs || rm >= 0.9,
+      "4 probes over 16 buckets should strictly improve (or already be near-exhaustive)")
+  }
+
   test("Lloyd training strictly reduces quantization error") {
     import graft.operators.Similarity
     val e = Similarity.preparedEmbeddings(spark, sfDir)
