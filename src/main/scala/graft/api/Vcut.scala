@@ -89,13 +89,17 @@ object Vcut {
 
   /** F1: parse the `2025年8月10日1点场…` live date out of a title into
     * an Asia/Shanghai instant (+08:00 — exact for all dates the
-    * pipeline sees). NULL when the title doesn't match.
+    * pipeline sees). NULL when the title doesn't match — INCLUDING
+    * regex-matching titles with out-of-range fields (`…88月…`):
+    * `try_make_timestamp` degrades those to NULL where ANSI
+    * `make_timestamp` would abort the whole job, so they fall into
+    * the same dropped-at-insert path as non-matching titles.
     */
   def parseArchiveDate(title: Column): Column = {
     val y = regexp_extract(title, titleDatePattern, 1)
     when(y =!= "",
       to_utc_timestamp(
-        make_timestamp(
+        try_make_timestamp(
           y.cast("int"),
           regexp_extract(title, titleDatePattern, 2).cast("int"),
           regexp_extract(title, titleDatePattern, 3).cast("int"),

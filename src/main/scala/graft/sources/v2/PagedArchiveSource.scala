@@ -153,11 +153,16 @@ class PagedArchiveScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // In two-sided backfill mode the reader WANTS old records and
+    // ignores anchors entirely — consuming a pubdate filter there
+    // would silently drop it. Leave pubdate predicates as residuals
+    // and push only key pruning.
+    val twoSided = options.get("bounds") != null
     val (accepted, residual) = filters.partition {
-      case GreaterThan("pubdate", v) => asLong(v).exists { x =>
+      case GreaterThan("pubdate", v) if !twoSided => asLong(v).exists { x =>
         pushedAnchor = Some(pushedAnchor.fold(x)(math.max(_, x))); true
       }
-      case GreaterThanOrEqual("pubdate", v) => asLong(v).exists { x =>
+      case GreaterThanOrEqual("pubdate", v) if !twoSided => asLong(v).exists { x =>
         // pubdate >= x  <=>  pubdate > x-1 on longs; x = MinValue
         // would wrap, so leave that (vacuous) filter as a residual
         x > Long.MinValue && {

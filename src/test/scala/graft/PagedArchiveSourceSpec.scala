@@ -188,6 +188,23 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
       "limit must stop the page walk before page 3")
   }
 
+  test("in backfill mode a pubdate predicate stays a residual filter, not an anchor") {
+    SyntheticFetcher.reset()
+    // were 'pubdate > 60000' consumed as an anchor, the backfill
+    // records below 30000 would be silently dropped from the FETCH;
+    // were it consumed and ignored, rows <= 60000 would leak through.
+    // As a residual it must simply filter the emitted rows.
+    val rows = spark.read.format("paged-archives")
+      .option("fetcher", classOf[SyntheticFetcher].getName)
+      .option("pageSize", 30)
+      .option("keys", "101")
+      .option("bounds", "101:55000:30000")
+      .load()
+      .where(col("pubdate") > 60000L)
+      .collect()
+    assert(rows.map(_.getLong(3)).toSet == (61 to 70).map(_ * 1000L).toSet)
+  }
+
   test("two-sided backfill without a limit drains everything outside the window") {
     SyntheticFetcher.reset()
     val rows = spark.read.format("paged-archives")

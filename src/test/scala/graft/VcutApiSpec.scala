@@ -123,6 +123,15 @@ class VcutApiSpec extends SparkFunSuite {
     assert(d == "2025-08-20 00:00")
   }
 
+  test("out-of-range date fields parse to NULL instead of aborting (ANSI)") {
+    val got = Seq("2025年88月8日8点场 回放", "2025年2月30日0点场 回放",
+      "2025年8月20日8点场 回放")
+      .toDF("t").select(Vcut.parseArchiveDate(col("t")).as("d"))
+      .select(col("d").isNull).as[Boolean].collect()
+    assert(got(0) && got(1) && !got(2),
+      "regex-matching but invalid dates must degrade to NULL (dropped at insert)")
+  }
+
   test("song title extraction tries bracket styles in order") {
     val got = Seq("唱了《晴天》哦", "『夜曲』cover", "「告白气球」直播",
       "《优先》与『次之』", "没有书名号")
