@@ -186,14 +186,22 @@ object Vcut {
       .withColumn("date", parseArchiveDate(col("title")))
       .where(col("date").isNotNull)
       .select(tableSchema.fieldNames.map(col): _*)
-      // one fetch pass: the frame feeds the count AND the merge's
-      // partition-tuple collect + write, and re-running it would
-      // re-page the remote listing
+      // one fetch pass: the frame feeds the dedup, count, AND the
+      // merge's partition-tuple collect + write, and re-running it
+      // would re-page the remote listing
       .localCheckpoint(true)
-    val n = incoming.count()
+    // Count (and merge) only genuinely-new bvids: a listing can
+    // re-serve an already-ingested bvid past the anchor (edited /
+    // republished upload); upsert-ignore would drop it anyway, but
+    // counting it would overstate the return value and force a
+    // no-op commit.
+    val fresh = incoming
+      .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
+      .localCheckpoint(true)
+    val n = fresh.count()
     if (n > 0)
       graft.sinks.SnapshotMerge.upsertIgnore(
-        spark, archiveTableDir, incoming, Seq("bvid"), Seq("mid"))
+        spark, archiveTableDir, fresh, Seq("bvid"), Seq("mid"))
     n
   }
 

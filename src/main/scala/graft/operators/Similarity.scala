@@ -81,6 +81,28 @@ object Similarity extends QueryModule {
       .drop("c_vd", "c_nrm", "c_cos", "__rk")
   }
 
+  /** The IVF search stage shared by the ann_ivf* queries: assign the
+    * corpus (1 bucket each) and the probe vectors (`nprobe` buckets),
+    * join on bucket, rank by cosine per query, keep the top 5.
+    */
+  def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
+    val corpus = assignToCentroid(base, cents)
+      .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
+    val probes = assignToCentroid(base.where(col("__aid") < 8), cents, nprobe)
+      .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
+        col("nrm").as("q_nrm"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(probes), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
   /** Spherical k-means via `iters` Lloyd iterations, all distributed:
     * assignment is [[assignToCentroid]]; the update explodes member
     * vectors to (centroid, dim, value), takes the per-dimension mean
@@ -134,22 +156,7 @@ object Similarity extends QueryModule {
     // bucket. Rows-only; SimilaritySpec pins recall vs brute force.
     "ann_ivf" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = seedCodebook(e, 16)
-      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
-      val corpus = assignToCentroid(base, cents)
-        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
-      val probes = assignToCentroid(base.where(col("__aid") < 8), cents)
-        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
-          col("nrm").as("q_nrm"), col("c_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      corpus.join(broadcast(probes), "c_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos_r"))
+      ivfSearch(e, seedCodebook(e, 16), nprobe = 1)
     }),
 
     // Multi-probe IVF: probes search their 4 nearest centroid buckets
@@ -159,22 +166,7 @@ object Similarity extends QueryModule {
     // SimilaritySpec pins recall(multiprobe) ≥ recall(single-probe).
     "ann_ivf_multiprobe" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = seedCodebook(e, 16)
-      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
-      val corpus = assignToCentroid(base, cents)
-        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
-      val probes = assignToCentroid(base.where(col("__aid") < 8), cents, nprobe = 4)
-        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
-          col("nrm").as("q_nrm"), col("c_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      corpus.join(broadcast(probes), "c_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos_r"))
+      ivfSearch(e, seedCodebook(e, 16), nprobe = 4)
     }),
 
     // IVF with a TRAINED codebook: 3 Lloyd iterations of spherical
@@ -188,22 +180,7 @@ object Similarity extends QueryModule {
     // quantization error vs the untrained seed codebook.
     "ann_ivf_trained" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cents = ivfTrain(e, k = 16, iters = 3)
-      val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
-      val corpus = assignToCentroid(base, cents)
-        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
-      val probes = assignToCentroid(base.where(col("__aid") < 8), cents)
-        .select(col("__aid").as("q_id"), col("vd").as("q_vd"),
-          col("nrm").as("q_nrm"), col("c_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      corpus.join(broadcast(probes), "c_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"),
-          round(col("cos"), 6).as("cos_r"))
+      ivfSearch(e, ivfTrain(e, k = 16, iters = 3), nprobe = 1)
     }),
 
     // Embedding-cosine near-dup: the 20 most-similar pairs in the

@@ -2,7 +2,6 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Partition-pruned MERGE into a hive-partitioned parquet target.
@@ -58,6 +57,7 @@ object PartitionedMerge {
   def merge(spark: SparkSession, targetDir: String, incoming: DataFrame,
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    SnapshotMerge.requirePartitionable(incoming.schema, partCols)
     val root = new Path(targetDir)
     val fs = AtomicDir.fileSystem(spark, root)
     AtomicDir.recover(fs, root)
@@ -115,10 +115,7 @@ object PartitionedMerge {
     // from either the root or the aside copy (recoverPartitions).
     fs.mkdirs(root)
     parts.foreach { r =>
-      val suffix = partCols.zipWithIndex.map { case (c, i) =>
-        ExternalCatalogUtils.getPartitionPathString(
-          c, String.valueOf(r.get(i)))
-      }.mkString("/")
+      val suffix = SnapshotMerge.partitionSuffix(partCols, r)
       val src = new Path(stagingRoot, suffix)
       val dst = new Path(root, suffix)
       val aside = new Path(oldRoot, suffix)
@@ -138,7 +135,10 @@ object PartitionedMerge {
         // deleted. A direct recursive delete is not atomic on local FS
         // or S3A — a crash mid-delete would leave a torn partition
         // visible to readers. Rename into a dedicated doomed namespace
-        // first (atomic), then delete; recoverPartitions DROPS
+        // first (atomic on posix/HDFS; on S3A rename is itself a
+        // copy+delete, so there this narrows the window rather than
+        // closing it — object stores want the SnapshotMerge pointer
+        // protocol instead), then delete; recoverPartitions DROPS
         // anything found under `.deleting` instead of restoring it, so
         // the partition is gone whether or not the delete finished.
         // (Using `.oldparts` here would be wrong: recovery would

@@ -56,9 +56,33 @@ object SnapshotMerge {
       ExternalCatalogUtils.getPartitionPathString(c, String.valueOf(r.get(i)))
     }.mkString("/")
 
+  /** The suffix contract above relies on `String.valueOf(value)`
+    * matching Spark's partition-directory formatting. That holds for
+    * integral, string, boolean, and date partition columns — NOT for
+    * timestamps (writer emits `2020-01-01 00%3A00%3A00`, valueOf
+    * gives `…00:00:00.0`) or fractional types. Reject the unsafe
+    * types up front instead of silently missing every partition.
+    */
+  def requirePartitionable(schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val ok: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType,
+      StringType, BooleanType, DateType)
+    partCols.foreach { c =>
+      val dt = schema(c).dataType
+      require(ok.contains(dt),
+        s"partition column '$c' has type ${dt.simpleString}; only integral, " +
+          "string, boolean, or date partition columns are supported — other " +
+          "types format differently in partition paths than String.valueOf, " +
+          "which would break the key->directory contract. Derive a string or " +
+          "integral bucket column instead.")
+    }
+  }
+
   def merge(spark: SparkSession, rootDir: String, incoming: DataFrame,
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    requirePartitionable(incoming.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
 
     val parts: Array[Row] =

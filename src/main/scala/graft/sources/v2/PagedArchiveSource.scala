@@ -297,7 +297,17 @@ class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
           case Some((after, before)) =>
             // skip only the already-ingested closed window; keep paging
             if (!(rec.pubdate <= after && rec.pubdate >= before)) {
-              emitted += 1; current = rec
+              // Only BELOW-window (backfill) records count toward the
+              // limit. The reference counts both sides
+              // (`bilibili/series.py:108-110`), but that silently
+              // loses new uploads forever when more than `limit`
+              // arrive between runs: the truncated ones land inside
+              // the next run's skip window AND behind its anchor.
+              // Above-window records are bounded by upload rate since
+              // the last run — emit them all, cap only the unbounded
+              // dig into history.
+              if (rec.pubdate < before) emitted += 1
+              current = rec
               return true
             }
         }

@@ -117,10 +117,14 @@ object OccurrenceStream {
         if (!batch.isEmpty) {
           import graft.sinks.SnapshotMerge
           val existing = SnapshotMerge.read(spark, targetDir, tableSchema)
+          // localCheckpoint: the merge runs two actions over the
+          // increment (distinct-partition collect + batch write) and
+          // would otherwise re-execute the fuzzy scan for each
           val inc = Vcut.occurrenceIncrement(
             existing, songs, vtuberSongs, archives, batch, threshold)
             .withColumn("bucket",
               pmod(col("live_recording_archive_id"), lit(buckets.toLong)))
+            .localCheckpoint(true)
           SnapshotMerge.upsertUpdate(spark, targetDir, inc,
             Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
           // bound read fragmentation: a long-running stream commits a

@@ -169,19 +169,21 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     assert(SyntheticFetcher.pagesFetched.forall(_._1 == 102L))
   }
 
-  test("two-sided backfill: window skipped, limit caps the walk and its fetches") {
+  test("two-sided backfill: window skipped, limit caps the history dig, new side uncapped") {
     SyntheticFetcher.reset()
-    // already ingested: [30000, 55000]. New records (>55000: 15 on
-    // page 1) come first; backfill (<30000) starts on page 2; the
-    // 20-record limit is reached at 25000, so page 3 is never fetched.
+    // already ingested: [30000, 55000]. ALL 15 new records (>55000)
+    // emit without touching the limit — capping them would lose
+    // uploads forever (they'd land inside the next run's window).
+    // The backfill side (<30000, page 2 downward) counts: 5 records
+    // reach the limit at 25000, so page 3 is never fetched.
     val rows = spark.read.format("paged-archives")
       .option("fetcher", classOf[SyntheticFetcher].getName)
       .option("pageSize", 30)
       .option("keys", "101")
       .option("bounds", "101:55000:30000")
-      .option("limitPerKey", 20)
+      .option("limitPerKey", 5)
       .load().collect()
-    assert(rows.length == 20)
+    assert(rows.length == 15 + 5)
     val pubdates = rows.map(_.getLong(3)).toSet
     assert(pubdates == ((56 to 70) ++ (25 to 29)).map(_ * 1000L).toSet)
     assert(SyntheticFetcher.pagesFetched == Set((101L, 1), (101L, 2)),

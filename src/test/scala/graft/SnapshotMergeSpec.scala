@@ -126,6 +126,15 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir) == want)
   }
 
+  test("timestamp partition columns are rejected up front (suffix contract)") {
+    val dir = tmp("sty")
+    val rows = Seq((1L, "a", new java.sql.Timestamp(0L))).toDF("id", "v", "ts")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("ts"))
+    }
+    assert(e.getMessage.contains("partition column 'ts'"))
+  }
+
   test("string partition values keep their exact form (no numeric inference)") {
     val dir = tmp("sstr")
     // "00123" would infer as int 123 and read back as "123"
