@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -118,7 +119,7 @@ class PagedArchiveTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"paged-archives(${options.get("fetcher")})"
   override def schema(): StructType = PagedArchiveSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedArchiveScanBuilder(o)
 }
@@ -238,11 +239,96 @@ class PagedArchiveScan(fetcherClass: String, pageSize: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(fetcherClass, pageSize, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // honor pushed filters exactly like the batch path: a consumed
+    // predicate must shape the stream too, or it would silently drop
+    val keys = keysOption.map(ks => pushedKeys.fold(ks)(p => ks.filter(p.contains)))
+      .orElse(pushedKeys.map(_.toSeq.sorted))
+    new PagedArchiveMicroBatchStream(
+      fetcherClass, pageSize, anchors, pushedAnchor, keys, required)
+  }
+}
+
+/** Stream offset: the per-key pubdate watermarks themselves —
+  * serialized in the same `key:pubdate` syntax as the batch
+  * `anchors` option, so a checkpoint IS a resumable anchor set.
+  */
+case class ArchiveOffset(anchors: Map[Long, Long]) extends Offset {
+  override def json(): String =
+    anchors.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+}
+
+/** The paged listing as a Structured Streaming source (§2.11): each
+  * micro-batch covers, per key, the records in `(startAnchor,
+  * endAnchor]` — `latestOffset` probes one newest-record page per key
+  * (driver-side, metadata-sized), and the executors walk only the
+  * pages above the start anchor, exactly the batch source's
+  * early-stop. The checkpointed offset replaces the reference's
+  * cron + anchor-table state (`db/song.py:19-26`): a restarted query
+  * resumes from its last committed anchors and never re-pages
+  * ingested history. Records uploaded between the probe and the read
+  * fall past `maxPubdate` into the next batch, keeping each batch's
+  * range deterministic under task retries.
+  */
+class PagedArchiveMicroBatchStream(fetcherClass: String, pageSize: Int,
+    initialAnchors: Map[Long, Long], pushedAnchor: Option[Long],
+    keysOption: Option[Seq[Long]], required: StructType)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private lazy val driverFetcher = PagedArchiveSource.instantiate(fetcherClass)
+  private lazy val keys: Seq[Long] =
+    keysOption.getOrElse(driverFetcher.keys())
+  private var availableNowTarget: Option[ArchiveOffset] = None
+
+  private def floorAnchor(k: Long): Long =
+    math.max(initialAnchors.getOrElse(k, Long.MinValue),
+      pushedAnchor.getOrElse(Long.MinValue))
+
+  private def probeNewest(): ArchiveOffset = ArchiveOffset(
+    keys.map { k =>
+      k -> math.max(floorAnchor(k),
+        driverFetcher.fetch(k, 1, 1).headOption
+          .map(_.pubdate).getOrElse(Long.MinValue))
+    }.toMap)
+
+  override def initialOffset(): Offset =
+    ArchiveOffset(keys.map(k => k -> floorAnchor(k)).toMap)
+
+  override def latestOffset(): Offset = probeNewest()
+
+  // Trigger.AvailableNow: pin the target offsets once, drain to them
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(probeNewest())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(probeNewest())
+
+  override def deserializeOffset(json: String): Offset = ArchiveOffset(
+    if (json.isEmpty) Map.empty else PagedArchiveSource.parseAnchors(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ArchiveOffset].anchors
+    val e = end.asInstanceOf[ArchiveOffset].anchors
+    keys.flatMap { k =>
+      val from = s.getOrElse(k, Long.MinValue)
+      val to = e.getOrElse(k, Long.MinValue)
+      if (to > from)
+        Some(PagedKeyPartition(k, from, maxPubdate = to): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(fetcherClass, pageSize, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class PagedKeyPartition(key: Long, anchor: Long,
     bounds: Option[(Long, Long)] = None,
-    limit: Int = Int.MaxValue) extends InputPartition
+    limit: Int = Int.MaxValue,
+    maxPubdate: Long = Long.MaxValue) extends InputPartition
 
 class PagedReaderFactory(fetcherClass: String, pageSize: Int,
     required: StructType) extends PartitionReaderFactory {
@@ -250,7 +336,7 @@ class PagedReaderFactory(fetcherClass: String, pageSize: Int,
     val kp = p.asInstanceOf[PagedKeyPartition]
     new PagedPartitionReader(
       PagedArchiveSource.instantiate(fetcherClass),
-      kp.key, kp.anchor, kp.bounds, kp.limit, pageSize, required)
+      kp.key, kp.anchor, kp.bounds, kp.limit, kp.maxPubdate, pageSize, required)
   }
 }
 
@@ -270,7 +356,7 @@ class PagedReaderFactory(fetcherClass: String, pageSize: Int,
   *    (`bilibili/series.py:100-117`).
   */
 class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
-    bounds: Option[(Long, Long)], limit: Int,
+    bounds: Option[(Long, Long)], limit: Int, maxPubdate: Long,
     pageSize: Int, required: StructType) extends PartitionReader[InternalRow] {
 
   private val idx = PagedArchiveSource.schema.fieldNames
@@ -292,8 +378,12 @@ class PagedPartitionReader(fetcher: PageFetcher, key: Long, anchor: Long,
         bounds match {
           case None =>
             if (rec.pubdate <= anchor) return false // watermark early-stop
-            emitted += 1; current = rec
-            return true
+            // records newer than the batch's end offset (uploaded
+            // after the stream's probe) belong to the NEXT micro-batch
+            if (rec.pubdate <= maxPubdate) {
+              emitted += 1; current = rec
+              return true
+            }
           case Some((after, before)) =>
             // skip only the already-ingested closed window; keep paging
             if (!(rec.pubdate <= after && rec.pubdate >= before)) {

@@ -42,6 +42,24 @@ object SyntheticFetcher {
     (70 to 1 by -1).map(i => ArchiveRecord(s"BV${key}_$i", s"title $i", i * 1000L))
 }
 
+/** Single-key page server whose listing grows between streaming
+  * runs — the upstream a long-lived discovery stream watches.
+  */
+class GrowingFetcher extends PageFetcher {
+  import GrowingFetcher._
+  override def keys(): Seq[Long] = Seq(7L)
+  override def fetch(key: Long, pn: Int, pageSize: Int): Seq[ArchiveRecord] = {
+    pages.put((key, pn, pageSize), true)
+    records.map(t => ArchiveRecord(s"BV$t", s"t$t", t))
+      .slice((pn - 1) * pageSize, pn * pageSize)
+  }
+}
+
+object GrowingFetcher {
+  @volatile var records: Seq[Long] = Nil // pubdates, newest first
+  val pages = new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Boolean]()
+}
+
 /** S4: the paginated-REST source with watermark early-stop and
   * short-page termination (reference `bilibili/video.py:84-100`,
   * `bilibililocal.py:92-102`). The analytic semantics are the S5
@@ -218,6 +236,49 @@ class PagedArchiveSourceSpec extends SparkFunSuite {
     assert(rows.length == 15 + 29) // 56000..70000 and 1000..29000
     assert(rows.forall(r =>
       r.getLong(3) > 55000L || r.getLong(3) < 30000L))
+  }
+
+  test("streaming: checkpointed per-key anchors deliver each record exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("paged_stream")
+    val ckpt = root.resolve("ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("paged-archives")
+        .option("fetcher", classOf[GrowingFetcher].getName)
+        .option("pageSize", 2)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            got.add((r.getLong(0), r.getString(1), r.getLong(3))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    GrowingFetcher.records = Seq(3000L, 2000L, 1000L)
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet ==
+      Set((7L, "BV3000", 3000L), (7L, "BV2000", 2000L), (7L, "BV1000", 1000L)))
+
+    // nothing new: a drained re-run delivers nothing and fetches only
+    // the newest-record probe + nothing past the anchor
+    got.clear(); GrowingFetcher.pages.clear()
+    drain()
+    assert(got.isEmpty, "no new uploads => empty batch")
+
+    // two new uploads: only they arrive (offsets advanced past 3000)
+    GrowingFetcher.records = Seq(5000L, 4000L) ++ GrowingFetcher.records
+    got.clear()
+    drain()
+    assert(got.asScala.toSet ==
+      Set((7L, "BV5000", 5000L), (7L, "BV4000", 4000L)),
+      s"exactly the new uploads must arrive, got ${got.asScala.toSet}")
   }
 
   test("keys option overrides the driver-side fetcher key list") {
