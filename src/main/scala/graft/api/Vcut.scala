@@ -205,6 +205,53 @@ object Vcut {
     n
   }
 
+  /** EP1 as a LONG-RUNNING STREAM: the paged listing is read through
+    * its Structured Streaming face, so the per-creator anchors live
+    * in the checkpoint (the stream's offsets) instead of being
+    * recomputed from the table each run — the cron scheduling, the
+    * anchor table, AND the "which run saw what" bookkeeping all
+    * collapse into the engine's own offset log. Each micro-batch
+    * parses (F16 + F1, dropping unparseable titles) and upserts new
+    * bvids into the snapshot table. `Trigger.AvailableNow` drains
+    * what's there and stops — the cron-shaped deployment; a
+    * processing-time trigger makes it continuous discovery unchanged.
+    */
+  def discoverNewRecordingsStream(
+      spark: org.apache.spark.sql.SparkSession,
+      mids: Seq[Long],
+      archiveTableDir: String,
+      checkpointDir: String,
+      fetcherClass: String,
+      pageSize: Int = 30): Unit = {
+    import org.apache.spark.sql.types._
+    val tableSchema = StructType(Seq(
+      StructField("mid", LongType), StructField("bvid", StringType),
+      StructField("title", StringType), StructField("cover", StringType),
+      StructField("pubdate", LongType), StructField("date", TimestampType)))
+    val q = spark.readStream.format("paged-archives")
+      .option("fetcher", fetcherClass)
+      .option("pageSize", pageSize)
+      .option("keys", mids.mkString(","))
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = batch
+          .withColumnRenamed("pic", "cover")
+          .withColumn("date", parseArchiveDate(col("title")))
+          .where(col("date").isNotNull)
+          .select(tableSchema.fieldNames.map(col): _*)
+          .localCheckpoint(true)
+        if (!incoming.isEmpty)
+          graft.sinks.SnapshotMerge.upsertIgnore(
+            spark, archiveTableDir, incoming, Seq("bvid"), Seq("mid"))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** F2: first-matching bracket style wins (《》 then 『』 then 「」,
     * `modal/video.py:14-18`).
     */

@@ -98,6 +98,36 @@ class EndToEndSpec extends SparkFunSuite {
       Set((201L, 1), (201L, 2), (202L, 1)))
   }
 
+  test("EP1 as a stream: checkpoint offsets replace table anchors across runs") {
+    val root = java.nio.file.Files.createTempDirectory("e2e_stream")
+    val dir = root.resolve("archives").toString
+    val ckpt = root.resolve("ckpt").toString
+    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    def run() = Vcut.discoverNewRecordingsStream(
+      spark, Seq(201L, 202L), dir, ckpt,
+      classOf[DiscoveryFetcher].getName, pageSize = 2)
+    def bvids() = graft.sinks.SnapshotMerge.read(spark, dir, tableSchema)
+      .select("bvid").as[String].collect().toSet
+
+    DiscoveryFetcher.newestFirst = false
+    run()
+    assert(bvids() == Set("BV201a", "BV201b", "BV201c", "BV202a", "BV202b"))
+
+    // drained re-run commits nothing
+    val store = new graft.sinks.SnapshotStore(
+      spark, new org.apache.hadoop.fs.Path(dir))
+    val v = store.currentVersion()
+    run()
+    assert(store.currentVersion() == v)
+
+    // a new upload arrives; only it is ingested on the next drain
+    DiscoveryFetcher.newestFirst = true
+    run()
+    assert(bvids() ==
+      Set("BV201a", "BV201b", "BV201c", "BV202a", "BV202b", "BVnew"))
+  }
+
   test("EP1 backfill: two-sided window ingests older history the anchors skip") {
     val dir = java.nio.file.Files.createTempDirectory("e2e_bf").toString + "/archives"
     val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
