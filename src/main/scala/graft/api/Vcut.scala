@@ -146,6 +146,27 @@ object Vcut {
     * @return number of new recordings ingested (the reference's
     *         return value)
     */
+  /** The archive snapshot-table schema shared by every EP1 entry
+    * point (and their specs).
+    */
+  val archiveTableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+
+  /** F16 + F1 over a fetched listing frame: `pic`→`cover`, parse the
+    * title date (dropping unparseable rows), project to the table
+    * schema, and dedup on bvid — a new upload shifting the listing
+    * down one slot mid-walk re-serves a page-boundary record, so the
+    * same bvid can legitimately appear twice in one fetch.
+    */
+  private def parseListing(fetched: DataFrame): DataFrame =
+    fetched
+      .withColumnRenamed("pic", "cover")
+      .withColumn("date", parseArchiveDate(col("title")))
+      .where(col("date").isNotNull)
+      .select(archiveTableSchema.fieldNames.map(col): _*)
+      .dropDuplicates("bvid")
+
   def discoverNewRecordingsIncremental(
       spark: org.apache.spark.sql.SparkSession,
       mids: Seq[Long],
@@ -153,12 +174,7 @@ object Vcut {
       fetcherClass: String,
       pageSize: Int = 30,
       backfillLimit: Int = 0): Long = {
-    import org.apache.spark.sql.types._
-    val tableSchema = StructType(Seq(
-      StructField("mid", LongType), StructField("bvid", StringType),
-      StructField("title", StringType), StructField("cover", StringType),
-      StructField("pubdate", LongType), StructField("date", TimestampType)))
-    val existing = graft.sinks.SnapshotMerge.read(spark, archiveTableDir, tableSchema)
+    val existing = graft.sinks.SnapshotMerge.read(spark, archiveTableDir, archiveTableSchema)
     val spans = existing.groupBy(col("mid"))
       .agg(max(col("pubdate")).as("newest"), min(col("pubdate")).as("oldest"))
       .collect()
@@ -181,21 +197,13 @@ object Vcut {
         reader.option("anchors", spans.map(r =>
           s"${r.getLong(0)}:${r.getLong(1)}").mkString(",")))
         .load()
-    val incoming = fetched
-      .withColumnRenamed("pic", "cover")
-      .withColumn("date", parseArchiveDate(col("title")))
-      .where(col("date").isNotNull)
-      .select(tableSchema.fieldNames.map(col): _*)
-      // one fetch pass: the frame feeds the dedup, count, AND the
-      // merge's partition-tuple collect + write, and re-running it
-      // would re-page the remote listing
-      .localCheckpoint(true)
     // Count (and merge) only genuinely-new bvids: a listing can
     // re-serve an already-ingested bvid past the anchor (edited /
     // republished upload); upsert-ignore would drop it anyway, but
     // counting it would overstate the return value and force a
-    // no-op commit.
-    val fresh = incoming
+    // no-op commit. The eager localCheckpoint makes ONE fetch pass
+    // feed the count and the merge's collect + write.
+    val fresh = parseListing(fetched)
       .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
       .localCheckpoint(true)
     val n = fresh.count()
@@ -223,11 +231,6 @@ object Vcut {
       checkpointDir: String,
       fetcherClass: String,
       pageSize: Int = 30): Unit = {
-    import org.apache.spark.sql.types._
-    val tableSchema = StructType(Seq(
-      StructField("mid", LongType), StructField("bvid", StringType),
-      StructField("title", StringType), StructField("cover", StringType),
-      StructField("pubdate", LongType), StructField("date", TimestampType)))
     val q = spark.readStream.format("paged-archives")
       .option("fetcher", fetcherClass)
       .option("pageSize", pageSize)
@@ -236,15 +239,16 @@ object Vcut {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val incoming = batch
-          .withColumnRenamed("pic", "cover")
-          .withColumn("date", parseArchiveDate(col("title")))
-          .where(col("date").isNotNull)
-          .select(tableSchema.fieldNames.map(col): _*)
+        // same freshness guard as the batch path: a re-served known
+        // bvid (republished upload) must not force a no-op commit
+        val existing = graft.sinks.SnapshotMerge.read(
+          spark, archiveTableDir, archiveTableSchema)
+        val fresh = parseListing(batch)
+          .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
           .localCheckpoint(true)
-        if (!incoming.isEmpty)
+        if (!fresh.isEmpty)
           graft.sinks.SnapshotMerge.upsertIgnore(
-            spark, archiveTableDir, incoming, Seq("bvid"), Seq("mid"))
+            spark, archiveTableDir, fresh, Seq("bvid"), Seq("mid"))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -241,6 +241,11 @@ class PagedArchiveScan(fetcherClass: String, pageSize: Int,
     new PagedReaderFactory(fetcherClass, pageSize, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // backfill is a batch concept: a stream with a skip-window would
+    // re-deliver the declared-ingested range on its first batch
+    require(bounds.isEmpty && limitPerKey == Int.MaxValue,
+      "bounds/limitPerKey are batch-only options; a streaming read tracks " +
+        "its position in the checkpointed per-key anchors instead")
     // honor pushed filters exactly like the batch path: a consumed
     // predicate must shape the stream too, or it would silently drop
     val keys = keysOption.map(ks => pushedKeys.fold(ks)(p => ks.filter(p.contains)))
@@ -270,6 +275,18 @@ case class ArchiveOffset(anchors: Map[Long, Long]) extends Offset {
   * ingested history. Records uploaded between the probe and the read
   * fall past `maxPubdate` into the next batch, keeping each batch's
   * range deterministic under task retries.
+  *
+  * Offsets only move FORWARD: the probed newest pubdate is floored at
+  * the committed start anchor (a transiently empty listing must not
+  * regress a key to the beginning), and keys absent from the current
+  * key list carry their committed anchor through unchanged.
+  *
+  * Granularity caveat: offsets are epoch-second pubdates, so two
+  * uploads in the same second with the probe landing between them can
+  * drop the later one — the identical boundary as the reference's
+  * `pubdate > anchor` filter (`bilibili/video.py:84-100`). Deployments
+  * needing strictness reconcile with a periodic two-sided batch
+  * backfill ([[graft.api.Vcut.discoverNewRecordingsIncremental]]).
   */
 class PagedArchiveMicroBatchStream(fetcherClass: String, pageSize: Int,
     initialAnchors: Map[Long, Long], pushedAnchor: Option[Long],
@@ -279,15 +296,20 @@ class PagedArchiveMicroBatchStream(fetcherClass: String, pageSize: Int,
   private lazy val driverFetcher = PagedArchiveSource.instantiate(fetcherClass)
   private lazy val keys: Seq[Long] =
     keysOption.getOrElse(driverFetcher.keys())
+  private var availableNowPinned = false
   private var availableNowTarget: Option[ArchiveOffset] = None
 
   private def floorAnchor(k: Long): Long =
     math.max(initialAnchors.getOrElse(k, Long.MinValue),
       pushedAnchor.getOrElse(Long.MinValue))
 
-  private def probeNewest(): ArchiveOffset = ArchiveOffset(
-    keys.map { k =>
-      k -> math.max(floorAnchor(k),
+  /** Probe each current key's newest pubdate, floored at its anchor in
+    * `start`; anchors of keys not currently listed carry forward.
+    */
+  private def probeNewest(start: Map[Long, Long]): ArchiveOffset = ArchiveOffset(
+    start ++ keys.map { k =>
+      val committed = math.max(start.getOrElse(k, Long.MinValue), floorAnchor(k))
+      k -> math.max(committed,
         driverFetcher.fetch(k, 1, 1).headOption
           .map(_.pubdate).getOrElse(Long.MinValue))
     }.toMap)
@@ -295,13 +317,24 @@ class PagedArchiveMicroBatchStream(fetcherClass: String, pageSize: Int,
   override def initialOffset(): Offset =
     ArchiveOffset(keys.map(k => k -> floorAnchor(k)).toMap)
 
-  override def latestOffset(): Offset = probeNewest()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  // Trigger.AvailableNow: pin the target offsets once, drain to them
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(probeNewest())
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(probeNewest())
+  // Trigger.AvailableNow: pin the target offsets at the first probe
+  // of the run, drain to them
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowPinned = true
+    availableNowTarget = None
+  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ArchiveOffset].anchors
+    if (!availableNowPinned) probeNewest(s)
+    else {
+      if (availableNowTarget.isEmpty) availableNowTarget = Some(probeNewest(s))
+      availableNowTarget.get
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = ArchiveOffset(
     if (json.isEmpty) Map.empty else PagedArchiveSource.parseAnchors(json))

@@ -60,8 +60,7 @@ class EndToEndSpec extends SparkFunSuite {
       spark, Seq(201L, 202L), dir,
       classOf[DiscoveryFetcher].getName, pageSize = 2)
 
-    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    val tableSchema = Vcut.archiveTableSchema
     def table() = graft.sinks.SnapshotMerge.read(spark, dir, tableSchema)
 
     // run 1: full backfill. Creator 201 serves 3 parseable titles + 1
@@ -102,8 +101,7 @@ class EndToEndSpec extends SparkFunSuite {
     val root = java.nio.file.Files.createTempDirectory("e2e_stream")
     val dir = root.resolve("archives").toString
     val ckpt = root.resolve("ckpt").toString
-    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    val tableSchema = Vcut.archiveTableSchema
     def run() = Vcut.discoverNewRecordingsStream(
       spark, Seq(201L, 202L), dir, ckpt,
       classOf[DiscoveryFetcher].getName, pageSize = 2)
@@ -130,8 +128,7 @@ class EndToEndSpec extends SparkFunSuite {
 
   test("EP1 backfill: two-sided window ingests older history the anchors skip") {
     val dir = java.nio.file.Files.createTempDirectory("e2e_bf").toString + "/archives"
-    val tableSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "mid BIGINT, bvid STRING, title STRING, cover STRING, pubdate BIGINT, date TIMESTAMP")
+    val tableSchema = Vcut.archiveTableSchema
     // seed: only the MIDDLE of 201's history is ingested (ts2..ts3) —
     // newer (BVnew ts10) and older (BV201a ts1) both exist upstream
     DiscoveryFetcher.newestFirst = true
