@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.operators.FuzzyOccurrence
 import graft.sinks.Merge
 
+/** Result of one [[Vcut.discoverNewSongVideos]] run. The counts are
+  * the lines the reference logs as it walks (`modal/video.py:70-97`):
+  * `matched` is its `len(update_entries)`; the other three are the
+  * skipped-video prints, broken out by cause. `skipped` carries the
+  * actual rows behind those counts for inspection; `updated` is the
+  * vtuber_songs table with `bvid`/`pubdate` advanced (the reference's
+  * `db.song.update_bvid`).
+  */
+final case class SongVideoDiscovery(
+    updated: DataFrame,
+    skipped: DataFrame,
+    matched: Long,
+    notSongTitle: Long,
+    unknownSong: Long,
+    notInProfile: Long)
+
 /** The user-facing domain API: every operation a user of the
   * reference runs today, re-expressed over domain-schema DataFrames
   * (SURVEY.md §1.2 tables, snake_case per FIXTURES.md §B).
@@ -264,6 +280,116 @@ object Vcut {
       nullif(regexp_extract(videoTitle, "《(.*)》", 1), lit("")),
       nullif(regexp_extract(videoTitle, "『(.*)』", 1), lit("")),
       nullif(regexp_extract(videoTitle, "「(.*)」", 1), lit("")))
+
+  /** EP2 end-to-end: the full `discover_new_song_videos` job
+    * (`modal/video.py:21-106`) as one composition —
+    *
+    *   1. A1 [[songAnchors]]: per-vtuber newest KNOWN song-video
+    *      pubdate (`db/song.py:4-28`), collected driver-side — one
+    *      row per vtuber, metadata-sized, the same list the reference
+    *      walks serially (`modal/video.py:58`);
+    *   2. S4/S5 paged scan with those anchors pushed per key: each
+    *      creator's page walk early-stops at its anchor
+    *      (`pubdate_after=latest_video_pubdate`,
+    *      `modal/video.py:63-68`) — a creator with nothing new costs
+    *      exactly one page; a vtuber with no linked videos (NULL
+    *      anchor) lists its full history, like the reference's
+    *      `pubdate_after=None`;
+    *   3. F2 [[extractSongTitle]] on each new video's title; rows the
+    *      bracket patterns miss are counted, not matched
+    *      (`modal/video.py:73-76`);
+    *   4. J8 two-key broadcast lookup against the song index
+    *      (`by_title`, `db/song.py:30-57`): songs ⋈ vtuber_songs on
+    *      `(title, vtuber_profile_id)`. Unmatched rows are classified
+    *      exactly as the reference logs them — unknown song vs known
+    *      song not in this vtuber's profile (`modal/video.py:78-86`);
+    *   5. K3 join-update of `vtuber_song.bvid/pubdate` for the matched
+    *      entries (`db/song.py:59-85`).
+    *
+    * Idempotent: the update advances each matched vtuber_song's
+    * pubdate, so the next run's anchors sit at or past every video it
+    * ingested — a second run fetches one page per creator and updates
+    * nothing.
+    *
+    * When several new uploads match the same vtuber_song, the
+    * reference's executemany applies them in listing order, so the
+    * LAST executed — the oldest, pages being pubdate-descending —
+    * determines the final row (`modal/video.py:92-98` + `db/song.py:75-84`);
+    * the relational spelling keeps that outcome explicitly
+    * (min-pubdate per vtuber_song, bvid as a deterministic
+    * tie-break). Duplicate `(title, vtuber_profile_id)` rows in the
+    * song index collapse to the max vtuber_song_id (the reference's
+    * dict overwrite leaves an arbitrary winner; max is the
+    * deterministic choice).
+    */
+  def discoverNewSongVideos(
+      spark: org.apache.spark.sql.SparkSession,
+      profiles: DataFrame,
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      fetcherClass: String,
+      pageSize: Int = 30): SongVideoDiscovery = {
+    val anchors = songAnchors(profiles, vtuberSongs).collect()
+    val reader = spark.read.format("paged-archives")
+      .option("fetcher", fetcherClass)
+      .option("pageSize", pageSize)
+      .option("keys", anchors.map(_.getLong(1)).mkString(","))
+    val anchorOpt = anchors.filter(!_.isNullAt(2))
+      .map(r => s"${r.getLong(1)}:${r.getLong(2)}")
+    val fetched =
+      (if (anchorOpt.nonEmpty) reader.option("anchors", anchorOpt.mkString(","))
+       else reader).load()
+        .select(col("mid"), col("bvid"), col("title"), col("pubdate"))
+
+    // One fetch pass feeds both the classification counts and the
+    // update join (localCheckpoint pins the listing; without it each
+    // downstream action would re-page the source).
+    val candidates = fetched
+      .withColumn("song_title", extractSongTitle(col("title")))
+      .join(broadcast(profiles.select(col("id").as("vtuber_profile_id"),
+        col("mid"))), "mid")
+      .localCheckpoint(true)
+
+    // by_title (db/song.py:30-57): (title, profile) -> vtuber_song_id
+    val index = vtuberSongs.as("vs")
+      .join(songs.as("s"), col("vs.song_id") === col("s.id"))
+      .groupBy(col("s.title").as("song_title"), col("vs.vtuber_profile_id"))
+      .agg(max(col("vs.id")).as("vtuber_song_id"))
+    val knownTitles = index.select(col("song_title")).distinct()
+      .withColumn("__known", lit(true))
+
+    val classified = candidates
+      .join(broadcast(index), Seq("song_title", "vtuber_profile_id"), "left")
+      .join(broadcast(knownTitles), Seq("song_title"), "left")
+      .withColumn("reason", when(col("song_title").isNull, "not_a_song_title")
+        .when(col("vtuber_song_id").isNotNull, "matched")
+        .when(col("__known").isNotNull, "not_in_profile")
+        .otherwise("unknown_song"))
+
+    val c = classified.agg(
+      count(when(col("reason") === "matched", 1)).as("matched"),
+      count(when(col("reason") === "not_a_song_title", 1)).as("not_song"),
+      count(when(col("reason") === "unknown_song", 1)).as("unknown"),
+      count(when(col("reason") === "not_in_profile", 1)).as("nip")).head()
+
+    // db/song.py:59-85: one row per vtuber_song (min pubdate = the
+    // reference's last-executed update), K3 onto the songs table
+    val updates = classified.where(col("vtuber_song_id").isNotNull)
+      .groupBy(col("vtuber_song_id").as("id"))
+      .agg(min(struct(col("pubdate"), col("bvid"))).as("u"))
+      .select(col("id"), col("u.bvid").as("bvid"), col("u.pubdate").as("pubdate"))
+    val updated = Merge.joinUpdate(vtuberSongs, updates, "id",
+      Seq("bvid", "pubdate"))
+
+    SongVideoDiscovery(updated,
+      skipped = classified.where(col("reason") =!= "matched")
+        .select(col("mid"), col("bvid"), col("title"), col("song_title"),
+          col("reason")),
+      matched = c.getAs[Long]("matched"),
+      notSongTitle = c.getAs[Long]("not_song"),
+      unknownSong = c.getAs[Long]("unknown"),
+      notInProfile = c.getAs[Long]("nip"))
+  }
 
   // ---- the flagship (EP3, cmdline.py:182-367) ---------------------------
 

@@ -126,6 +126,92 @@ class EndToEndSpec extends SparkFunSuite {
       Set("BV201a", "BV201b", "BV201c", "BV202a", "BV202b", "BVnew"))
   }
 
+  test("EP2 discovery end to end: anchored listing → title extraction → song match → updated vtuber_songs") {
+    // two vtubers; song 10 known to both, 11 only to profile 1,
+    // 12 only to profile 2 (the known-but-not-in-profile case)
+    val profiles = Seq((1L, 301L), (2L, 302L)).toDF("id", "mid")
+    val songs = Seq(
+      (10L, "最亮的星", "夜空中最亮的星"),
+      (11L, "小半", "不敢回看"),
+      (12L, "轨迹", "到底应该怎么办")
+    ).toDF("id", "title", "lyrics_fragment")
+    val vtuberSongs = Seq(
+      (100L, 10L, 1L, "BVold1", 1000L),
+      (102L, 11L, 1L, "BVold2", 1100L),
+      (101L, 10L, 2L, "BVold3", 1200L),
+      (103L, 12L, 2L, "BVold4", 900L)
+    ).toDF("id", "song_id", "vtuber_profile_id", "bvid", "pubdate")
+
+    SongVideoFetcher.pages.clear()
+    val r1 = Vcut.discoverNewSongVideos(spark, profiles, songs, vtuberSongs,
+      classOf[SongVideoFetcher].getName, pageSize = 2)
+
+    // classification matches the reference's walk (modal/video.py:70-97)
+    assert(r1.matched == 2 && r1.notSongTitle == 1 &&
+      r1.unknownSong == 1 && r1.notInProfile == 2)
+    val reasons = r1.skipped.collect()
+      .map(r => r.getAs[String]("bvid") -> r.getAs[String]("reason")).toMap
+    assert(reasons == Map("BVmix" -> "not_a_song_title",
+      "BVunk" -> "unknown_song", "BVtraj" -> "not_in_profile",
+      "BVxb" -> "not_in_profile"))
+
+    // K3: exactly the matched vtuber_songs advance, others untouched
+    val t1 = r1.updated.collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(t1 == Map(
+      100L -> ("BVstar1", 1500L), 101L -> ("BVstar3", 2050L),
+      102L -> ("BVold2", 1100L), 103L -> ("BVold4", 900L)))
+
+    // anchor early-stop: each walk ends at the first record at/below
+    // its anchor — 301 stops on page 3's first record (BVbehind),
+    // 302 on page 2's (BVoldest); the deeper history (BVdeep) is
+    // never served to Spark and no page past the stop is fetched
+    assert(SongVideoFetcher.pagesFetched ==
+      Set((301L, 1), (301L, 2), (301L, 3), (302L, 1), (302L, 2)))
+
+    // second run over the updated table: anchors advanced past every
+    // ingested video → nothing matches, table unchanged (idempotent)
+    val updated1 = r1.updated.localCheckpoint(true)
+    SongVideoFetcher.pages.clear()
+    val r2 = Vcut.discoverNewSongVideos(spark, profiles, songs, updated1,
+      classOf[SongVideoFetcher].getName, pageSize = 2)
+    assert(r2.matched == 0)
+    assert(r2.updated.collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap == t1)
+    assert(SongVideoFetcher.pagesFetched ==
+      Set((301L, 1), (301L, 2), (302L, 1)),
+      "a creator with nothing new past its anchor stays within the early-stop pages")
+  }
+
+  test("EP2: several new uploads of one song converge like the reference's sequential updates") {
+    // the reference applies update_entries in listing order, so the
+    // oldest new upload lands first; the NEXT run's anchor sits at its
+    // pubdate and re-matches the newer upload — convergence after two
+    // runs, then a no-op (modal/video.py:92-98 + db/song.py:59-85)
+    val profiles = Seq((1L, 401L)).toDF("id", "mid")
+    val songs = Seq((10L, "小半", "不敢回看")).toDF("id", "title", "lyrics_fragment")
+    val vs0 = Seq((100L, 10L, 1L, "BV0", 1000L))
+      .toDF("id", "song_id", "vtuber_profile_id", "bvid", "pubdate")
+    def run(vs: org.apache.spark.sql.DataFrame) =
+      Vcut.discoverNewSongVideos(spark, profiles, songs, vs,
+        classOf[DupSongFetcher].getName, pageSize = 30)
+    def row(r: graft.api.SongVideoDiscovery) = {
+      val t = r.updated.localCheckpoint(true)
+      (t, t.collect().map(x => (x.getString(3), x.getLong(4))).head)
+    }
+
+    val r1 = run(vs0)
+    assert(r1.matched == 2)
+    val (t1, v1) = row(r1)
+    assert(v1 == ("BVv1", 2000L), "oldest new upload wins run 1 (reference's last-executed update)")
+    val r2 = run(t1)
+    assert(r2.matched == 1)
+    val (t2, v2) = row(r2)
+    assert(v2 == ("BVv2", 3000L), "anchor at 2000 re-matches the newer upload")
+    val r3 = run(t2)
+    assert(r3.matched == 0, "converged: third run is a no-op")
+  }
+
   test("EP1 backfill: two-sided window ingests older history the anchors skip") {
     val dir = java.nio.file.Files.createTempDirectory("e2e_bf").toString + "/archives"
     val tableSchema = Vcut.archiveTableSchema
@@ -148,6 +234,56 @@ class EndToEndSpec extends SparkFunSuite {
       .select("bvid").as[String].collect().toSet
     assert(bvids == Set("BV201a", "BV201b", "BV201c", "BVnew"), s"got $bvids")
     assert(n == 2, "exactly the two out-of-window parseable records ingest")
+  }
+}
+
+/** Synthetic song-video listing for the EP2 test: per-creator pages,
+  * pubdate-descending, with one title per classification outcome the
+  * reference logs (`modal/video.py:70-97`) plus history behind each
+  * creator's anchor that the early-stop must never fetch.
+  */
+class SongVideoFetcher extends graft.sources.v2.PageFetcher {
+  import SongVideoFetcher._
+  override def keys(): Seq[Long] = Seq(301L, 302L)
+  override def fetch(key: Long, pn: Int, pageSize: Int)
+      : Seq[graft.sources.v2.ArchiveRecord] = {
+    pages.put((key, pn), true)
+    listing(key).slice((pn - 1) * pageSize, pn * pageSize)
+  }
+}
+
+object SongVideoFetcher {
+  import graft.sources.v2.ArchiveRecord
+  val pages = new java.util.concurrent.ConcurrentHashMap[(Long, Int), Boolean]()
+  def pagesFetched: Set[(Long, Int)] = {
+    import scala.jdk.CollectionConverters._
+    pages.keySet.asScala.toSet
+  }
+  def listing(key: Long): Seq[ArchiveRecord] =
+    if (key == 301L) Seq(
+      ArchiveRecord("BVmix", "高光合集剪辑", 2000L),
+      ArchiveRecord("BVunk", "翻唱《未知之歌》", 1900L),
+      ArchiveRecord("BVtraj", "无与伦比翻唱『轨迹』", 1800L),
+      ArchiveRecord("BVstar1", "痛彻心扉翻唱《最亮的星》", 1500L),
+      ArchiveRecord("BVbehind", "《最亮的星》旧版", 1000L),
+      ArchiveRecord("BVdeep", "《小半》远古录播", 500L))
+    else Seq(
+      ArchiveRecord("BVxb", "温柔女声「小半」", 2100L),
+      ArchiveRecord("BVstar3", "《最亮的星》新录", 2050L),
+      ArchiveRecord("BVoldest", "《轨迹》录播", 1100L))
+}
+
+/** One creator uploading TWO new takes of the same known song — the
+  * duplicate-update case of the EP2 convergence test.
+  */
+class DupSongFetcher extends graft.sources.v2.PageFetcher {
+  override def keys(): Seq[Long] = Seq(401L)
+  override def fetch(key: Long, pn: Int, pageSize: Int)
+      : Seq[graft.sources.v2.ArchiveRecord] = {
+    import graft.sources.v2.ArchiveRecord
+    Seq(ArchiveRecord("BVv2", "《小半》v2", 3000L),
+      ArchiveRecord("BVv1", "《小半》v1", 2000L))
+      .slice((pn - 1) * pageSize, pn * pageSize)
   }
 }
 
