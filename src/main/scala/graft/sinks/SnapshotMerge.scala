@@ -118,7 +118,10 @@ object SnapshotMerge {
       s"merge produced unexpected partitions: ${(written -- touched).mkString(", ")}")
 
     val entries = (curEntries -- touched) ++ written.map(_ -> batch)
-    store.commit(newVersion, entries)
+    // fenced on the exact base this merge read: a concurrent commit
+    // in the window above aborts with SnapshotConcurrentWriteException
+    // instead of silently dropping that writer's merge
+    store.commit(newVersion, entries, cur.map(_._1))
     store.vacuum()
   }
 }

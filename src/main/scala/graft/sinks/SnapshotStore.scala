@@ -6,6 +6,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
+/** A [[SnapshotStore.commit]] found the table advanced past the
+  * version the merge was derived from: another writer committed in
+  * between. Nothing was published and nothing committed was damaged —
+  * re-read the table and retry the merge (the snapshot twin of a
+  * serialization failure in the reference's Postgres transaction,
+  * `db/occurrence.py:22-51`).
+  */
+final class SnapshotConcurrentWriteException(msg: String)
+  extends java.io.IOException(msg)
+
 /** Versioned-snapshot table layout with an atomic pointer commit —
   * cross-partition all-or-nothing for partitioned merges.
   *
@@ -37,9 +47,22 @@ import org.apache.spark.sql.types.StructType
   * which [[vacuum]] collects. Partition DELETES are atomic for free:
   * the suffix is simply absent from the next manifest.
   *
-  * Single-writer by contract (the reference's cron is too). Readers
-  * may race the writer: [[vacuum]] retains the previous manifest and
-  * its uniquely-referenced batches as a grace window; a production
+  * Single-writer by contract (the reference's cron is too), with
+  * OPTIMISTIC FENCING against contract violations: [[commit]] takes
+  * the base version the merge read and aborts with
+  * [[SnapshotConcurrentWriteException]] if `CURRENT` has advanced past
+  * it — a racing second writer loses cleanly and retries on the new
+  * snapshot instead of silently last-write-winning the pointer (the
+  * mutual exclusion the reference gets free from Postgres,
+  * `db/occurrence.py:22-51`). Manifest files carry a per-writer
+  * unique suffix and the pointer names the manifest FILE, so two
+  * racers can never clobber each other's manifest — the only
+  * remaining window is between the final version check and the
+  * pointer rename (a true CAS needs a conditional-put store; on HDFS
+  * the check-then-rename races only if both writers reach the swap
+  * within the same round trip). Readers may race the writer freely:
+  * [[vacuum]] retains the previous manifest and its
+  * uniquely-referenced batches as a grace window; a production
   * deployment would widen retention to its longest reader.
   *
   * This is also the object-store-safe variant promised in
@@ -56,26 +79,38 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
 
   private def versionName(v: Long): String = f"v-$v%012d"
 
+  /** Version encoded in a manifest file name (or pointer body):
+    * `v-000000000007[-<writer suffix>]` -> 7. Legacy tables wrote
+    * suffix-less names; both forms parse.
+    */
+  private def parseVersion(name: String): Long =
+    name.stripPrefix("v-").split('-').head.toLong
+
   def dataPath(batch: String): Path = new Path(dataDir, batch)
+
+  private def readSmallFile(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Manifest file name the CURRENT pointer references, if any. */
+  private def currentManifestName(): Option[String] =
+    if (fs.exists(pointer)) Some(readSmallFile(pointer)) else None
 
   /** Current committed version, or None for a table that has never
     * committed.
     */
-  def currentVersion(): Option[Long] = {
-    if (!fs.exists(pointer)) return None
-    val in = fs.open(pointer)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    Some(name.stripPrefix("v-").toLong)
-  }
+  def currentVersion(): Option[Long] = currentManifestName().map(parseVersion)
 
-  /** Live partition map of `version`: suffix -> batch dir name. */
-  def readManifest(version: Long): Map[String, String] = {
-    val in = fs.open(new Path(manifestsDir, versionName(version)))
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-    finally in.close()
+  /** Live partition map of the manifest file `name`: suffix -> batch
+    * dir name.
+    */
+  private def readManifestFile(name: String): Map[String, String] = {
+    val lines = readSmallFile(new Path(manifestsDir, name))
+      .linesIterator.toList
     require(lines.headOption.contains("graft-snapshot 1"),
-      s"unrecognized manifest header in $manifestsDir/${versionName(version)}")
+      s"unrecognized manifest header in $manifestsDir/$name")
     lines.drop(1).filter(_.nonEmpty).map { l =>
       val Array(suffix, batch) = l.split('\t')
       suffix -> batch
@@ -84,29 +119,61 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
 
   /** `(version, manifest)` of the committed snapshot, if any. */
   def current(): Option[(Long, Map[String, String])] =
-    currentVersion().map(v => (v, readManifest(v)))
+    currentManifestName().map(n => (parseVersion(n), readManifestFile(n)))
+
+  /** [[commit]] with the expected base derived from `version` — for
+    * callers constructing the next version directly from the current
+    * one (the merge paths pass the exact base they read instead).
+    */
+  def commit(version: Long, entries: Map[String, String]): Unit =
+    commit(version, entries, if (version <= 1) None else Some(version - 1))
 
   /** Write manifest `version` then atomically swap the CURRENT
     * pointer to it. The manifest and every batch it references must
     * already be fully written — after the pointer rename the commit is
     * durable; before it, nothing referenced has changed.
+    *
+    * `expectedBase` is the version this commit was derived FROM (None
+    * for a fresh table): if `CURRENT` no longer matches it, another
+    * writer committed in between and this merge's view is stale —
+    * abort with [[SnapshotConcurrentWriteException]] so the caller
+    * re-reads and retries, instead of silently overwriting the other
+    * writer's commit. The manifest written before the abort has a
+    * unique name and is never referenced — vacuum collects it.
     */
-  def commit(version: Long, entries: Map[String, String]): Unit = {
+  def commit(version: Long, entries: Map[String, String],
+      expectedBase: Option[Long]): Unit = {
+    def fence(): Unit = {
+      val cur = currentVersion()
+      if (cur != expectedBase)
+        throw new SnapshotConcurrentWriteException(
+          s"snapshot table $root changed under this writer: expected base " +
+            s"${expectedBase.fold("<empty>")(versionName)}, found " +
+            s"${cur.fold("<empty>")(versionName)} — re-read and retry the merge")
+    }
+    fence()
     fs.mkdirs(manifestsDir)
     val body = ("graft-snapshot 1" +:
       entries.toSeq.sortBy(_._1).map { case (s, b) => s"$s\t$b" }).mkString("\n")
+    // Per-writer unique manifest name: two racing writers of the same
+    // next version write DIFFERENT files, so the loser can never
+    // clobber the winner's committed manifest (a crashed or fenced
+    // writer's file is unreferenced garbage for vacuum).
+    val manifestName =
+      s"${versionName(version)}-${java.util.UUID.randomUUID().toString.take(8)}"
     val manifestTmp = new Path(manifestsDir, s".tmp-${java.util.UUID.randomUUID()}")
     writeFile(manifestTmp, body)
-    val manifestFinal = new Path(manifestsDir, versionName(version))
-    // A writer that crashed between this rename and the pointer swap
-    // leaves an unreferenced manifest under the SAME next version; the
-    // retry must replace it (rename-onto-existing fails on HDFS).
-    if (fs.exists(manifestFinal)) fs.delete(manifestFinal, false)
+    val manifestFinal = new Path(manifestsDir, manifestName)
     if (!fs.rename(manifestTmp, manifestFinal))
       throw new java.io.IOException(s"rename $manifestTmp -> $manifestFinal failed")
-    // The commit point: one atomic overwrite-rename of the pointer.
+    // Last fence before the swap: narrows the lost-update window to
+    // the check-to-rename round trip (see class doc).
+    fence()
+    // The commit point: one atomic overwrite-rename of the pointer,
+    // whose body names the manifest FILE (legacy suffix-less bodies
+    // still resolve).
     val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
-    writeFile(pointerTmp, versionName(version))
+    writeFile(pointerTmp, manifestName)
     val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
     fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
   }
@@ -165,7 +232,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     val written = listPartitionDirs(dataPath(batch))
     require(written == entries.keySet,
       s"compaction must preserve the partition set; lost ${entries.keySet -- written}")
-    commit(version + 1, written.map(_ -> batch).toMap)
+    commit(version + 1, written.map(_ -> batch).toMap, Some(version))
     vacuum()
   }
 
@@ -197,15 +264,24 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
   def vacuum(retain: Int = 2): Unit = {
     val cur = currentVersion().getOrElse(return)
     val keepVersions = (math.max(0L, cur - retain + 1) to cur).toSet
-    val liveBatches = keepVersions.flatMap { v =>
-      val m = new Path(manifestsDir, versionName(v))
-      if (fs.exists(m)) readManifest(v).values.toSet else Set.empty[String]
-    }
-    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { st =>
-      val n = st.getPath.getName
+    val manifestNames: Seq[String] =
+      if (fs.exists(manifestsDir))
+        fs.listStatus(manifestsDir).toSeq.map(_.getPath.getName)
+      else Nil
+    // Batches referenced by any manifest in the retention window stay.
+    // A fenced/crashed writer's orphan manifest may share a version in
+    // the window — its batches are retained too (harmless, one extra
+    // vacuum cycle) but a torn orphan must not abort the sweep
+    // (Try); the CURRENT manifest itself is read strictly.
+    val liveBatches = manifestNames
+      .filter(n => n.startsWith("v-") && keepVersions.contains(parseVersion(n)))
+      .flatMap(n => scala.util.Try(readManifestFile(n).values.toSet)
+        .getOrElse(Set.empty[String])).toSet ++
+      current().map(_._2.values.toSet).getOrElse(Set.empty)
+    manifestNames.foreach { n =>
       val doomed = n.startsWith(".tmp-") ||
-        (n.startsWith("v-") && !keepVersions.contains(n.stripPrefix("v-").toLong))
-      if (doomed) fs.delete(st.getPath, true)
+        (n.startsWith("v-") && !keepVersions.contains(parseVersion(n)))
+      if (doomed) fs.delete(new Path(manifestsDir, n), true)
     }
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       if (!liveBatches.contains(st.getPath.getName)) fs.delete(st.getPath, true)

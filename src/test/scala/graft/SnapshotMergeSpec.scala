@@ -107,9 +107,10 @@ class SnapshotMergeSpec extends SparkFunSuite {
     SnapshotMerge.upsertUpdate(spark, dir,
       Seq((0L, "U0b", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
     assert(!store.fs.exists(orphan), "orphan batch must be collected")
-    val manifests = store.fs.listStatus(new Path(dir, "manifests")).map(_.getPath.getName).toSet
-    assert(manifests == Set("v-000000000002", "v-000000000003"),
-      s"retention window is current + previous, got $manifests")
+    val versions = store.fs.listStatus(new Path(dir, "manifests"))
+      .map(_.getPath.getName.stripPrefix("v-").split('-').head.toLong).toSet
+    assert(versions == Set(2L, 3L),
+      s"retention window is current + previous, got versions $versions")
     assert(readVals(dir)(0L) == "U0b")
   }
 
@@ -119,6 +120,62 @@ class SnapshotMergeSpec extends SparkFunSuite {
     // crashed attempt: manifest for the NEXT version exists on disk,
     // pointer still at v1 — the stale manifest must not block a retry
     store.fs.create(new Path(dir + "/manifests/v-000000000002"), true).close()
+    SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
+    assert(store.currentVersion().contains(2L))
+    val want = Merge.upsertUpdate(targetRows, incomingRows, Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(readVals(dir) == want)
+  }
+
+  test("a racing writer is fenced: the loser aborts cleanly and a retry lands both merges") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // writers A and B both read base version 1
+    val (baseV, baseEntries) = store.current().get
+    // A stages its replacement for pk=1 against that base (invisible:
+    // nothing references the batch yet)
+    val batchA = "b-000000000002-writera"
+    val rowsA = Seq((21L, "A21", 1L)).toDF("id", "v", "pk")
+    Merge.upsertUpdate(
+      store.readPartitions(targetRows.schema, Set("pk=1")), rowsA, Seq("id"))
+      .write.partitionBy("pk").parquet(store.dataPath(batchA).toString)
+    // B commits first through the normal merge path
+    val rowsB = Seq((20L, "B20", 0L)).toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, rowsB, Seq("id"), Seq("pk"))
+    val afterB = readVals(dir)
+    assert(afterB(20L) == "B20")
+    // A's publish of the stale merge must fail, not last-write-win
+    val entriesA = baseEntries - "pk=1" + ("pk=1" -> batchA)
+    intercept[graft.sinks.SnapshotConcurrentWriteException] {
+      store.commit(baseV + 1, entriesA, Some(baseV))
+    }
+    // B's commit is undamaged: same version, same data, manifest readable
+    assert(store.currentVersion().contains(baseV + 1))
+    assert(readVals(dir) == afterB, "fenced abort must leave the winner's snapshot intact")
+    // A retries on the fresh snapshot — both writers' rows land
+    SnapshotMerge.upsertUpdate(spark, dir, rowsA, Seq("id"), Seq("pk"))
+    assert(readVals(dir) == afterB + (21L -> "A21"))
+  }
+
+  test("legacy suffix-less manifest layout still resolves, and the next merge fences on it") {
+    val dir = tmp("slegacy")
+    val store = new SnapshotStore(spark, new Path(dir))
+    // hand-write a v1 table in the pre-fencing format: manifest file
+    // and pointer body both the bare version name
+    val batch = "b-000000000001-legacy"
+    targetRows.write.partitionBy("pk").parquet(store.dataPath(batch).toString)
+    val entries = store.listPartitionDirs(store.dataPath(batch)).map(_ -> batch).toMap
+    val body = ("graft-snapshot 1" +:
+      entries.toSeq.sortBy(_._1).map { case (s, b) => s"$s\t$b" }).mkString("\n")
+    store.fs.mkdirs(new Path(dir, "manifests"))
+    val m = store.fs.create(new Path(dir, "manifests/v-000000000001"), true)
+    m.write(body.getBytes("UTF-8")); m.close()
+    val p = store.fs.create(new Path(dir, "CURRENT"), true)
+    p.write("v-000000000001".getBytes("UTF-8")); p.close()
+
+    assert(store.currentVersion().contains(1L))
+    assert(readVals(dir) == targetRows.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
     SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
     assert(store.currentVersion().contains(2L))
     val want = Merge.upsertUpdate(targetRows, incomingRows, Seq("id"))
