@@ -256,10 +256,19 @@ object Vcut {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // same freshness guard as the batch path: a re-served known
-        // bvid (republished upload) must not force a no-op commit
-        val existing = graft.sinks.SnapshotMerge.read(
-          spark, archiveTableDir, archiveTableSchema)
-        val fresh = parseListing(batch)
+        // bvid (republished upload) must not force a no-op commit.
+        // The guard's scan is PRUNED to the batch's own mid
+        // partitions — bvid determines mid, so a known bvid can live
+        // nowhere else; a micro-batch touching 3 creators must not
+        // re-read a million-creator table (manifest-level prune, no
+        // other partition dir is even listed).
+        val parsed = parseListing(batch).localCheckpoint(true)
+        val store = new graft.sinks.SnapshotStore(
+          spark, new org.apache.hadoop.fs.Path(archiveTableDir))
+        val touched = parsed.select(col("mid")).distinct().collect()
+          .map(graft.sinks.SnapshotMerge.partitionSuffix(Seq("mid"), _)).toSet
+        val existing = store.readPartitions(archiveTableSchema, touched)
+        val fresh = parsed
           .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
           .localCheckpoint(true)
         if (!fresh.isEmpty)

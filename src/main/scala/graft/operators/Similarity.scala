@@ -59,9 +59,14 @@ object Similarity extends QueryModule {
   def preparedEmbeddings(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
 
-  /** Deterministic seed codebook: the first `k` vectors by id. */
+  /** Deterministic seed codebook: the `k` smallest vec_ids, RANK
+    * based (TakeOrdered on the id, k rows to the driver) — a sparse
+    * or non-contiguous id space still yields exactly k centroids,
+    * where a `vec_id < k` predicate would silently shrink the
+    * codebook.
+    */
   def seedCodebook(e: DataFrame, k: Int): DataFrame =
-    e.where(col("vec_id") < k)
+    e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("vd").as("c_vd"), col("nrm").as("c_nrm"))
 
   /** Assign each row (keyed `__aid`, vectors `vd`/`nrm`) to its

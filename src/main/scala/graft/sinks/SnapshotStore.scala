@@ -215,12 +215,53 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
   }
 
+  /** Fold the SMALLEST live batches together so the manifest
+    * references at most `maxBatches` batch dirs, rewriting only the
+    * partitions those batches hold — the incremental twin of
+    * [[compact]]. A long-running streaming sink churns hot partitions
+    * into a trail of tiny one-partition batches while the cold bulk of
+    * the table sits in a few large seed batches; full compaction would
+    * rewrite ALL of it to fix fragmentation that lives entirely in the
+    * churn. Keeping the `maxBatches - 1` largest batches in place (by
+    * live-partition count) and folding the rest into one fresh batch
+    * bounds reader fan-out at the same crash contract — the fold is
+    * invisible until the fenced pointer swap, untouched batches carry
+    * forward by reference, and the fold's pruned read never lists a
+    * kept batch's directories. No-op when already within bounds.
+    */
+  def compactIncremental(schema: StructType, partCols: Seq[String],
+      maxBatches: Int): Unit = {
+    require(maxBatches >= 2,
+      "maxBatches must leave room for kept batches plus the fold target")
+    val (version, entries) = current().getOrElse(return)
+    val byBatch: Map[String, Int] =
+      entries.groupBy(_._2).view.mapValues(_.size).toMap
+    if (byBatch.size <= maxBatches) return
+    val keep = byBatch.toSeq.sortBy { case (b, n) => (-n, b) }
+      .take(maxBatches - 1).map(_._1).toSet
+    val foldParts = entries.collect {
+      case (suffix, b) if !keep.contains(b) => suffix
+    }.toSet
+    val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    readPartitions(schema, foldParts)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(dataPath(batch).toString)
+    val written = listPartitionDirs(dataPath(batch))
+    require(written == foldParts,
+      s"incremental compaction must preserve the partition set; lost ${foldParts -- written}")
+    commit(version + 1, entries ++ written.map(_ -> batch), Some(version))
+    vacuum()
+  }
+
   /** Rewrite every live partition into ONE fresh batch and commit it
     * as the next version — bounds read fragmentation (each referenced
     * batch dir costs the reader a scan subtree) after many incremental
     * merges. Same crash contract as a merge: the rewrite is invisible
     * until the pointer swap, and a crash leaves only orphans for
     * [[vacuum]]. No-op when the table is empty or already compact.
+    * For hot-partition churn prefer [[compactIncremental]], which
+    * fixes the same fragmentation without rewriting the cold bulk.
     */
   def compact(schema: StructType, partCols: Seq[String]): Unit = {
     val (version, entries) = current().getOrElse(return)

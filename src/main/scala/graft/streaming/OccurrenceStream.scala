@@ -42,7 +42,16 @@ object OccurrenceStream {
     * parquet path accumulates occurrences across batches (MERGE per
     * micro-batch via [[graft.api.Vcut.syncOccurrences]]). Checkpoint
     * state makes re-runs process only unseen files.
+    *
+    * SMALL TABLES ONLY: every micro-batch rewrites the WHOLE target —
+    * cost grows with the accumulated table, not the batch. The
+    * scale-correct twin is [[runAvailableSnapshot]], which upserts
+    * just the batch's increment into hash buckets; this variant
+    * remains for targets a plain unpartitioned parquet dir serves
+    * (tooling that can't read the snapshot layout).
     */
+  @deprecated("rewrites the whole target per micro-batch; use " +
+    "runAvailableSnapshot for anything beyond small tables", "round-5")
   def runAvailable(
       spark: SparkSession,
       transcriptsDir: String,
@@ -115,25 +124,41 @@ object OccurrenceStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          import graft.sinks.SnapshotMerge
-          val existing = SnapshotMerge.read(spark, targetDir, tableSchema)
-          // localCheckpoint: the merge runs two actions over the
-          // increment (distinct-partition collect + batch write) and
-          // would otherwise re-execute the fuzzy scan for each
-          val inc = Vcut.occurrenceIncrement(
-            existing, songs, vtuberSongs, archives, batch, threshold)
+          import graft.sinks.{SnapshotMerge, SnapshotStore}
+          // The fuzzy scan runs WITHOUT the skip guard first
+          // (forceUpdate): only its output determines which buckets
+          // could hold already-recorded pairs, and the guard's scan is
+          // then PRUNED to exactly those buckets — bucket is derived
+          // from the merge key, so an existing pair for these keys can
+          // live nowhere else. The guard must not re-read the whole
+          // accumulated table every micro-batch.
+          // localCheckpoint: the scan feeds two actions (the touched-
+          // bucket collect and the merge) and must run once.
+          val inc0 = Vcut.occurrenceIncrement(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema),
+            songs, vtuberSongs, archives, batch, threshold, forceUpdate = true)
             .withColumn("bucket",
               pmod(col("live_recording_archive_id"), lit(buckets.toLong)))
+            .localCheckpoint(true)
+          val store = new SnapshotStore(
+            spark, new org.apache.hadoop.fs.Path(targetDir))
+          val touched = inc0.select(col("bucket")).distinct().collect()
+            .map(SnapshotMerge.partitionSuffix(Seq("bucket"), _)).toSet
+          val existing = store.readPartitions(tableSchema, touched)
+          val inc = inc0.join(
+            existing.select(col("vtuber_song_id"),
+              col("live_recording_archive_id")),
+            Seq("vtuber_song_id", "live_recording_archive_id"), "left_anti")
             .localCheckpoint(true)
           SnapshotMerge.upsertUpdate(spark, targetDir, inc,
             Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
           // bound read fragmentation: a long-running stream commits a
-          // new batch dir per micro-batch; fold them once the manifest
-          // references more than `compactAbove` batches
-          val store = new graft.sinks.SnapshotStore(
-            spark, new org.apache.hadoop.fs.Path(targetDir))
-          if (store.current().exists(_._2.values.toSet.size > compactAbove))
-            store.compact(tableSchema, Seq("bucket"))
+          // new batch dir per micro-batch; once the manifest references
+          // more than `compactAbove` batches, fold the small churn
+          // batches together — the cold bulk of the table is never
+          // rewritten from this hot loop
+          store.compactIncremental(tableSchema, Seq("bucket"), compactAbove)
         }
         ()
       }

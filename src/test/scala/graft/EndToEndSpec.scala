@@ -119,9 +119,21 @@ class EndToEndSpec extends SparkFunSuite {
     run()
     assert(store.currentVersion() == v)
 
-    // a new upload arrives; only it is ingested on the next drain
+    // a new upload arrives (creator 201 only); only it is ingested on
+    // the next drain — and the freshness guard reads ONLY mid=201's
+    // partition: a corrupt decoy planted in mid=202's committed dir
+    // fails any whole-table guard scan loudly
+    val batch202 = store.current().get._2("mid=202")
+    val decoy = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(store.dataPath(batch202), "mid=202")
+        .toUri.getPath,
+      "part-99999-decoy.snappy.parquet")
+    java.nio.file.Files.write(decoy, "not a parquet file".getBytes)
     DiscoveryFetcher.newestFirst = true
     run()
+    assert(store.current().get._2("mid=202") == batch202,
+      "mid=202 must carry forward by reference, untouched by the guard")
+    java.nio.file.Files.delete(decoy)
     assert(bvids() ==
       Set("BV201a", "BV201b", "BV201c", "BV202a", "BV202b", "BVnew"))
   }

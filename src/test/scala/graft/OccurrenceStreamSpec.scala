@@ -11,6 +11,7 @@ import graft.streaming.OccurrenceStream
   * reference's lastSongOccurrenceScan state column) and merges into
   * the accumulated target.
   */
+@scala.annotation.nowarn("cat=deprecation") // runAvailable's small-table contract is itself under test
 class OccurrenceStreamSpec extends SparkFunSuite {
   import spark.implicits._
 
@@ -92,18 +93,27 @@ class OccurrenceStreamSpec extends SparkFunSuite {
     assert(table().select("live_recording_archive_id").as[Long].collect().toSeq == Seq(1L))
 
     // batch 2: archive 2 lands in a different bucket; bucket 1's
-    // manifest entry must carry forward untouched
+    // manifest entry must carry forward untouched. The freshness
+    // guard's scan is pinned MECHANICALLY to the touched bucket: a
+    // corrupt decoy parquet planted in bucket 1's committed dir makes
+    // any whole-table guard read fail loudly (the regression this
+    // guards against re-read the full table every micro-batch).
     val store = new graft.sinks.SnapshotStore(
       spark, new org.apache.hadoop.fs.Path(target))
     val m1 = store.current().get._2
+    val decoyDir = new org.apache.hadoop.fs.Path(
+      store.dataPath(m1("bucket=1")), "bucket=1").toUri.getPath
+    val decoy = Paths.get(decoyDir, "part-99999-decoy.snappy.parquet")
+    Files.write(decoy, "not a parquet file".getBytes)
     Files.writeString(drop.resolve("BVb.json"), doc)
     run()
     val m2 = store.current().get._2
-    assert(table().select("live_recording_archive_id").as[Long].collect().toSet ==
-      Set(1L, 2L))
     assert(m2("bucket=1") == m1("bucket=1"),
       "bucket of archive 1 must carry forward by reference")
     assert(m2.contains("bucket=2") && !m1.contains("bucket=2"))
+    Files.delete(decoy) // so the full-table reads below stay valid
+    assert(table().select("live_recording_archive_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
 
     // drained re-run: no new version
     val v = store.currentVersion()

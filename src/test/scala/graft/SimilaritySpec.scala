@@ -78,6 +78,19 @@ class SimilaritySpec extends SparkFunSuite {
     assert(out.count() > 0)
   }
 
+  test("seeding and training survive sparse, non-contiguous vec_ids") {
+    import graft.operators.Similarity
+    // same corpus, ids remapped so NO id falls below k: a `vec_id < k`
+    // seed would come back empty
+    val e = Similarity.preparedEmbeddings(spark, sfDir)
+      .withColumn("vec_id", col("vec_id") * 1000L + 70007L)
+    val seed = Similarity.seedCodebook(e, 16)
+    assert(seed.count() == 16, "rank-based seed must yield k centroids on sparse ids")
+    assert(seed.agg(min(col("c_id"))).collect()(0).getLong(0) == 70007L)
+    val trained = Similarity.ivfTrain(e, k = 16, iters = 1)
+    assert(trained.count() == 16, "training must not shrink a sparse-id codebook")
+  }
+
   test("cosine of identical vectors is 1") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings").limit(10)

@@ -219,6 +219,43 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(store.currentVersion() == v)
   }
 
+  test("incremental compaction folds churn batches only; cold batch stays byte-identical") {
+    val dir = seed() // batch 1: pk=0..4
+    val store = new SnapshotStore(spark, new Path(dir))
+    // hot-partition churn: two merges each touching one partition
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((100L, "H0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((101L, "H1", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val m1 = store.current().get._2
+    assert(m1.values.toSet.size == 3, "seed batch + two churn batches")
+    val coldBatch = m1("pk=2")
+    assert(Set("pk=3", "pk=4").forall(m1(_) == coldBatch))
+    val before = readVals(dir)
+
+    // mechanical pin: the fold must never list the kept cold batch's
+    // dirs — a corrupt decoy there fails any full-rewrite regression
+    val decoy = java.nio.file.Paths.get(
+      new Path(store.dataPath(coldBatch), "pk=2").toUri.getPath,
+      "part-99999-decoy.snappy.parquet")
+    java.nio.file.Files.write(decoy, "not a parquet file".getBytes)
+    store.compactIncremental(targetRows.schema, Seq("pk"), maxBatches = 2)
+    java.nio.file.Files.delete(decoy)
+
+    val m2 = store.current().get._2
+    assert(m2.values.toSet.size == 2, "churn folded into one batch beside the kept seed")
+    assert(Set("pk=2", "pk=3", "pk=4").forall(m2(_) == coldBatch),
+      "cold partitions must keep their original batch reference")
+    assert(m2("pk=0") == m2("pk=1") && m2("pk=0") != m1("pk=0"),
+      "hot partitions land together in the fold batch")
+    assert(readVals(dir) == before, "folding must not change the data")
+
+    // already within bounds → no-op version-wise
+    val v = store.currentVersion()
+    store.compactIncremental(targetRows.schema, Seq("pk"), maxBatches = 2)
+    assert(store.currentVersion() == v)
+  }
+
   test("merge with empty incoming is a no-op commit-wise") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
