@@ -237,8 +237,20 @@ object Similarity extends QueryModule {
     // one small per-partition map and streams the probe side through
     // codegen. NOTES_r4.md has the crossover measurements.
     "sim_top_pairs_blocked" -> ((s, dir) => {
-      val P = 16
-      val e = embeddings(s, dir)
+      val e0 = embeddings(s, dir)
+      // Block count derived from corpus size: above the floor, ~1250
+      // rows per block keeps per-task pair work ≈ 1.5M comparisons
+      // whatever n is — P grows linearly with n, block-pair count
+      // quadratically, so per-task memory and runtime stay flat as
+      // the corpus scales (a literal P would let per-task work grow
+      // as n²/P²). The floor of 16 (136 block pairs) keeps small
+      // corpora parallel: deriving P purely from n collapsed a 2k-row
+      // corpus to 3 tasks, measured 2.5× slower than the floored
+      // plan. The count is one columnar scan of vec_id, noise next to
+      // the n²/P pair stage; a warehouse deployment reads n from
+      // table stats.
+      val P = math.max(16, math.ceil(e0.count() / 1250.0).toInt)
+      val e = e0
         .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(P)).cast("int"))
       val left = e.withColumn("pj", explode(sequence(col("blk"), lit(P - 1))))
         .select(col("blk").as("pi"), col("pj"),
