@@ -92,6 +92,72 @@ object TextAnalysis extends QueryModule {
               t => (ascii(t) * lit(7L) + length(t))),
             lit(0L),
             (acc, v) => (acc * 131 + v) % 2147483647L).as("fp"))
+    }),
+
+    // Repetition-based quality rules (the MassiveText/Gopher family):
+    // duplicate-token fraction and most-common-token fraction per
+    // document, plus the keep/drop gate. The gate compares INTEGERS
+    // (top_c*5 <= n, (n-distinct)*2 <= n) so the filter decision is
+    // exact in any engine; the reported fractions are single divisions
+    // of integer counts (IEEE-deterministic).
+    "text_repetition" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("distinct_tokens"), max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+          ((col("n_tokens") - col("distinct_tokens")).cast("double")
+            / col("n_tokens")).as("dup_frac"),
+          (col("top_c").cast("double") / col("n_tokens")).as("top_tok_frac"),
+          (col("top_c") * 5 <= col("n_tokens") &&
+            (col("n_tokens") - col("distinct_tokens")) * 2 <= col("n_tokens"))
+            .cast("int").as("keep"))
+    }),
+
+    // Deterministic train/val/test split + fixed-rate sampling by
+    // content hash — the reproducible split every training pipeline
+    // needs (same doc always lands in the same split, on any engine,
+    // any run, any partitioning). md5 hex is engine-portable (proven
+    // by f12_md5_translate); the split is a lexicographic range over
+    // the first hex char: 0-b train (12/16), c-d val, e-f test.
+    "text_hash_split" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("h", md5(col("text").cast("binary")))
+        .select(col("doc_id"),
+          when(substring(col("h"), 1, 1) <= "b", "train")
+            .when(substring(col("h"), 1, 1) <= "d", "val")
+            .otherwise("test").as("split"),
+          (substring(col("h"), 1, 2) === "00").cast("int").as("in_1of256"))
+    }),
+
+    // Benchmark decontamination: count each corpus document's distinct
+    // 5-word shingles that collide with any shingle of the "benchmark"
+    // docs (fixed ids < 8, standing in for an eval set) — the n-gram
+    // overlap check run before training on scraped text. Relational
+    // shape: distinct (doc, gram) pairs equi-join the broadcast
+    // benchmark gram set; no pairwise doc comparison ever forms, so
+    // cost is linear in corpus grams at any scale.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val grams = docs.select(col("doc_id"),
+        explode(when(size(toks) >= 5,
+          transform(sequence(lit(1), size(toks) - 4),
+            i => array_join(slice(toks, i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .distinct()
+      val benchGrams = grams.where(col("doc_id") < 8)
+        .select(col("g")).distinct()
+      val counts = grams.where(col("doc_id") >= 8)
+        .join(broadcast(benchGrams), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_coll"))
+      docs.where(col("doc_id") >= 8).select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_coll"), lit(0L)).as("n_coll"),
+          (coalesce(col("n_coll"), lit(0L)) > 0).cast("int").as("contaminated"))
     })
   )
 
@@ -135,6 +201,37 @@ object TextAnalysis extends QueryModule {
       """SELECT doc_id,
            list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],
                        (a, b) -> (a * 131 + b) % 2147483647) AS fp
-         FROM documents"""
+         FROM documents""",
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  unnest(string_split(text, ' ')) AS tok FROM documents),
+         tc AS (SELECT doc_id, n_tokens, tok, COUNT(*) AS c
+                FROM toks GROUP BY 1, 2, 3)
+         SELECT doc_id, n_tokens, COUNT(*) AS distinct_tokens,
+           CAST(n_tokens - COUNT(*) AS DOUBLE) / n_tokens AS dup_frac,
+           CAST(MAX(c) AS DOUBLE) / n_tokens AS top_tok_frac,
+           CAST(MAX(c) * 5 <= n_tokens
+                AND (n_tokens - COUNT(*)) * 2 <= n_tokens AS INT) AS keep
+         FROM tc GROUP BY doc_id, n_tokens""",
+    "text_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(substr(md5(text), 1, 2) = '00' AS INT) AS in_1of256
+         FROM documents""",
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(toks[i:i+4], ' ')
+                         for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS g
+               FROM t),
+         b AS (SELECT DISTINCT g FROM g WHERE doc_id < 8),
+         c AS (SELECT g.doc_id, COUNT(*) AS n_coll
+               FROM g JOIN b USING (g) WHERE g.doc_id >= 8 GROUP BY 1)
+         SELECT d.doc_id, COALESCE(c.n_coll, 0) AS n_coll,
+           CAST(COALESCE(c.n_coll, 0) > 0 AS INT) AS contaminated
+         FROM documents d LEFT JOIN c USING (doc_id) WHERE d.doc_id >= 8"""
   )
 }
