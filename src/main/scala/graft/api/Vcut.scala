@@ -217,11 +217,11 @@ object Vcut {
     // re-serve an already-ingested bvid past the anchor (edited /
     // republished upload); upsert-ignore would drop it anyway, but
     // counting it would overstate the return value and force a
-    // no-op commit. The eager localCheckpoint makes ONE fetch pass
-    // feed the count and the merge's collect + write.
-    val fresh = parseListing(fetched)
-      .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
-      .localCheckpoint(true)
+    // no-op commit. freshOnly prunes the guard to the touched mid
+    // partitions and checkpoints, so ONE fetch pass feeds the count
+    // and the merge's collect + write.
+    val fresh = graft.sinks.SnapshotMerge.freshOnly(
+      spark, archiveTableDir, parseListing(fetched), Seq("bvid"), Seq("mid"))
     val n = fresh.count()
     if (n > 0)
       graft.sinks.SnapshotMerge.upsertIgnore(
@@ -257,20 +257,12 @@ object Vcut {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // same freshness guard as the batch path: a re-served known
         // bvid (republished upload) must not force a no-op commit.
-        // The guard's scan is PRUNED to the batch's own mid
+        // freshOnly prunes the guard's scan to the batch's own mid
         // partitions — bvid determines mid, so a known bvid can live
         // nowhere else; a micro-batch touching 3 creators must not
-        // re-read a million-creator table (manifest-level prune, no
-        // other partition dir is even listed).
-        val parsed = parseListing(batch).localCheckpoint(true)
-        val store = new graft.sinks.SnapshotStore(
-          spark, new org.apache.hadoop.fs.Path(archiveTableDir))
-        val touched = parsed.select(col("mid")).distinct().collect()
-          .map(graft.sinks.SnapshotMerge.partitionSuffix(Seq("mid"), _)).toSet
-        val existing = store.readPartitions(archiveTableSchema, touched)
-        val fresh = parsed
-          .join(existing.select(col("bvid")), Seq("bvid"), "left_anti")
-          .localCheckpoint(true)
+        // re-read a million-creator table.
+        val fresh = graft.sinks.SnapshotMerge.freshOnly(spark,
+          archiveTableDir, parseListing(batch), Seq("bvid"), Seq("mid"))
         if (!fresh.isEmpty)
           graft.sinks.SnapshotMerge.upsertIgnore(
             spark, archiveTableDir, fresh, Seq("bvid"), Seq("mid"))
@@ -427,6 +419,34 @@ object Vcut {
         segments, threshold, forceUpdate),
       Seq("vtuber_song_id", "live_recording_archive_id"))
 
+  /** The UNGUARDED occurrence scan: every (song, recording) occurrence
+    * the fuzzy scan finds in `segments`, attributed to its vtuber_song
+    * — before any skip guard. For sinks that run their own pruned
+    * anti-join (e.g. [[graft.sinks.SnapshotMerge.freshOnly]]).
+    */
+  def occurrenceScan(
+      songs: DataFrame,
+      vtuberSongs: DataFrame,
+      archives: DataFrame,
+      segments: DataFrame,
+      threshold: Double = 40.0): DataFrame = {
+    val matches = FuzzyOccurrence.scan(
+      segments.withColumnRenamed("bvid", "recording_id"),
+      songs.select(col("id").as("song_id"),
+        col("lyrics_fragment").as("lyrics")),
+      threshold)
+    matches
+      .join(archives.select(col("id").as("live_recording_archive_id"),
+        col("bvid"), col("vtuber_profile_id")),
+        col("recording_id") === col("bvid"))
+      .join(vtuberSongs.select(col("id").as("vtuber_song_id"),
+        col("song_id"), col("vtuber_profile_id")),
+        Seq("song_id", "vtuber_profile_id"))
+      .select(col("song_id"), col("vtuber_song_id"),
+        col("live_recording_archive_id"),
+        floor(col("start")).cast("long").as("start"), col("page"))
+  }
+
   /** The INCREMENT of [[syncOccurrences]]: just the new/updated
     * occurrence rows, before any merge — what a partitioned or
     * snapshot sink upserts directly instead of rewriting the table
@@ -440,21 +460,8 @@ object Vcut {
       segments: DataFrame,
       threshold: Double = 40.0,
       forceUpdate: Boolean = false): DataFrame = {
-    val matches = FuzzyOccurrence.scan(
-      segments.withColumnRenamed("bvid", "recording_id"),
-      songs.select(col("id").as("song_id"),
-        col("lyrics_fragment").as("lyrics")),
-      threshold)
-    val attributed = matches
-      .join(archives.select(col("id").as("live_recording_archive_id"),
-        col("bvid"), col("vtuber_profile_id")),
-        col("recording_id") === col("bvid"))
-      .join(vtuberSongs.select(col("id").as("vtuber_song_id"),
-        col("song_id"), col("vtuber_profile_id")),
-        Seq("song_id", "vtuber_profile_id"))
-      .select(col("song_id"), col("vtuber_song_id"),
-        col("live_recording_archive_id"),
-        floor(col("start")).cast("long").as("start"), col("page"))
+    val attributed = occurrenceScan(songs, vtuberSongs, archives,
+      segments, threshold)
     if (forceUpdate) attributed
     else attributed.join(
       existing.select(col("vtuber_song_id"), col("live_recording_archive_id")),

@@ -120,7 +120,10 @@ object FuzzyOccurrence extends QueryModule {
     * (HOF lambdas evaluate interpreted), byte-identical on the
     * single-space-separated `documents` fixture (asymmetric-difference
     * audited at sf0.1; the sf0.01 golden file in FuzzyOccurrenceSpec
-    * pins the whole flagship frame).
+    * pins the whole flagship frame). Whitespace contract (pinned in
+    * EdgeCaseSpec): a segment is up to 6 `\S+` tokens joined by
+    * SINGLE spaces; other whitespace ends the segment, and empty text
+    * yields zero segments.
     */
   def documentSegments(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents")

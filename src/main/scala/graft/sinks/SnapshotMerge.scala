@@ -46,6 +46,35 @@ object SnapshotMerge {
   def read(spark: SparkSession, rootDir: String, schema: StructType): DataFrame =
     new SnapshotStore(spark, new Path(rootDir)).read(schema)
 
+  /** Rows of `incoming` whose `joinKeys` are NOT already in the
+    * committed snapshot, with the guard's scan pruned to the
+    * partitions `incoming` itself touches — under [[merge]]'s
+    * key-determines-partition contract a committed row with a matching
+    * key can live nowhere else, so this anti-join costs the batch's
+    * partitions, never the table. This is the freshness guard the
+    * streaming sinks run per micro-batch.
+    *
+    * `incoming` is localCheckpointed on entry (the guard runs a
+    * distinct-partition collect plus the join over it; an expensive
+    * upstream — a paged fetch, a fuzzy scan — must execute once), and
+    * the result is localCheckpointed too (callers always run at least
+    * an emptiness check plus the merge over it). A subsequent
+    * [[upsertIgnore]]/[[upsertUpdate]] re-collects its own touched set
+    * from the RESULT — intentionally: the guard can empty out a
+    * partition entirely, and merging with the guard's coarser set
+    * would identity-rewrite it.
+    */
+  def freshOnly(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      joinKeys: Seq[String], partCols: Seq[String]): DataFrame = {
+    val inc = incoming.localCheckpoint(true)
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val touched = inc.select(partCols.map(col): _*).distinct().collect()
+      .map(partitionSuffix(partCols, _)).toSet
+    val existing = store.readPartitions(inc.schema, touched)
+    inc.join(existing.select(joinKeys.map(col): _*), joinKeys, "left_anti")
+      .localCheckpoint(true)
+  }
+
   /** Hive-style partition path suffix for one tuple, e.g. "pk=0" or
     * "a=1/b=x%20y" (values escaped the same way Spark's partitioned
     * writer escapes directory names, so manifest suffixes and

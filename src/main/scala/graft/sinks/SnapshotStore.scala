@@ -223,21 +223,30 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     * the table sits in a few large seed batches; full compaction would
     * rewrite ALL of it to fix fragmentation that lives entirely in the
     * churn. Keeping the `maxBatches - 1` largest batches in place (by
-    * live-partition count) and folding the rest into one fresh batch
-    * bounds reader fan-out at the same crash contract — the fold is
-    * invisible until the fenced pointer swap, untouched batches carry
-    * forward by reference, and the fold's pruned read never lists a
-    * kept batch's directories. No-op when already within bounds.
+    * BYTES on disk — a churn batch can touch many partitions while
+    * holding almost no data, so partition count would misrank it) and
+    * folding the rest into one fresh batch bounds reader fan-out at
+    * the same crash contract — the fold is invisible until the fenced
+    * pointer swap, untouched batches carry forward by reference, and
+    * the fold's pruned read never lists a kept batch's directories.
+    * The sizing walk is one FS metadata call per live partition, and
+    * only when the batch count is already over the bound. No-op when
+    * already within bounds.
     */
   def compactIncremental(schema: StructType, partCols: Seq[String],
       maxBatches: Int): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
     val (version, entries) = current().getOrElse(return)
-    val byBatch: Map[String, Int] =
-      entries.groupBy(_._2).view.mapValues(_.size).toMap
-    if (byBatch.size <= maxBatches) return
-    val keep = byBatch.toSeq.sortBy { case (b, n) => (-n, b) }
+    if (entries.values.toSet.size <= maxBatches) return
+    // live bytes per batch: sum the batch's LIVE partition dirs, not
+    // the whole dir — a batch can also hold stale copies of partitions
+    // later merges superseded, which must not inflate its rank
+    val bySize: Map[String, Long] = entries.toSeq.groupBy(_._2)
+      .view.mapValues(_.map { case (s, b) =>
+        fs.getContentSummary(new Path(dataPath(b), s)).getLength
+      }.sum).toMap
+    val keep = bySize.toSeq.sortBy { case (b, sz) => (-sz, b) }
       .take(maxBatches - 1).map(_._1).toSet
     val foldParts = entries.collect {
       case (suffix, b) if !keep.contains(b) => suffix

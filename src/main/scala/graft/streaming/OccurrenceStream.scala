@@ -125,34 +125,20 @@ object OccurrenceStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           import graft.sinks.{SnapshotMerge, SnapshotStore}
-          // The fuzzy scan runs WITHOUT the skip guard first
-          // (forceUpdate): only its output determines which buckets
-          // could hold already-recorded pairs, and the guard's scan is
-          // then PRUNED to exactly those buckets — bucket is derived
-          // from the merge key, so an existing pair for these keys can
-          // live nowhere else. The guard must not re-read the whole
-          // accumulated table every micro-batch.
-          // localCheckpoint: the scan feeds two actions (the touched-
-          // bucket collect and the merge) and must run once.
-          val inc0 = Vcut.occurrenceIncrement(
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema),
-            songs, vtuberSongs, archives, batch, threshold, forceUpdate = true)
-            .withColumn("bucket",
-              pmod(col("live_recording_archive_id"), lit(buckets.toLong)))
-            .localCheckpoint(true)
-          val store = new SnapshotStore(
-            spark, new org.apache.hadoop.fs.Path(targetDir))
-          val touched = inc0.select(col("bucket")).distinct().collect()
-            .map(SnapshotMerge.partitionSuffix(Seq("bucket"), _)).toSet
-          val existing = store.readPartitions(tableSchema, touched)
-          val inc = inc0.join(
-            existing.select(col("vtuber_song_id"),
-              col("live_recording_archive_id")),
-            Seq("vtuber_song_id", "live_recording_archive_id"), "left_anti")
-            .localCheckpoint(true)
+          // The fuzzy scan runs WITHOUT the skip guard; freshOnly then
+          // anti-joins against ONLY the buckets the scan's output
+          // touches (bucket is derived from the merge key, so an
+          // already-recorded pair can live nowhere else) — the guard
+          // must not re-read the whole accumulated table every batch.
+          val inc = SnapshotMerge.freshOnly(spark, targetDir,
+            Vcut.occurrenceScan(songs, vtuberSongs, archives, batch, threshold)
+              .withColumn("bucket",
+                pmod(col("live_recording_archive_id"), lit(buckets.toLong))),
+            Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
           SnapshotMerge.upsertUpdate(spark, targetDir, inc,
             Seq("vtuber_song_id", "live_recording_archive_id"), Seq("bucket"))
+          val store = new SnapshotStore(
+            spark, new org.apache.hadoop.fs.Path(targetDir))
           // bound read fragmentation: a long-running stream commits a
           // new batch dir per micro-batch; once the manifest references
           // more than `compactAbove` batches, fold the small churn

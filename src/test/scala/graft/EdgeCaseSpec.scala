@@ -87,4 +87,33 @@ class EdgeCaseSpec extends SparkFunSuite {
     val songs = Seq((1L, "任意歌词")).toDF("song_id", "lyrics")
     assert(FuzzyOccurrence.scan(segments, songs, 40.0).count() == 0)
   }
+
+  test("documentSegments chunking semantics are pinned: \\S+ runs, 6 words max, odd whitespace defined") {
+    // The segmenter is one greedy regexp pass: a segment is up to 6
+    // \S+ tokens joined by SINGLE spaces; any other whitespace
+    // (consecutive spaces, tabs) ends the segment, empty tokens never
+    // appear, and empty text yields zero segments (NOT one empty
+    // segment). This is the DEFINED contract; the single-space
+    // documents fixture makes it coincide with a split-on-space
+    // chunking, but this pin is what future corpora with irregular
+    // whitespace get.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("seg_pin").toString
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7", "en", "s", 20L),   // 6-word chunk + tail
+      (2L, "a  b", "en", "s", 4L),                     // double space splits segments
+      (3L, " lead trail ", "en", "s", 12L),            // edge whitespace dropped
+      (4L, "", "en", "s", 0L),                         // empty: no segments
+      (5L, "x\ty", "en", "s", 3L)                      // tab splits too
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = FuzzyOccurrence.documentSegments(spark, dir)
+      .select(col("recording_id"), col("seg_idx"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4 w5 w6"), (1L, 1, "w7"),
+      (2L, 0, "a"), (2L, 1, "b"),
+      (3L, 0, "lead trail"),
+      (5L, 0, "x"), (5L, 1, "y")))
+  }
 }
