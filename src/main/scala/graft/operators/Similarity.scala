@@ -75,15 +75,33 @@ object Similarity extends QueryModule {
     * (corpus side); probes pass `nprobe > 1` to search several
     * buckets — the standard IVF recall/latency knob (per-query work
     * scales with nprobe/k of the corpus, still never all of it).
+    *
+    * The `nprobe = 1` case — the side that carries the WHOLE corpus,
+    * and runs once per Lloyd iteration in [[ivfTrain]] — is a plain
+    * argmax, so it runs as a partial-aggregating hash `max(struct)`
+    * (same tie-break: highest cosine, then lowest centroid id) instead
+    * of a sort-based `row_number` window; no per-`__aid` sort of the
+    * n×k assignment rows ever forms. `nprobe > 1` (the tiny probe
+    * side) keeps the window.
     */
   def assignToCentroid(df: DataFrame, cents: DataFrame, nprobe: Int = 1): DataFrame = {
-    val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
-    df.crossJoin(broadcast(cents))
+    val scored = df.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         dot(col("vd"), col("c_vd")) / (col("nrm") * col("c_nrm")))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= nprobe)
-      .drop("c_vd", "c_nrm", "c_cos", "__rk")
+    if (nprobe == 1)
+      scored
+        .groupBy(col("__aid"))
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_id"),
+          col("vd"), col("nrm"))).as("best"))
+        .select(col("__aid"), col("best.vd").as("vd"),
+          col("best.nrm").as("nrm"), (-col("best.neg_id")).as("c_id"))
+    else {
+      val w = Window.partitionBy(col("__aid")).orderBy(col("c_cos").desc, col("c_id").asc)
+      scored
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= nprobe)
+        .drop("c_vd", "c_nrm", "c_cos", "__rk")
+    }
   }
 
   /** The IVF search stage shared by the ann_ivf* queries: assign the
