@@ -392,6 +392,98 @@ object Vcut {
       notInProfile = c.getAs[Long]("nip"))
   }
 
+  /** The vtuber_song snapshot-table schema used by
+    * [[discoverNewSongVideosStream]] (the flattened VtuberSong row
+    * plus its hash bucket — `bucket = pmod(id, buckets)`, derived from
+    * the merge key so the key→partition contract holds).
+    */
+  val vtuberSongTableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, song_id BIGINT, vtuber_profile_id BIGINT, " +
+        "bvid STRING, pubdate BIGINT, bucket BIGINT")
+
+  /** EP2 as a LONG-RUNNING STREAM over the paged listing's streaming
+    * face: the checkpointed per-creator offsets replace
+    * [[songAnchors]] entirely, so every upload is examined EXACTLY
+    * once — including the non-song uploads the reference's cron
+    * re-lists on every run forever (its anchor only advances when a
+    * song matches, `db/song.py:19-26`). Each micro-batch extracts
+    * titles (F2), matches them against the song index (J8), and
+    * K3-updates the matched vtuber_songs in a bucketed
+    * [[graft.sinks.SnapshotMerge]] table: a pruned read of just the
+    * touched buckets, join-update, one fenced atomic commit.
+    *
+    * Duplicate-upload semantics differ from [[discoverNewSongVideos]]
+    * DELIBERATELY: the batch entry point mirrors one reference cron
+    * run (oldest new upload wins, then the next run's anchor re-matches
+    * the newer one — convergence to the NEWEST over runs); the stream
+    * takes `max(pubdate)` per vtuber_song within a batch and later
+    * batches only ever carry newer uploads, so it commits the
+    * reference's CONVERGED end state directly, without the
+    * intermediate re-fetch cycles.
+    *
+    * `profiles` and `songs` are catalog-sized dimension inputs (the
+    * reference loads both fully per run too, `modal/video.py:37-47`).
+    */
+  def discoverNewSongVideosStream(
+      spark: org.apache.spark.sql.SparkSession,
+      profiles: DataFrame,
+      songs: DataFrame,
+      vtuberSongTableDir: String,
+      checkpointDir: String,
+      fetcherClass: String,
+      pageSize: Int = 30,
+      buckets: Int = 16): Unit = {
+    import graft.sinks.{SnapshotMerge, SnapshotStore}
+    val mids = profiles.select(col("mid")).collect().map(_.getLong(0))
+    val q = spark.readStream.format("paged-archives")
+      .option("fetcher", fetcherClass)
+      .option("pageSize", pageSize)
+      .option("keys", mids.mkString(","))
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store = new SnapshotStore(
+          spark, new org.apache.hadoop.fs.Path(vtuberSongTableDir))
+        val vsTable = store.read(vtuberSongTableSchema)
+        val index = vsTable.as("vs")
+          .join(songs.as("s"), col("vs.song_id") === col("s.id"))
+          .groupBy(col("s.title").as("song_title"), col("vs.vtuber_profile_id"))
+          .agg(max(col("vs.id")).as("vtuber_song_id"))
+        val updates = batch
+          .withColumn("song_title", extractSongTitle(col("title")))
+          .where(col("song_title").isNotNull)
+          .join(broadcast(profiles.select(col("id").as("vtuber_profile_id"),
+            col("mid"))), "mid")
+          .join(broadcast(index), Seq("song_title", "vtuber_profile_id"))
+          .groupBy(col("vtuber_song_id").as("id"))
+          .agg(max(struct(col("pubdate"), col("bvid"))).as("u"))
+          .select(col("id"), col("u.bvid").as("bvid"),
+            col("u.pubdate").as("pubdate"),
+            pmod(col("id"), lit(buckets.toLong)).as("bucket"))
+          .localCheckpoint(true)
+        if (!updates.isEmpty) {
+          // K3 on the snapshot table: refresh only the matched rows of
+          // the touched buckets; upsert-update carries everything else
+          // forward by reference and commits atomically
+          val touched = updates.select(col("bucket")).distinct().collect()
+            .map(SnapshotMerge.partitionSuffix(Seq("bucket"), _)).toSet
+          val refreshed = store.readPartitions(vtuberSongTableSchema, touched)
+            .as("t")
+            .join(updates.as("u"), col("t.id") === col("u.id"))
+            .select(col("t.id"), col("t.song_id"), col("t.vtuber_profile_id"),
+              col("u.bvid"), col("u.pubdate"), col("t.bucket"))
+          SnapshotMerge.upsertUpdate(spark, vtuberSongTableDir, refreshed,
+            Seq("id"), Seq("bucket"))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ---- the flagship (EP3, cmdline.py:182-367) ---------------------------
 
   /** Full `sync_occurrences`: fuzzy-scan every (song, transcribed

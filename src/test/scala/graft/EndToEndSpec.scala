@@ -224,6 +224,54 @@ class EndToEndSpec extends SparkFunSuite {
     assert(r3.matched == 0, "converged: third run is a no-op")
   }
 
+  test("EP2 as a stream: checkpoint offsets replace song anchors; each drain commits the converged state") {
+    import graft.sinks.{SnapshotMerge, SnapshotStore}
+    import graft.sources.v2.ArchiveRecord
+    val root = java.nio.file.Files.createTempDirectory("e2e_ep2s")
+    val dir = root.resolve("vtuber_songs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val profiles = Seq((1L, 501L)).toDF("id", "mid")
+    val songs = Seq((10L, "小半", "不敢回看"), (11L, "轨迹", "到底应该怎么办"))
+      .toDF("id", "title", "lyrics_fragment")
+    // snapshot vtuber_song table, hash-bucketed on id (buckets = 4)
+    val seed = Seq(
+      (100L, 10L, 1L, "BV0", 1000L, 0L),
+      (101L, 11L, 1L, "BV1", 1500L, 1L))
+      .toDF(Vcut.vtuberSongTableSchema.fieldNames: _*)
+    SnapshotMerge.upsertUpdate(spark, dir, seed, Seq("id"), Seq("bucket"))
+    val store = new SnapshotStore(spark, new org.apache.hadoop.fs.Path(dir))
+    val seedBucket1 = store.current().get._2("bucket=1")
+    def run() = Vcut.discoverNewSongVideosStream(spark, profiles, songs,
+      dir, ckpt, classOf[GrowingSongFetcher].getName, pageSize = 2, buckets = 4)
+    def table() = SnapshotMerge.read(spark, dir, Vcut.vtuberSongTableSchema)
+      .collect().map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+
+    // drain 1: junk title + TWO takes of song 10 → one batch commits
+    // the converged state (newest take), unlike the batch entry point
+    // which reaches it over two cron-parity runs; song 11 untouched
+    GrowingSongFetcher.records = Seq(
+      ArchiveRecord("BVjunk", "剪辑合集", 3500L),
+      ArchiveRecord("BVv2", "《小半》v2", 3000L),
+      ArchiveRecord("BVv1", "《小半》v1", 2000L))
+    run()
+    assert(table() == Map(100L -> ("BVv2", 3000L), 101L -> ("BV1", 1500L)))
+    assert(store.current().get._2("bucket=1") == seedBucket1,
+      "bucket of the unmatched song must carry forward by reference")
+
+    // drain 2: nothing new upstream → no commit (and the junk upload
+    // is never re-examined — offsets advanced past it, where the
+    // reference's cron re-lists it every run forever)
+    val v = store.currentVersion()
+    run()
+    assert(store.currentVersion() == v)
+
+    // drain 3: a new take of song 11 → only its bucket updates
+    GrowingSongFetcher.records =
+      ArchiveRecord("BVv3", "深情『轨迹』", 4000L) +: GrowingSongFetcher.records
+    run()
+    assert(table() == Map(100L -> ("BVv2", 3000L), 101L -> ("BVv3", 4000L)))
+  }
+
   test("EP1 backfill: two-sided window ingests older history the anchors skip") {
     val dir = java.nio.file.Files.createTempDirectory("e2e_bf").toString + "/archives"
     val tableSchema = Vcut.archiveTableSchema
@@ -283,6 +331,20 @@ object SongVideoFetcher {
       ArchiveRecord("BVxb", "温柔女声「小半」", 2100L),
       ArchiveRecord("BVstar3", "《最亮的星》新录", 2050L),
       ArchiveRecord("BVoldest", "《轨迹》录播", 1100L))
+}
+
+/** Single-creator song-video listing that grows between streaming
+  * drains — the upstream of the EP2 stream test.
+  */
+class GrowingSongFetcher extends graft.sources.v2.PageFetcher {
+  override def keys(): Seq[Long] = Seq(501L)
+  override def fetch(key: Long, pn: Int, pageSize: Int)
+      : Seq[graft.sources.v2.ArchiveRecord] =
+    GrowingSongFetcher.records.slice((pn - 1) * pageSize, pn * pageSize)
+}
+
+object GrowingSongFetcher {
+  @volatile var records: Seq[graft.sources.v2.ArchiveRecord] = Nil // newest first
 }
 
 /** One creator uploading TWO new takes of the same known song — the
