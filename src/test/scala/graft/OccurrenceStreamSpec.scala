@@ -120,4 +120,45 @@ class OccurrenceStreamSpec extends SparkFunSuite {
     run()
     assert(store.currentVersion() == v)
   }
+
+  test("auto-compact folds stream churn once the manifest exceeds compactAbove") {
+    val root = Files.createTempDirectory("occ_compact")
+    val drop = root.resolve("transcripts"); Files.createDirectories(drop)
+    val target = root.resolve("occurrences").toString
+    val ckpt = root.resolve("ckpt").toString
+    val store = new graft.sinks.SnapshotStore(
+      spark, new org.apache.hadoop.fs.Path(target))
+    def batches() = store.current().get._2.values.toSet.size
+    // 3 archives in 3 different buckets (buckets = 8); each drain adds
+    // one transcript => one new single-bucket batch dir
+    val archives3 = {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("vtuber_profile_id", LongType),
+        StructField("bvid", StringType)))
+      spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 1L, "BVa"),
+        org.apache.spark.sql.Row(2L, 1L, "BVb"),
+        org.apache.spark.sql.Row(3L, 1L, "BVc")), schema)
+    }
+    def run() = OccurrenceStream.runAvailableSnapshot(spark, drop.toString,
+      ckpt, target, songs, vtuberSongs, archives3, buckets = 8, compactAbove = 2)
+
+    Files.writeString(drop.resolve("BVa.json"), doc)
+    run()
+    assert(batches() == 1)
+    Files.writeString(drop.resolve("BVb.json"), doc)
+    run()
+    assert(batches() == 2, "within bound: no fold yet")
+    Files.writeString(drop.resolve("BVc.json"), doc)
+    run()
+    assert(batches() <= 2, "third batch must trigger the incremental fold")
+    // all three occurrences intact after folding
+    val schema = StructType(Seq(
+      StructField("song_id", LongType), StructField("vtuber_song_id", LongType),
+      StructField("live_recording_archive_id", LongType),
+      StructField("start", LongType), StructField("page", IntegerType),
+      StructField("bucket", LongType)))
+    assert(graft.sinks.SnapshotMerge.read(spark, target, schema)
+      .select("live_recording_archive_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
 }
