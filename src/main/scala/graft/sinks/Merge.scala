@@ -19,15 +19,31 @@ object Merge {
 
   /** K1: `INSERT … ON CONFLICT DO NOTHING` — keep target rows, add
     * incoming rows whose key is absent (`db/recording.py:44-66`).
+    *
+    * Keys duplicated WITHIN `incoming` collapse to one row first —
+    * without this, both copies pass the anti-join and the target's key
+    * uniqueness is broken forever (every later upsert anti-joins them
+    * both away, so the damage is unrepairable). Postgres keeps the
+    * first VALUES row inside one DO NOTHING statement; rows have no
+    * order here, so the kept copy is arbitrary — callers that care
+    * which copy wins dedup upstream (the EP1 paths do, on bvid).
     */
   def upsertIgnore(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    target.unionByName(incoming.join(target, keys, "left_anti"))
+    target.unionByName(incoming.dropDuplicates(keys).join(target, keys, "left_anti"))
 
   /** K2: `INSERT … ON CONFLICT DO UPDATE` — incoming wins on key
     * collision (`db/occurrence.py:22-51`).
+    *
+    * Keys duplicated within `incoming` collapse to one arbitrary row
+    * (see [[upsertIgnore]]; Postgres raises "cannot affect row a
+    * second time" for this case — preserving the table's key
+    * invariant with an arbitrary winner beats silently inserting both
+    * copies).
     */
-  def upsertUpdate(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    incoming.unionByName(target.join(incoming, keys, "left_anti"))
+  def upsertUpdate(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val inc = incoming.dropDuplicates(keys)
+    inc.unionByName(target.join(inc, keys, "left_anti"))
+  }
 
   /** K3: `UPDATE target SET col = v FROM updates WHERE key match` —
     * left join + coalesce, non-matching rows untouched

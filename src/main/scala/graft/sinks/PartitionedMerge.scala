@@ -54,20 +54,22 @@ object PartitionedMerge {
   /** Generic partition-pruned merge: `mergeFn(prunedTarget, incoming)`
     * replaces exactly the partitions `incoming` touches.
     */
-  def merge(spark: SparkSession, targetDir: String, incoming: DataFrame,
+  def merge(spark: SparkSession, targetDir: String, incoming0: DataFrame,
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
-    SnapshotMerge.requirePartitionable(incoming.schema, partCols)
+    SnapshotMerge.requirePartitionable(incoming0.schema, partCols)
     val root = new Path(targetDir)
     val fs = AtomicDir.fileSystem(spark, root)
     AtomicDir.recover(fs, root)
     recoverPartitions(spark, targetDir)
 
+    // one evaluation of the incoming plan across the distinct collect
+    // and the staged write (see SnapshotMerge.merge)
+    val incoming = incoming0.localCheckpoint(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     if (parts.isEmpty) return
-    require(parts.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
-      "null partition values are not supported")
+    SnapshotMerge.requirePartitionValues(parts)
 
     // Partition-pruned read of the affected slice. Per-column IN-lists
     // reference partition columns only => directory-level pruning, no
@@ -82,7 +84,14 @@ object PartitionedMerge {
         val coarse = partCols.zipWithIndex.map { case (c, i) =>
           col(c).isin(parts.map(_.get(i)).distinct.toSeq: _*)
         }.reduce(_ && _)
-        val base = spark.read.parquet(targetDir).where(coarse)
+        // The DECLARED schema governs partition-column types: inference
+        // would turn a string value like "00123" into int 123, so the
+        // pruned rows' key would no longer equal incoming's and the
+        // merge would stage them under a directory outside `parts` —
+        // silently dropped by the swap loop (same contract as
+        // SnapshotStore.readPartitions).
+        val base = spark.read.schema(incoming.schema).parquet(targetDir)
+          .where(coarse)
         if (partCols.lengthCompare(1) == 0) base
         else {
           val tupleSchema = org.apache.spark.sql.types.StructType(
@@ -171,15 +180,9 @@ object PartitionedMerge {
     fs.delete(new Path(targetDir + ".deleting"), true)
     val oldRoot = new Path(targetDir + ".oldparts")
     if (!fs.exists(oldRoot)) return
-    val base = oldRoot.toUri.getPath
-    val it = fs.listFiles(oldRoot, true)
-    val leafDirs = scala.collection.mutable.Set[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      if (rel.nonEmpty) leafDirs += rel
-    }
-    leafDirs.foreach { rel =>
+    // shared walk (hidden/marker-only dirs are NOT partitions and must
+    // not be "restored" as one)
+    SnapshotStore.listPartitionDirs(fs, oldRoot).foreach { rel =>
       val dst = new Path(root, rel)
       if (!fs.exists(dst)) {
         fs.mkdirs(dst.getParent)

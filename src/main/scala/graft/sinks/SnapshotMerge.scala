@@ -66,10 +66,16 @@ object SnapshotMerge {
     */
   def freshOnly(spark: SparkSession, rootDir: String, incoming: DataFrame,
       joinKeys: Seq[String], partCols: Seq[String]): DataFrame = {
+    // same contracts as merge(), checked up front: a type or value
+    // that formats differently in a partition path would make the
+    // guard silently vacuous (suffixes that never match => everything
+    // "fresh"), which must be a loud error instead
+    requirePartitionable(incoming.schema, partCols)
     val inc = incoming.localCheckpoint(true)
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val touched = inc.select(partCols.map(col): _*).distinct().collect()
-      .map(partitionSuffix(partCols, _)).toSet
+    val parts = inc.select(partCols.map(col): _*).distinct().collect()
+    requirePartitionValues(parts)
+    val touched = parts.map(partitionSuffix(partCols, _)).toSet
     val existing = store.readPartitions(inc.schema, touched)
     inc.join(existing.select(joinKeys.map(col): _*), joinKeys, "left_anti")
       .localCheckpoint(true)
@@ -108,26 +114,45 @@ object SnapshotMerge {
     }
   }
 
-  def merge(spark: SparkSession, rootDir: String, incoming: DataFrame,
+  /** Partition-tuple VALUE contract shared by the merge paths and
+    * [[freshOnly]]: no NULLs (no directory form) and no empty strings
+    * (the partitioned writer emits `__HIVE_DEFAULT_PARTITION__`, which
+    * reads back as NULL — the key would silently stop matching and
+    * every later merge of it would accrete a duplicate).
+    */
+  private[sinks] def requirePartitionValues(parts: Array[Row]): Unit =
+    require(parts.forall(r => (0 until r.length).forall(i =>
+      !r.isNullAt(i) && String.valueOf(r.get(i)).nonEmpty)),
+      "null or empty-string partition values are not supported: both lose " +
+        "their identity through the partition-directory round trip " +
+        "(written as __HIVE_DEFAULT_PARTITION__, read back as NULL)")
+
+  def merge(spark: SparkSession, rootDir: String, incoming0: DataFrame,
       partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
-    requirePartitionable(incoming.schema, partCols)
+    requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
 
+    // One evaluation of the incoming plan: the merge runs a distinct
+    // collect AND the staged write (whose mergeFn may reference
+    // incoming twice) over it — an expensive or non-deterministic
+    // upstream must not run per action. (A caller that already
+    // checkpointed — freshOnly — pays one cheap extra copy.)
+    val incoming = incoming0.localCheckpoint(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     if (parts.isEmpty) return
-    require(parts.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
-      "null partition values are not supported")
+    requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
     val cur = store.current()
     val curVersion = cur.map(_._1).getOrElse(0L)
     val curEntries = cur.map(_._2).getOrElse(Map.empty[String, String])
 
-    // Manifest-level prune: only the touched partitions' data dirs
+    // Manifest-level prune from the SAME snapshot resolution that the
+    // commit below fences on: only the touched partitions' data dirs
     // become scan inputs; untouched partitions are not even listed.
-    val pruned = store.readPartitions(incoming.schema, touched)
+    val pruned = store.readEntries(curEntries, incoming.schema, touched)
     val merged = mergeFn(pruned, incoming)
 
     // Stage the replacement partitions into a fresh immutable batch

@@ -16,6 +16,29 @@ import org.apache.spark.sql.types.StructType
 final class SnapshotConcurrentWriteException(msg: String)
   extends java.io.IOException(msg)
 
+object SnapshotStore {
+  /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
+    * under `root` — the parents of its DATA files; dirs holding only
+    * hidden/marker files (`_SUCCESS`, `.crc`) are not partitions.
+    * Shared by the snapshot layer and [[PartitionedMerge]]'s crash
+    * recovery.
+    */
+  def listPartitionDirs(fs: FileSystem, root: Path): Set[String] = {
+    val base = root.toUri.getPath
+    val out = scala.collection.mutable.Set[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        if (rel.nonEmpty) out += rel
+      }
+    }
+    out.toSet
+  }
+}
+
 /** Versioned-snapshot table layout with an atomic pointer commit —
   * cross-partition all-or-nothing for partitioned merges.
   *
@@ -85,6 +108,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     */
   private def parseVersion(name: String): Long =
     name.stripPrefix("v-").split('-').head.toLong
+
+  /** Version prefix of a `b-<version>-<uuid>` batch dir name; None
+    * when the name doesn't carry one.
+    */
+  private def batchVersion(name: String): Option[Long] =
+    scala.util.Try(name.stripPrefix("b-").split('-').head.toLong).toOption
 
   def dataPath(batch: String): Path = new Path(dataDir, batch)
 
@@ -197,8 +226,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     * lists their directories — the snapshot twin of
     * [[PartitionedMerge]]'s IN-list directory pruning.
     */
-  def readPartitions(schema: StructType, suffixes: Set[String]): DataFrame = {
-    val selected = current().map(_._2).getOrElse(Map.empty)
+  def readPartitions(schema: StructType, suffixes: Set[String]): DataFrame =
+    readEntries(current().map(_._2).getOrElse(Map.empty), schema, suffixes)
+
+  /** [[readPartitions]] against an already-resolved manifest — for
+    * callers (the merge path) that must build their read and their
+    * commit fence from ONE snapshot resolution instead of racing two
+    * pointer reads.
+    */
+  def readEntries(entries: Map[String, String], schema: StructType,
+      suffixes: Set[String]): DataFrame = {
+    val selected = entries
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
     if (selected.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -289,52 +327,53 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `batchPath` (the parents of its data files).
     */
-  def listPartitionDirs(batchPath: Path): Set[String] = {
-    val base = batchPath.toUri.getPath
-    val out = scala.collection.mutable.Set[String]()
-    val it = fs.listFiles(batchPath, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
-        if (rel.nonEmpty) out += rel
-      }
-    }
-    out.toSet
-  }
+  def listPartitionDirs(batchPath: Path): Set[String] =
+    SnapshotStore.listPartitionDirs(fs, batchPath)
 
-  /** Delete orphans: batch dirs and manifests not reachable from the
-    * `retain` most recent committed versions (default: current +
-    * previous, a grace window for readers that resolved the pointer
-    * just before a commit), plus crashed `.tmp-*` leftovers. Only
-    * unreferenced state is touched, so vacuum is crash-safe and
-    * idempotent.
+  /** Delete orphans: batch dirs and manifests STRICTLY BELOW the
+    * `retain`-version window that nothing retained references, plus
+    * crashed `.tmp-*` leftovers.
+    *
+    * Anything at or above the window floor survives even when
+    * unreferenced — a fenced concurrent writer retries by staging a
+    * batch (and manifest) for versions ABOVE the current one, and the
+    * winner's trailing vacuum must not delete that in-flight state out
+    * from under it (the retry would fence-fail before publishing a
+    * damaged snapshot, but its staged work would be destroyed and the
+    * window between vacuum's pointer read and its sweep could even
+    * collect a manifest a racer just committed). Versioned names make
+    * the safety check one prefix parse: a future-versioned orphan from
+    * a CRASHED writer is collected later, as soon as the committed
+    * version passes it by `retain`. Only state below the window is
+    * touched, so vacuum stays crash-safe and idempotent.
     */
   def vacuum(retain: Int = 2): Unit = {
     val cur = currentVersion().getOrElse(return)
-    val keepVersions = (math.max(0L, cur - retain + 1) to cur).toSet
+    val keepMin = math.max(0L, cur - retain + 1)
     val manifestNames: Seq[String] =
       if (fs.exists(manifestsDir))
         fs.listStatus(manifestsDir).toSeq.map(_.getPath.getName)
       else Nil
-    // Batches referenced by any manifest in the retention window stay.
-    // A fenced/crashed writer's orphan manifest may share a version in
-    // the window — its batches are retained too (harmless, one extra
-    // vacuum cycle) but a torn orphan must not abort the sweep
-    // (Try); the CURRENT manifest itself is read strictly.
+    // Batches referenced by any RETAINED manifest stay. A fenced or
+    // crashed writer's orphan manifest in/above the window keeps its
+    // batches one extra cycle (harmless); a torn orphan must not
+    // abort the sweep (Try); the CURRENT manifest is read strictly.
     val liveBatches = manifestNames
-      .filter(n => n.startsWith("v-") && keepVersions.contains(parseVersion(n)))
+      .filter(n => n.startsWith("v-") && parseVersion(n) >= keepMin)
       .flatMap(n => scala.util.Try(readManifestFile(n).values.toSet)
         .getOrElse(Set.empty[String])).toSet ++
       current().map(_._2.values.toSet).getOrElse(Set.empty)
     manifestNames.foreach { n =>
       val doomed = n.startsWith(".tmp-") ||
-        (n.startsWith("v-") && !keepVersions.contains(parseVersion(n)))
+        (n.startsWith("v-") && parseVersion(n) < keepMin)
       if (doomed) fs.delete(new Path(manifestsDir, n), true)
     }
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!liveBatches.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      val n = st.getPath.getName
+      // b-<version>-… below the window and unreferenced → orphan; a
+      // name that doesn't parse is treated as below-window (legacy)
+      val below = batchVersion(n).forall(_ < keepMin)
+      if (below && !liveBatches.contains(n)) fs.delete(st.getPath, true)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       if (st.getPath.getName.startsWith(".CURRENT.tmp-")) fs.delete(st.getPath, false)

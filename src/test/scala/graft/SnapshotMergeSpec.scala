@@ -97,21 +97,64 @@ class SnapshotMergeSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
-  test("vacuum keeps the retention window and collects orphans") {
+  test("vacuum keeps the retention window, collects below-window orphans, spares in-flight work") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
-    // orphan batch + orphan manifest tmp (a crashed writer's leftovers)
-    val orphan = store.dataPath("b-000000000099-orphan")
-    store.fs.mkdirs(orphan)
+    // below-window orphan (a long-dead writer's leftover) vs a
+    // FUTURE-version batch — the staging dir of a fenced writer that
+    // is retrying right now; the winner's vacuum must never delete it
+    // out from under the retry (it only becomes collectable once the
+    // committed version passes it by the retention window)
+    val deadOrphan = store.dataPath("b-000000000001-orphan")
+    val inflight = store.dataPath("b-000000000099-inflight")
+    store.fs.mkdirs(deadOrphan)
+    store.fs.mkdirs(inflight)
     SnapshotMerge.upsertUpdate(spark, dir, incomingRows, Seq("id"), Seq("pk"))
     SnapshotMerge.upsertUpdate(spark, dir,
       Seq((0L, "U0b", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
-    assert(!store.fs.exists(orphan), "orphan batch must be collected")
+    assert(!store.fs.exists(deadOrphan), "below-window orphan must be collected")
+    assert(store.fs.exists(inflight), "future-version (possibly in-flight) batch must survive")
     val versions = store.fs.listStatus(new Path(dir, "manifests"))
       .map(_.getPath.getName.stripPrefix("v-").split('-').head.toLong).toSet
     assert(versions == Set(2L, 3L),
       s"retention window is current + previous, got versions $versions")
     assert(readVals(dir)(0L) == "U0b")
+  }
+
+  test("partitioned merge keeps exact string partition values (no inference loss)") {
+    // the declared-schema read contract: "00123" must NOT infer to
+    // int 123 on the second merge — that would re-key the committed
+    // rows outside the touched set and silently drop them in the swap
+    val dir = tmp("pstr")
+    val t0 = Seq((1L, "a", "00123"), (2L, "b", "7x")).toDF("id", "v", "part")
+    t0.write.partitionBy("part").parquet(dir)
+    PartitionedMerge.upsertUpdate(spark, dir,
+      Seq((1L, "a2", "00123")).toDF("id", "v", "part"), Seq("id"), Seq("part"))
+    val got = spark.read.schema(t0.schema).parquet(dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == Map(1L -> ("a2", "00123"), 2L -> ("b", "7x")))
+  }
+
+  test("null and empty-string partition values are rejected up front") {
+    val dir = tmp("sval")
+    val empty = Seq((1L, "a", "")).toDF("id", "v", "pk")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, dir, empty, Seq("id"), Seq("pk"))
+    }
+    assert(e1.getMessage.contains("empty-string"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotMerge.freshOnly(spark, dir, empty, Seq("id"), Seq("pk"))
+    }
+    assert(e2.getMessage.contains("empty-string"))
+  }
+
+  test("upserts collapse keys duplicated within incoming (target key uniqueness holds)") {
+    val dup = Seq((50L, "X1", 0L), (50L, "X2", 0L)).toDF("id", "v", "pk")
+    val ig = Merge.upsertIgnore(targetRows, dup, Seq("id"))
+    assert(ig.where($"id" === 50L).count() == 1)
+    val up = Merge.upsertUpdate(targetRows, dup, Seq("id"))
+    assert(up.where($"id" === 50L).count() == 1)
+    assert(up.count() == targetRows.count() + 1)
   }
 
   test("a retry after crashing between manifest write and pointer swap succeeds") {
