@@ -71,13 +71,24 @@ object Vcut {
     archives.where(col("last_song_occurrence_scan").isNull &&
       col("transcript_object_key").isNotNull)
 
-  /** Advance scanned recordings' state (K3, `db/recording.py:287-300`). */
+  /** Advance scanned recordings' state (K3, `db/recording.py:287-300`).
+    *
+    * `scannedBvids` is deduplicated here — callers naturally build it
+    * from occurrence-scan output with many rows per recording, and
+    * joinUpdate's one-row-per-key precondition would otherwise
+    * multiply archive rows. `scanTime` parses driver-side
+    * (`yyyy-mm-dd hh:mm:ss[.f]`) so a malformed value fails fast
+    * instead of casting to NULL and silently leaving the recordings
+    * rescannable forever.
+    */
   def markScanned(archives: DataFrame, scannedBvids: DataFrame,
-      scanTime: String): DataFrame =
+      scanTime: String): DataFrame = {
+    val ts = java.sql.Timestamp.valueOf(scanTime)
     Merge.joinUpdate(archives,
-      scannedBvids.select(col("bvid"),
-        lit(scanTime).cast("timestamp").as("last_song_occurrence_scan")),
+      scannedBvids.select(col("bvid")).dropDuplicates("bvid")
+        .withColumn("last_song_occurrence_scan", lit(ts)),
       "bvid", Seq("last_song_occurrence_scan"))
+  }
 
   // ---- anchors (A1/A2; db/song.py:19-26, db/recording.py:85-93) ---------
 
@@ -422,6 +433,19 @@ object Vcut {
     * reference's CONVERGED end state directly, without the
     * intermediate re-fetch cycles.
     *
+    * The exactly-once trade-off cuts one case the other way: a song
+    * registered in the catalog AFTER its video was already consumed is
+    * never matched by the stream (the offset advanced past the
+    * upload), where the reference's non-advancing anchor would
+    * re-list and match it on a later cron. Reconcile late catalog
+    * additions by running the BATCH entry point once after registering
+    * songs — its anchors derive from vtuber_song pubdates, so it
+    * re-examines exactly the uploads past each vtuber's last match.
+    * The (title, profile) index is built ONCE at start — the stream
+    * only ever updates bvid/pubdate, never ids or titles, so the index
+    * is invariant across batches; restart the query to pick up catalog
+    * changes (and then reconcile as above).
+    *
     * `profiles` and `songs` are catalog-sized dimension inputs (the
     * reference loads both fully per run too, `modal/video.py:37-47`).
     */
@@ -434,8 +458,17 @@ object Vcut {
       fetcherClass: String,
       pageSize: Int = 30,
       buckets: Int = 16): Unit = {
-    import graft.sinks.{SnapshotMerge, SnapshotStore}
+    import graft.sinks.{Merge, SnapshotMerge, SnapshotStore}
     val mids = profiles.select(col("mid")).collect().map(_.getLong(0))
+    // by_title, built once (invariant across batches — see scaladoc)
+    // and pinned so no batch re-reads the table or re-aggregates it
+    val store = new SnapshotStore(
+      spark, new org.apache.hadoop.fs.Path(vtuberSongTableDir))
+    val index = store.read(vtuberSongTableSchema).as("vs")
+      .join(songs.as("s"), col("vs.song_id") === col("s.id"))
+      .groupBy(col("s.title").as("song_title"), col("vs.vtuber_profile_id"))
+      .agg(max(col("vs.id")).as("vtuber_song_id"))
+      .localCheckpoint(true)
     val q = spark.readStream.format("paged-archives")
       .option("fetcher", fetcherClass)
       .option("pageSize", pageSize)
@@ -444,13 +477,6 @@ object Vcut {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val store = new SnapshotStore(
-          spark, new org.apache.hadoop.fs.Path(vtuberSongTableDir))
-        val vsTable = store.read(vtuberSongTableSchema)
-        val index = vsTable.as("vs")
-          .join(songs.as("s"), col("vs.song_id") === col("s.id"))
-          .groupBy(col("s.title").as("song_title"), col("vs.vtuber_profile_id"))
-          .agg(max(col("vs.id")).as("vtuber_song_id"))
         val updates = batch
           .withColumn("song_title", extractSongTitle(col("title")))
           .where(col("song_title").isNotNull)
@@ -462,21 +488,12 @@ object Vcut {
           .select(col("id"), col("u.bvid").as("bvid"),
             col("u.pubdate").as("pubdate"),
             pmod(col("id"), lit(buckets.toLong)).as("bucket"))
-          .localCheckpoint(true)
-        if (!updates.isEmpty) {
-          // K3 on the snapshot table: refresh only the matched rows of
-          // the touched buckets; upsert-update carries everything else
-          // forward by reference and commits atomically
-          val touched = updates.select(col("bucket")).distinct().collect()
-            .map(SnapshotMerge.partitionSuffix(Seq("bucket"), _)).toSet
-          val refreshed = store.readPartitions(vtuberSongTableSchema, touched)
-            .as("t")
-            .join(updates.as("u"), col("t.id") === col("u.id"))
-            .select(col("t.id"), col("t.song_id"), col("t.vtuber_profile_id"),
-              col("u.bvid"), col("u.pubdate"), col("t.bucket"))
-          SnapshotMerge.upsertUpdate(spark, vtuberSongTableDir, refreshed,
-            Seq("id"), Seq("bucket"))
-        }
+        // K3 through ONE pruned, fenced merge: only the touched
+        // buckets are read (from the same snapshot resolution the
+        // commit fences on), matched rows get the new bvid/pubdate,
+        // unmatched rows and untouched buckets carry forward
+        SnapshotMerge.merge(spark, vtuberSongTableDir, updates, Seq("bucket"))(
+          (target, u) => Merge.joinUpdate(target, u, "id", Seq("bvid", "pubdate")))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

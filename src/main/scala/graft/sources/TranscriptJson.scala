@@ -34,9 +34,15 @@ object TranscriptJson {
   val transcriptSchema: ArrayType =
     ArrayType(ArrayType(segmentSchema))
 
-  /** `pathGlob` → flat segments. bvid = file stem. */
-  def readSegments(spark: SparkSession, pathGlob: String): DataFrame = {
-    spark.read.option("wholetext", "true").text(pathGlob)
+  /** Whole-text `<bvid>.json` rows (a `value` column from
+    * `.option("wholetext").text(...)`) → flat segments. Shared by the
+    * batch reader below and the streaming reader
+    * ([[graft.streaming.OccurrenceStream.readSegmentsStream]]), so
+    * their batch/stream parity holds by construction instead of by
+    * keeping two copies in sync.
+    */
+  def flattenWholeText(raw: DataFrame): DataFrame =
+    raw
       .select(
         regexp_extract(input_file_name(), "([^/]+)\\.json$", 1).as("bvid"),
         from_json(col("value"), transcriptSchema).as("pages"))
@@ -44,7 +50,10 @@ object TranscriptJson {
       .select(col("bvid"), col("page"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
       .select(col("bvid"), col("page"), col("seg_idx"),
         col("seg.start").as("start"), col("seg.text").as("text"))
-  }
+
+  /** `pathGlob` → flat segments. bvid = file stem. */
+  def readSegments(spark: SparkSession, pathGlob: String): DataFrame =
+    flattenWholeText(spark.read.option("wholetext", "true").text(pathGlob))
 
   /** Inverse of [[readSegments]] (K5): reassemble the nested document
     * shape, e.g. before `df.write.json`. Ordering inside pages is

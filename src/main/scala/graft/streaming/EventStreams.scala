@@ -114,15 +114,26 @@ object EventStreams {
     * streaming merge that survives a 100 TB target and one that
     * rereads the world every trigger. Partition columns must be
     * key-determined (see PartitionedMerge's contract).
+    *
+    * `checkpointDir` carries the source offsets across runs — without
+    * it (null) Spark uses a session-temporary checkpoint, so a
+    * re-invocation reprocesses the WHOLE source history instead of
+    * just what arrived since the last drain. Always set it for the
+    * cron-style repeated-drain deployment (every repeated-drain spec
+    * and sibling entry point does).
     */
   def upsertStream(spark: SparkSession, incoming: DataFrame,
       targetDir: String, keys: Seq[String],
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      checkpointDir: String = null): Unit = {
     import graft.sinks.{AtomicDir, Merge, PartitionedMerge}
-    val q = incoming.writeStream
-      .outputMode(OutputMode.Append())
+    val w0 = incoming.writeStream.outputMode(OutputMode.Append())
+    val q = (if (checkpointDir != null)
+      w0.option("checkpointLocation", checkpointDir) else w0)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (partitionCols.nonEmpty) {
+        if (batch.isEmpty) {
+          // an empty micro-batch must not read+rewrite the target
+        } else if (partitionCols.nonEmpty) {
           PartitionedMerge.upsertUpdate(
             spark, targetDir, batch, keys, partitionCols)
         } else {

@@ -20,22 +20,13 @@ import graft.api.Vcut
 object OccurrenceStream {
 
   /** Stream of flat transcript segments from a drop-folder of
-    * `<bvid>.json` documents (the streaming twin of
-    * [[graft.sources.TranscriptJson.readSegments]]).
+    * `<bvid>.json` documents — the streaming twin of
+    * [[graft.sources.TranscriptJson.readSegments]], sharing its
+    * flatten so the twins cannot drift.
     */
-  def readSegmentsStream(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.TranscriptJson.transcriptSchema
-    spark.readStream
-      .option("wholetext", "true")
-      .text(dir)
-      .select(
-        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1).as("bvid"),
-        from_json(col("value"), transcriptSchema).as("pages"))
-      .select(col("bvid"), posexplode(col("pages")).as(Seq("page", "segs")))
-      .select(col("bvid"), col("page"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
-      .select(col("bvid"), col("page"), col("seg_idx"),
-        col("seg.start").as("start"), col("seg.text").as("text"))
-  }
+  def readSegmentsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TranscriptJson.flattenWholeText(
+      spark.readStream.option("wholetext", "true").text(dir))
 
   /** Run the incremental occurrence sync over a transcript drop-folder
     * until all currently-available files are processed. The target
@@ -70,12 +61,19 @@ object OccurrenceStream {
           // Crash-safe swap (graft.sinks.AtomicDir): recover any
           // half-finished swap from a previous crashed run, merge, then
           // publish via rename-aside — a checkpoint-driven retry always
-          // finds a readable target.
+          // finds a readable target, and a FIRST batch with no target
+          // yet starts from an empty frame instead of failing on the
+          // missing path.
           import graft.sinks.AtomicDir
+          import org.apache.spark.sql.types._
+          val occSchema = StructType(Seq(
+            StructField("song_id", LongType), StructField("vtuber_song_id", LongType),
+            StructField("live_recording_archive_id", LongType),
+            StructField("start", LongType), StructField("page", IntegerType)))
           val dst = new org.apache.hadoop.fs.Path(targetDir)
           val fs = AtomicDir.fileSystem(spark, dst)
           AtomicDir.recover(fs, dst)
-          val existing = spark.read.parquet(targetDir)
+          val existing = AtomicDir.readOrEmpty(spark, targetDir, occSchema)
           val merged = Vcut.syncOccurrences(
             existing, songs, vtuberSongs, archives, batch, threshold)
             .select(existing.columns.map(col): _*)

@@ -41,11 +41,8 @@ class OccurrenceStreamSpec extends SparkFunSuite {
     val target = root.resolve("occurrences").toString
     val ckpt = root.resolve("ckpt").toString
 
-    // empty target table
-    Seq.empty[(Long, Long, Long, Long, Int)]
-      .toDF("song_id", "vtuber_song_id", "live_recording_archive_id",
-        "start", "page")
-      .write.parquet(target)
+    // no pre-seeded target: the first batch must start from an empty
+    // frame, not fail on the missing path
 
     // batch 1: one transcript
     Files.writeString(drop.resolve("BVa.json"), doc)
