@@ -137,18 +137,18 @@ object TextAnalysis extends QueryModule {
     // 5-word shingles that collide with any shingle of the "benchmark"
     // docs (fixed ids < 8, standing in for an eval set) — the n-gram
     // overlap check run before training on scraped text. Relational
-    // shape: distinct (doc, gram) pairs equi-join the broadcast
-    // benchmark gram set; no pairwise doc comparison ever forms, so
-    // cost is linear in corpus grams at any scale.
+    // shape: per-doc-distinct grams (array_distinct inside the row —
+    // no global dedup shuffle; "distinct per doc" needs no cross-row
+    // work) equi-join the broadcast benchmark gram set; no pairwise
+    // doc comparison ever forms, so cost is linear in corpus grams at
+    // any scale. Shingling runs in the codegen'd
+    // [[graft.functions.WordShingles]] kernel (one tokenize pass;
+    // texts shorter than 5 words contribute their whole text as one
+    // shingle, the kernel's contract — oracle matches).
     "text_decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toks = split(col("text"), " ")
       val grams = docs.select(col("doc_id"),
-        explode(when(size(toks) >= 5,
-          transform(sequence(lit(1), size(toks) - 4),
-            i => array_join(slice(toks, i, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
-        .distinct()
+        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
       val benchGrams = grams.where(col("doc_id") < 8)
         .select(col("g")).distinct()
       val counts = grams.where(col("doc_id") >= 8)
@@ -225,7 +225,7 @@ object TextAnalysis extends QueryModule {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(toks[i:i+4], ' ')
-                         for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS g
+                         for i in range(1, greatest(len(toks) - 3, 2))]) AS g
                FROM t),
          b AS (SELECT DISTINCT g FROM g WHERE doc_id < 8),
          c AS (SELECT g.doc_id, COUNT(*) AS n_coll
