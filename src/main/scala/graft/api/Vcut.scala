@@ -272,11 +272,13 @@ object Vcut {
         // partitions — bvid determines mid, so a known bvid can live
         // nowhere else; a micro-batch touching 3 creators must not
         // re-read a million-creator table.
-        val fresh = graft.sinks.SnapshotMerge.freshOnly(spark,
-          archiveTableDir, parseListing(batch), Seq("bvid"), Seq("mid"))
-        if (!fresh.isEmpty)
-          graft.sinks.SnapshotMerge.upsertIgnore(
-            spark, archiveTableDir, fresh, Seq("bvid"), Seq("mid"))
+        if (!batch.isEmpty) {
+          val fresh = graft.sinks.SnapshotMerge.freshOnly(spark,
+            archiveTableDir, parseListing(batch), Seq("bvid"), Seq("mid"))
+          if (!fresh.isEmpty)
+            graft.sinks.SnapshotMerge.upsertIgnore(
+              spark, archiveTableDir, fresh, Seq("bvid"), Seq("mid"))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -477,23 +479,25 @@ object Vcut {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val updates = batch
-          .withColumn("song_title", extractSongTitle(col("title")))
-          .where(col("song_title").isNotNull)
-          .join(broadcast(profiles.select(col("id").as("vtuber_profile_id"),
-            col("mid"))), "mid")
-          .join(broadcast(index), Seq("song_title", "vtuber_profile_id"))
-          .groupBy(col("vtuber_song_id").as("id"))
-          .agg(max(struct(col("pubdate"), col("bvid"))).as("u"))
-          .select(col("id"), col("u.bvid").as("bvid"),
-            col("u.pubdate").as("pubdate"),
-            pmod(col("id"), lit(buckets.toLong)).as("bucket"))
-        // K3 through ONE pruned, fenced merge: only the touched
-        // buckets are read (from the same snapshot resolution the
-        // commit fences on), matched rows get the new bvid/pubdate,
-        // unmatched rows and untouched buckets carry forward
-        SnapshotMerge.merge(spark, vtuberSongTableDir, updates, Seq("bucket"))(
-          (target, u) => Merge.joinUpdate(target, u, "id", Seq("bvid", "pubdate")))
+        if (!batch.isEmpty) {
+          val updates = batch
+            .withColumn("song_title", extractSongTitle(col("title")))
+            .where(col("song_title").isNotNull)
+            .join(broadcast(profiles.select(col("id").as("vtuber_profile_id"),
+              col("mid"))), "mid")
+            .join(broadcast(index), Seq("song_title", "vtuber_profile_id"))
+            .groupBy(col("vtuber_song_id").as("id"))
+            .agg(max(struct(col("pubdate"), col("bvid"))).as("u"))
+            .select(col("id"), col("u.bvid").as("bvid"),
+              col("u.pubdate").as("pubdate"),
+              pmod(col("id"), lit(buckets.toLong)).as("bucket"))
+          // K3 through ONE pruned, fenced merge: only the touched
+          // buckets are read (from the same snapshot resolution the
+          // commit fences on), matched rows get the new bvid/pubdate,
+          // unmatched rows and untouched buckets carry forward
+          SnapshotMerge.merge(spark, vtuberSongTableDir, updates, Seq("bucket"))(
+            (target, u) => Merge.joinUpdate(target, u, "id", Seq("bvid", "pubdate")))
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
