@@ -11,14 +11,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materializes every output row end-to-end on the executors with no
   * driver transfer and no filesystem cost — the honest per-query
   * wall-clock.
+  *
+  * Steady-state mode: each query runs `SPARK_GRAFT_BENCH_REPS` times
+  * (default 3). `queries` carries the per-query MEDIAN — the
+  * steady-state cost a long-lived cluster pays — while `first`
+  * carries each query's cold run (codegen compile + first shuffle
+  * materialization). Reporting both makes a regression decidable from
+  * the artifact alone: a real plan regression moves the median; a
+  * noisy-box or codegen artifact moves only the first run. `value`
+  * stays the sum of medians so round-over-round totals compare
+  * steady state against steady state.
   */
 object Bench {
   private def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,16 +52,23 @@ object Bench {
       consume(SparkEntry.entry(spark))
       Tables.names.foreach(n => consume(Tables.load(spark, sfDir, n)))
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try consume(fn(spark, sfDir)) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, runs.head, median(runs))
+    }
+    val medians = timed.map { case (n, _, m) => n -> m }.toMap
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(timed.map { case (n, _, m) => n -> m })
+    val firsts = jmap(timed.map { case (n, f, _) => n -> f })
+    val total = medians.values.sum
+    val firstTotal = timed.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"first_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
     // stdout for the driver (clean: run/outputStrategy = StdoutOutput)
     // plus a file copy in case the launcher still wraps stdout.
     println(line)

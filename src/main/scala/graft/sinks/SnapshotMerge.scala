@@ -145,14 +145,16 @@ object SnapshotMerge {
     requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
-    val cur = store.current()
+    val cur = store.currentSized()
     val curVersion = cur.map(_._1).getOrElse(0L)
-    val curEntries = cur.map(_._2).getOrElse(Map.empty[String, String])
+    val curEntries = cur.map(_._2)
+      .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
 
     // Manifest-level prune from the SAME snapshot resolution that the
     // commit below fences on: only the touched partitions' data dirs
     // become scan inputs; untouched partitions are not even listed.
-    val pruned = store.readEntries(curEntries, incoming.schema, touched)
+    val pruned = store.readEntries(
+      curEntries.view.mapValues(_.batch).toMap, incoming.schema, touched)
     val merged = mergeFn(pruned, incoming)
 
     // Stage the replacement partitions into a fresh immutable batch
@@ -166,16 +168,20 @@ object SnapshotMerge {
 
     // The partitions the merge actually produced (a touched partition
     // the merge emptied simply has no dir => dropped from the
-    // manifest => atomically deleted).
-    val written = store.listPartitionDirs(batchPath)
-    require(written.subsetOf(touched),
-      s"merge produced unexpected partitions: ${(written -- touched).mkString(", ")}")
+    // manifest => atomically deleted). The same walk yields each
+    // partition's bytes, recorded into the manifest so compaction
+    // never re-stats what this merge already measured.
+    val written = SnapshotStore.partitionSizes(store.fs, batchPath)
+    require(written.keySet.subsetOf(touched),
+      s"merge produced unexpected partitions: ${(written.keySet -- touched).mkString(", ")}")
 
-    val entries = (curEntries -- touched) ++ written.map(_ -> batch)
+    val entries = (curEntries -- touched) ++ written.map { case (s, sz) =>
+      s -> SnapshotStore.SnapshotEntry(batch, sz)
+    }
     // fenced on the exact base this merge read: a concurrent commit
     // in the window above aborts with SnapshotConcurrentWriteException
     // instead of silently dropping that writer's merge
-    store.commit(newVersion, entries, cur.map(_._1))
+    store.commitSized(newVersion, entries, cur.map(_._1))
     store.vacuum()
   }
 }

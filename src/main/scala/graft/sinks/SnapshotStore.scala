@@ -17,25 +17,43 @@ final class SnapshotConcurrentWriteException(msg: String)
   extends java.io.IOException(msg)
 
 object SnapshotStore {
+  /** One live-partition manifest entry: the batch dir holding the
+    * partition's current data, and the partition's bytes on disk.
+    * `bytes < 0` means unknown — an entry carried forward from a v1
+    * manifest that never recorded sizes.
+    */
+  final case class SnapshotEntry(batch: String, bytes: Long)
+
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `root` — the parents of its DATA files; dirs holding only
     * hidden/marker files (`_SUCCESS`, `.crc`) are not partitions.
     * Shared by the snapshot layer and [[PartitionedMerge]]'s crash
     * recovery.
     */
-  def listPartitionDirs(fs: FileSystem, root: Path): Set[String] = {
+  def listPartitionDirs(fs: FileSystem, root: Path): Set[String] =
+    partitionSizes(fs, root).keySet
+
+  /** Data bytes per partition leaf dir under `root` — the SAME single
+    * recursive listing as [[listPartitionDirs]] (each listed file
+    * already carries its length), so callers that need sizes pay zero
+    * extra metadata calls over the plain dir walk.
+    */
+  def partitionSizes(fs: FileSystem, root: Path): Map[String, Long] = {
     val base = root.toUri.getPath
-    val out = scala.collection.mutable.Set[String]()
+    val out = scala.collection.mutable.Map[String, Long]()
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
         val rel = f.getPath.getParent.toUri.getPath.stripPrefix(base).stripPrefix("/")
-        if (rel.nonEmpty) out += rel
+        if (rel.nonEmpty) out.updateWith(rel) {
+          case Some(sz) => Some(sz + f.getLen)
+          case None => Some(f.getLen)
+        }
       }
     }
-    out.toSet
+    out.toMap
   }
 }
 
@@ -79,11 +97,19 @@ object SnapshotStore {
   * mutual exclusion the reference gets free from Postgres,
   * `db/occurrence.py:22-51`). Manifest files carry a per-writer
   * unique suffix and the pointer names the manifest FILE, so two
-  * racers can never clobber each other's manifest — the only
-  * remaining window is between the final version check and the
-  * pointer rename (a true CAS needs a conditional-put store; on HDFS
-  * the check-then-rename races only if both writers reach the swap
-  * within the same round trip). Readers may race the writer freely:
+  * racers can never clobber each other's manifest. The fence+swap
+  * itself runs under a create-exclusive `LOCK` file lease
+  * (`fs.create(p, overwrite=false)` — one atomic namenode op on
+  * HDFS/posix), so two writers can no longer reach the swap in the
+  * same round trip: the fence is re-checked INSIDE the lock, making
+  * check-then-rename effectively a CAS on any store with atomic
+  * exclusive create. A crashed holder cannot brick the table: a
+  * contender that finds the lock older than `lockStaleMs` takes it
+  * over, with an atomic rename as the arbiter so concurrent takeover
+  * attempts elect exactly one winner. (On S3-like stores without
+  * atomic exclusive create, the lease degrades to advisory and the
+  * fence remains the last line — a conditional-PUT pointer is the
+  * object-store answer.) Readers may race the writer freely:
   * [[vacuum]] retains the previous manifest and its
   * uniquely-referenced batches as a grace window; a production
   * deployment would widen retention to its longest reader.
@@ -93,12 +119,14 @@ object SnapshotStore {
   * single small pointer object PUT is atomic — the protocol holds one
   * indirection up.
   */
-final class SnapshotStore(val spark: SparkSession, val root: Path) {
+final class SnapshotStore(val spark: SparkSession, val root: Path,
+    lockWaitMs: Long = 30000L, lockStaleMs: Long = 600000L) {
 
   val fs: FileSystem = AtomicDir.fileSystem(spark, root)
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val dataDir = new Path(root, "data")
+  private val lockPath = new Path(root, "LOCK")
 
   private def versionName(v: Long): String = f"v-$v%012d"
 
@@ -133,22 +161,44 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
   def currentVersion(): Option[Long] = currentManifestName().map(parseVersion)
 
   /** Live partition map of the manifest file `name`: suffix -> batch
-    * dir name.
+    * dir name (sizes dropped).
     */
-  private def readManifestFile(name: String): Map[String, String] = {
+  private def readManifestFile(name: String): Map[String, String] =
+    readManifestSized(name).view.mapValues(_.batch).toMap
+
+  /** Live partition map with recorded sizes. Format v1
+    * (`graft-snapshot 1`, `suffix\tbatch`) reads with unknown bytes
+    * (-1); v2 (`graft-snapshot 2`) appends a bytes column so metadata
+    * consumers ([[compactIncremental]]'s ranking) never walk the
+    * filesystem for sizes the writer already knew.
+    */
+  private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
-    require(lines.headOption.contains("graft-snapshot 1"),
+    val header = lines.headOption.getOrElse("")
+    require(header == "graft-snapshot 1" || header == "graft-snapshot 2",
       s"unrecognized manifest header in $manifestsDir/$name")
     lines.drop(1).filter(_.nonEmpty).map { l =>
-      val Array(suffix, batch) = l.split('\t')
-      suffix -> batch
+      l.split('\t') match {
+        case Array(suffix, batch) =>
+          suffix -> SnapshotStore.SnapshotEntry(batch, -1L)
+        case Array(suffix, batch, bytes) =>
+          suffix -> SnapshotStore.SnapshotEntry(batch, bytes.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"malformed manifest line in $manifestsDir/$name: $l")
+      }
     }.toMap
   }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
   def current(): Option[(Long, Map[String, String])] =
-    currentManifestName().map(n => (parseVersion(n), readManifestFile(n)))
+    currentSized().map { case (v, m) =>
+      (v, m.view.mapValues(_.batch).toMap)
+    }
+
+  /** [[current]] with each entry's recorded byte size. */
+  def currentSized(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry])] =
+    currentManifestName().map(n => (parseVersion(n), readManifestSized(n)))
 
   /** [[commit]] with the expected base derived from `version` — for
     * callers constructing the next version directly from the current
@@ -171,6 +221,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     * unique name and is never referenced — vacuum collects it.
     */
   def commit(version: Long, entries: Map[String, String],
+      expectedBase: Option[Long]): Unit =
+    commitSized(version,
+      entries.view.mapValues(SnapshotStore.SnapshotEntry(_, -1L)).toMap,
+      expectedBase)
+
+  /** [[commit]] carrying per-partition byte sizes into the manifest
+    * (format v2) — the merge and compaction paths record the sizes
+    * they learned from their own post-write walk, so later compactions
+    * rank batches from the manifest alone.
+    */
+  def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
       expectedBase: Option[Long]): Unit = {
     def fence(): Unit = {
       val cur = currentVersion()
@@ -180,10 +241,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
             s"${expectedBase.fold("<empty>")(versionName)}, found " +
             s"${cur.fold("<empty>")(versionName)} — re-read and retry the merge")
     }
+    // Cheap pre-lock fence: a writer whose view is already stale
+    // aborts without ever contending for the lease.
     fence()
     fs.mkdirs(manifestsDir)
-    val body = ("graft-snapshot 1" +:
-      entries.toSeq.sortBy(_._1).map { case (s, b) => s"$s\t$b" }).mkString("\n")
+    val body = ("graft-snapshot 2" +:
+      entries.toSeq.sortBy(_._1).map { case (s, e) =>
+        s"$s\t${e.batch}\t${e.bytes}"
+      }).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
     // clobber the winner's committed manifest (a crashed or fenced
@@ -195,17 +260,89 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     val manifestFinal = new Path(manifestsDir, manifestName)
     if (!fs.rename(manifestTmp, manifestFinal))
       throw new java.io.IOException(s"rename $manifestTmp -> $manifestFinal failed")
-    // Last fence before the swap: narrows the lost-update window to
-    // the check-to-rename round trip (see class doc).
-    fence()
-    // The commit point: one atomic overwrite-rename of the pointer,
-    // whose body names the manifest FILE (legacy suffix-less bodies
-    // still resolve).
-    val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
-    writeFile(pointerTmp, manifestName)
-    val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
+    // fence + swap under the lease: with the lock held no other writer
+    // can move CURRENT between this check and the rename, so the pair
+    // acts as a CAS (see class doc for the takeover + degradation
+    // story).
+    val holder = java.util.UUID.randomUUID().toString
+    acquireLock(holder)
+    try {
+      fence()
+      // The commit point: one atomic overwrite-rename of the pointer,
+      // whose body names the manifest FILE (legacy suffix-less bodies
+      // still resolve).
+      val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
+      writeFile(pointerTmp, manifestName)
+      val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
+    } finally releaseLock(holder)
   }
+
+  /** Take the commit lease: atomic create-exclusive of `LOCK` with
+    * this writer's id as the body. Held lock -> bounded exponential
+    * backoff up to `lockWaitMs`, then [[SnapshotConcurrentWriteException]]
+    * (the caller's merge is cheap to retry; blocking forever on a
+    * wedged peer is not). Lock older than `lockStaleMs` -> crashed
+    * holder; takeover renames it to a unique tombstone first, so of N
+    * concurrent takeover attempts exactly one rename wins and the
+    * losers loop back to the create race.
+    */
+  /** One atomic exclusive create of the lock file. On HDFS
+    * `create(p, overwrite=false)` is a single namenode op; Hadoop's
+    * LOCAL filesystem implements it as exists-then-create, which is
+    * NOT atomic — there, go straight to the kernel's O_EXCL via
+    * java.nio so two same-box writers (and the hammer spec) can never
+    * both win.
+    */
+  private def createLockExclusive(holder: String): Unit =
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(lockPath.toUri.getPath),
+        holder.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } else {
+      val out = fs.create(lockPath, false)
+      try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+  private def acquireLock(holder: String): Unit = {
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var backoff = 2L
+    while (true) {
+      try {
+        createLockExclusive(holder)
+        return
+      } catch {
+        case _: java.io.IOException =>
+          val stale = scala.util.Try(fs.getFileStatus(lockPath)).toOption
+            .exists(s =>
+              System.currentTimeMillis() - s.getModificationTime > lockStaleMs)
+          if (stale) {
+            val tomb = new Path(root, s".LOCK.stale-${java.util.UUID.randomUUID()}")
+            if (scala.util.Try(fs.rename(lockPath, tomb)).getOrElse(false))
+              fs.delete(tomb, false)
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new SnapshotConcurrentWriteException(
+              s"commit lease on $root held by another writer past ${lockWaitMs}ms — " +
+                "re-read and retry the merge (stale locks are taken over after " +
+                s"${lockStaleMs}ms)")
+          } else {
+            Thread.sleep(backoff)
+            backoff = math.min(backoff * 2, 50L)
+          }
+      }
+    }
+  }
+
+  /** Drop the lease ONLY if this writer still holds it: a holder that
+    * stalled past `lockStaleMs` may have been taken over, and deleting
+    * unconditionally would release the usurper's lock under it.
+    */
+  private def releaseLock(holder: String): Unit =
+    if (scala.util.Try(readSmallFile(lockPath)).toOption.contains(holder))
+      fs.delete(lockPath, false)
 
   private def writeFile(p: Path, body: String): Unit = {
     val out = fs.create(p, true)
@@ -267,37 +404,44 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     * the same crash contract — the fold is invisible until the fenced
     * pointer swap, untouched batches carry forward by reference, and
     * the fold's pruned read never lists a kept batch's directories.
-    * The sizing walk is one FS metadata call per live partition, and
-    * only when the batch count is already over the bound. No-op when
-    * already within bounds.
+    * Sizes come from the manifest (v2 records what each merge's own
+    * post-write walk measured) — ZERO per-partition FS metadata calls
+    * in the steady state; only entries inherited from a pre-size v1
+    * manifest fall back to one `getContentSummary` each, and the fold
+    * they then join re-records them, so the fallback pays out once per
+    * legacy partition ever. No-op when already within bounds.
     */
   def compactIncremental(schema: StructType, partCols: Seq[String],
       maxBatches: Int): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val (version, entries) = current().getOrElse(return)
-    if (entries.values.toSet.size <= maxBatches) return
-    // live bytes per batch: sum the batch's LIVE partition dirs, not
+    val (version, entries) = currentSized().getOrElse(return)
+    if (entries.values.map(_.batch).toSet.size <= maxBatches) return
+    // live bytes per batch: sum the batch's LIVE partition entries, not
     // the whole dir — a batch can also hold stale copies of partitions
     // later merges superseded, which must not inflate its rank
-    val bySize: Map[String, Long] = entries.toSeq.groupBy(_._2)
-      .view.mapValues(_.map { case (s, b) =>
-        fs.getContentSummary(new Path(dataPath(b), s)).getLength
-      }.sum).toMap
+    def entryBytes(suffix: String, e: SnapshotStore.SnapshotEntry): Long =
+      if (e.bytes >= 0L) e.bytes
+      else fs.getContentSummary(new Path(dataPath(e.batch), suffix)).getLength
+    val bySize: Map[String, Long] = entries.toSeq.groupBy(_._2.batch)
+      .view.mapValues(_.map { case (s, e) => entryBytes(s, e) }.sum).toMap
     val keep = bySize.toSeq.sortBy { case (b, sz) => (-sz, b) }
       .take(maxBatches - 1).map(_._1).toSet
     val foldParts = entries.collect {
-      case (suffix, b) if !keep.contains(b) => suffix
+      case (suffix, e) if !keep.contains(e.batch) => suffix
     }.toSet
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     readPartitions(schema, foldParts)
       .repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
-    val written = listPartitionDirs(dataPath(batch))
-    require(written == foldParts,
-      s"incremental compaction must preserve the partition set; lost ${foldParts -- written}")
-    commit(version + 1, entries ++ written.map(_ -> batch), Some(version))
+    val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
+    require(written.keySet == foldParts,
+      s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
+    commitSized(version + 1,
+      entries ++ written.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(batch, sz)
+      }, Some(version))
     vacuum()
   }
 
@@ -317,10 +461,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
     read(schema).repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
-    val written = listPartitionDirs(dataPath(batch))
-    require(written == entries.keySet,
-      s"compaction must preserve the partition set; lost ${entries.keySet -- written}")
-    commit(version + 1, written.map(_ -> batch).toMap, Some(version))
+    val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
+    require(written.keySet == entries.keySet,
+      s"compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    commitSized(version + 1,
+      written.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(batch, sz)
+      }, Some(version))
     vacuum()
   }
 
@@ -376,7 +523,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path) {
       if (below && !liveBatches.contains(n)) fs.delete(st.getPath, true)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName.startsWith(".CURRENT.tmp-")) fs.delete(st.getPath, false)
+      val n = st.getPath.getName
+      // .LOCK.stale-* = a lock takeover that crashed between its
+      // arbiter rename and the tombstone delete — plain garbage.
+      if (n.startsWith(".CURRENT.tmp-") || n.startsWith(".LOCK.stale-"))
+        fs.delete(st.getPath, false)
     }
   }
 }

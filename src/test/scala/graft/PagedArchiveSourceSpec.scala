@@ -1,7 +1,6 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.functions._
 import graft.sources.v2.{ArchiveRecord, PageFetcher, PagedArchiveSource}
@@ -9,29 +8,25 @@ import graft.sources.v2.{ArchiveRecord, PageFetcher, PagedArchiveSource}
 /** Synthetic page server for the S4 source. Three creators, each with
   * 70 records at pubdates 1000..70000 step 1000, served newest-first
   * in pages of `pageSize` — the shape of the reference's paginated
-  * listing (`bilibili/video.py:83-97`). Every `fetch` bumps a global
-  * counter so specs can assert how many pages were actually pulled.
+  * listing (`bilibili/video.py:83-97`). Every `fetch` records its
+  * (key, page) so specs can assert which pages were actually pulled.
   */
 class SyntheticFetcher extends PageFetcher {
   import SyntheticFetcher._
   override def keys(): Seq[Long] = Seq(101L, 102L, 103L)
   override def fetch(key: Long, pn: Int, pageSize: Int): Seq[ArchiveRecord] = {
-    fetches.incrementAndGet()
-    perKeyFetches.merge(key, 1, _ + _)
     pages.put((key, pn), true)
     all(key).slice((pn - 1) * pageSize, pn * pageSize)
   }
 }
 
 object SyntheticFetcher {
-  val fetches = new AtomicInteger(0)
-  val perKeyFetches = new ConcurrentHashMap[Long, Int]()
-  // The SET of (key, page) pairs ever fetched — unlike the raw
-  // counters this is stable under Spark task retries/speculation
+  // The SET of (key, page) pairs ever fetched — deliberately a set,
+  // not a counter: it is stable under Spark task retries/speculation
   // (a retry refetches the SAME pages), so the must-not-fetch
   // assertions below can be exact without flaking.
   val pages = new ConcurrentHashMap[(Long, Int), Boolean]()
-  def reset(): Unit = { fetches.set(0); perKeyFetches.clear(); pages.clear() }
+  def reset(): Unit = pages.clear()
   def pagesFetched: Set[(Long, Int)] = {
     import scala.jdk.CollectionConverters._
     pages.keySet.asScala.toSet

@@ -299,6 +299,53 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(store.currentVersion() == v)
   }
 
+  test("manifest v2 records the bytes each merge wrote") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val (_, entries) = store.currentSized().get
+    entries.foreach { case (suffix, e) =>
+      assert(e.bytes > 0L, s"$suffix must record a positive size")
+      val onDisk = store.fs.getContentSummary(
+        new Path(store.dataPath(e.batch), suffix)).getLength
+      assert(e.bytes == onDisk,
+        s"$suffix manifest bytes ${e.bytes} != on-disk $onDisk")
+    }
+  }
+
+  test("incremental compaction ranks batches from manifest bytes, not FS walks") {
+    val dir = seed() // seed batch: pk=0..4, by far the most real bytes
+    val store = new SnapshotStore(spark, new Path(dir))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((100L, "H0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((101L, "H1", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val (v, entries) = store.currentSized().get
+    val churn0 = entries("pk=0").batch
+    val seedBatch = entries("pk=2").batch
+    assert(Set(churn0, entries("pk=1").batch, seedBatch).size == 3)
+    // Lie in the manifest: claim the one-partition pk=0 churn batch is
+    // huge and everything else tiny. If compaction ranked from disk it
+    // would keep the seed batch (10 rows vs 1); ranking from the
+    // manifest it must keep the churn batch — which mechanically
+    // proves the steady-state path does zero per-partition FS
+    // metadata calls.
+    val lied = entries.map {
+      case (s, e) if e.batch == churn0 =>
+        s -> graft.sinks.SnapshotStore.SnapshotEntry(e.batch, 1000000000L)
+      case (s, e) => s -> graft.sinks.SnapshotStore.SnapshotEntry(e.batch, 1L)
+    }
+    store.commitSized(v + 1, lied, Some(v))
+    val before = readVals(dir)
+    store.compactIncremental(targetRows.schema, Seq("pk"), maxBatches = 2)
+    val after = store.currentSized().get._2
+    assert(after("pk=0").batch == churn0,
+      "the manifest-ranked biggest batch must be kept as-is")
+    assert(Set("pk=1", "pk=2", "pk=3", "pk=4").map(after(_).batch).size == 1 &&
+      after("pk=1").batch != seedBatch,
+      "the manifest-ranked small batches must fold into a fresh one")
+    assert(readVals(dir) == before, "folding must not change the data")
+  }
+
   test("merge with empty incoming is a no-op commit-wise") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
