@@ -435,18 +435,19 @@ object Vcut {
     * reference's CONVERGED end state directly, without the
     * intermediate re-fetch cycles.
     *
-    * The exactly-once trade-off cuts one case the other way: a song
-    * registered in the catalog AFTER its video was already consumed is
-    * never matched by the stream (the offset advanced past the
-    * upload), where the reference's non-advancing anchor would
-    * re-list and match it on a later cron. Reconcile late catalog
-    * additions by running the BATCH entry point once after registering
-    * songs — its anchors derive from vtuber_song pubdates, so it
-    * re-examines exactly the uploads past each vtuber's last match.
-    * The (title, profile) index is built ONCE at start — the stream
-    * only ever updates bvid/pubdate, never ids or titles, so the index
-    * is invariant across batches; restart the query to pick up catalog
-    * changes (and then reconcile as above).
+    * The (title, profile) index is re-resolved at the START OF EVERY
+    * MICRO-BATCH — it is one broadcast-sized aggregate over the
+    * catalog, so a song registered between drains (or between batches
+    * of one drain) matches its NEW uploads immediately, no restart or
+    * reconcile needed. The exactly-once trade-off leaves exactly one
+    * narrower case: a song registered AFTER its video was already
+    * consumed by an earlier batch is not re-matched (the offset
+    * advanced past the upload), where the reference's non-advancing
+    * anchor would re-list and match it on a later cron. Reconcile
+    * that case by running the BATCH entry point once after
+    * registering songs against old uploads — its anchors derive from
+    * vtuber_song pubdates, so it re-examines exactly the uploads past
+    * each vtuber's last match.
     *
     * `profiles` and `songs` are catalog-sized dimension inputs (the
     * reference loads both fully per run too, `modal/video.py:37-47`).
@@ -462,15 +463,15 @@ object Vcut {
       buckets: Int = 16): Unit = {
     import graft.sinks.{Merge, SnapshotMerge, SnapshotStore}
     val mids = profiles.select(col("mid")).collect().map(_.getLong(0))
-    // by_title, built once (invariant across batches — see scaladoc)
-    // and pinned so no batch re-reads the table or re-aggregates it
     val store = new SnapshotStore(
       spark, new org.apache.hadoop.fs.Path(vtuberSongTableDir))
-    val index = store.read(vtuberSongTableSchema).as("vs")
+    // by_title, re-resolved per micro-batch (see scaladoc): one
+    // catalog-sized agg — trivial next to the batch's merge — buys
+    // catalog additions matching without a restart
+    def index = store.read(vtuberSongTableSchema).as("vs")
       .join(songs.as("s"), col("vs.song_id") === col("s.id"))
       .groupBy(col("s.title").as("song_title"), col("vs.vtuber_profile_id"))
       .agg(max(col("vs.id")).as("vtuber_song_id"))
-      .localCheckpoint(true)
     val q = spark.readStream.format("paged-archives")
       .option("fetcher", fetcherClass)
       .option("pageSize", pageSize)
