@@ -21,6 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * noisy-box or codegen artifact moves only the first run. `value`
   * stays the sum of medians so round-over-round totals compare
   * steady state against steady state.
+  *
+  * METHODOLOGY BREAK: before `reps` existed (artifacts without the
+  * field, BENCH_r01..r08), `value` was the sum of single cold runs;
+  * from reps>=2 it is the sum of medians. A consumer comparing
+  * totals across that boundary sees a spurious ~35% "improvement"
+  * that is purely the cold-run codegen cost moving to `first_total`.
+  * Treat the first reps>=2 artifact as a new baseline.
+  *
+  * Output contract: the driver tails only the LAST 2000 BYTES of
+  * stdout, so the stdout line must stay under ~1900 bytes — it
+  * carries medians at millisecond precision and no `first` map.
+  * The full-precision line (plus per-query cold runs) goes to
+  * `bench_last.json` for humans and the judge.
   */
 object Bench {
   private def consume(df: DataFrame): Unit =
@@ -61,19 +74,21 @@ object Bench {
       (name, runs.head, median(runs))
     }
     val medians = timed.map { case (n, _, m) => n -> m }.toMap
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(timed.map { case (n, _, m) => n -> m })
-    val firsts = jmap(timed.map { case (n, f, _) => n -> f })
+    def jmap(m: Seq[(String, Double)], fmt: Double => String): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val full = (v: Double) => v.toString
+    val ms = (v: Double) => "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = medians.values.sum
     val firstTotal = timed.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firsts,"first_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
-    // stdout for the driver (clean: run/outputStrategy = StdoutOutput)
-    // plus a file copy in case the launcher still wraps stdout.
-    println(line)
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timed.map { case (n, _, m) => n -> m }, full)},"first":${jmap(timed.map { case (n, f, _) => n -> f }, full)},"first_total":$firstTotal,"reps":$reps,"sf":"$sfDir"}"""
+    // stdout line compacted to millisecond precision with no `first`
+    // map so it fits the driver's 2000-byte stdout tail whole.
+    val stdoutLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jmap(timed.map { case (n, _, m) => n -> m }, ms)},"first_total":${ms(firstTotal)},"reps":$reps,"sf":"$sfDir"}"""
+    println(stdoutLine)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
     catch { case _: Throwable => }
     spark.stop()
   }

@@ -127,22 +127,24 @@ object Similarity extends QueryModule {
   }
 
   /** Spherical k-means via `iters` Lloyd iterations, all distributed:
-    * assignment is [[assignToCentroid]]; the update explodes member
-    * vectors to (centroid, dim, value), takes the per-dimension mean
-    * in one hash aggregate, and reassembles the k mean vectors. A
-    * centroid that loses all members keeps its previous position
-    * (left join + coalesce) so the codebook never shrinks.
+    * assignment is [[assignToCentroid]]; the update sums member
+    * vectors with the native [[graft.functions.VectorSum]] partial
+    * aggregate (one running array per centroid per partition — the
+    * shuffle carries k partial vectors per partition, NOT n×dim
+    * exploded rows) and divides by the member count. A centroid that
+    * loses all members keeps its previous position (left join +
+    * coalesce) so the codebook never shrinks.
     */
   def ivfTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
     var cents = seedCodebook(e, k)
     for (_ <- 1 to iters) {
       val means = assignToCentroid(base, cents)
-        .select(col("c_id"), posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("new_vd"))
+        .agg(graft.functions.VectorSum.vec_sum(col("vd")).as("sum_vd"),
+          count(lit(1)).as("cnt"))
+        .select(col("c_id"),
+          transform(col("sum_vd"), x => x / col("cnt")).as("new_vd"))
       cents = cents.join(means, Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("new_vd"), col("c_vd")).as("c_vd"))

@@ -99,21 +99,23 @@ object TextAnalysis extends QueryModule {
     // document, plus the keep/drop gate. The gate compares INTEGERS
     // (top_c*5 <= n, (n-distinct)*2 <= n) so the filter decision is
     // exact in any engine; the reported fractions are single divisions
-    // of integer counts (IEEE-deterministic).
+    // of integer counts (IEEE-deterministic). Per-doc stats never
+    // cross row boundaries, so the whole query is a ZERO-SHUFFLE
+    // projection through the codegen'd
+    // [[graft.functions.TokenStats]] kernel (the explode + double
+    // groupBy shape it replaces shuffled every token of the corpus
+    // twice; TextAnalysisSpec pins bit-equality against it).
     "text_repetition" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
-          explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_tokens"))
-        .agg(count(lit(1)).as("distinct_tokens"), max(col("c")).as("top_c"))
-        .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
-          ((col("n_tokens") - col("distinct_tokens")).cast("double")
-            / col("n_tokens")).as("dup_frac"),
-          (col("top_c").cast("double") / col("n_tokens")).as("top_tok_frac"),
-          (col("top_c") * 5 <= col("n_tokens") &&
-            (col("n_tokens") - col("distinct_tokens")) * 2 <= col("n_tokens"))
+        .select(col("doc_id"),
+          graft.functions.TokenStats.token_stats(split(col("text"), " ")).as("ts"))
+        .select(col("doc_id"), col("ts.n_tokens").as("n_tokens"),
+          col("ts.distinct_tokens").as("distinct_tokens"),
+          ((col("ts.n_tokens") - col("ts.distinct_tokens")).cast("double")
+            / col("ts.n_tokens")).as("dup_frac"),
+          (col("ts.top_c").cast("double") / col("ts.n_tokens")).as("top_tok_frac"),
+          (col("ts.top_c") * 5 <= col("ts.n_tokens") &&
+            (col("ts.n_tokens") - col("ts.distinct_tokens")) * 2 <= col("ts.n_tokens"))
             .cast("int").as("keep"))
     }),
 

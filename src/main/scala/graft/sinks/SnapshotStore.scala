@@ -118,11 +118,25 @@ object SnapshotStore {
   * [[AtomicDir]]'s scaladoc: on S3, directory renames are copies but a
   * single small pointer object PUT is atomic — the protocol holds one
   * indirection up.
+  *
+  * FORMAT NOTE: every commit writes manifest header `graft-snapshot 2`
+  * (the sized format), which a pre-v2 build rejects. The upgrade is
+  * one-way: once any merge lands on a table under this build, rolling
+  * the BINARY back past v2 support cannot read the table (the data
+  * files themselves are untouched plain parquet).
   */
 final class SnapshotStore(val spark: SparkSession, val root: Path,
     lockWaitMs: Long = 30000L, lockStaleMs: Long = 600000L) {
 
   val fs: FileSystem = AtomicDir.fileSystem(spark, root)
+
+  /** Test seam: runs inside the lease, after the pointer tmp is staged
+    * and immediately before the ownership re-check + swap — lets specs
+    * interleave a lock takeover deterministically (a GC-length stall
+    * cannot be scripted otherwise). No-op in production.
+    */
+  private[graft] var beforeSwapHook: () => Unit = () => ()
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val dataDir = new Path(root, "data")
@@ -268,11 +282,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     acquireLock(holder)
     try {
       fence()
+      val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
+      writeFile(pointerTmp, manifestName)
+      beforeSwapHook()
+      // Ownership re-check immediately before the swap: a holder that
+      // stalled (GC/FS hiccup) past lockStaleMs inside this critical
+      // section may have been taken over, and executing the rename on
+      // resume would clobber the usurper's commit. Re-reading LOCK here
+      // shrinks that window from the whole critical section to the one
+      // metadata op between this read and the rename.
+      if (!scala.util.Try(readSmallFile(lockPath)).toOption.contains(holder))
+        throw new SnapshotConcurrentWriteException(
+          s"commit lease on $root lost before the pointer swap (holder stalled " +
+            s"past ${lockStaleMs}ms and was taken over) — re-read and retry the merge")
       // The commit point: one atomic overwrite-rename of the pointer,
       // whose body names the manifest FILE (legacy suffix-less bodies
       // still resolve).
-      val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
-      writeFile(pointerTmp, manifestName)
       val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
       fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
     } finally releaseLock(holder)
@@ -315,14 +340,38 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         createLockExclusive(holder)
         return
       } catch {
-        case _: java.io.IOException =>
-          val stale = scala.util.Try(fs.getFileStatus(lockPath)).toOption
-            .exists(s =>
-              System.currentTimeMillis() - s.getModificationTime > lockStaleMs)
+        case e: java.io.IOException =>
+          // Only a lock that actually exists is contention. A
+          // persistent non-contention failure (permission denied,
+          // missing root on some FS) must surface as itself, not spin
+          // out the wait and masquerade as a concurrent writer.
+          val contended = e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+            scala.util.Try(fs.exists(lockPath)).getOrElse(false)
+          if (!contended) throw e
+          // Takeover: read body AND mtime in one pass, so after the
+          // arbiter rename we can verify the tombstone is the SAME
+          // stale lock we observed — between the staleness check and
+          // the rename the old holder may release and a NEW writer
+          // acquire, and renaming away that fresh lock would let two
+          // writers into the critical section.
+          val observed = scala.util.Try(
+            (readSmallFile(lockPath), fs.getFileStatus(lockPath).getModificationTime)).toOption
+          val stale = observed.exists { case (_, mtime) =>
+            System.currentTimeMillis() - mtime > lockStaleMs
+          }
           if (stale) {
             val tomb = new Path(root, s".LOCK.stale-${java.util.UUID.randomUUID()}")
-            if (scala.util.Try(fs.rename(lockPath, tomb)).getOrElse(false))
-              fs.delete(tomb, false)
+            if (scala.util.Try(fs.rename(lockPath, tomb)).getOrElse(false)) {
+              val tombBody = scala.util.Try(readSmallFile(tomb)).toOption
+              if (tombBody == observed.map(_._1)) fs.delete(tomb, false)
+              else if (!scala.util.Try(fs.rename(tomb, lockPath)).getOrElse(false)) {
+                // Restore failed: yet another writer already re-created
+                // LOCK. The displaced holder's commit-point ownership
+                // re-check catches the loss; the tombstone is garbage.
+                fs.delete(tomb, false)
+              }
+            }
           } else if (System.currentTimeMillis() > deadline) {
             throw new SnapshotConcurrentWriteException(
               s"commit lease on $root held by another writer past ${lockWaitMs}ms — " +
@@ -419,15 +468,20 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     if (entries.values.map(_.batch).toSet.size <= maxBatches) return
     // live bytes per batch: sum the batch's LIVE partition entries, not
     // the whole dir — a batch can also hold stale copies of partitions
-    // later merges superseded, which must not inflate its rank
-    def entryBytes(suffix: String, e: SnapshotStore.SnapshotEntry): Long =
-      if (e.bytes >= 0L) e.bytes
-      else fs.getContentSummary(new Path(dataPath(e.batch), suffix)).getLength
-    val bySize: Map[String, Long] = entries.toSeq.groupBy(_._2.batch)
-      .view.mapValues(_.map { case (s, e) => entryBytes(s, e) }.sum).toMap
+    // later merges superseded, which must not inflate its rank. Sizes
+    // resolved for legacy v1 entries (bytes=-1) are RE-RECORDED in the
+    // committed manifest below, so each legacy partition's
+    // getContentSummary walk happens at most once ever — kept or folded.
+    val sized: Map[String, SnapshotStore.SnapshotEntry] = entries.map {
+      case (s, e) if e.bytes >= 0L => s -> e
+      case (s, e) => s -> SnapshotStore.SnapshotEntry(e.batch,
+        fs.getContentSummary(new Path(dataPath(e.batch), s)).getLength)
+    }
+    val bySize: Map[String, Long] = sized.toSeq.groupBy(_._2.batch)
+      .view.mapValues(_.map(_._2.bytes).sum).toMap
     val keep = bySize.toSeq.sortBy { case (b, sz) => (-sz, b) }
       .take(maxBatches - 1).map(_._1).toSet
-    val foldParts = entries.collect {
+    val foldParts = sized.collect {
       case (suffix, e) if !keep.contains(e.batch) => suffix
     }.toSet
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -439,7 +493,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(written.keySet == foldParts,
       s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
     commitSized(version + 1,
-      entries ++ written.map { case (s, sz) =>
+      sized ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
       }, Some(version))
     vacuum()

@@ -91,6 +91,34 @@ class SimilaritySpec extends SparkFunSuite {
     assert(trained.count() == 16, "training must not shrink a sparse-id codebook")
   }
 
+  test("vec_sum matches the posexplode formulation, skips nulls, throws on ragged dims") {
+    import spark.implicits._
+    import graft.functions.VectorSum.vec_sum
+    val df = Seq(
+      (0L, Some(Seq(1.0, 2.0, 3.0))),
+      (0L, Some(Seq(10.0, 20.0, 30.0))),
+      (0L, None), // SQL SUM semantics: null rows don't contribute
+      (1L, Some(Seq(0.5, -0.5, 0.0))),
+      (2L, None) // all-null group sums to NULL
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(vec_sum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(0L).get == Seq(11.0, 22.0, 33.0))
+    assert(got(1L).get == Seq(0.5, -0.5, 0.0))
+    assert(got(2L).isEmpty, "group with no non-null vectors must sum to NULL")
+    // same answer as the explode+per-dimension-sum reference shape
+    val ref = df.select($"g", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"g", $"pos").agg(sum($"x").as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    got(0L).get.zipWithIndex.foreach { case (x, i) => assert(x == ref((0L, i))) }
+    // ragged dimensions are a bug in the caller — loud failure, not truncation
+    val ragged = Seq((0L, Seq(1.0, 2.0)), (0L, Seq(1.0))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      ragged.groupBy($"g").agg(vec_sum($"v")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("cosine of identical vectors is 1") {
     import graft.operators.Similarity
     val e = Tables.load(spark, sfDir, "embeddings").limit(10)

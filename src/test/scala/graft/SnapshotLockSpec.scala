@@ -94,6 +94,35 @@ class SnapshotLockSpec extends SparkFunSuite {
     assert(!store.fs.exists(lock), "taken-over lock must be released after commit")
   }
 
+  test("a holder that lost its lease mid-commit aborts at the swap, never clobbers") {
+    val dir = tmp("slockusurp")
+    val store = seedStore(dir)
+    val lock = new Path(dir, "LOCK")
+    // Deterministic stand-in for a GC-length stall: between staging the
+    // pointer tmp and the swap, the lease changes hands (what a
+    // contender's age-takeover does to a wedged holder).
+    store.beforeSwapHook = () => {
+      store.fs.delete(lock, false)
+      val out = store.fs.create(lock, false)
+      out.write("usurper".getBytes("UTF-8")); out.close()
+    }
+    intercept[SnapshotConcurrentWriteException] {
+      store.commit(2L, Map("pk=seed" -> "b-000000000002-new"), Some(1L))
+    }
+    store.beforeSwapHook = () => ()
+    assert(store.currentVersion().contains(1L),
+      "a commit whose lease was taken over must not publish")
+    // and the loser's release must not delete the usurper's lock
+    assert(store.fs.exists(lock))
+    val body = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(lock.toUri.getPath)), "UTF-8")
+    assert(body == "usurper", "foreign lease must survive the loser's release")
+    store.fs.delete(lock, false)
+    // table is healthy: the same commit succeeds once the lease is free
+    store.commit(2L, Map("pk=seed" -> "b-000000000002-new"), Some(1L))
+    assert(store.currentVersion().contains(2L))
+  }
+
   test("a live foreign lock blocks only for the bounded wait, then aborts cleanly") {
     val dir = tmp("slockheld")
     val store = new SnapshotStore(spark, new Path(dir),

@@ -346,6 +346,28 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir) == before, "folding must not change the data")
   }
 
+  test("incremental compaction re-records legacy sizes for KEPT batches too") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((100L, "H0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((101L, "H1", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    // Downgrade the whole manifest to v1 semantics (bytes unknown), as
+    // a table inherited from a pre-size build would be.
+    val (v, entries) = store.currentSized().get
+    store.commit(v + 1, entries.view.mapValues(_.batch).toMap, Some(v))
+    assert(store.currentSized().get._2.values.forall(_.bytes < 0L))
+    val before = readVals(dir)
+    store.compactIncremental(targetRows.schema, Seq("pk"), maxBatches = 2)
+    val after = store.currentSized().get._2
+    // every entry — folded AND carried-forward — now records real bytes,
+    // so the one-time getContentSummary fallback never repeats
+    assert(after.values.forall(_.bytes > 0L),
+      s"kept legacy entries must be re-recorded with sizes: $after")
+    assert(readVals(dir) == before)
+  }
+
   test("merge with empty incoming is a no-op commit-wise") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
