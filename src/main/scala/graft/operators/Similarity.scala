@@ -286,6 +286,30 @@ object Similarity extends QueryModule {
         .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Int8 scalar quantization of the embedding column — the 4×
+    // compression pass run before shipping vectors to an ANN index or
+    // a feature store. Per-row min/max scale, q = floor((x-mn)/(mx-mn)
+    // *255 + 0.5); qsum is the exact integer checksum of the
+    // quantized vector (sums of ≤255·dim integers are exact in any
+    // order, so the oracle hash cannot drift). Pure zero-shuffle
+    // projection — embarrassingly parallel at any scale. A degenerate
+    // constant vector (mx = mn) quantizes to all zeros.
+    "vec_quantize_int8" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("vd"))
+        .select(col("vec_id"),
+          array_min(col("vd")).as("mn"), array_max(col("vd")).as("mx"),
+          col("vd"))
+        .select(col("vec_id"), col("mn"), col("mx"),
+          aggregate(
+            transform(col("vd"), x =>
+              when(col("mx") === col("mn"), lit(0.0))
+                .otherwise(floor((x - col("mn")) / (col("mx") - col("mn"))
+                  * 255 + 0.5))),
+            lit(0.0), (a, x) => a + x).cast("bigint").as("qsum"))
     })
   )
 
@@ -299,6 +323,15 @@ object Similarity extends QueryModule {
          FROM e)"""
 
   def oracle: Map[String, String] = Map(
+    "vec_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vd
+                    FROM embeddings),
+         m AS (SELECT vec_id, vd, list_min(vd) AS mn, list_max(vd) AS mx FROM v)
+         SELECT vec_id, mn, mx,
+           CAST(list_sum([CASE WHEN mx = mn THEN 0.0
+                ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END
+                for x in vd]) AS BIGINT) AS qsum
+         FROM m""",
     "ann_cosine_topk" -> (duckCosine +
       """
          SELECT q_id, vec_id, rk, round(c, 6) AS cos_r FROM (

@@ -135,6 +135,55 @@ object TextAnalysis extends QueryModule {
           (substring(col("h"), 1, 2) === "00").cast("int").as("in_1of256"))
     }),
 
+    // Sequence packing: assign documents to fixed-budget (512-token)
+    // context windows — the batching step between a cleaned corpus and
+    // an LLM trainer. Docs are packed in doc_id order by running token
+    // count, SHARDED so the ordered-window prefix sum never serializes
+    // the corpus through one partition: packing quality is shard-local
+    // (each shard under-fills at most its own last bin), so shards are
+    // embarrassingly parallel — at 100 TB raise the shard count to
+    // cores×k and each shard still packs independently. All integer
+    // arithmetic → bit-identical in any engine.
+    "text_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+          expr("(cum_tokens - n_tokens) div 512").as("bin"))
+    }),
+
+    // Source-balanced (temperature) sampling by language: keep rate
+    // per lang ∝ sqrt(share) — the standard T=2 multilingual rebalance
+    // (low-resource languages upsampled) with a DETERMINISTIC per-doc
+    // uniform draw (multiplicative hash of doc_id — same decision on
+    // any engine, any run, any partitioning; no rand()). sqrt is
+    // correctly rounded IEEE in both engines; the per-lang sqrt sum
+    // goes through DECIMAL so aggregation order can't drift the
+    // denominator. Two tiny aggregations + one broadcast join — the
+    // corpus itself streams through exactly once.
+    "text_temperature_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(sqrt(col("n").cast("double")).cast("decimal(18,9)"))
+          .cast("double").as("ssum"),
+        sum(col("n")).as("total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(1.0),
+            sqrt(col("n").cast("double")) / col("ssum")
+              * (col("total") / lit(2.0)) / col("n")).as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .select(col("doc_id"), col("lang"), col("rate"),
+          (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
+            / 1000000.0 < col("rate")).cast("int").as("keep"))
+    }),
+
     // Benchmark decontamination: count each corpus document's distinct
     // 5-word shingles that collide with any shingle of the "benchmark"
     // docs (fixed ids < 8, standing in for an eval set) — the n-gram
@@ -164,6 +213,29 @@ object TextAnalysis extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "text_pack" ->
+      """SELECT doc_id, shard, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 512 AS bin
+         FROM (
+           SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents))""",
+    "text_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         t AS (SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+                        AS DOUBLE) AS ssum,
+                      CAST(SUM(n) AS BIGINT) AS total FROM c),
+         r AS (SELECT c.lang,
+                 least(1.0, sqrt(CAST(c.n AS DOUBLE)) / t.ssum
+                   * (t.total / 2.0) / c.n) AS rate
+               FROM c, t)
+         SELECT d.doc_id, r.lang, r.rate,
+           CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
+             / 1000000.0 < r.rate AS INTEGER) AS keep
+         FROM documents d JOIN r ON d.lang = r.lang""",
     "text_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            CAST(list_sum([len(t) for t in string_split(text, ' ')]) AS DOUBLE)

@@ -53,6 +53,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(df(4L) == ((4, 1L, 4L)))
   }
 
+  test("text_pack: bins respect the 512-token budget; shards pack independently") {
+    val rows = SparkEntry.queries("text_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getInt(2))) // (shard, bin, n)
+    val perBin = rows.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3.toLong).sum)
+    perBin.foreach { case ((shard, bin), toks) =>
+      // a bin only exceeds the budget via the one straddling doc that
+      // closed it — so the bin minus its largest member fits
+      val members = rows.filter(t => t._1 == shard && t._2 == bin).map(_._3)
+      assert(toks - members.max <= 512,
+        s"bin ($shard,$bin) holds $toks tokens beyond one straddler")
+    }
+    val shards = rows.map(_._1).distinct
+    assert(shards.length == 8, s"expected 8 shards, got ${shards.length}")
+  }
+
+  test("temperature sampling upsamples low-resource languages") {
+    val rows = SparkEntry.queries("text_temperature_sample")(spark, sfDir)
+      .select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sf0.001 corpus is en-heavy; sqrt-temperature must give the rarest
+    // language a strictly higher keep rate than the dominant one
+    val (minLang, maxLang) = {
+      val counts = Tables.load(spark, sfDir, "documents")
+        .groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      (counts.minBy(_._2)._1, counts.maxBy(_._2)._1)
+    }
+    assert(rows(minLang) > rows(maxLang),
+      s"rare $minLang rate ${rows(minLang)} must exceed dominant $maxLang rate ${rows(maxLang)}")
+    rows.values.foreach(r => assert(r > 0.0 && r <= 1.0))
+  }
+
   test("text_repetition plan is a zero-shuffle projection") {
     val plan = SparkEntry.queries("text_repetition")(spark, sfDir)
       .queryExecution.executedPlan.toString
