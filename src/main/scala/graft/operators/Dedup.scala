@@ -177,8 +177,137 @@ object Dedup extends QueryModule {
     // the shape that survives a corpus 100× larger. The prefix is one
     // token longer than the tight bound (floor instead of ceil):
     // extra candidates are harmless, a too-short prefix is not.
-    "dedup_jaccard_prefix" -> ((s, dir) => jaccardPrefix(Tables.load(s, dir, "documents")))
+    "dedup_jaccard_prefix" -> ((s, dir) => jaccardPrefix(Tables.load(s, dir, "documents"))),
+
+    // The top of the dedup ladder: near-dup PAIRS → duplicate CLUSTERS
+    // → one canonical survivor per cluster. Edges are exact global
+    // Jaccard ≥ 0.8 (prefix-filtered, no false negatives), components
+    // by alternating large-star/small-star (O(log² n) rounds — see
+    // [[connectedComponents]]), survivor = component minimum. Without
+    // this step a near-dup A≈B, B≈C with A!≈C keeps A and C (pairwise
+    // dedup is not transitive); the oracle pins transitivity via a
+    // recursive CTE over the same edge set.
+    "dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cc = connectedComponents(jaccardPairsGlobal(docs, 0.8))
+      val labeled = docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      labeled
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster_id"))))
+        .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+    })
   )
+
+  /** EXACT global near-dup pairs at Jaccard ≥ `t` — prefix filtering
+    * with the AllPairs size band, no blocking keys. Same lossless
+    * candidate argument as [[jaccardPrefix]] (two sets with J ≥ t must
+    * share a token within each one's first |sh| − ⌈t·|sh|⌉ + 1 tokens
+    * under any global token order), plus the size filter J ≥ t ⇒
+    * t·|a| ≤ |b| ≤ |a|/t, which prunes candidates before the verify
+    * join and changes nothing about the result. Candidates are bounded
+    * by postings-list co-occurrence on pseudo-random (hashed) prefix
+    * tokens — the all-pairs-exact shape that survives 100 TB, where a
+    * blocked variant would either miss cross-block pairs or blow up
+    * inside hot blocks.
+    */
+  def jaccardPairsGlobal(docs: DataFrame, t: Double): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    val byId = d.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    val prefixes = d
+      .withColumn("h", array_sort(transform(col("sh"), x => xxhash64(x))))
+      .withColumn("sz", size(col("h")))
+      // one longer than the tight bound (floor instead of ceil):
+      // extra candidates are harmless, a too-short prefix is not
+      .withColumn("plen",
+        least(col("sz"), col("sz") - floor(col("sz") * t).cast("int") + 1))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * t <= col("b.sz") && col("b.sz") * t <= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(byId.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(byId.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
+      .where(col("jacc") >= t)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components over an undirected edge list, by alternating
+    * large-star / small-star contractions (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014). Converges in
+    * O(log² n) rounds; each round is two hash-aggregate shuffles keyed
+    * on node id, and the edge count never exceeds the input edge count
+    * — the published scale shape for clustering a 100 TB near-dup
+    * graph (label propagation would need diameter rounds; GraphX
+    * keeps peer RDD state this DataFrame loop avoids).
+    *
+    * `localCheckpoint` truncates lineage each round so the plan stays
+    * O(1) deep; the convergence probe is one count+checksum aggregate
+    * per round (a scalar action, never a data collect). Returns
+    * (doc_id, cluster_id = component minimum) for every node that
+    * appears in `pairs`; callers left-join and coalesce to give
+    * singletons their own id.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val viaNbr = dir.join(m, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val viaSelf = m.select(col("u"), col("m").as("v"))
+      viaNbr.union(viaSelf).where(col("u") =!= col("v")).distinct()
+    }
+    def stat(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent edge-set fingerprint that cannot
+      // overflow under ANSI mode (sum of 64-bit hashes would)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = pairs.select(col("doc_a").cast("long").as("u"),
+        col("doc_b").cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var last = stat(e)
+    var round = 0
+    var converged = last._1 == 0L
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val s = stat(next)
+      converged = s == last
+      last = s
+      e = next
+    }
+    // at convergence the graph is a union of stars: every non-root
+    // node carries exactly one edge to its component minimum
+    e.groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
+      .select(col("u").as("doc_id"), col("cluster_id"))
+  }
 
   /** Block keys + distinct shingle sets shared by the block and prefix
     * variants.
@@ -239,7 +368,40 @@ object Dedup extends QueryModule {
          FROM documents GROUP BY md5(text)""",
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
-    "dedup_jaccard_prefix" -> jaccardBlockSql
+    "dedup_jaccard_prefix" -> jaccardBlockSql,
+    // brute all-pairs edges (with the lossless size band so the oracle
+    // doesn't intersect every list pair) + recursive-CTE reachability:
+    // the obviously-correct restatement of prefix filter + star
+    // contraction. LEAST(u, MIN(v)) is the component minimum because
+    // reach holds every ordered pair within a component.
+    "dedup_cluster" ->
+      """WITH RECURSIVE dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+            AND len(a.sh) * 0.8 <= len(b.sh) AND len(b.sh) * 0.8 <= len(a.sh)
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u)
+         SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+             AS n_members,
+           CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
+         FROM documents d LEFT JOIN comp c USING (doc_id)"""
   )
 
   private def jaccardBlockSql: String =

@@ -244,6 +244,17 @@ object Relational extends QueryModule {
           col("sum_qty"), col("n"))
     }),
 
+    // Full CUBE (all 4 grouping sets — rollup above covers the 3
+    // hierarchical ones; the (∅, l_linestatus) set only CUBE emits).
+    "agg_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("sum_qty"), col("n"))
+    }),
+
     // Pivot with an explicit value list (wide conditional aggregation;
     // the oracle spells out the equivalent CASE sums).
     "agg_pivot" -> ((s, dir) => {
@@ -390,6 +401,12 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "agg_pivot" ->
       """SELECT o_orderpriority,
            COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,

@@ -184,6 +184,47 @@ object TextAnalysis extends QueryModule {
             / 1000000.0 < col("rate")).cast("int").as("keep"))
     }),
 
+    // Overlapping context-window chunking (64-token windows, stride
+    // 48): the doc→training-example / RAG-index split. Chunk count per
+    // doc is 1 + ceil(max(0, n−win)/stride) so every token is covered
+    // and short docs emit exactly one chunk. Pure per-row explode —
+    // zero shuffle, embarrassingly parallel at any corpus size; all
+    // integer arithmetic.
+    "text_chunk" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0L), expr("(greatest(n - 64, 0) + 47) div 48"))))
+        .withColumn("start_tok", col("chunk_id") * 48)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(64)), " ")
+            .as("chunk_text"),
+          least(lit(64L), col("n") - col("start_tok")).as("n_chunk_tokens"))
+    }),
+
+    // Normalization + PII redaction: lowercase, URL/email → sentinel
+    // tokens, whitespace collapse, trim — the first pass of every web
+    // scrape pipeline. Patterns are RE2-safe (no backrefs/lookahead)
+    // so Java and DuckDB agree byte-for-byte; counts are taken on the
+    // lowered text the replacements run on. Zero-shuffle projection.
+    // (This corpus is synthetic clean text, so most rows pass through
+    // unchanged — TextAnalysisSpec pins the redaction behavior itself
+    // on crafted rows.)
+    "text_normalize" -> ((s, dir) => {
+      val lowered = lower(col("text"))
+      val urlPat = "https?://\\S+"
+      val emailPat = "[a-z0-9._%-]+@[a-z0-9.-]+"
+      val redacted = regexp_replace(
+        regexp_replace(lowered, urlPat, "<URL>"), emailPat, "<EMAIL>")
+      val normed = trim(regexp_replace(redacted, " +", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), normed.as("norm_text"),
+          regexp_count(lowered, lit(urlPat)).cast("long").as("n_urls"),
+          regexp_count(lowered, lit(emailPat)).cast("long").as("n_emails"),
+          (normed =!= col("text")).cast("int").as("changed"))
+    }),
+
     // Benchmark decontamination: count each corpus document's distinct
     // 5-word shingles that collide with any shingle of the "benchmark"
     // docs (fixed ids < 8, standing in for an eval set) — the n-gram
@@ -209,10 +250,67 @@ object TextAnalysis extends QueryModule {
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_coll"), lit(0L)).as("n_coll"),
           (coalesce(col("n_coll"), lit(0L)) > 0).cast("int").as("contaminated"))
+    }),
+
+    // Bloom-accelerated decontamination — same output (and oracle) as
+    // text_decontaminate, different scale shape: the benchmark gram
+    // set is folded into a FIXED-SIZE bloom sketch (here 64 KiB; no
+    // false negatives), corpus grams are pre-filtered by a codegen'd
+    // constant probe, and only bloom hits (true collisions + a bounded
+    // false-positive trickle) reach the exact verify join. When the
+    // eval suite is too large to broadcast as a gram table, the sketch
+    // still broadcasts at constant cost and clean grams never enter
+    // the join. The sketch is materialized with one driver-side scalar
+    // aggregate (see [[graft.functions.BloomFilterOps]]).
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text"), 5))).as("g"))
+      val benchGrams = grams.where(col("doc_id") < 8)
+        .select(col("g")).distinct()
+      val sketch = graft.functions.BloomFilterOps.buildBloom(
+        benchGrams, "g", expectedItems = 8192L, numBits = 524288L)
+      val counts = grams.where(col("doc_id") >= 8)
+        .where(graft.functions.BloomFilterOps.might_contain(sketch, col("g")))
+        .join(broadcast(benchGrams), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_coll"))
+      docs.where(col("doc_id") >= 8).select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_coll"), lit(0L)).as("n_coll"),
+          (coalesce(col("n_coll"), lit(0L)) > 0).cast("int").as("contaminated"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n, toks,
+             unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS chunk_id
+           FROM t)
+         SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           least(64, n - chunk_id * 48) AS n_chunk_tokens
+         FROM c""",
+    "text_normalize" ->
+      """SELECT doc_id, norm_text, n_urls, n_emails,
+           CAST(norm_text != text AS INT) AS changed
+         FROM (
+           SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(text), 'https?://\S+', '<URL>', 'g'),
+                 '[a-z0-9._%-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               ' +', ' ', 'g')) AS norm_text,
+             len(regexp_extract_all(lower(text), 'https?://\S+')) AS n_urls,
+             len(regexp_extract_all(lower(text), '[a-z0-9._%-]+@[a-z0-9.-]+'))
+               AS n_emails
+           FROM documents)""",
+    "text_decontaminate_bloom" -> decontaminateSql,
     "text_pack" ->
       """SELECT doc_id, shard, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 512 AS bin
@@ -295,7 +393,14 @@ object TextAnalysis extends QueryModule {
                 ELSE 'test' END AS split,
            CAST(substr(md5(text), 1, 2) = '00' AS INT) AS in_1of256
          FROM documents""",
-    "text_decontaminate" ->
+    "text_decontaminate" -> decontaminateSql
+  )
+
+  /** Shared by the exact and bloom-accelerated variants — identical
+    * output by construction (bloom probes have no false negatives and
+    * hits are exact-verified).
+    */
+  private def decontaminateSql: String =
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          g AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(toks[i:i+4], ' ')
@@ -307,5 +412,4 @@ object TextAnalysis extends QueryModule {
          SELECT d.doc_id, COALESCE(c.n_coll, 0) AS n_coll,
            CAST(COALESCE(c.n_coll, 0) > 0 AS INT) AS contaminated
          FROM documents d LEFT JOIN c USING (doc_id) WHERE d.doc_id >= 8"""
-  )
 }

@@ -108,6 +108,56 @@ class DedupSpec extends SparkFunSuite {
     assert(prefix == block)
   }
 
+  test("connected components: chain, triangle, pair, star converge to minima") {
+    import spark.implicits._
+    // chain 1-2-3-4 needs label hops across 3 edges (multi-round);
+    // triangle and a 2-cycle-free pair pin the easy shapes; 40-star
+    // pins a high-degree hub
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L),
+      (40L, 41L), (40L, 42L), (40L, 43L), (40L, 44L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 10L, 12L -> 10L, 21L -> 20L,
+      41L -> 40L, 42L -> 40L, 43L -> 40L, 44L -> 40L)
+    assert(got == want)
+  }
+
+  test("dedup_cluster matches brute-force union-find on the real corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d = docs.select(col("doc_id"), col("text"))
+    val truth = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jacc", Dedup.shingleJaccard(col("a.text"), col("b.text")))
+      .where(col("jacc") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    // driver-side union-find over the brute edge set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truth.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = SparkEntry.queries("dedup_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select(col("doc_id")).collect().map(_.getLong(0)).foreach { id =>
+      assert(got(id) == find(id), s"doc $id: got ${got(id)}, want ${find(id)}")
+    }
+    // survivor flags: exactly one keep per cluster, and it's the min
+    val keeps = SparkEntry.queries("dedup_cluster")(spark, sfDir)
+      .where(col("keep") === 1).collect()
+    assert(keeps.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(keeps.length == got.values.toSet.size)
+  }
+
   test("exact dedup keeps deterministic survivor") {
     val df = SparkEntry.queries("dedup_exact")(spark, sfDir)
     assert(df.count() > 0)

