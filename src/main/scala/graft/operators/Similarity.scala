@@ -310,6 +310,33 @@ object Similarity extends QueryModule {
                 .otherwise(floor((x - col("mn")) / (col("mx") - col("mn"))
                   * 255 + 0.5))),
             lit(0.0), (a, x) => a + x).cast("bigint").as("qsum"))
+    }),
+
+    // Per-DIMENSION z-score standardization (corpus feature scaling —
+    // the pass before scalar quantization or a distance index, so one
+    // high-variance dimension can't dominate). Per-dim sums go through
+    // DECIMAL(38,6) — order-independent, and exactly reproducible
+    // across engines: a double's decimal expansion is a binary
+    // fraction, which can never tie at the rounding digit (x·10¹⁸ =
+    // k+½ needs a 5^18 denominator), so round-to-nearest agrees
+    // everywhere. Shape: posexplode → 64-group partial-agg (map-side
+    // combinable) → broadcast the 64-row stats back — two linear
+    // passes, no wide shuffle, any corpus size.
+    "vec_standardize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("xf").cast("double").as("x"))
+      val stats = d.groupBy(col("pos")).agg(
+        sum(col("x").cast("decimal(38,6)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        count(lit(1)).as("n"))
+      d.join(broadcast(stats), "pos")
+        .select(col("vec_id"), col("pos"),
+          ((col("x") - col("sx") / col("n")) /
+            sqrt(col("sxx") / col("n")
+              - (col("sx") / col("n")) * (col("sx") / col("n")))).as("z"))
     })
   )
 
@@ -332,6 +359,22 @@ object Similarity extends QueryModule {
                 ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END
                 for x in vd]) AS BIGINT) AS qsum
          FROM m""",
+    "vec_standardize" ->
+      """WITH u AS (
+           SELECT vec_id, unnest(embedding) AS xf,
+             generate_subscripts(embedding, 1) AS sub
+           FROM embeddings),
+         d AS (SELECT vec_id, CAST(sub - 1 AS BIGINT) AS pos,
+                 CAST(xf AS DOUBLE) AS x FROM u),
+         s AS (SELECT pos,
+                 CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                 COUNT(*) AS n
+               FROM d GROUP BY pos)
+         SELECT d.vec_id, d.pos,
+           (d.x - s.sx / s.n) /
+             sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z
+         FROM d JOIN s USING (pos)""",
     "ann_cosine_topk" -> (duckCosine +
       """
          SELECT q_id, vec_id, rk, round(c, 6) AS cos_r FROM (

@@ -126,4 +126,20 @@ class SimilaritySpec extends SparkFunSuite {
       .collect().map(_.getDouble(0))
     assert(c.forall(v => math.abs(v - 1.0) < 1e-9))
   }
+
+  test("vec_standardize: every dimension lands on mean 0, variance 1") {
+    val z = SparkEntry.queries("vec_standardize")(spark, sfDir)
+      .groupBy(col("pos"))
+      .agg(avg(col("z")).as("m"), avg(col("z") * col("z")).as("v"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(z.length == 64)
+    z.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-6,
+        s"dim ${r.getLong(0)} mean ${r.getDouble(1)} not ~0")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3,
+        s"dim ${r.getLong(0)} var ${r.getDouble(2)} not ~1")
+      assert(r.getLong(3) == 500L)
+    }
+  }
 }

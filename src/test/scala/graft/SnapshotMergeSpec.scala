@@ -121,6 +121,40 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir)(0L) == "U0b")
   }
 
+  test("a reader pinned before a commit+vacuum still reads its version in full") {
+    // Mechanical pin of the grace-window contract (class doc: "vacuum
+    // retains the previous manifest and its uniquely-referenced
+    // batches"): a reader that resolved the table BEFORE a writer
+    // commits and vacuums must still collect its complete version —
+    // and the window is exactly one version deep, so a second
+    // commit+vacuum collects the pinned version's rewritten batches.
+    val dir = seed() // version 1: t0..t9
+    val store = new SnapshotStore(spark, new Path(dir))
+    val pinned = SnapshotMerge.read(spark, dir, targetRows.schema) // resolves v1
+    val v1Batches = store.fs.listStatus(new Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+
+    // writer advances to v2, rewriting EVERY partition (pk 0..4), so
+    // nothing of batch 1 is carried forward — v1's batch survives the
+    // first vacuum only through the grace window
+    SnapshotMerge.upsertUpdate(spark, dir,
+      (0L until 5L).map(i => (i, s"u$i", i)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"))
+    val got = pinned.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(got == (0L until 10L).map(i => i -> s"t$i").toMap,
+      s"pinned reader must see its full version after one commit+vacuum, got $got")
+
+    // a second commit+vacuum passes the window: batch 1 is collected
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((0L, "U0c", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val liveBatches = store.fs.listStatus(new Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    assert((v1Batches intersect liveBatches).isEmpty,
+      s"v1's now-unreferenced batches must be collected after the window: " +
+        s"v1=$v1Batches live=$liveBatches")
+    assert(readVals(dir)(0L) == "U0c")
+  }
+
   test("partitioned merge keeps exact string partition values (no inference loss)") {
     // the declared-schema read contract: "00123" must NOT infer to
     // int 123 on the second merge — that would re-key the committed
