@@ -51,6 +51,46 @@ object EventWindows extends QueryModule {
         .select(col("user_id"),
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("total_value"))
+    }),
+
+    // AS-OF join — the temporal lookup Spark has no native operator
+    // for (a naive range-condition join plans as BroadcastNestedLoop
+    // and dies at scale): each click matched to the SAME USER's most
+    // recent prior-or-equal purchase. The distributed shape is the
+    // union trick: tag both sides, sort per user on (ts, side) with
+    // purchases first at ties, and carry the last non-null purchase
+    // forward with an ignoreNulls running `last` — ONE shuffle on the
+    // join key and one per-key sort, the same cost class as a session
+    // window, regardless of how far back the match lies. Purchases are
+    // pre-deduped per (user, ts) (max event_id) so the match is
+    // deterministic where DuckDB's ASOF leaves multi-row ties
+    // unspecified. Gap is computed in exact integer microseconds.
+    // Skew note: one pathological key serializes its own sort only;
+    // salting by coarse time range with boundary replication is the
+    // standard fix at 100 TB.
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("side"), lit(null).cast("long").as("p_event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), lit(0).as("side"), col("p_event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("m_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+        .withColumn("m_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("m_id").as("p_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
     })
   )
 
@@ -91,6 +131,19 @@ object EventWindows extends QueryModule {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM islands GROUP BY user_id, sid"""
+         FROM islands GROUP BY user_id, sid""",
+    // native ASOF LEFT JOIN; purchases pre-deduped per (user, ts) so
+    // the at-most-one-match row is the same one Spark picks
+    "ev_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, MAX(event_id) AS p_event_id
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           p.p_event_id,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts"""
   )
 }

@@ -225,6 +225,26 @@ object TextAnalysis extends QueryModule {
           (normed =!= col("text")).cast("int").as("changed"))
     }),
 
+    // Stratified quota sampling: EXACTLY min(|stratum|, 50) docs per
+    // language, chosen by content-hash rank — deterministic on any
+    // engine/run/partitioning, and "random" in the sense that md5
+    // order is uncorrelated with content. Complements the rate-based
+    // temperature sampler (which cannot promise exact counts) — this
+    // is the "give me exactly N per language for the eval set" op.
+    // Per-stratum rank is a window keyed on lang; at 100 TB with a
+    // skewed stratum the same result comes from a two-pass threshold
+    // (per-lang 50th-smallest hash from a quantile sketch, then a
+    // stateless filter) — the window form is the exact reference.
+    "text_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // Benchmark decontamination: count each corpus document's distinct
     // 5-word shingles that collide with any shingle of the "benchmark"
     // docs (fixed ids < 8, standing in for an eval set) — the n-gram
@@ -311,6 +331,13 @@ object TextAnalysis extends QueryModule {
                AS n_emails
            FROM documents)""",
     "text_decontaminate_bloom" -> decontaminateSql,
+    "text_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+           FROM documents) t
+         WHERE rk <= 50""",
     "text_pack" ->
       """SELECT doc_id, shard, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 512 AS bin

@@ -65,6 +65,48 @@ class RelationalSpec extends SparkFunSuite {
     assert(r.getDouble(3) == 11.0)
   }
 
+  test("as-of join matches the brute-force latest-prior-purchase lookup") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("ev_asof_join")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var matched = 0
+    got.foreach { r =>
+      val (user, us) = clicks(r.getLong(0))
+      // brute force: among this user's purchases at ts <= click ts,
+      // the max ts wins; event-id ties break to the max id
+      val eligible = purchases.filter(p => p._1 == user && p._2 <= us)
+      if (eligible.isEmpty) assert(r.isNullAt(3), s"click ${r.getLong(0)} must be unmatched")
+      else {
+        val best = eligible.maxBy(p => (p._2, p._3))
+        assert(r.getLong(3) == best._3 && r.getLong(4) == us - best._2,
+          s"click ${r.getLong(0)}: got (${r.getLong(3)}, ${r.getLong(4)}), " +
+            s"want (${best._3}, ${us - best._2})")
+        matched += 1
+      }
+    }
+    assert(matched > 0, "fixture should produce at least one match")
+  }
+
+  test("stratified sample takes exactly min(|stratum|, 50) docs per language") {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = SparkEntry.queries("text_stratified_sample")(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sample.keySet == counts.keySet)
+    counts.foreach { case (lang, n) =>
+      assert(sample(lang) == math.min(n, 50L), s"$lang: ${sample(lang)} of $n")
+    }
+  }
+
   test("w2 rank per group caps at 3 rows per nation") {
     val df = SparkEntry.queries("w2_rank_per_group")(spark, sfDir)
     val maxPerGroup = df.groupBy(col("c_nationkey")).count()
