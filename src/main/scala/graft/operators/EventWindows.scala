@@ -53,6 +53,34 @@ object EventWindows extends QueryModule {
           col("n_events"), col("total_value"))
     }),
 
+    // Interval densification: concurrent active sessions per
+    // 10-minute bucket (the "peak concurrency" series every serving /
+    // training-telemetry dashboard needs). Sessions are the same
+    // half-open [start, last+gap) islands as ev_session; each explodes
+    // into the 10-min buckets it OVERLAPS (floor(start) .. the bucket
+    // holding end−1µs — all exact integer microsecond arithmetic),
+    // then one hash aggregation counts per bucket. The explode factor
+    // is bounded by session length over bucket width — the bounded
+    // range-join shape (a direct sessions×buckets overlap join would
+    // be a nested-loop product at scale).
+    "ev_concurrency" -> ((s, dir) => {
+      val sess = Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("st"), col("w.end").as("en"))
+      sess
+        .withColumn("b0",
+          timestamp_seconds(expr("(unix_seconds(st) div 600) * 600")))
+        .withColumn("b1",
+          timestamp_seconds(expr("((unix_micros(en) - 1) div 600000000) * 600")))
+        .select(explode(sequence(col("b0"), col("b1"),
+          expr("INTERVAL 10 MINUTES"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_active"))
+    }),
+
     // AS-OF join — the temporal lookup Spark has no native operator
     // for (a naive range-condition join plans as BroadcastNestedLoop
     // and dies at scale): each click matched to the SAME USER's most
@@ -132,6 +160,34 @@ object EventWindows extends QueryModule {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM islands GROUP BY user_id, sid""",
+    // same islands as ev_session, densified with generate_series over
+    // the 10-minute buckets each session overlaps
+    "ev_concurrency" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+           FROM events),
+         islands AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked),
+         sessions AS (
+           SELECT MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+           FROM islands GROUP BY user_id, sid),
+         b AS (
+           SELECT unnest(generate_series(
+             to_timestamp((epoch_us(st) // 600000000) * 600),
+             to_timestamp(((epoch_us(en) - 1) // 600000000) * 600),
+             INTERVAL 10 MINUTE)) AS bucket
+           FROM sessions)
+         SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS n_active
+         FROM b GROUP BY 1""",
     // native ASOF LEFT JOIN; purchases pre-deduped per (user, ts) so
     // the at-most-one-match row is the same one Spark picks
     "ev_asof_join" ->

@@ -107,6 +107,26 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("ev_concurrency equals brute-force bucket counting over sessions") {
+    val sess = Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)))
+      .select(unix_micros(col("w.start")).as("s"), unix_micros(col("w.end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    val B = 600L * 1000000L
+    sess.foreach { case (s, e) =>
+      var b = (s / B) * B
+      val last = ((e - 1) / B) * B
+      while (b <= last) { want(b) = want.getOrElse(b, 0L) + 1; b += B }
+    }
+    val got = SparkEntry.queries("ev_concurrency")(spark, sfDir)
+      .select(unix_micros(to_timestamp(col("bucket"))).as("b"), col("n_active"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap)
+    assert(got.values.max > 1, "fixture should have overlapping sessions")
+  }
+
   test("w2 rank per group caps at 3 rows per nation") {
     val df = SparkEntry.queries("w2_rank_per_group")(spark, sfDir)
     val maxPerGroup = df.groupBy(col("c_nationkey")).count()
