@@ -179,6 +179,32 @@ object Dedup extends QueryModule {
     // extra candidates are harmless, a too-short prefix is not.
     "dedup_jaccard_prefix" -> ((s, dir) => jaccardPrefix(Tables.load(s, dir, "documents"))),
 
+    // Asymmetric CONTAINMENT dedup: find corpus documents holding
+    // ≥ 60% of a seed document's shingles — the sub-document
+    // duplication check a symmetric Jaccard threshold misses (a long
+    // page quoting a short seed nearly whole has high containment but
+    // low Jaccard; the standard screen for eval-set leakage and
+    // near-copies of known documents). Seed sets are small by
+    // definition, so the corpus streams once past a BROADCAST of the
+    // seed shingle sets — no shuffle of the corpus at any scale. (For
+    // probe sets too big to broadcast, the same pigeonhole prefix
+    // argument as jaccardPairsGlobal bounds an inverted-index postings
+    // join: a doc containing ≥ t of seed A shares one of A's first
+    // ⌊(1−t)·|A|⌋+1 df-ordered tokens.)
+    "dedup_containment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      val seeds = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("seed_id"), col("sh").as("seed_sh"))
+      d.crossJoin(broadcast(seeds))
+        .where(col("doc_id") =!= col("seed_id"))
+        .withColumn("cont",
+          size(array_intersect(col("seed_sh"), col("sh"))).cast("double")
+            / size(col("seed_sh")))
+        .where(col("cont") >= 0.6)
+        .select(col("seed_id"), col("doc_id"), round(col("cont"), 6).as("cont_r"))
+    }),
+
     // The top of the dedup ladder: near-dup PAIRS → duplicate CLUSTERS
     // → one canonical survivor per cluster. Edges are exact global
     // Jaccard ≥ 0.8 (prefix-filtered, no false negatives), components
@@ -391,6 +417,18 @@ object Dedup extends QueryModule {
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
     "dedup_jaccard_prefix" -> jaccardBlockSql,
+    "dedup_containment" ->
+      """WITH dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents))
+         SELECT s.doc_id AS seed_id, d.doc_id,
+           round(CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
+                 / len(s.sh), 6) AS cont_r
+         FROM dd s JOIN dd d
+           ON s.doc_id < 50 AND d.doc_id != s.doc_id
+         WHERE CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
+               / len(s.sh) >= 0.6""",
     // brute all-pairs edges (with the lossless size band so the oracle
     // doesn't intersect every list pair) + recursive-CTE reachability:
     // the obviously-correct restatement of prefix filter + star

@@ -177,6 +177,20 @@ object Relational extends QueryModule {
       all.except(withBigOrders)
     }),
 
+    // INTERSECT completes the set-op family (E1 EXCEPT above, U1
+    // UNION below): customers holding BOTH a big order and an urgent
+    // one. Plans as a left-semi pair — dedup + two key shuffles, no
+    // row-pair blowup at any scale.
+    "e3_intersect" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"))
+      val urgent = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      big.intersect(urgent)
+    }),
+
     // P7/J10/A3: parallel arrays collected per group (struct-sorted so
     // both stay aligned — the reference relies on PG emitting two
     // ARRAY_AGGs in the same order, modal/occurrence.py:48-51), zipped
@@ -374,6 +388,10 @@ object Relational extends QueryModule {
       """SELECT c_custkey FROM customer
          EXCEPT SELECT o_custkey AS c_custkey FROM orders
                 WHERE o_totalprice > 450000.0""",
+    "e3_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "p7_zip_filter" ->
       """SELECT o_custkey, CAST(rk - 1 AS INT) AS pos, o_orderkey FROM (
            SELECT o_custkey, o_orderkey, o_orderstatus,
