@@ -155,6 +155,25 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(readVals(dir)(0L) == "U0c")
   }
 
+  test("schema evolution: a widened merge upgrades in place, old batches read as null") {
+    val dir = seed() // (id, v, pk), version 1
+    // a later producer adds a column; only pk=0 is touched
+    val widened = Seq((0L, "U0", "extra", 0L)).toDF("id", "v", "v2", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, widened, Seq("id"), Seq("pk"))
+    val wide = SnapshotMerge.read(spark, dir, widened.schema).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[String]("v2")))
+      .toMap
+    assert(wide.size == 10)
+    assert(wide(0L) == ("U0", "extra"))
+    // the rewritten pk=0 partition carries the column (null for
+    // untouched keys in it); never-rewritten partitions read as null
+    // through the wider caller schema
+    (1L until 10L).foreach(i => assert(wide(i) == (s"t$i", null)))
+    // a legacy reader with the narrow schema still works (projection)
+    assert(readVals(dir) == (0L until 10L)
+      .map(i => i -> (if (i == 0) "U0" else s"t$i")).toMap)
+  }
+
   test("partitioned merge keeps exact string partition values (no inference loss)") {
     // the declared-schema read contract: "00123" must NOT infer to
     // int 123 on the second merge — that would re-key the committed
