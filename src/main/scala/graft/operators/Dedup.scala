@@ -327,7 +327,13 @@ object Dedup extends QueryModule {
     }
     def stat(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent edge-set fingerprint that cannot
-      // overflow under ANSI mode (sum of 64-bit hashes would)
+      // overflow under ANSI mode (sum of 64-bit hashes would).
+      // Convergence compares (count, fingerprint) across rounds: a
+      // false "converged" needs two DIFFERENT equal-count edge sets
+      // with colliding xor-of-xxhash64 — probability ~2^-64 per
+      // round, the same class of risk as any content-hash equality
+      // check in the engine (dedup_exact's md5, the driver's oracle
+      // hash), accepted on the same grounds.
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
