@@ -124,6 +124,33 @@ object Pipeline extends QueryModule {
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
     // for the reference's NOW(), dblocal.py:235).
+    // CDC apply: an ordered change batch (upserts + deletes, stamped
+    // with sequence numbers) folds onto the target last-writer-wins —
+    // the Delta/Iceberg MERGE-from-change-stream contract, one rung
+    // above K1–K3. Changes are synthesized deterministically from
+    // lineitem (seq = l_linenumber, every 4th change a delete, every
+    // 5th rerouted to an unseen key so INSERT semantics are pinned
+    // too; the synthetic data repeats line numbers within an order,
+    // so the oracle restates applyCdc's full-struct lexicographic
+    // tie-break). See [[graft.sinks.Merge.applyCdc]] for the
+    // sort-free argmax + anti-join shape.
+    "cdc_apply" -> ((s, dir) => {
+      val target = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val changes = Tables.load(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(5)) === 0)
+        .select(
+          when(pmod(col("l_linenumber"), lit(5)) === 2,
+            col("l_orderkey") + 1000000000L)
+            .otherwise(col("l_orderkey")).as("o_orderkey"),
+          col("l_linenumber").as("seq"),
+          when(pmod(col("l_linenumber"), lit(4)) === 0, "delete")
+            .otherwise("upsert").as("op"),
+          col("l_returnflag").as("o_orderstatus"),
+          col("l_extendedprice").as("o_totalprice"))
+      Merge.applyCdc(target, changes, Seq("o_orderkey"), "seq", "op")
+    }),
+
     "k3_join_update" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val updates = Tables.load(s, dir, "customer")
@@ -259,6 +286,29 @@ object Pipeline extends QueryModule {
          FROM orders LEFT JOIN
            (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) u
            ON o_custkey = u.c_custkey""",
+    "cdc_apply" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         c AS (
+           SELECT CASE WHEN l_linenumber % 5 = 2 THEN l_orderkey + 1000000000
+                       ELSE l_orderkey END AS o_orderkey,
+             l_linenumber AS seq,
+             CASE WHEN l_linenumber % 4 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             l_returnflag AS o_orderstatus,
+             l_extendedprice AS o_totalprice
+           FROM lineitem WHERE l_partkey % 5 = 0),
+         last AS (
+           SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM (
+             SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+                        o_totalprice DESC) AS rk FROM c) x
+           WHERE rk = 1)
+         SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+         FROM t LEFT JOIN last l USING (o_orderkey)
+         WHERE l.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM last
+         WHERE op != 'delete'""",
     "incr_anchor_scan" ->
       """WITH anchors AS (
            SELECT o_custkey, MAX(o_orderdate) AS anchor FROM orders

@@ -61,4 +61,38 @@ object Merge {
       df.withColumn(c, coalesce(col(s"__new_$c"), col(c)))
     }.drop(setCols.map(c => s"__new_$c"): _*)
   }
+
+  /** CDC apply — the rung above K1–K3: an ORDERED batch of changes
+    * (upserts and DELETES, each stamped with a sequence number) folds
+    * onto the target with last-writer-wins semantics per key, the
+    * contract of a Delta/Iceberg `MERGE` fed from a change stream.
+    *
+    * Per key, only the change with the highest `seqCol` survives
+    * (hash-aggregate `max(struct(seq, op, payload))` — partial-agg
+    * combinable, no per-key sort, the same sort-free argmax as the IVF
+    * assignment); a key's final `delete` removes it, anything else
+    * upserts. One shuffle of the (small) change batch plus the keyed
+    * anti-join against the target — cost class of [[upsertUpdate]],
+    * regardless of how many superseded intermediate changes the batch
+    * carries.
+    *
+    * `changes` carries `keys` ++ `seqCol` ++ `opCol` ++ exactly the
+    * target's non-key columns. Ties on (key, seq) resolve by the
+    * struct order of the remaining fields — deterministic, but
+    * callers should treat duplicate sequence numbers per key as a
+    * producer bug (real CDC streams stamp monotone LSNs).
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = target.columns.filterNot(keys.contains)
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct((col(seqCol) +: col(opCol) +: payload.map(col)): _*))
+        .as("__last"))
+      .select(keys.map(col) ++ Seq(col(s"__last.$opCol").as(opCol)) ++
+        payload.map(c => col(s"__last.$c").as(c)): _*)
+    val upserts = latest.where(col(opCol) =!= "delete").drop(opCol)
+    target.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts.select(target.columns.map(col): _*))
+  }
 }

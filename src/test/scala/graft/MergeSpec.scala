@@ -32,6 +32,18 @@ class MergeSpec extends SparkFunSuite {
       once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("applyCdc: last writer wins, deletes remove, unseen keys insert") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 1, "upsert", "x"), (1L, 2, "delete", "-"),  // upsert superseded by delete
+      (2L, 1, "delete", "-"), (2L, 2, "upsert", "y"),  // delete superseded by upsert
+      (4L, 1, "upsert", "z"))                          // insert of an unseen key
+      .toDF("k", "seq", "op", "v")
+    val got = Merge.applyCdc(target, changes, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "y", 3L -> "c", 4L -> "z"))
+  }
+
   test("joinUpdate sets matched rows only") {
     val updates = Seq((2L, "ZZ")).toDF("id", "v")
     val out = Merge.joinUpdate(target, updates, "id", Seq("v"))
