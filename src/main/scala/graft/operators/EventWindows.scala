@@ -53,6 +53,21 @@ object EventWindows extends QueryModule {
           col("n_events"), col("total_value"))
     }),
 
+    // LAG: inter-event gap per user in exact integer microseconds
+    // (the feature behind session thresholds and bot/burst detection).
+    // One shuffle on user_id + per-key sort; first event per user has
+    // a NULL gap.
+    "ev_gaps" -> ((s, dir) => {
+      // ordering on the exact-micros integer equals ordering on ts
+      // (timestamps are microsecond precision, so the map is injective)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("gap_us"))
+    }),
+
     // Interval densification: concurrent active sessions per
     // 10-minute bucket (the "peak concurrency" series every serving /
     // training-telemetry dashboard needs). Sessions are the same
@@ -160,6 +175,11 @@ object EventWindows extends QueryModule {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM islands GROUP BY user_id, sid""",
+    "ev_gaps" ->
+      """SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS gap_us
+         FROM events""",
     // same islands as ev_session, densified with generate_series over
     // the 10-minute buckets each session overlaps
     "ev_concurrency" ->

@@ -258,6 +258,25 @@ object Relational extends QueryModule {
           col("sum_qty"), col("n"))
     }),
 
+    // PERCENT_RANK + derived quartile per group. percent_rank is
+    // tie-SAFE (tied order keys share a rank, so the value is
+    // deterministic on any engine); ntile is not (tied rows straddle
+    // tile boundaries in engine-dependent order), so the quartile
+    // derives from percent_rank with identical integer arithmetic on
+    // both sides instead.
+    "w3_percent_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("pr"), 9).as("pr_r"),
+          least(floor(col("pr") * 4) + 1, lit(4.0)).cast("int").as("quartile"))
+    }),
+
     // Full CUBE (all 4 grouping sets — rollup above covers the 3
     // hierarchical ones; the (∅, l_linestatus) set only CUBE emits).
     "agg_cube" -> ((s, dir) => {
@@ -419,6 +438,15 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "w3_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(pr, 9) AS pr_r,
+           CAST(least(floor(pr * 4) + 1, 4.0) AS INT) AS quartile
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             percent_rank() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS pr
+           FROM lineitem) t""",
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, '<all>') AS rf,
            coalesce(l_linestatus, '<all>') AS ls,
