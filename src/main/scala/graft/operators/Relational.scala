@@ -264,6 +264,13 @@ object Relational extends QueryModule {
     // tile boundaries in engine-dependent order), so the quartile
     // derives from percent_rank with identical integer arithmetic on
     // both sides instead.
+    //
+    // SCALE CAVEAT (measured: 4.5× wall at 10× rows, NOTES_r10): the
+    // window partitions on a 6-value key, so each group's sort is one
+    // reducer — exact global rank within a low-cardinality group is
+    // inherently a per-group sort. At 100 TB, rank within
+    // finer-grained groups, or trade exactness for approx_percentile
+    // bucketing; this query is the exact reference spelling.
     "w3_percent_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
