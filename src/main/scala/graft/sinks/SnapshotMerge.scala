@@ -40,6 +40,24 @@ object SnapshotMerge {
     merge(spark, rootDir, incoming, partCols)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
 
+  /** CDC apply on a snapshot table ([[Merge.applyCdc]] semantics:
+    * last-writer-wins per key by `seqCol`, `delete` ops REMOVE the
+    * key). `changes` carries keys ++ seq ++ op ++ the table's payload
+    * columns (incl. `partCols`; keys must determine partition, as
+    * ever). Only the partitions the batch touches are read and
+    * rewritten — a partition whose last rows are all deleted empties
+    * out and drops from the manifest atomically. The target is read
+    * through the changes schema, so the spurious null `seqCol`/`opCol`
+    * columns are dropped before the fold and never reach the staged
+    * batch.
+    */
+  def applyCdc(spark: SparkSession, rootDir: String, changes: DataFrame,
+      keys: Seq[String], seqCol: String, opCol: String,
+      partCols: Seq[String]): Unit =
+    merge(spark, rootDir, changes, partCols)(
+      (target, inc) =>
+        Merge.applyCdc(target.drop(seqCol, opCol), inc, keys, seqCol, opCol))
+
   /** Read the committed snapshot (empty frame with `schema` when the
     * table has never committed).
     */

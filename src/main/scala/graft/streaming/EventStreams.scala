@@ -151,6 +151,32 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming CDC: drain a change stream (upserts + deletes, stamped
+    * with sequence numbers) into a bucketed snapshot table —
+    * [[graft.sinks.SnapshotMerge.applyCdc]] per micro-batch, the
+    * MERGE-from-change-stream deployment shape. Within a micro-batch
+    * the sequence numbers order changes exactly; across micro-batches
+    * later batches win (source offset order IS the stream's change
+    * order). Checkpointed + AvailableNow: re-drains process only new
+    * change files, and a crashed batch's retry re-applies onto the
+    * intact previous snapshot idempotently (same seq → same fold).
+    */
+  def cdcStream(spark: SparkSession, incoming: DataFrame,
+      targetDir: String, keys: Seq[String], seqCol: String, opCol: String,
+      partitionCols: Seq[String], checkpointDir: String): Unit = {
+    val q = incoming.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sinks.SnapshotMerge.applyCdc(
+            spark, targetDir, batch, keys, seqCol, opCol, partitionCols)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exactly-once dedup: drop duplicate `event_id`s arriving
     * within the watermark delay (`dropDuplicatesWithinWatermark` keeps
     * dedup state only until the watermark passes, so state is bounded —

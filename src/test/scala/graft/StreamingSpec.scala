@@ -137,6 +137,60 @@ class StreamingSpec extends SparkFunSuite {
     assert(got.select("event_id").distinct().count() == batch.count())
   }
 
+  test("cdc stream folds change files into the snapshot table, deletes included") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("cdc_stream")
+    val drop = root.resolve("changes"); java.nio.file.Files.createDirectories(drop)
+    val target = root.resolve("table").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", IntegerType),
+      StructField("op", StringType), StructField("v", StringType),
+      StructField("pk", LongType)))
+    def drain(): Unit = EventStreams.cdcStream(spark,
+      spark.readStream.schema(schema).parquet(drop.toString),
+      target, Seq("k"), "seq", "op", Seq("pk"), ckpt)
+    // file streams list FILES, not nested dirs: stage each change
+    // batch as a single parquet file inside the drop folder
+    def dropFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(part), drop.resolve(name))
+    }
+    def table(): Map[Long, String] =
+      graft.sinks.SnapshotMerge.read(spark, target,
+          StructType(schema.filterNot(f => f.name == "seq" || f.name == "op")))
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+
+    // batch 1: three inserts across two partitions (one intra-batch
+    // supersede: k=2 upserted twice, seq 2 wins)
+    dropFile(Seq((1L, 1, "upsert", "a", 0L), (2L, 1, "upsert", "b0", 1L),
+      (2L, 2, "upsert", "b", 1L), (3L, 1, "upsert", "c", 1L))
+      .toDF("k", "seq", "op", "v", "pk"), "c1.parquet")
+    drain()
+    assert(table() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // batch 2: delete k=1 (empties partition 0), update k=2, insert k=4
+    dropFile(Seq((1L, 1, "delete", "-", 0L), (2L, 1, "upsert", "B", 1L),
+      (4L, 1, "upsert", "d", 1L))
+      .toDF("k", "seq", "op", "v", "pk"), "c2.parquet")
+    drain()
+    assert(table() == Map(2L -> "B", 3L -> "c", 4L -> "d"))
+    // the emptied partition dropped from the manifest atomically
+    val store = new graft.sinks.SnapshotStore(
+      spark, new org.apache.hadoop.fs.Path(target))
+    assert(!store.current().get._2.keySet.exists(_.startsWith("pk=0")))
+
+    // re-drain with nothing new: no-op (checkpointed exactly-once)
+    val v = store.currentVersion()
+    drain()
+    assert(store.currentVersion() == v)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
