@@ -225,6 +225,38 @@ object TextAnalysis extends QueryModule {
           (normed =!= col("text")).cast("int").as("changed"))
     }),
 
+    // CAPSTONE composition — the whole cleaning pipeline as ONE plan:
+    // normalize (lowercase/redact/collapse) → Gopher repetition gate
+    // (integer-exact, zero-shuffle TokenStats kernel) → exact-dedup
+    // survivor election on the NORMALIZED fingerprint (so trivially
+    // reformatted copies collapse) → deterministic md5 train/val/test
+    // split. One narrow projection pass plus a single window on the
+    // fingerprint; every stage is individually oracle-verified
+    // elsewhere, and this pins that they COMPOSE (normalization feeds
+    // the fingerprint, the gate reads normalized tokens).
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val normed = trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "https?://\\S+", "<URL>"),
+          "[a-z0-9._%-]+@[a-z0-9.-]+", "<EMAIL>"),
+        " +", " "))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), normed.as("t"))
+        .withColumn("fp", md5(col("t").cast("binary")))
+        .withColumn("ts", graft.functions.TokenStats.token_stats(split(col("t"), " ")))
+        .withColumn("keep_rep",
+          (col("ts.top_c") * 5 <= col("ts.n_tokens") &&
+            (col("ts.n_tokens") - col("ts.distinct_tokens")) * 2 <= col("ts.n_tokens")))
+        .withColumn("keep_dedup", col("doc_id") === min(col("doc_id")).over(w))
+        .select(col("doc_id"),
+          when(substring(col("fp"), 1, 1) <= "b", "train")
+            .when(substring(col("fp"), 1, 1) <= "d", "val")
+            .otherwise("test").as("split"),
+          (col("keep_rep") && col("keep_dedup")).cast("int").as("keep"))
+    }),
+
     // Stratified quota sampling: EXACTLY min(|stratum|, 50) docs per
     // language, chosen by content-hash rank — deterministic on any
     // engine/run/partitioning, and "random" in the sense that md5
@@ -331,6 +363,37 @@ object TextAnalysis extends QueryModule {
                AS n_emails
            FROM documents)""",
     "text_decontaminate_bloom" -> decontaminateSql,
+    "pipeline_clean_corpus" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(text), 'https?://\S+', '<URL>', 'g'),
+                 '[a-z0-9._%-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               ' +', ' ', 'g')) AS t
+           FROM documents),
+         f AS (SELECT doc_id, t, md5(t) AS fp FROM n),
+         toks AS (
+           SELECT doc_id, len(string_split(t, ' ')) AS n_tokens,
+             unnest(string_split(t, ' ')) AS tok
+           FROM f),
+         tc AS (SELECT doc_id, n_tokens, tok, COUNT(*) AS c
+                FROM toks GROUP BY 1, 2, 3),
+         rep AS (
+           SELECT doc_id,
+             (MAX(c) * 5 <= n_tokens
+              AND (n_tokens - COUNT(*)) * 2 <= n_tokens) AS keep_rep
+           FROM tc GROUP BY doc_id, n_tokens),
+         dd AS (
+           SELECT doc_id, fp,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep_dedup
+           FROM f)
+         SELECT dd.doc_id,
+           CASE WHEN substr(dd.fp, 1, 1) <= 'b' THEN 'train'
+                WHEN substr(dd.fp, 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(rep.keep_rep AND dd.keep_dedup AS INT) AS keep
+         FROM dd JOIN rep USING (doc_id)""",
     "text_stratified_sample" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,
