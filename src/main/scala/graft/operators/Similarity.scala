@@ -312,6 +312,26 @@ object Similarity extends QueryModule {
             lit(0.0), (a, x) => a + x).cast("bigint").as("qsum"))
     }),
 
+    // RANGE search beside the top-k: every corpus vector within
+    // cosine ≥ 0.3 of each probe (the "all sufficiently similar"
+    // query — dedup against a reference set, recall-complete retrieval
+    // — where top-k would truncate and a too-generous k would pad).
+    // Same broadcast-probe shape as ann_cosine_topk, minus the window:
+    // a pure filter, so the corpus streams once and NO per-query rank
+    // state exists at any scale.
+    "ann_range_search" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val probes = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("vd").as("q_vd"),
+          col("nrm").as("q_nrm"))
+      e.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
+        .where(col("cos") >= 0.3)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Per-DIMENSION z-score standardization (corpus feature scaling —
     // the pass before scalar quantization or a distance index, so one
     // high-variance dimension can't dominate). Per-dim sums go through
@@ -375,6 +395,14 @@ object Similarity extends QueryModule {
            (d.x - s.sx / s.n) /
              sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z
          FROM d JOIN s USING (pos)""",
+    "ann_range_search" -> (duckCosine +
+      """
+         SELECT q_id, vec_id, round(c, 6) AS cos_r FROM (
+           SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+             list_reduce([q.v[i] * d.v[i] for i in range(1, len(q.v) + 1)],
+                         (a, b) -> a + b) / (q.nrm * d.nrm) AS c
+           FROM n q JOIN n d ON q.vec_id < 8 AND d.vec_id != q.vec_id) t
+         WHERE c >= 0.3"""),
     "ann_cosine_topk" -> (duckCosine +
       """
          SELECT q_id, vec_id, rk, round(c, 6) AS cos_r FROM (

@@ -158,4 +158,22 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"),
       s"per-doc repetition stats must not shuffle:\n$plan")
   }
+
+  test("per-row text ops stay zero-shuffle; joins stay broadcast") {
+    // plan-shape pins for the round-10 ops: a regression that
+    // introduces a shuffle into an embarrassingly-parallel projection,
+    // or degrades a broadcast join to a shuffled one, must fail loudly
+    for (q <- Seq("text_chunk", "text_normalize")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+    for (q <- Seq("text_decontaminate_bloom", "text_decontaminate")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"),
+        s"$q gram joins must broadcast:\n$plan")
+    }
+  }
 }
