@@ -1,0 +1,75 @@
+package graft
+
+import graft.Bench.Timing
+
+/** Pins the self-defending bench harness (VERDICT r10 "Next round" #1):
+  * a throwing query lands in the `err` map with no fabricated time, a
+  * spiked median triggers bounded re-runs, and the stdout line keeps
+  * its verdict-bearing summary fields in the LAST bytes so the
+  * driver's 2000-byte stdout tail never truncates them.
+  */
+class BenchSpec extends SparkFunSuite {
+
+  test("throwing query is recorded as err with zero successful runs") {
+    val t = Bench.timeQuery(() => throw new IllegalStateException("kaboom"), reps = 3)
+    assert(t.runs.isEmpty)
+    assert(t.cpu.isEmpty)
+    assert(t.err.exists(e => e.contains("IllegalStateException") && e.contains("kaboom")))
+  }
+
+  test("partial failure keeps successful rep times and the error") {
+    var n = 0
+    val t = Bench.timeQuery(
+      () => { n += 1; if (n == 2) throw new RuntimeException("flaky") },
+      reps = 3, maxExtra = 0)
+    assert(t.runs.size == 2)
+    assert(t.err.exists(_.contains("flaky")))
+  }
+
+  test("spike guard re-runs when median exceeds 3x min, and is bounded") {
+    // First two reps slow (simulated by sleeping), later reps fast:
+    // the initial median (~50ms vs min ~0ms) trips the guard; extra
+    // fast reps pull the median back down.
+    var n = 0
+    val t = Bench.timeQuery(
+      () => { n += 1; if (n <= 2) Thread.sleep(80) }, reps = 3, maxExtra = 3)
+    assert(t.reruns >= 1 && t.reruns <= 3)
+    assert(t.runs.size == 3 + t.reruns)
+    // A steady query (min ~ median) must never trigger re-runs.
+    val steady = Bench.timeQuery(() => Thread.sleep(20), reps = 3, maxExtra = 3)
+    assert(steady.reruns == 0)
+  }
+
+  test("artifact lines: err map, omitted failed query, tail-safe ordering") {
+    val timed = Seq(
+      "ok" -> Timing(Vector(0.5, 0.6, 0.7), Vector(1.0, 1.1, 1.2), 0, None),
+      "boom" -> Timing(Vector.empty, Vector.empty, 0,
+        Some("IllegalStateException: \"quoted\" \n msg")))
+    val (stdoutLine, fullLine) = Bench.artifactLines(
+      timed, reps = 3, cpus = 4, sfDir = "/tmp/sf", loadStart = 1.23, loadEnd = 31.9)
+    for (line <- Seq(stdoutLine, fullLine)) {
+      // Valid single-line JSON despite quotes/newline in the message.
+      assert(!line.contains("\n"))
+      assert(line.contains(""""boom":"IllegalStateException:"""))
+      // Failed query contributes no median and no time.
+      assert(!line.contains(""""boom":0"""))
+      assert(line.contains(""""ok":0.6"""))
+      // Machine-state fields present.
+      assert(line.contains(""""load":[1.23,31.90]"""))
+      assert(line.contains(""""cpu_total":1.10"""))
+      // Summary fields AFTER the queries map; value is the final field.
+      assert(line.indexOf("\"queries\"") < line.indexOf("\"err\""))
+      assert(line.trim.matches(""".*"metric":"total","unit":"sec","value":[0-9.]+}$"""))
+    }
+    // Full line additionally carries cold runs, cpu and raw reps.
+    assert(fullLine.contains(""""first":{"ok":0.5}"""))
+    assert(fullLine.contains(""""runs":{"ok":[0.500,0.600,0.700],"boom":[]}"""))
+  }
+
+  test("all-green artifact has empty err and reruns maps") {
+    val timed = Seq("q" -> Timing(Vector(0.1, 0.1, 0.1), Vector(0.2, 0.2, 0.2), 0, None))
+    val (stdoutLine, _) = Bench.artifactLines(timed, 3, 4, "/tmp/sf", 0.5, 0.5)
+    assert(stdoutLine.contains(""""err":{}"""))
+    assert(stdoutLine.contains(""""reruns":{}"""))
+  }
+}
