@@ -268,9 +268,9 @@ object Relational extends QueryModule {
     // SCALE CAVEAT (measured: 4.5× wall at 10× rows, NOTES_r10): the
     // window partitions on a 6-value key, so each group's sort is one
     // reducer — exact global rank within a low-cardinality group is
-    // inherently a per-group sort. At 100 TB, rank within
-    // finer-grained groups, or trade exactness for approx_percentile
-    // bucketing; this query is the exact reference spelling.
+    // inherently a per-group sort AS A WINDOW. This query is the exact
+    // reference spelling; `w3_percent_rank_scaled` below computes the
+    // identical output with every stage parallel — use that at scale.
     "w3_percent_rank" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_returnflag"))
@@ -279,6 +279,68 @@ object Relational extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_extendedprice"))
         .withColumn("pr", percent_rank().over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("pr"), 9).as("pr_r"),
+          least(floor(col("pr") * 4) + 1, lit(4.0)).cast("int").as("quartile"))
+    }),
+
+    // Scale-safe EXACT percent_rank twin (VERDICT r10 #2): identical
+    // output to w3_percent_rank with no single-reducer group sort.
+    // percent_rank(row) = cnt_less / (n_group − 1), where cnt_less is
+    // the number of rows in the group with a strictly smaller value
+    // (tied rows share the rank of their first peer). The plan:
+    //   1. value-level counts — ONE parallel hash agg keyed on
+    //      (group, value); map-side combine collapses duplicates, and
+    //      the key is high-cardinality so all reducers work.
+    //   2. range-shard the distinct values by (group, value). The
+    //      shard id is monotone in sort order, so each group's prefix
+    //      sum factors into (total of earlier shards) + (running sum
+    //      within the shard) — the sharded-prefix-sum pattern from
+    //      text_pack. Within-shard windows are bounded by shard size
+    //      (≈ n_distinct / P, P = shuffle parallelism) and run in
+    //      parallel; the cross-shard offset table is ≤ P + #groups
+    //      rows, broadcast. AQE may only MERGE adjacent range shards,
+    //      which keeps pid monotone, so the factorization survives
+    //      runtime re-planning.
+    //   3. join ranks back to the fact on (group, value) — a shuffle
+    //      join on the same high-cardinality key, fully parallel.
+    // Determinism note: both range-exchange consumers (offsets and the
+    // in-shard window) reuse one Exchange (ReusedExchange; sampling is
+    // seed-deterministic besides), so `spark_partition_id()` is
+    // consistent across branches. The division reproduces Spark's
+    // PercentRank arithmetic bit-for-bit: long/long division widens to
+    // double exactly like (rank−1)/(n−1); single-row groups are 0.0 by
+    // definition, guarded against 0/0. 10× probe: see NOTES_r11.
+    "w3_percent_rank_scaled" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"))
+      val shards = s.sessionState.conf.numShufflePartitions
+      val dv = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+      val sharded = dv
+        .repartitionByRange(shards, col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("pid", spark_partition_id())
+      val inShard = Window.partitionBy(col("pid"), col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val partSums = sharded.groupBy(col("pid"), col("l_returnflag"))
+        .agg(sum(col("c")).as("psum"))
+      val acrossShards = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = partSums
+        .withColumn("off", coalesce(sum(col("psum")).over(acrossShards), lit(0L)))
+        .select(col("pid"), col("l_returnflag"), col("off"))
+      val sizes = partSums.groupBy(col("l_returnflag")).agg(sum(col("psum")).as("n_g"))
+      val ranked = sharded
+        .withColumn("cum", coalesce(sum(col("c")).over(inShard), lit(0L)))
+        .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+        .join(broadcast(sizes), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          (col("cum") + col("off")).as("cnt_less"), col("n_g"))
+      li.join(ranked, Seq("l_returnflag", "l_extendedprice"))
+        .withColumn("pr", when(col("n_g") > 1,
+          col("cnt_less") / (col("n_g") - 1)).otherwise(lit(0.0)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("pr"), 9).as("pr_r"),
           least(floor(col("pr") * 4) + 1, lit(4.0)).cast("int").as("quartile"))
@@ -446,6 +508,17 @@ object Relational extends QueryModule {
            COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "w3_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(pr, 9) AS pr_r,
+           CAST(least(floor(pr * 4) + 1, 4.0) AS INT) AS quartile
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             percent_rank() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS pr
+           FROM lineitem) t""",
+    // Same oracle as w3_percent_rank: the scaled twin must be
+    // indistinguishable in output, only in plan shape.
+    "w3_percent_rank_scaled" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
            round(pr, 9) AS pr_r,
            CAST(least(floor(pr * 4) + 1, 4.0) AS INT) AS quartile

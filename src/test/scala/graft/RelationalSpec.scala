@@ -133,4 +133,31 @@ class RelationalSpec extends SparkFunSuite {
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxPerGroup <= 3)
   }
+
+  test("w3_percent_rank_scaled is row-identical to the window spelling") {
+    // The scaled twin must be indistinguishable from percent_rank()
+    // OVER (...) — including tie handling (shared rank of the first
+    // peer) and the rounded double's exact bits.
+    val window = SparkEntry.queries("w3_percent_rank")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val scaled = SparkEntry.queries("w3_percent_rank_scaled")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(scaled == window)
+    assert(window.nonEmpty)
+  }
+
+  test("w3_percent_rank_scaled plan has no single-reducer group-sort window") {
+    // The point of the twin: every window in the plan partitions on
+    // (pid, group) or orders the tiny offsets table — never a bare
+    // low-cardinality group. Pin the plan shape: the physical plan's
+    // Window operators must all carry pid or the offsets' psum.
+    val plan = SparkEntry.queries("w3_percent_rank_scaled")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("pid") || w.contains("psum"),
+        s"window not sharded or not the offset pass: $w")
+    }
+  }
 }
