@@ -243,7 +243,11 @@ object Dedup extends QueryModule {
   def jaccardPairsGlobal(docs: DataFrame, t: Double): DataFrame = {
     // materialized once: the shingle table feeds three consumers (df
     // counts, prefix ordering, verify arrays) — without the checkpoint
-    // each would re-tokenize the corpus
+    // each would re-tokenize the corpus. The checkpoint blocks stay
+    // reachable through the returned plan's leaves; the consumer
+    // releases them once the edge set is materialized
+    // ([[connectedComponents]] does, via [[releaseCheckpoints]]) — a
+    // long-lived session must not accumulate dead shingle tables.
     val d = docs.select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
       .localCheckpoint()
@@ -298,9 +302,24 @@ object Dedup extends QueryModule {
     * `localCheckpoint` truncates lineage each round so the plan stays
     * O(1) deep; the convergence probe is one count+checksum aggregate
     * per round (a scalar action, never a data collect). Returns
-    * (doc_id, cluster_id = component minimum) for every node that
-    * appears in `pairs`; callers left-join and coalesce to give
-    * singletons their own id.
+    * (doc_id, cluster_id = component minimum) for every NON-ROOT node
+    * that appears in `pairs` — component roots (the minima themselves)
+    * never appear as `u` at convergence and are omitted, so callers
+    * must left-join and coalesce, which also gives singletons their
+    * own id (an inner join would silently drop one node per cluster).
+    *
+    * Block-manager hygiene (VERDICT r10 #3): each round's checkpoint
+    * is unpersisted as soon as the next round materializes, and the
+    * INPUT's checkpoint leaves (e.g. [[jaccardPairsGlobal]]'s shingle
+    * table) are released once the initial edge set lands — CC takes
+    * ownership of `pairs`; callers must not reuse a checkpointed input
+    * afterwards. The result itself is written to a session-temp
+    * parquet and re-read, so at return NO block from this computation
+    * remains persisted: a shared long-lived session can run clustering
+    * in a loop without dead blocks accruing (previously every
+    * invocation stranded one RDD per round until JVM GC). At 100 TB
+    * the mapping lands on durable storage anyway — it is the artifact
+    * every downstream dedup join consumes.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
@@ -344,8 +363,22 @@ object Dedup extends QueryModule {
         col("doc_b").cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var last = stat(e)
+    // the probe materialized e's blocks; whatever the input plan had
+    // checkpointed (shingle table) is now dead weight
+    releaseCheckpoints(pairs)
+    val spark = pairs.sparkSession
+    if (last._1 == 0L) {
+      releaseCheckpoints(e)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType))))
+    }
     var round = 0
-    var converged = last._1 == 0L
+    var converged = false
     while (!converged) {
       round += 1
       if (round > maxRounds)
@@ -353,15 +386,33 @@ object Dedup extends QueryModule {
           s"connectedComponents did not converge in $maxRounds rounds")
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val s = stat(next)
+      releaseCheckpoints(e)
       converged = s == last
       last = s
       e = next
     }
     // at convergence the graph is a union of stars: every non-root
     // node carries exactly one edge to its component minimum
-    e.groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
+    val result = e.groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
       .select(col("u").as("doc_id"), col("cluster_id"))
+    // land the mapping off the block manager so the final round's
+    // checkpoint can be released too (see scaladoc)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-").toString
+    result.write.mode("overwrite").parquet(dir)
+    releaseCheckpoints(e)
+    spark.read.parquet(dir)
   }
+
+  /** Unpersist every checkpointed RDD reachable from `df`'s plan
+    * leaves. A `Dataset.localCheckpoint` roots the plan at a
+    * `LogicalRDD` holding the persisted RDD; unpersisting makes the
+    * leaf non-recomputable, so this must only run after the last
+    * action that reads it. No-op on plans with no checkpoint leaves.
+    */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Block keys + distinct shingle sets shared by the block and prefix
     * variants.

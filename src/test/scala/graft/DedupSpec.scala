@@ -163,4 +163,24 @@ class DedupSpec extends SparkFunSuite {
     assert(df.count() > 0)
     assert(df.where(col("keep_id").isNull).count() == 0)
   }
+
+  test("dedup_cluster leaves no persisted RDD blocks behind") {
+    // VERDICT r10 #3: a long-lived shared session must be able to run
+    // clustering in a loop without checkpoint blocks accruing in the
+    // block manager. Delta-checked (not asserted globally empty) so an
+    // unrelated suite's persisted state can't flake this.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = SparkEntry.queries("dedup_cluster")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+  }
+
+  test("connectedComponents on an empty edge set returns an empty mapping") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(empty)
+    assert(got.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(got.count() == 0)
+  }
 }
