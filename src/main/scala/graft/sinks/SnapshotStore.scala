@@ -72,6 +72,7 @@ object SnapshotStore {
   * {{{
   *   <root>/CURRENT                      pointer file: "v-000000000001"
   *   <root>/manifests/v-000000000001     manifest: partition -> batch
+  *   <root>/versions/v-000000000001      version log: winning manifest name
   *   <root>/data/<batch>/pk=0/part-*.parquet   immutable once written
   * }}}
   *
@@ -119,6 +120,23 @@ object SnapshotStore {
   * single small pointer object PUT is atomic — the protocol holds one
   * indirection up.
   *
+  * TIME TRAVEL: manifest file names alone cannot prove which of two
+  * same-version manifests committed — a fenced loser's uniquely-named
+  * manifest survives on disk until vacuum (that ambiguity is exactly
+  * why [[readAt]] was rejected in round 10). The VERSION LOG resolves
+  * it: immediately after the pointer swap, still inside the commit
+  * lease, the winner records its manifest file name as
+  * `versions/v-NNN` (one immutable file per version — append-only in
+  * spirit, no FS append op needed, atomic tmp+rename). Because
+  * commits are serialized by the lease, the log entry for version v
+  * is written exactly by v's winner; a crash between swap and log
+  * write is healed by the NEXT committer, which backfills its base
+  * version's entry from the pointer it read under its own lease.
+  * [[readAt]] then gives reproducible reads of any version still
+  * inside the vacuum retention window — the MVCC the reference gets
+  * free from Postgres, for training-data snapshots that must be
+  * re-readable bit-for-bit.
+  *
   * FORMAT NOTE: every commit writes manifest header `graft-snapshot 2`
   * (the sized format), which a pre-v2 build rejects. The upgrade is
   * one-way: once any merge lands on a table under this build, rolling
@@ -139,6 +157,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
 
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
+  private val versionsDir = new Path(root, "versions")
   private val dataDir = new Path(root, "data")
   private val lockPath = new Path(root, "LOCK")
 
@@ -282,6 +301,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     acquireLock(holder)
     try {
       fence()
+      // Heal a predecessor that crashed between its pointer swap and
+      // its version-log write: the pointer read under THIS lease is
+      // the provable winner of the base version.
+      expectedBase.foreach { base =>
+        if (versionLogEntry(base).isEmpty)
+          currentManifestName().foreach(writeVersionLogEntry(base, _))
+      }
       val pointerTmp = new Path(root, s".CURRENT.tmp-${java.util.UUID.randomUUID()}")
       writeFile(pointerTmp, manifestName)
       beforeSwapHook()
@@ -300,7 +326,76 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       // still resolve).
       val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
       fc.rename(pointerTmp, pointer, Options.Rename.OVERWRITE)
+      // Record the winner in the version log — still inside the
+      // lease, so log entries are written in commit order by winners
+      // only (a fenced loser never reaches this line; see class doc).
+      writeVersionLogEntry(version, manifestName)
     } finally releaseLock(holder)
+  }
+
+  /** Winning manifest file name the version log records for
+    * `version`, if present (absent for versions committed by a
+    * pre-log build, vacuumed away, or lost to a swap/log crash window
+    * — the last is backfilled by the next commit).
+    */
+  private def versionLogEntry(version: Long): Option[String] = {
+    val p = new Path(versionsDir, versionName(version))
+    if (fs.exists(p)) Some(readSmallFile(p)) else None
+  }
+
+  /** Atomic (tmp + overwrite-rename) write of one version-log file.
+    * Must only be called inside the commit lease.
+    */
+  private def writeVersionLogEntry(version: Long, manifestName: String): Unit = {
+    fs.mkdirs(versionsDir)
+    val tmp = new Path(versionsDir, s".tmp-${java.util.UUID.randomUUID()}")
+    writeFile(tmp, manifestName)
+    val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new Path(versionsDir, versionName(version)), Options.Rename.OVERWRITE)
+  }
+
+  /** Committed versions still readable via [[readAt]], ascending. */
+  def versions(): Seq[Long] =
+    if (!fs.exists(versionsDir)) currentVersion().toSeq
+    else {
+      val logged = fs.listStatus(versionsDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v-")).map(parseVersion)
+      (logged ++ currentVersion()).distinct.sorted
+    }
+
+  /** Read the table AS OF committed `version` — the reproducible
+    * training-data snapshot read the reference gets free from
+    * Postgres MVCC. The version log proves which same-numbered
+    * manifest file actually committed (a fenced loser's staged
+    * manifest may still sit in manifests/ awaiting vacuum; it is
+    * never named by the log). The current version falls back to the
+    * pointer itself when the log has no entry (pre-log tables).
+    * Versions outside the vacuum retention window fail with a clear
+    * error rather than a partial read: [[vacuum]] deletes manifests
+    * and log entries below the window together, and every batch a
+    * retained manifest references is itself retained, so a version
+    * whose log entry exists is readable in full.
+    */
+  def readAt(version: Long, schema: StructType): DataFrame = {
+    val cur = currentVersion().getOrElse(throw new IllegalArgumentException(
+      s"snapshot table $root has no committed version"))
+    if (version > cur)
+      throw new IllegalArgumentException(
+        s"${versionName(version)} has not committed on $root (current is ${versionName(cur)})")
+    val name = versionLogEntry(version)
+      .orElse(if (version == cur) currentManifestName() else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"${versionName(version)} is below the vacuum retention window of $root " +
+          "(or predates the version log) — no provable winner remains"))
+    val entries =
+      try readManifestFile(name)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"${versionName(version)}'s manifest was vacuumed from $root — " +
+              "widen vacuum retention to cover the oldest pinned reader")
+      }
+    readEntries(entries, schema, null)
   }
 
   /** Take the commit lease: atomic create-exclusive of `LOCK` with
@@ -568,6 +663,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       val doomed = n.startsWith(".tmp-") ||
         (n.startsWith("v-") && parseVersion(n) < keepMin)
       if (doomed) fs.delete(new Path(manifestsDir, n), true)
+    }
+    // Version-log entries leave the window together with their
+    // manifests, so readAt fails the same clear way for both.
+    if (fs.exists(versionsDir)) fs.listStatus(versionsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".tmp-") || (n.startsWith("v-") && parseVersion(n) < keepMin))
+        fs.delete(st.getPath, false)
     }
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       val n = st.getPath.getName

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import graft.sinks.{SnapshotMerge, SnapshotStore}
+
+/** Time-travel reads on the snapshot table (VERDICT r10 #4): the
+  * version log written inside the commit lease makes "the committed
+  * winner of version v" provable, so [[SnapshotStore.readAt]] is
+  * sound even while a fenced loser's same-version manifest still sits
+  * in manifests/ awaiting vacuum — the scenario that justified
+  * rejecting time travel in round 10.
+  */
+class TimeTravelSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def v1Rows = (0L until 10L).map(i => (i, s"t$i", i % 5)).toDF("id", "v", "pk")
+  private def v2Rows = Seq((0L, "U0", 0L), (10L, "N10", 0L)).toDF("id", "v", "pk")
+  private def v3Rows = Seq((1L, "U1", 1L), (11L, "N11", 1L)).toDF("id", "v", "pk")
+
+  private def vals(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+
+  /** Three committed versions of one table, returning the store and
+    * the expected id->v content of each version.
+    */
+  private def seed3(): (String, SnapshotStore, Seq[Map[Long, String]]) = {
+    val dir = tmp("ttravel")
+    val base = vals(v1Rows)
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir, v2Rows, Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir, v3Rows, Seq("id"), Seq("pk"))
+    val c2 = base ++ Map(0L -> "U0", 10L -> "N10")
+    val c3 = c2 ++ Map(1L -> "U1", 11L -> "N11")
+    (dir, new SnapshotStore(spark, new Path(dir)), Seq(base, c2, c3))
+  }
+
+  test("readAt returns each committed version's exact content") {
+    val (_, store, want) = seed3()
+    val cur = store.currentVersion().get
+    assert(cur == 3L)
+    // each merge vacuums with retain=2, so v1 has already left the
+    // window by design — the in-window versions are 2 and 3
+    assert(store.versions() == Seq(2L, 3L))
+    (2L to 3L).foreach { v =>
+      assert(vals(store.readAt(v, v1Rows.schema)) == want((v - 1).toInt),
+        s"version $v content drifted")
+    }
+    // as-of current == the plain read
+    assert(vals(store.readAt(cur, v1Rows.schema)) ==
+      vals(store.read(v1Rows.schema)))
+  }
+
+  test("a fenced loser's staged manifest cannot shadow the winner") {
+    val (_, store, want) = seed3()
+    // A fenced loser writes its manifest file BEFORE the in-lock fence
+    // rejects it, so a same-version manifest with WRONG content sits
+    // on disk. readAt must resolve version 3 through the version log,
+    // never by globbing manifests/.
+    val loser = new Path(new Path(store.root, "manifests"), "v-000000000003-loser000")
+    val body = "graft-snapshot 2\npk=0\tb-000000000001-bogus\t-1"
+    val out = store.fs.create(loser, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    assert(vals(store.readAt(3L, v1Rows.schema)) == want(2),
+      "readAt(3) must return the committed winner, not the fenced loser's staging")
+    assert(vals(store.readAt(2L, v1Rows.schema)) == want(1))
+  }
+
+  test("a crash between pointer swap and log write is healed by the next commit") {
+    val (_, store, want) = seed3()
+    // Simulate the crash window: version 3 committed (pointer moved)
+    // but its log entry was never written.
+    val logEntry = new Path(new Path(store.root, "versions"), "v-000000000003")
+    assert(store.fs.exists(logEntry))
+    store.fs.delete(logEntry, false)
+    // current-version reads fall back to the pointer meanwhile
+    assert(vals(store.readAt(3L, v1Rows.schema)) == want(2))
+    // the next committer backfills version 3's entry from the pointer
+    // it read under its own lease
+    val (v, entries) = store.current().get
+    store.commit(v + 1, entries, Some(v))
+    assert(store.fs.exists(logEntry), "next commit must backfill the missing log entry")
+    assert(vals(store.readAt(3L, v1Rows.schema)) == want(2))
+  }
+
+  test("vacuum: pinned in-window versions stay readable, below-window reads fail clearly") {
+    val (_, store, want) = seed3()
+    // merges vacuum with the default retain=2, so after v3 the window
+    // floor is v2: v1 must be gone, v2 and v3 fully readable (their
+    // manifests retain every batch they reference).
+    assert(vals(store.readAt(2L, v1Rows.schema)) == want(1))
+    assert(vals(store.readAt(3L, v1Rows.schema)) == want(2))
+    val below = intercept[IllegalArgumentException](store.readAt(1L, v1Rows.schema))
+    assert(below.getMessage.contains("retention"))
+    val future = intercept[IllegalArgumentException](store.readAt(99L, v1Rows.schema))
+    assert(future.getMessage.contains("has not committed"))
+    assert(store.versions() == Seq(2L, 3L))
+  }
+}
