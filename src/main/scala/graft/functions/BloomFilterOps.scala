@@ -40,8 +40,20 @@ object BloomFilterOps {
       GraftShims.expression(xxhash64(item))))
 
   /** Build a sketch over one column of `df` and return it as a
-    * constant Column (null sketch → a never-matching probe input;
-    * callers with possibly-empty build sides should guard).
+    * constant Column.
+    *
+    * EAGER: the `.head()` runs a Spark job AT CALL TIME — the build
+    * side is scanned during query construction, not when the caller's
+    * plan executes (in a benchmarked query map, the sketch cost lands
+    * at construction).
+    *
+    * EMPTY BUILD SIDE: the aggregate yields a null sketch, returned
+    * as `lit(null)` — [[might_contain]] then evaluates to NULL and a
+    * WHERE on it drops EVERY probe row. That is correct only when
+    * "no hits" is the right answer for an empty set (the
+    * decontamination caller's left-join + coalesce(0) path is —
+    * nothing is contaminated by an empty benchmark); callers whose
+    * semantics differ must short-circuit before probing.
     */
   def buildBloom(df: DataFrame, column: String,
       expectedItems: Long, numBits: Long): Column = {

@@ -336,10 +336,13 @@ object Similarity extends QueryModule {
     // the pass before scalar quantization or a distance index, so one
     // high-variance dimension can't dominate). Per-dim sums go through
     // DECIMAL(38,6) — order-independent, and exactly reproducible
-    // across engines: a double's decimal expansion is a binary
-    // fraction, which can never tie at the rounding digit (x·10¹⁸ =
-    // k+½ needs a 5^18 denominator), so round-to-nearest agrees
-    // everywhere. Shape: posexplode → 64-group partial-agg (map-side
+    // across engines because both resolve rounding ties the same way:
+    // ties at scale 6 ARE possible (x = j/2^7 with odd j has
+    // x·10⁶ = j·7812.5 exactly), but Spark's HALF_UP decimal cast and
+    // DuckDB's std::round both break ties away from zero, so the
+    // quantization agrees everywhere. (A half-EVEN engine path would
+    // break this invariant — do not wave such a change through on a
+    // no-ties argument.) Shape: posexplode → 64-group partial-agg (map-side
     // combinable) → broadcast the 64-row stats back — two linear
     // passes, no wide shuffle, any corpus size.
     "vec_standardize" -> ((s, dir) => {

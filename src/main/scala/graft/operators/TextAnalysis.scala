@@ -206,8 +206,12 @@ object TextAnalysis extends QueryModule {
     // Normalization + PII redaction: lowercase, URL/email → sentinel
     // tokens, whitespace collapse, trim — the first pass of every web
     // scrape pipeline. Patterns are RE2-safe (no backrefs/lookahead)
-    // so Java and DuckDB agree byte-for-byte; counts are taken on the
-    // lowered text the replacements run on. Zero-shuffle projection.
+    // so Java and DuckDB agree byte-for-byte. n_urls/n_emails are RAW
+    // PATTERN HITS on the pre-redaction lowered text, NOT redaction
+    // counts: replacement runs URL-first, so an email embedded in a
+    // URL (https://user@host/...) increments n_emails yet is
+    // swallowed by <URL> — counts can exceed the sentinel tokens
+    // emitted. The oracle counts identically. Zero-shuffle projection.
     // (This corpus is synthetic clean text, so most rows pass through
     // unchanged — TextAnalysisSpec pins the redaction behavior itself
     // on crafted rows.)
@@ -313,7 +317,11 @@ object TextAnalysis extends QueryModule {
     // eval suite is too large to broadcast as a gram table, the sketch
     // still broadcasts at constant cost and clean grams never enter
     // the join. The sketch is materialized with one driver-side scalar
-    // aggregate (see [[graft.functions.BloomFilterOps]]).
+    // aggregate AT CONSTRUCTION TIME (see
+    // [[graft.functions.BloomFilterOps.buildBloom]]); an EMPTY
+    // benchmark set yields a null sketch whose probe drops every gram,
+    // which the left-join + coalesce(0) below correctly reports as
+    // "nothing contaminated".
     "text_decontaminate_bloom" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val grams = docs.select(col("doc_id"),
