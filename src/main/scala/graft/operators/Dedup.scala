@@ -205,6 +205,49 @@ object Dedup extends QueryModule {
         .select(col("seed_id"), col("doc_id"), round(col("cont"), 6).as("cont_r"))
     }),
 
+    // Postings-join containment twin (the escape hatch the broadcast
+    // variant's comment promises): identical output, for probe sets
+    // too large to broadcast. Pigeonhole: a doc containing ≥ t of
+    // seed A misses at most |A| − ⌈t·|A|⌉ = ⌊(1−t)·|A|⌋ of A's
+    // shingles, so under ANY fixed global token order it must share
+    // one of A's first ⌊(1−t)·|A|⌋+1 tokens — a lossless candidate
+    // set. Seed prefixes are df-ordered (rarest first, as in
+    // [[jaccardPairsGlobal]]) so postings collide on rare content;
+    // the corpus side posts ALL its shingles because containment is
+    // asymmetric — the shared token may sit anywhere in the
+    // containing doc, only the SEED side gets a prefix. Candidates
+    // then verify with the exact intersect. Shuffle-join shapes
+    // throughout; neither side is ever collected or broadcast.
+    "dedup_containment_postings" -> ((s, dir) => {
+      val t = 0.6
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
+      val dfTbl = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val seedPrefix = grams.where(col("doc_id") < 50)
+        .join(dfTbl, "g")
+        .select(col("doc_id").as("seed_id"),
+          struct(col("df"), xxhash64(col("g")).as("h"), col("g")).as("tok"))
+        .groupBy(col("seed_id"))
+        .agg(sort_array(collect_list(col("tok"))).as("ordered"),
+          count(lit(1)).as("sz"))
+        .withColumn("plen",
+          least(col("sz"), floor(col("sz") * (1 - t)) + 1).cast("int"))
+        .select(col("seed_id"),
+          explode(expr("transform(slice(ordered, 1, plen), x -> x.g)")).as("g"))
+      val cands = grams.join(seedPrefix, "g")
+        .where(col("doc_id") =!= col("seed_id"))
+        .select(col("seed_id"), col("doc_id")).distinct()
+      cands
+        .join(d.select(col("doc_id").as("seed_id"), col("sh").as("seed_sh")), "seed_id")
+        .join(d, "doc_id")
+        .withColumn("cont",
+          size(array_intersect(col("seed_sh"), col("sh"))).cast("double")
+            / size(col("seed_sh")))
+        .where(col("cont") >= t)
+        .select(col("seed_id"), col("doc_id"), round(col("cont"), 6).as("cont_r"))
+    }),
+
     // The top of the dedup ladder: near-dup PAIRS → duplicate CLUSTERS
     // → one canonical survivor per cluster. Edges are exact global
     // Jaccard ≥ 0.8 (prefix-filtered, no false negatives), components
@@ -474,18 +517,10 @@ object Dedup extends QueryModule {
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
     "dedup_jaccard_prefix" -> jaccardBlockSql,
-    "dedup_containment" ->
-      """WITH dd AS (
-           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
-                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
-           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents))
-         SELECT s.doc_id AS seed_id, d.doc_id,
-           round(CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
-                 / len(s.sh), 6) AS cont_r
-         FROM dd s JOIN dd d
-           ON s.doc_id < 50 AND d.doc_id != s.doc_id
-         WHERE CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
-               / len(s.sh) >= 0.6""",
+    "dedup_containment" -> containmentSql,
+    // identical result by construction — the prefix-postings candidate
+    // set is lossless, so the same brute-force oracle applies
+    "dedup_containment_postings" -> containmentSql,
     // brute all-pairs edges (with the lossless size band so the oracle
     // doesn't intersect every list pair) + recursive-CTE reachability:
     // the obviously-correct restatement of prefix filter + star
@@ -520,6 +555,19 @@ object Dedup extends QueryModule {
            CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
          FROM documents d LEFT JOIN comp c USING (doc_id)"""
   )
+
+  private def containmentSql: String =
+      """WITH dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents))
+         SELECT s.doc_id AS seed_id, d.doc_id,
+           round(CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
+                 / len(s.sh), 6) AS cont_r
+         FROM dd s JOIN dd d
+           ON s.doc_id < 50 AND d.doc_id != s.doc_id
+         WHERE CAST(len(list_intersect(s.sh, d.sh)) AS DOUBLE)
+               / len(s.sh) >= 0.6"""
 
   private def jaccardBlockSql: String =
       """WITH d AS (

@@ -164,6 +164,18 @@ class DedupSpec extends SparkFunSuite {
     assert(df.where(col("keep_id").isNull).count() == 0)
   }
 
+  test("postings containment is row-identical to the broadcast variant") {
+    // The prefix-postings candidate set must be LOSSLESS (pigeonhole
+    // bound) — any divergence from the broadcast cross-join spelling
+    // means a candidate was dropped or a threshold drifted.
+    val broad = SparkEntry.queries("dedup_containment")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val post = SparkEntry.queries("dedup_containment_postings")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(post == broad)
+    assert(broad.nonEmpty)
+  }
+
   test("dedup_cluster leaves no persisted RDD blocks behind") {
     // VERDICT r10 #3: a long-lived shared session must be able to run
     // clustering in a loop without checkpoint blocks accruing in the
