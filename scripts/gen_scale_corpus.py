@@ -13,6 +13,16 @@ an all-pairs-in-block plan from a prefix-filtered one.
 Embeddings replicate with a cosine-preserving scale (timing-only
 corpus; pair count grows K^2 for both the brute and blocked variants).
 
+events and lineitem replicate too (r11, for the event-window /
+percent-rank scale probes): replicas shift event ids, user ids and
+timestamps (+6h per replica) so window and session KEYS multiply
+rather than deepen, and shift order keys while perturbing
+l_extendedprice per replica so the rank probe's distinct-value count
+grows with the rows. events.ts is exported as BIGINT nanoseconds —
+the real testdata's physical TIMESTAMP(NANOS) arrives as a long under
+nanosAsLong=true, and graft.Tables reproduces that contract; a DuckDB
+TIMESTAMP column would not.
+
 Usage: gen_scale_corpus.py <src_sf_dir> <out_dir> <K>
 """
 import sys
@@ -43,6 +53,26 @@ ereps = " UNION ALL ".join(
 con.execute(f"CREATE VIEW esrc AS SELECT * FROM '{src}/embeddings.parquet'")
 con.execute(f"COPY ({ereps}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
-for t in ("documents", "embeddings"):
+evreps = " UNION ALL ".join(
+    f"""SELECT event_id + {r * 10_000_000} AS event_id,
+          epoch_ns(ts) + {r} * 21600000000000 AS ts,
+          user_id + {r * 10_000_000} AS user_id,
+          event_type, value, props
+        FROM evsrc"""
+    for r in range(k))
+con.execute(f"CREATE VIEW evsrc AS SELECT * FROM '{src}/events.parquet'")
+con.execute(f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+
+lireps = " UNION ALL ".join(
+    f"""SELECT l_orderkey + {r * 10_000_000} AS l_orderkey, l_partkey,
+          l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice + {r} * 0.01 AS l_extendedprice,
+          l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM lisrc"""
+    for r in range(k))
+con.execute(f"CREATE VIEW lisrc AS SELECT * FROM '{src}/lineitem.parquet'")
+con.execute(f"COPY ({lireps}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
+
+for t in ("documents", "embeddings", "events", "lineitem"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")

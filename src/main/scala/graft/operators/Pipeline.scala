@@ -120,6 +120,44 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // Time-travel read through the snapshot version log (r11): seed
+    // the table (v1), merge an update batch on top (v2), then read AS
+    // OF v1 while CURRENT points at v2 — the oracle is simply the
+    // seed relation, so the driver hash-pins that readAt reconstructs
+    // the pre-merge table bit-for-bit through the version log (the
+    // MVCC read the reference gets free from Postgres; fenced-loser
+    // and vacuum edge cases are spec'd in TimeTravelSpec).
+    "k2_snapshot_time_travel" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      // leaner seed than k2_upsert_snapshot (which already pays the
+      // full-size merge shape): the twin's point is the version-log
+      // read, not merge throughput
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val incoming = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      // driver-local temp path: local-mode-only harness scaffolding,
+      // same caveat as k2_upsert_partitioned above
+      val base = java.nio.file.Files.createTempDirectory("graft_k2tt_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      val v = store.currentVersion().get
+      val out = store.readAt(v - 1, target.schema)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // K3: bulk join-update — set order priority from a per-customer
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
@@ -277,6 +315,12 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // readAt(v1) after a v2 merge must return exactly the seed
+    // relation — the pre-merge table, not the merged one.
+    "k2_snapshot_time_travel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 1""",
     "k3_join_update" ->
       """SELECT o_orderkey, o_custkey,
            CASE WHEN u.c_custkey IS NOT NULL THEN '0-REVIEWED'
