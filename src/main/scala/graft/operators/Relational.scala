@@ -26,6 +26,96 @@ object Relational extends QueryModule {
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Exact per-(group, value) rank statistics with EVERY stage
+    * parallel — the shared engine under `w3_percent_rank_scaled` and
+    * `agg_percentile_scaled`. Returns one row per distinct
+    * (`group`, `value`) carrying `cnt_less` (rows in the group with a
+    * strictly smaller value), `c` (rows tied at this value) and `n_g`
+    * (group size). The plan:
+    *   1. value-level counts — one hash agg keyed on (group, value);
+    *      map-side combine collapses duplicates, and the key is
+    *      high-cardinality so all reducers work.
+    *   2. range-shard the distinct values by (group, value). The shard
+    *      id is monotone in sort order, so each group's prefix sum
+    *      factors into (total of earlier shards) + (running sum within
+    *      the shard) — the sharded-prefix-sum pattern from text_pack.
+    *      Within-shard windows are bounded by shard size
+    *      (≈ n_distinct / P) and run in parallel; the cross-shard
+    *      offset table is ≤ P + #groups rows, broadcast. AQE may only
+    *      MERGE adjacent range shards, which keeps pid monotone, so
+    *      the factorization survives runtime re-planning.
+    * Both range-exchange consumers (offsets and the in-shard window)
+    * reuse one Exchange (ReusedExchange; range sampling is
+    * seed-deterministic besides), so `spark_partition_id()` is
+    * consistent across branches.
+    */
+  private def rankedValueCounts(df: DataFrame, group: String, value: String,
+      shards: Int): DataFrame = {
+    val dv = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("c"))
+    val sharded = dv
+      .repartitionByRange(shards, col(group), col(value))
+      .withColumn("pid", spark_partition_id())
+    val inShard = Window.partitionBy(col("pid"), col(group))
+      .orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partSums = sharded.groupBy(col("pid"), col(group))
+      .agg(sum(col("c")).as("psum"))
+    val acrossShards = Window.partitionBy(col(group)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partSums
+      .withColumn("off", coalesce(sum(col("psum")).over(acrossShards), lit(0L)))
+      .select(col("pid"), col(group), col("off"))
+    val sizes = partSums.groupBy(col(group)).agg(sum(col("psum")).as("n_g"))
+    sharded
+      .withColumn("cum", coalesce(sum(col("c")).over(inShard), lit(0L)))
+      .join(broadcast(offsets), Seq("pid", group))
+      .join(broadcast(sizes), Seq(group))
+      .select(col(group), col(value),
+        (col("cum") + col("off")).as("cnt_less"), col("c"), col("n_g"))
+  }
+
+  /** Exact `percentile(value, p)` per group from the rank table, with
+    * no per-group sort. Spark's Percentile evaluates
+    * `position = p · (n − 1)`; with `lower = ⌊position⌋` and
+    * `higher = ⌈position⌉` the result is the value at sorted index
+    * `lower` when they coincide, else the lerp
+    * `(higher − position) · v_lo + (position − lower) · v_hi` — this
+    * reproduces those doubles bit-for-bit (same operands, same IEEE
+    * ops: long·double product, long→double subtraction). A value row
+    * covers sorted indices [cnt_less, cnt_less + c), so v_lo / v_hi
+    * fall out of one conditional hash agg over the rank table — the
+    * per-group reduction is a partial-aggregating `max`, never a sort,
+    * so the low-cardinality group key costs P·#groups shuffle rows,
+    * not a single-reducer sort of the whole group (the structural
+    * scale-killer in the `percentile(...)` window/agg spelling).
+    */
+  private def exactPercentilesScaled(df: DataFrame, group: String, value: String,
+      ps: Seq[(String, Double)], shards: Int): DataFrame = {
+    val ranked = rankedValueCounts(df, group, value, shards)
+      .withColumn("v", col(value).cast("double"))
+    def pos(p: Double): Column = lit(p) * (col("n_g") - lit(1L))
+    val aggs = ps.flatMap { case (name, p) =>
+      val lo = floor(pos(p))
+      val hi = ceil(pos(p))
+      Seq(
+        max(when(col("cnt_less") <= lo && lo < col("cnt_less") + col("c"),
+          col("v"))).as(s"__vlo_$name"),
+        max(when(col("cnt_less") <= hi && hi < col("cnt_less") + col("c"),
+          col("v"))).as(s"__vhi_$name"))
+    } :+ max(col("n_g")).as("__n_g")
+    val g = ranked.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (name, p) =>
+      val position = lit(p) * (col("__n_g") - lit(1L))
+      val lo = floor(position)
+      val hi = ceil(position)
+      when(hi === lo, col(s"__vlo_$name"))
+        .otherwise((hi.cast("double") - position) * col(s"__vlo_$name") +
+          (position - lo.cast("double")) * col(s"__vhi_$name"))
+        .as(name)
+    }
+    g.select(col(group) +: outs: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P5: projected scan + filter; predicate and projection push
     // into the parquet scan (ReadSchema/PushedFilters).
@@ -288,56 +378,22 @@ object Relational extends QueryModule {
     // output to w3_percent_rank with no single-reducer group sort.
     // percent_rank(row) = cnt_less / (n_group − 1), where cnt_less is
     // the number of rows in the group with a strictly smaller value
-    // (tied rows share the rank of their first peer). The plan:
-    //   1. value-level counts — ONE parallel hash agg keyed on
-    //      (group, value); map-side combine collapses duplicates, and
-    //      the key is high-cardinality so all reducers work.
-    //   2. range-shard the distinct values by (group, value). The
-    //      shard id is monotone in sort order, so each group's prefix
-    //      sum factors into (total of earlier shards) + (running sum
-    //      within the shard) — the sharded-prefix-sum pattern from
-    //      text_pack. Within-shard windows are bounded by shard size
-    //      (≈ n_distinct / P, P = shuffle parallelism) and run in
-    //      parallel; the cross-shard offset table is ≤ P + #groups
-    //      rows, broadcast. AQE may only MERGE adjacent range shards,
-    //      which keeps pid monotone, so the factorization survives
-    //      runtime re-planning.
-    //   3. join ranks back to the fact on (group, value) — a shuffle
-    //      join on the same high-cardinality key, fully parallel.
-    // Determinism note: both range-exchange consumers (offsets and the
-    // in-shard window) reuse one Exchange (ReusedExchange; sampling is
-    // seed-deterministic besides), so `spark_partition_id()` is
-    // consistent across branches. The division reproduces Spark's
-    // PercentRank arithmetic bit-for-bit: long/long division widens to
-    // double exactly like (rank−1)/(n−1); single-row groups are 0.0 by
-    // definition, guarded against 0/0. 10× probe: see NOTES_r11.
+    // (tied rows share the rank of their first peer). Stages 1–2 are
+    // [[rankedValueCounts]] (parallel value counts + sharded prefix
+    // sum); stage 3 joins ranks back to the fact on (group, value) — a
+    // shuffle join on the same high-cardinality key, fully parallel.
+    // The division reproduces Spark's PercentRank arithmetic
+    // bit-for-bit: long/long division widens to double exactly like
+    // (rank−1)/(n−1); single-row groups are 0.0 by definition, guarded
+    // against 0/0. 10× probe: see NOTES_r11.
     "w3_percent_rank_scaled" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_extendedprice"))
       val shards = s.sessionState.conf.numShufflePartitions
-      val dv = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("c"))
-      val sharded = dv
-        .repartitionByRange(shards, col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("pid", spark_partition_id())
-      val inShard = Window.partitionBy(col("pid"), col("l_returnflag"))
-        .orderBy(col("l_extendedprice"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val partSums = sharded.groupBy(col("pid"), col("l_returnflag"))
-        .agg(sum(col("c")).as("psum"))
-      val acrossShards = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = partSums
-        .withColumn("off", coalesce(sum(col("psum")).over(acrossShards), lit(0L)))
-        .select(col("pid"), col("l_returnflag"), col("off"))
-      val sizes = partSums.groupBy(col("l_returnflag")).agg(sum(col("psum")).as("n_g"))
-      val ranked = sharded
-        .withColumn("cum", coalesce(sum(col("c")).over(inShard), lit(0L)))
-        .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-        .join(broadcast(sizes), Seq("l_returnflag"))
+      val ranked = rankedValueCounts(li, "l_returnflag", "l_extendedprice", shards)
         .select(col("l_returnflag"), col("l_extendedprice"),
-          (col("cum") + col("off")).as("cnt_less"), col("n_g"))
+          col("cnt_less"), col("n_g"))
       li.join(ranked, Seq("l_returnflag", "l_extendedprice"))
         .withColumn("pr", when(col("n_g") > 1,
           col("cnt_less") / (col("n_g") - 1)).otherwise(lit(0.0)))
@@ -371,6 +427,14 @@ object Relational extends QueryModule {
     }),
 
     // Exact continuous percentiles (median / p90).
+    //
+    // SCALE CAVEAT (measured: 6.4× wall at 10× rows, NOTES_r11): exact
+    // `percentile(...)` buffers and sorts every group member inside
+    // the aggregate, and l_returnflag has 6 values — each group's sort
+    // is one reducer. This is the reference spelling;
+    // `agg_percentile_scaled` below computes the identical doubles
+    // with every stage parallel — use that at scale (or
+    // `approx_percentile` when a sketch suffices).
     "agg_percentile" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -378,6 +442,24 @@ object Relational extends QueryModule {
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.9)").as("p90"),
           expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+    }),
+
+    // Scale-safe EXACT percentile twin: identical doubles to
+    // agg_percentile (same oracle) with no per-group member sort —
+    // [[rankedValueCounts]] supplies sorted-index coverage per
+    // distinct value, [[exactPercentilesScaled]] picks the straddling
+    // values with one conditional hash agg and reproduces Spark's
+    // Percentile lerp bit-for-bit. Two value columns → two rank
+    // passes, joined on the 6-row group key.
+    "agg_percentile_scaled" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val shards = s.sessionState.conf.numShufflePartitions
+      val qty = exactPercentilesScaled(li, "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p90" -> 0.9), shards)
+      val price = exactPercentilesScaled(li, "l_returnflag", "l_extendedprice",
+        Seq("price_p50" -> 0.5), shards)
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("price_p50"))
     }),
 
     // Sketch aggregation: HLL approximate distinct (north-star for
@@ -540,6 +622,12 @@ object Relational extends QueryModule {
            COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY o_orderpriority""",
     "agg_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50
+         FROM lineitem GROUP BY l_returnflag""",
+    "agg_percentile_scaled" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS p50,
            quantile_cont(l_quantity, 0.9) AS p90,

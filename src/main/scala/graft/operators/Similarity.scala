@@ -104,6 +104,39 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Signed-random-projection (SimHash-for-vectors) hyperplanes for
+    * cosine LSH: `bands · bitsPerBand` unit-free Gaussian directions,
+    * deterministic from the fixed seed so every run (and both sides of
+    * a spec) sees the same bucketing. Each row carries its band id and
+    * the bit's weight `w = 1 << bit`, so a band signature assembles as
+    * a plain conditional SUM — no shift-by-column expression needed.
+    */
+  def srpPlanes(s: SparkSession, dim: Int, bands: Int, bitsPerBand: Int): DataFrame = {
+    val rnd = new scala.util.Random(20260813L)
+    val rows = for {
+      band <- 0 until bands
+      bit <- 0 until bitsPerBand
+    } yield (band, 1L << bit, Seq.fill(dim)(rnd.nextGaussian()))
+    import s.implicits._
+    rows.toDF("band", "w", "hv")
+  }
+
+  /** Per-(row, band) SRP signature: the sign pattern of `bands ·
+    * bitsPerBand` hyperplane projections, packed into one long per
+    * band. Two vectors at cosine angle θ agree on each bit with
+    * probability 1 − θ/π (Charikar, STOC 2002), so near-identical
+    * vectors collide in some band with probability ≈ 1 while random
+    * pairs (θ ≈ π/2) collide with probability bands · 2^−bits. Cost:
+    * one broadcast of the plane table and one hash agg keyed on
+    * (id, band) — linear in the corpus, map-side combinable, never a
+    * pair join.
+    */
+  def srpSignatures(df: DataFrame, planes: DataFrame): DataFrame =
+    df.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(dot(col("vd"), col("hv")) >= 0, col("w")).otherwise(0L))
+        .as("sig"))
+
   /** The IVF search stage shared by the ann_ivf* queries: assign the
     * corpus (1 bucket each) and the probe vectors (`nprobe` buckets),
     * join on bucket, rank by cosine per query, keep the top 5.
@@ -360,6 +393,60 @@ object Similarity extends QueryModule {
           ((col("x") - col("sx") / col("n")) /
             sqrt(col("sxx") / col("n")
               - (col("sx") / col("n")) * (col("sx") / col("n")))).as("z"))
+    }),
+
+    // Embedding-cosine NEAR-DUP via SRP-LSH — the sublinear scale path
+    // beside the exact twins (sim_top_pairs_blocked): candidate pairs
+    // come from band-signature collisions (an equi-join on
+    // (band, sig), never an all-pairs product), then an exact cosine
+    // verify keeps only true near-dups. The natural corpus has no
+    // planted near-dup embeddings (its top pairs sit in the random
+    // noise floor, where sound LSH pruning is impossible — see
+    // sim_top_pairs), so this query PLANTS them: every vec_id < 40
+    // gains a copy at id+1000000 with deterministic ±0.5% per-dim
+    // jitter (cos ≈ 0.999996). With 8 bands × 16 bits the per-pair
+    // miss probability is (1 − (1 − θ/π)^16)^8 ≈ 2e−15 at that angle,
+    // while a random pair collides in any band with p ≈ 8·2^−16 — the
+    // verify join then discards those few collisions exactly. Rows-only
+    // (LSH candidate generation is not SQL-expressible);
+    // SimilaritySpec pins exact recall of all 40 planted pairs, zero
+    // sub-threshold survivors, and the plan shape (the only
+    // nested-loop join is against the 128-row plane table).
+    // At 100 TB: signatures are one broadcast + one map-side-combined
+    // hash agg; the collision join's bucket sizes are governed by
+    // bits-per-band, the standard precision knob. dim=64 matches the
+    // testdata embedding schema; production callers pass their own.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("vd"), col("nrm"))
+      val planted = embeddings(s, dir).where(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("vd"), (x, i) =>
+            x * (lit(1.0) +
+              (pmod(hash(col("vec_id"), i), lit(1000)).cast("double") - 500.0)
+                / 100000.0)).as("vd"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("vd"), x => x * x), lit(0.0), (a, x) => a + x)))
+      val all = e.unionByName(planted)
+      val sigs = srpSignatures(all.select(col("vec_id"), col("vd")),
+        srpPlanes(s, dim = 64, bands = 8, bitsPerBand = 16))
+      // rename BEFORE the self-join: dataset-alias column refs on a
+      // self-join resolve both sides to the same attribute (Spark's
+      // trivially-true-condition trap), which silently degrades the
+      // equi-join to a nested loop — the spec pins the plan against it
+      val lhs = sigs.select(col("band"), col("sig"), col("vec_id").as("id_a"))
+      val rhs = sigs.select(col("band"), col("sig"), col("vec_id").as("id_b"))
+      val cands = lhs.join(rhs, Seq("band", "sig"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      cands
+        .join(all.select(col("vec_id").as("id_a"), col("vd").as("va"),
+          col("nrm").as("na")), "id_a")
+        .join(all.select(col("vec_id").as("id_b"), col("vd").as("vb"),
+          col("nrm").as("nb")), "id_b")
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .where(col("cos") >= 0.998)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
     })
   )
 

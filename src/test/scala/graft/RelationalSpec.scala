@@ -146,6 +146,38 @@ class RelationalSpec extends SparkFunSuite {
     assert(window.nonEmpty)
   }
 
+  test("agg_percentile_scaled matches the percentile aggregate bit-for-bit") {
+    // The scaled twin must reproduce Spark's Percentile lerp exactly —
+    // same straddling values, same IEEE operations — so compare the
+    // raw double bits, not an epsilon.
+    def byGroup(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
+        r.getString(0) -> Seq(1, 2, 3).map(i =>
+          java.lang.Double.doubleToRawLongBits(r.getDouble(i)))
+      }.toMap
+    val agg = byGroup("agg_percentile")
+    val scaled = byGroup("agg_percentile_scaled")
+    assert(agg.nonEmpty)
+    assert(scaled == agg)
+  }
+
+  test("agg_percentile_scaled plan never sorts a whole group") {
+    // The point of the twin: no per-group member sort (the exact
+    // Percentile aggregate buffers + sorts each group inside one
+    // reducer). Every window must be sharded (pid) or the tiny
+    // cross-shard offset pass (psum), and the Percentile aggregate
+    // itself must be absent.
+    val plan = SparkEntry.queries("agg_percentile_scaled")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"exact Percentile agg leaked in:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("pid") || w.contains("psum"),
+        s"window not sharded or not the offset pass: $w")
+    }
+  }
+
   test("w3_percent_rank_scaled plan has no single-reducer group-sort window") {
     // The point of the twin: every window in the plan partitions on
     // (pid, group) or orders the tiny offsets table — never a bare

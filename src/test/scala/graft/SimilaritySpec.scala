@@ -142,4 +142,35 @@ class SimilaritySpec extends SparkFunSuite {
       assert(r.getLong(3) == 500L)
     }
   }
+
+  test("dedup_embedding_lsh: full planted recall, exact precision, no corpus cartesian") {
+    val out = SparkEntry.queries("dedup_embedding_lsh")(spark, sfDir)
+    val rows = out.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every planted (id, id+1000000) pair must collide in some
+    // band — at cos ≈ 0.999996 the analytic miss probability is ~2e-15
+    // per pair, and the fixed-seed planes make the outcome
+    // deterministic besides.
+    val planted = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 40).select(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(planted.size == 40)
+    assert(planted.subsetOf(pairs),
+      s"missed planted pairs: ${planted.diff(pairs)}")
+    // precision is exact by construction (the verify join recomputes
+    // true cosine): nothing below the threshold survives
+    rows.foreach(r => assert(r.getDouble(2) >= 0.998, r.toString))
+    // plan shape: the only nested-loop joins are against the 128-row
+    // broadcast plane table (signature computation); candidate
+    // generation and verification are equi-joins. The corpus never
+    // enters a cartesian with itself.
+    // (AQE's toString repeats the pre-adaptive plan under an
+    // "== Initial Plan ==" header — count operators in the final
+    // section only)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"expected only plane-table cross joins, got $bnlj:\n$plan")
+  }
 }
