@@ -205,9 +205,15 @@ object Bench {
       case t: Throwable =>
         warmErr = Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(160)}")
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
-    } ++ warmErr.map(e => "_warmup" -> Timing(Vector.empty, Vector.empty, 0, Some(e)))
+    // Optional subset for local scale probes (comma-separated names);
+    // unset = the full suite, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
+      } ++ warmErr.map(e => "_warmup" -> Timing(Vector.empty, Vector.empty, 0, Some(e)))
     val (stdoutLine, fullLine) =
       artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg())
     println(stdoutLine)
