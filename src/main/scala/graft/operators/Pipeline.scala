@@ -158,6 +158,42 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // Change-data-feed READ between two snapshot versions: seed v1,
+    // merge v2 (updates to every %20==1 key + inserts of unseen
+    // %10==2 keys), then readChangesBetween(v1, v2) must emit exactly
+    // the update post-images and the inserted rows tagged in _change —
+    // the oracle restates the expected delta from the raw inputs, so
+    // the driver hash-pins the whole manifest-diff + row-diff path.
+    // Deletes and partition pruning are spec'd in TimeTravelSpec
+    // (DuckDB can't see the intermediate table states anyway).
+    "k2_snapshot_changes" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val incoming = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+        .unionByName(o.where(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk))
+      val base = java.nio.file.Files.createTempDirectory("graft_k2ch_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      val v = store.currentVersion().get
+      val out = store.readChangesBetween(v - 1, v, target.schema, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("pk").cast("long").as("pk"), col("_change"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // K3: bulk join-update — set order priority from a per-customer
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
@@ -321,6 +357,19 @@ object Pipeline extends QueryModule {
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
                 o_orderkey % 5 AS pk
          FROM orders WHERE o_orderkey % 10 = 1""",
+    // the v1->v2 delta restated from the raw inputs: update
+    // post-images for every %20==1 key, the inserted %10==2 rows
+    "k2_snapshot_changes" ->
+      """SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, o_orderkey % 5 AS pk,
+           'update' AS _change
+         FROM orders WHERE o_orderkey % 20 = 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus,
+           o_orderkey % 5 AS pk, 'insert' AS _change
+         FROM orders WHERE o_orderkey % 10 = 2""",
     "k3_join_update" ->
       """SELECT o_orderkey, o_custkey,
            CASE WHEN u.c_custkey IS NOT NULL THEN '0-REVIEWED'

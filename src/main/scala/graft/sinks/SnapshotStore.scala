@@ -3,7 +3,7 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** A [[SnapshotStore.commit]] found the table advanced past the
@@ -376,7 +376,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * retained manifest references is itself retained, so a version
     * whose log entry exists is readable in full.
     */
-  def readAt(version: Long, schema: StructType): DataFrame = {
+  def readAt(version: Long, schema: StructType): DataFrame =
+    readEntries(manifestEntriesAt(version), schema, null)
+
+  /** The committed manifest of `version`, resolved through the version
+    * log with the same winner proof as [[readAt]] (which is this
+    * resolution + [[readEntries]]).
+    */
+  private def manifestEntriesAt(version: Long): Map[String, String] = {
     val cur = currentVersion().getOrElse(throw new IllegalArgumentException(
       s"snapshot table $root has no committed version"))
     if (version > cur)
@@ -387,15 +394,71 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .getOrElse(throw new IllegalArgumentException(
         s"${versionName(version)} is below the vacuum retention window of $root " +
           "(or predates the version log) — no provable winner remains"))
-    val entries =
-      try readManifestFile(name)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalArgumentException(
-            s"${versionName(version)}'s manifest was vacuumed from $root — " +
-              "widen vacuum retention to cover the oldest pinned reader")
-      }
-    readEntries(entries, schema, null)
+    try readManifestFile(name)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"${versionName(version)}'s manifest was vacuumed from $root — " +
+            "widen vacuum retention to cover the oldest pinned reader")
+    }
+  }
+
+  /** Partitions whose manifest entry moved between two committed
+    * versions — the pruning set for [[readChangesBetween]]. A batch
+    * dir is immutable once committed, so a partition whose entry is
+    * unchanged provably holds identical rows at both versions; only
+    * entries that moved can carry differences. (The set can
+    * over-approximate: a compaction rewrites partitions into a fresh
+    * batch without changing content — those diff to zero rows.)
+    */
+  def changedPartitionsBetween(fromVersion: Long, toVersion: Long): Set[String] = {
+    val m1 = manifestEntriesAt(fromVersion)
+    val m2 = manifestEntriesAt(toVersion)
+    (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s))
+  }
+
+  /** Row-level changes between two committed versions — the
+    * change-data-feed read derived after the fact from snapshots, the
+    * inverse of the CDC APPLY path ([[SnapshotMerge.applyCdc]] writes
+    * changes in; this reads changes back out so downstream training
+    * pipelines can re-process increments instead of the full table).
+    * Output = `schema`'s columns plus `_change` ∈
+    * {'insert','update','delete'} describing how `toVersion` differs
+    * from `fromVersion`; updates carry the post-image, deletes the
+    * pre-image. Rows identical at both versions are absent.
+    *
+    * Scale shape: both sides read ONLY [[changedPartitionsBetween]]
+    * (manifest-level pruning — a merge that touched 3 of 10k
+    * partitions diffs 6 partition dirs, not two full tables), then
+    * one shuffle join on the key compares pre/post images with
+    * null-safe equality. Keys that moved across partitions still
+    * match up: both partitions are in the changed set, and the join
+    * key is the logical key, not the partition.
+    */
+  def readChangesBetween(fromVersion: Long, toVersion: Long,
+      schema: StructType, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val m1 = manifestEntriesAt(fromVersion)
+    val m2 = manifestEntriesAt(toVersion)
+    val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s))
+    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null)
+    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null)
+    val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+      .withColumn("__b", lit(true))
+    val aTag = after.withColumn("__a", lit(true))
+    val same = nonKey.map(c => col(c) <=> col(s"__b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    aTag.join(bRen, keyCols, "full_outer")
+      .withColumn("_change",
+        when(col("__b").isNull, "insert")
+          .when(col("__a").isNull, "delete")
+          .when(!same, "update"))
+      .where(col("_change").isNotNull)
+      .select(keyCols.map(col) ++ nonKey.map(c =>
+        when(col("_change") === "delete", col(s"__b_$c")).otherwise(col(c)).as(c))
+        :+ col("_change"): _*)
   }
 
   /** Take the commit lease: atomic create-exclusive of `LOCK` with

@@ -99,4 +99,33 @@ class TimeTravelSpec extends SparkFunSuite {
     assert(future.getMessage.contains("has not committed"))
     assert(store.versions() == Seq(2L, 3L))
   }
+
+  test("readChangesBetween: inserts, updates, deletes, and manifest pruning") {
+    val dir = tmp("ttchanges")
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"))
+    // v2: one update (id 0 -> U0), one insert (id 10), one delete
+    // (id 5, pk=0) — all confined to partition pk=0
+    val changes = Seq(
+      (0L, 1L, "upsert", "U0", 0L),
+      (10L, 2L, "upsert", "N10", 0L),
+      (5L, 3L, "delete", "x", 0L)
+    ).toDF("id", "seq", "op", "v", "pk")
+    SnapshotMerge.applyCdc(spark, dir, changes, Seq("id"), "seq", "op", Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val (v1, v2) = (store.currentVersion().get - 1, store.currentVersion().get)
+    // pruning: only the touched partition's manifest entry moved, so
+    // the diff provably reads pk=0's dirs and nothing else
+    assert(store.changedPartitionsBetween(v1, v2) == Set("pk=0"))
+    val got = store.readChangesBetween(v1, v2, v1Rows.schema, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(got == Set(
+      (0L, "U0", "update"), // post-image
+      (10L, "N10", "insert"),
+      (5L, "t5", "delete") // pre-image, not the change row's payload
+    ))
+    // self-diff is empty; the unchanged partitions never even differ
+    assert(store.readChangesBetween(v2, v2, v1Rows.schema, Seq("id")).isEmpty)
+    assert(store.changedPartitionsBetween(v2, v2).isEmpty)
+  }
 }
