@@ -194,6 +194,67 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // Incremental VIEW MAINTENANCE from the change feed — the payoff
+    // of readChangesBetween: a per-partition sum/count view maintained
+    // with delta arithmetic (+insert +update −update_preimage −delete)
+    // instead of a v2 full scan, so keeping a materialized aggregate
+    // current costs O(|delta|), not O(|table|) — at 100 TB the
+    // difference between a view you can afford to keep and one you
+    // re-derive nightly. v2 applies all three change kinds via CDC
+    // (updates %20==1, inserts %10==2, deletes %20==11); the oracle
+    // recomputes the v2 aggregate from the raw inputs, so the driver
+    // hash-pins that maintained == recomputed, decimal-exact.
+    "incr_view_maintenance" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), pk)
+      val changes =
+        o.where(col("o_orderkey") % 20 === 1)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("upsert").as("op"),
+            (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+              .cast("double").as("o_totalprice"), pk)
+        .unionByName(o.where(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("upsert").as("op"),
+            col("o_totalprice"), pk))
+        .unionByName(o.where(col("o_orderkey") % 20 === 11)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("delete").as("op"),
+            col("o_totalprice"), pk))
+      val base = java.nio.file.Files.createTempDirectory("graft_ivm_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      graft.sinks.SnapshotMerge.applyCdc(
+        s, base, changes, Seq("o_orderkey"), "seq", "op", Seq("pk"))
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      val v = store.currentVersion().get
+      // the standing view at v1 (in production this is the already-
+      // materialized aggregate, not a re-read)
+      val v1view = store.readAt(v - 1, target.schema)
+        .groupBy(col("pk"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s1"),
+          count(lit(1)).as("n1"))
+      val delta = store.readChangesBetween(v - 1, v, target.schema,
+        Seq("o_orderkey"), includeUpdatePreimages = true)
+      val adj = delta.select(col("pk"),
+          when(col("_change").isin("insert", "update"),
+            col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(-col("o_totalprice").cast("decimal(18,2)")).as("d"),
+          when(col("_change").isin("insert", "update"), lit(1L))
+            .otherwise(lit(-1L)).as("dn"))
+        .groupBy(col("pk")).agg(sum(col("d")).as("sd"), sum(col("dn")).as("sn"))
+      val out = v1view.join(adj, Seq("pk"), "full_outer")
+        .select(col("pk").cast("long").as("pk"),
+          (coalesce(col("s1"), lit(0).cast("decimal(18,2)"))
+            + coalesce(col("sd"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("total"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("sn"), lit(0L))).as("n"))
+        .where(col("n") > 0)
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // K3: bulk join-update — set order priority from a per-customer
     // updates relation; unmatched rows keep their value. The scan
     // marker uses a fixed literal timestamp (deterministic stand-in
@@ -357,6 +418,28 @@ object Pipeline extends QueryModule {
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
                 o_orderkey % 5 AS pk
          FROM orders WHERE o_orderkey % 10 = 1""",
+    // the maintained view must equal a from-scratch recompute of the
+    // v2 state (updates %20==1 applied, %10==2 inserted, %20==11
+    // deleted), decimal-exact
+    "incr_view_maintenance" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1),
+         v2 AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, pk
+           FROM t WHERE o_orderkey % 20 = 1
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, pk FROM t
+           WHERE o_orderkey % 20 != 1 AND o_orderkey % 20 != 11
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 2)
+         SELECT pk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+         FROM v2 GROUP BY pk""",
     // the v1->v2 delta restated from the raw inputs: update
     // post-images for every %20==1 key, the inserted %10==2 rows
     "k2_snapshot_changes" ->

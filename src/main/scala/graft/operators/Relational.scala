@@ -462,6 +462,21 @@ object Relational extends QueryModule {
         .select(col("l_returnflag"), col("p50"), col("p90"), col("price_p50"))
     }),
 
+    // The sketch rung of the percentile ladder (exact reference
+    // spelling / exact scaled twin / THIS): approx_percentile's GK
+    // sketch is one bounded-memory pass with map-side combine — the
+    // default 100 TB answer when a rank error of ~1/accuracy is
+    // acceptable. Rows-only (sketch results are engine-specific);
+    // RelationalSpec pins the rank error against the exact aggregate.
+    "agg_percentile_approx" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("price_p50"))
+    }),
+
     // Sketch aggregation: HLL approximate distinct (north-star for
     // 100 TB cardinality estimation; rows-only — sketch values are
     // engine-specific — with accuracy pinned in RelationalSpec).

@@ -435,8 +435,16 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * match up: both partitions are in the changed set, and the join
     * key is the logical key, not the partition.
     */
+  /** With `includeUpdatePreimages = true`, every 'update' row (post-
+    * image) is accompanied by an 'update_preimage' row carrying the
+    * fromVersion values — the extra row type that makes the feed
+    * sufficient for incremental view maintenance (a sum maintains as
+    * +insert +update −update_preimage −delete; without pre-images the
+    * subtraction side of an update is unrecoverable).
+    */
   def readChangesBetween(fromVersion: Long, toVersion: Long,
-      schema: StructType, keyCols: Seq[String]): DataFrame = {
+      schema: StructType, keyCols: Seq[String],
+      includeUpdatePreimages: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val m1 = manifestEntriesAt(fromVersion)
@@ -450,15 +458,19 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val aTag = after.withColumn("__a", lit(true))
     val same = nonKey.map(c => col(c) <=> col(s"__b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    aTag.join(bRen, keyCols, "full_outer")
+    val tagged = aTag.join(bRen, keyCols, "full_outer")
       .withColumn("_change",
         when(col("__b").isNull, "insert")
           .when(col("__a").isNull, "delete")
           .when(!same, "update"))
       .where(col("_change").isNotNull)
-      .select(keyCols.map(col) ++ nonKey.map(c =>
-        when(col("_change") === "delete", col(s"__b_$c")).otherwise(col(c)).as(c))
-        :+ col("_change"): _*)
+    val post = tagged.select(keyCols.map(col) ++ nonKey.map(c =>
+      when(col("_change") === "delete", col(s"__b_$c")).otherwise(col(c)).as(c))
+      :+ col("_change"): _*)
+    if (!includeUpdatePreimages) post
+    else post.unionByName(tagged.where(col("_change") === "update")
+      .select(keyCols.map(col) ++ nonKey.map(c => col(s"__b_$c").as(c))
+        :+ lit("update_preimage").as("_change"): _*))
   }
 
   /** Take the commit lease: atomic create-exclusive of `LOCK` with

@@ -161,6 +161,33 @@ class RelationalSpec extends SparkFunSuite {
     assert(scaled == agg)
   }
 
+  test("agg_percentile_approx lands within GK rank-error of exact") {
+    // accuracy=10000 bounds the RANK error at n/10000 — but the GK
+    // sketch returns an actual DATA value while percentile()
+    // interpolates between neighbors, so the band must also absorb
+    // one discrete step (≈ 2/n_group percentiles here). ±0.5
+    // percentile covers both with margin yet still rejects a sketch
+    // that drifts a whole percentile.
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val eps = 0.005
+    def bounds(c: String, p: Double) =
+      li.groupBy(col("l_returnflag"))
+        .agg(expr(s"percentile($c, ${math.max(0, p - eps)})").as("lo"),
+          expr(s"percentile($c, ${math.min(1, p + eps)})").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("agg_percentile_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (bq50, bq90, bp50) = (bounds("l_quantity", 0.5),
+      bounds("l_quantity", 0.9), bounds("l_extendedprice", 0.5))
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, (p50, p90, pr50)) =>
+      assert(p50 >= bq50(g)._1 && p50 <= bq50(g)._2, s"$g p50 $p50 outside ${bq50(g)}")
+      assert(p90 >= bq90(g)._1 && p90 <= bq90(g)._2, s"$g p90 $p90 outside ${bq90(g)}")
+      assert(pr50 >= bp50(g)._1 && pr50 <= bp50(g)._2, s"$g price_p50 $pr50 outside ${bp50(g)}")
+    }
+  }
+
   test("agg_percentile_scaled plan never sorts a whole group") {
     // The point of the twin: no per-group member sort (the exact
     // Percentile aggregate buffers + sorts each group inside one

@@ -127,5 +127,13 @@ class TimeTravelSpec extends SparkFunSuite {
     // self-diff is empty; the unchanged partitions never even differ
     assert(store.readChangesBetween(v2, v2, v1Rows.schema, Seq("id")).isEmpty)
     assert(store.changedPartitionsBetween(v2, v2).isEmpty)
+    // with pre-images requested, each update gains its fromVersion row
+    // (the subtraction side of incremental view maintenance); inserts
+    // and deletes are unchanged
+    val withPre = store.readChangesBetween(v2 - 1, v2, v1Rows.schema,
+        Seq("id"), includeUpdatePreimages = true)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(withPre == got + ((0L, "t0", "update_preimage")))
   }
 }
