@@ -81,6 +81,51 @@ object TextAnalysis extends QueryModule {
           round(col("score"), 6).as("score_r"))
     }),
 
+    // BM25-style ranked retrieval for a fixed 3-term query — the
+    // quality-weighted lexical search a training-data pipeline runs to
+    // mine topical documents. Scoring follows BM25's tf saturation
+    // (k1 = 1.2, b = 0.75 length normalization) but keeps the idf as
+    // the raw Robertson odds (N − df + 0.5)/(df + 0.5) WITHOUT the
+    // log: libm log results differ across engines in the last ulp
+    // (text_tf_df precedent), while +,×,÷ are correctly-rounded IEEE
+    // everywhere, so spelling the same operand tree on both sides
+    // makes every per-term score bit-reproducible. Per-term scores
+    // are quantized to DECIMAL(38,6) (HALF_UP both engines —
+    // vec_standardize note) so the per-doc SUM is order-independent.
+    // Scale shape: only postings of the 3 query terms survive the
+    // explode filter; doc lengths join on the high-cardinality doc
+    // key; the global top-20 is TakeOrdered (no full sort), and the
+    // final row_number window ranks 20 rows.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val terms = Seq("scan", "hash", "window")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok").isin(terms: _*))
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val byDoc = tf.join(broadcast(dfq), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("sc",
+          (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+            .cast("decimal(38,6)"))
+        .groupBy(col("doc_id")).agg(sum(col("sc")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id").asc)
+      byDoc.orderBy(col("s").desc, col("doc_id").asc).limit(20)
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("rk"), col("s").cast("double").as("score"))
+    }),
+
     // Document fingerprint: exact modular polynomial rolling hash over
     // per-token codepoint values — deterministic integer arithmetic,
     // reproducible in any engine (same fold in the oracle).
@@ -472,6 +517,34 @@ object TextAnalysis extends QueryModule {
            list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],
                        (a, b) -> (a * 131 + b) % 2147483647) AS fp
          FROM documents""",
+    // same operand tree as the Spark side: raw-odds idf × saturated
+    // tf, per-term scores quantized to DECIMAL(38,6) before the sum
+    "text_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         q AS (SELECT doc_id, tok FROM toks
+               WHERE tok IN ('scan', 'hash', 'window')),
+         lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM lens),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+         dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+         byd AS (
+           SELECT tf.doc_id, SUM(CAST(
+               ((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+               (tf.tf * 2.2 /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * (lens.dl / stats.avgdl))))
+             AS DECIMAL(38,6))) AS s
+           FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)
+         SELECT doc_id, rk, CAST(s AS DOUBLE) AS score FROM (
+           SELECT doc_id, s,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+           FROM byd) t
+         WHERE rk <= 20""",
     "text_repetition" ->
       """WITH toks AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

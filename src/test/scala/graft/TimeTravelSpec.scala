@@ -136,4 +136,24 @@ class TimeTravelSpec extends SparkFunSuite {
         r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
     assert(withPre == got + ((0L, "t0", "update_preimage")))
   }
+
+  test("a compaction yields zero spurious changes (pruning over-approximates soundly)") {
+    // compact() rewrites partitions into a fresh batch WITHOUT
+    // changing content: the manifest diff flags them (pruning is an
+    // over-approximation there — documented), but the row diff must
+    // come back empty, because a change feed that invents updates
+    // across maintenance operations would corrupt every incremental
+    // consumer downstream.
+    val dir = tmp("ttcompact")
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"))
+    SnapshotMerge.upsertUpdate(spark, dir, v2Rows, Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val before = store.currentVersion().get
+    store.compact(v1Rows.schema, Seq("pk"))
+    val after = store.currentVersion().get
+    assert(after == before + 1, "compaction must commit a new version")
+    assert(store.changedPartitionsBetween(before, after).nonEmpty)
+    assert(store.readChangesBetween(before, after, v1Rows.schema, Seq("id"),
+      includeUpdatePreimages = true).isEmpty)
+  }
 }
