@@ -487,6 +487,26 @@ object Relational extends QueryModule {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // Salted hot-key join, driver-checked: l_returnflag has 3 values,
+    // so a plain shuffle join lands a third of the fact table on ONE
+    // reducer — the pathological skew AQE's splitter can mitigate but
+    // an explicit salt eliminates by construction ([[Skew.saltedJoin]]:
+    // big side spreads each key over 32 deterministic sub-keys, small
+    // side replicates ×32, join key becomes (key, salt)). The oracle
+    // restates the PLAIN join + aggregate, so the hash pins that
+    // salting changes the distribution and nothing else.
+    "skew_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val dim = li.select(col("l_returnflag")).distinct()
+        .withColumn("rf_weight", ascii(col("l_returnflag")).cast("decimal(4,0)"))
+      val joined = Skew.saltedJoin(li, dim, "l_returnflag", 32)
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") * col("rf_weight"))
+            .cast("double").as("weighted_rev"))
+    }),
+
     // A6 + countDistinct (reference rowcounts; plus approx_count_distinct
     // is benched separately — exact here so the oracle can check it).
     "a6_count_distinct" -> ((s, dir) => {
@@ -657,6 +677,17 @@ object Relational extends QueryModule {
            COUNT(DISTINCT l_partkey) AS nd_parts,
            COUNT(DISTINCT l_suppkey) AS nd_supp,
            COUNT(*) AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    // the PLAIN join + aggregate — salting must be invisible in rows
+    "skew_salted_join" ->
+      """WITH dim AS (
+           SELECT DISTINCT l_returnflag,
+             CAST(ascii(l_returnflag) AS DECIMAL(4,0)) AS rf_weight
+           FROM lineitem)
+         SELECT li.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * rf_weight)
+                AS DOUBLE) AS weighted_rev
+         FROM lineitem li JOIN dim USING (l_returnflag)
+         GROUP BY li.l_returnflag"""
   )
 }

@@ -27,6 +27,16 @@ class ScaleSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("skew_salted_join actually joins on (key, salt)") {
+    // the driver query's oracle pins the ROWS; this pins the POINT —
+    // the physical join key carries the salt column, so no reducer
+    // owns a whole hot key
+    val plan = SparkEntry.queries("skew_salted_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // a fresh session's in-memory catalog can't DROP tables left on
     // disk by a previous JVM — clear the locations directly
