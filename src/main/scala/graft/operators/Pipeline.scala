@@ -194,6 +194,50 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // Per-commit change HISTORY (the table_changes(from, to) face):
+    // seed v1, update-merge v2, CDC v3 (inserts + deletes), then
+    // readChangesEach((v1, v3]) must attribute every delta to its
+    // commit — updates at v2, inserts and deletes (pre-images) at v3.
+    // The oracle restates the full history from the raw inputs; the
+    // collapse-vs-history distinction is spec'd in TimeTravelSpec.
+    // Merges run with retain=3 — the vacuum-retention knob a table
+    // with change-feed followers must widen to its deepest lag.
+    "k2_snapshot_history" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val updates = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val cdc =
+        o.where(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("upsert").as("op"),
+            col("o_totalprice"), col("o_orderstatus"), pk)
+        .unionByName(o.where(col("o_orderkey") % 20 === 11)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("delete").as("op"),
+            col("o_totalprice"), col("o_orderstatus"), pk))
+      val base = java.nio.file.Files.createTempDirectory("graft_k2h_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"), retain = 3)
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, updates, Seq("o_orderkey"), Seq("pk"), retain = 3)
+      graft.sinks.SnapshotMerge.applyCdc(
+        s, base, cdc, Seq("o_orderkey"), "seq", "op", Seq("pk"), retain = 3)
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      val v = store.currentVersion().get
+      val out = store.readChangesEach(v - 2, v, target.schema, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("pk").cast("long").as("pk"), col("_change"),
+          (col("_commit_version") - (v - 3)).as("commit_step"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // Incremental VIEW MAINTENANCE from the change feed — the payoff
     // of readChangesBetween: a per-partition sum/count view maintained
     // with delta arithmetic (+insert +update −update_preimage −delete)
@@ -418,6 +462,28 @@ object Pipeline extends QueryModule {
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
                 o_orderkey % 5 AS pk
          FROM orders WHERE o_orderkey % 10 = 1""",
+    // the full per-commit history restated from the raw inputs:
+    // updates land at step 2, inserts and deletes (pre-images) at 3
+    "k2_snapshot_history" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk, 'update' AS _change,
+           CAST(2 AS BIGINT) AS commit_step
+         FROM t WHERE o_orderkey % 20 = 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus,
+           o_orderkey % 5 AS pk, 'insert' AS _change,
+           CAST(3 AS BIGINT) AS commit_step
+         FROM orders WHERE o_orderkey % 10 = 2
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk,
+           'delete' AS _change, CAST(3 AS BIGINT) AS commit_step
+         FROM t WHERE o_orderkey % 20 = 11""",
     // the maintained view must equal a from-scratch recompute of the
     // v2 state (updates %20==1 applied, %10==2 inserted, %20==11
     // deleted), decimal-exact

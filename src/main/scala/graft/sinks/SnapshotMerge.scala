@@ -30,14 +30,14 @@ object SnapshotMerge {
 
   /** K1 on a snapshot table: keep existing rows, add unseen keys. */
   def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
-      keys: Seq[String], partCols: Seq[String]): Unit =
-    merge(spark, rootDir, incoming, partCols)(
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Unit =
+    merge(spark, rootDir, incoming, partCols, retain)(
       (target, inc) => Merge.upsertIgnore(target, inc, keys))
 
   /** K2 on a snapshot table: incoming wins on key collision. */
   def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
-      keys: Seq[String], partCols: Seq[String]): Unit =
-    merge(spark, rootDir, incoming, partCols)(
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Unit =
+    merge(spark, rootDir, incoming, partCols, retain)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
 
   /** CDC apply on a snapshot table ([[Merge.applyCdc]] semantics:
@@ -53,8 +53,8 @@ object SnapshotMerge {
     */
   def applyCdc(spark: SparkSession, rootDir: String, changes: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
-      partCols: Seq[String]): Unit =
-    merge(spark, rootDir, changes, partCols)(
+      partCols: Seq[String], retain: Int = 2): Unit =
+    merge(spark, rootDir, changes, partCols, retain)(
       (target, inc) =>
         Merge.applyCdc(target.drop(seqCol, opCol), inc, keys, seqCol, opCol))
 
@@ -145,8 +145,16 @@ object SnapshotMerge {
         "their identity through the partition-directory round trip " +
         "(written as __HIVE_DEFAULT_PARTITION__, read back as NULL)")
 
+  /** `retain` forwards to the post-commit [[SnapshotStore.vacuum]]:
+    * the number of trailing manifests (and their version-log entries)
+    * kept readable. The default 2 suits plain tables; a table with
+    * change-feed followers needs `retain` >= 1 + the deepest span a
+    * follower may fall behind, or [[SnapshotStore.readChangesEach]]
+    * will fail with the below-retention error once it lags.
+    */
   def merge(spark: SparkSession, rootDir: String, incoming0: DataFrame,
-      partCols: Seq[String])(mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+      partCols: Seq[String], retain: Int = 2)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
@@ -200,6 +208,6 @@ object SnapshotMerge {
     // in the window above aborts with SnapshotConcurrentWriteException
     // instead of silently dropping that writer's merge
     store.commitSized(newVersion, entries, cur.map(_._1))
-    store.vacuum()
+    store.vacuum(retain)
   }
 }

@@ -473,6 +473,32 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         :+ lit("update_preimage").as("_change"): _*))
   }
 
+  /** Per-commit change history — the `table_changes(from, to)` face: one
+    * [[readChangesBetween]] per version step in `(fromVersion, toVersion]`,
+    * each stamped with its `_commit_version`. Unlike the endpoint diff
+    * (which collapses intermediate states: an update at v2 followed by
+    * a delete at v3 shows only the delete), the history preserves every
+    * commit's delta — what a downstream incremental consumer replays to
+    * stay exactly-once on version anchors, and the batch face a
+    * streaming drain polls. The readable span is bounded by vacuum
+    * retention, which bounds the union width; each step is pruned to
+    * its own commit's touched partitions.
+    */
+  def readChangesEach(fromVersion: Long, toVersion: Long,
+      schema: StructType, keyCols: Seq[String],
+      includeUpdatePreimages: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val steps = ((fromVersion + 1) to toVersion).map { v =>
+      readChangesBetween(v - 1, v, schema, keyCols, includeUpdatePreimages)
+        .withColumn("_commit_version", lit(v))
+    }
+    if (steps.isEmpty)
+      readChangesBetween(fromVersion, fromVersion, schema, keyCols)
+        .withColumn("_commit_version", lit(fromVersion))
+    else steps.reduce(_.unionByName(_))
+  }
+
   /** Take the commit lease: atomic create-exclusive of `LOCK` with
     * this writer's id as the body. Held lock -> bounded exponential
     * backoff up to `lockWaitMs`, then [[SnapshotConcurrentWriteException]]

@@ -176,4 +176,21 @@ class TextAnalysisSpec extends SparkFunSuite {
         s"$q gram joins must broadcast:\n$plan")
     }
   }
+
+  test("text_bm25_topk: sane ranking, and the top-k never globally sorts") {
+    val out = SparkEntry.queries("text_bm25_topk")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length == 20)
+    // ranks are 1..20 and scores are positive and non-increasing
+    assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 20))
+    val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+    assert(byRank.forall(_ > 0))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // the global top-20 must run as TakeOrdered (bounded per-partition
+    // heaps), never a full Sort of the scored-doc table
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$plan")
+  }
 }

@@ -137,6 +137,55 @@ class TimeTravelSpec extends SparkFunSuite {
     assert(withPre == got + ((0L, "t0", "update_preimage")))
   }
 
+  test("readChangesBetween: a partition deleted empty still yields its delete rows") {
+    // CDC deletes that empty a partition drop its manifest entry
+    // entirely (SnapshotMerge contract) — the diff must treat the
+    // vanished entry as "all rows deleted", not skip it because the
+    // toVersion manifest no longer mentions it.
+    val dir = tmp("ttdrop")
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"))
+    // ids 3 and 8 are ALL of partition pk=3
+    val changes = Seq((3L, 1L, "delete", "x", 3L), (8L, 2L, "delete", "x", 3L))
+      .toDF("id", "seq", "op", "v", "pk")
+    SnapshotMerge.applyCdc(spark, dir, changes, Seq("id"), "seq", "op", Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v = store.currentVersion().get
+    assert(store.changedPartitionsBetween(v - 1, v) == Set("pk=3"))
+    val got = store.readChangesBetween(v - 1, v, v1Rows.schema, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(got == Set((3L, "t3", "delete"), (8L, "t8", "delete")))
+  }
+
+  test("readChangesEach preserves per-commit history the endpoint diff collapses") {
+    val dir = tmp("tteach")
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"))
+    // v2 updates id 0; v3 deletes it — the sequence an endpoint diff
+    // cannot distinguish from a plain delete
+    // retain=3 keeps the whole span readable — the knob a table with
+    // change-feed followers runs its merges with
+    val up = Seq((0L, 1L, "upsert", "U0", 0L)).toDF("id", "seq", "op", "v", "pk")
+    val del = Seq((0L, 1L, "delete", "x", 0L)).toDF("id", "seq", "op", "v", "pk")
+    SnapshotMerge.applyCdc(spark, dir, up, Seq("id"), "seq", "op", Seq("pk"), retain = 3)
+    SnapshotMerge.applyCdc(spark, dir, del, Seq("id"), "seq", "op", Seq("pk"), retain = 3)
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v3 = store.currentVersion().get
+    val hist = store.readChangesEach(v3 - 2, v3, v1Rows.schema, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("_commit_version"), r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(hist == Set(
+      (v3 - 1, 0L, "U0", "update"),
+      (v3, 0L, "U0", "delete")))
+    // the endpoint diff collapses the same span to one delete of the
+    // ORIGINAL value
+    val flat = store.readChangesBetween(v3 - 2, v3, v1Rows.schema, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("v"), r.getAs[String]("_change"))).toSet
+    assert(flat == Set((0L, "t0", "delete")))
+    // an empty span yields an empty, correctly-shaped frame
+    assert(store.readChangesEach(v3, v3, v1Rows.schema, Seq("id")).isEmpty)
+  }
+
   test("a compaction yields zero spurious changes (pruning over-approximates soundly)") {
     // compact() rewrites partitions into a fresh batch WITHOUT
     // changing content: the manifest diff flags them (pruning is an
