@@ -91,7 +91,13 @@ object Relational extends QueryModule {
     */
   private def exactPercentilesScaled(df: DataFrame, group: String, value: String,
       ps: Seq[(String, Double)], shards: Int): DataFrame = {
-    val ranked = rankedValueCounts(df, group, value, shards)
+    // Percentile semantics: NULL values don't participate (Spark's
+    // aggregate skips them; a NULL-keyed count row would corrupt both
+    // n and the index coverage). percent_rank — whose window RANKS
+    // null sort keys first — filters nothing, which is why the null
+    // handling lives here and not in rankedValueCounts.
+    val ranked = rankedValueCounts(df.where(col(value).isNotNull),
+        group, value, shards)
       .withColumn("v", col(value).cast("double"))
     def pos(p: Double): Column = lit(p) * (col("n_g") - lit(1L))
     val aggs = ps.flatMap { case (name, p) =>
@@ -498,8 +504,13 @@ object Relational extends QueryModule {
     "skew_salted_join" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
+      // shuffle_hash hint: at this dim size Spark would BROADCAST and
+      // no skew could exist in the first place — the demo must run the
+      // shape salting is FOR (a replicated side too big to broadcast),
+      // so the fact side genuinely shuffles on (key, salt)
       val dim = li.select(col("l_returnflag")).distinct()
         .withColumn("rf_weight", ascii(col("l_returnflag")).cast("decimal(4,0)"))
+        .hint("shuffle_hash")
       val joined = Skew.saltedJoin(li, dim, "l_returnflag", 32)
       joined.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

@@ -447,29 +447,32 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       includeUpdatePreimages: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    require(!schema.fieldNames.exists(f => f.startsWith("__cdf_") || f == "_change"),
+      "schema columns must not collide with the diff's working names " +
+        "(__cdf_* markers, _change output)")
     val m1 = manifestEntriesAt(fromVersion)
     val m2 = manifestEntriesAt(toVersion)
     val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s))
     val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null)
     val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null)
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
-    val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
-      .withColumn("__b", lit(true))
-    val aTag = after.withColumn("__a", lit(true))
-    val same = nonKey.map(c => col(c) <=> col(s"__b_$c"))
+    val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__cdf_b_$c"))
+      .withColumn("__cdf_b", lit(true))
+    val aTag = after.withColumn("__cdf_a", lit(true))
+    val same = nonKey.map(c => col(c) <=> col(s"__cdf_b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val tagged = aTag.join(bRen, keyCols, "full_outer")
       .withColumn("_change",
-        when(col("__b").isNull, "insert")
-          .when(col("__a").isNull, "delete")
+        when(col("__cdf_b").isNull, "insert")
+          .when(col("__cdf_a").isNull, "delete")
           .when(!same, "update"))
       .where(col("_change").isNotNull)
     val post = tagged.select(keyCols.map(col) ++ nonKey.map(c =>
-      when(col("_change") === "delete", col(s"__b_$c")).otherwise(col(c)).as(c))
+      when(col("_change") === "delete", col(s"__cdf_b_$c")).otherwise(col(c)).as(c))
       :+ col("_change"): _*)
     if (!includeUpdatePreimages) post
     else post.unionByName(tagged.where(col("_change") === "update")
-      .select(keyCols.map(col) ++ nonKey.map(c => col(s"__b_$c").as(c))
+      .select(keyCols.map(col) ++ nonKey.map(c => col(s"__cdf_b_$c").as(c))
         :+ lit("update_preimage").as("_change"): _*))
   }
 

@@ -27,14 +27,18 @@ class ScaleSpec extends SparkFunSuite {
     assert(a == b)
   }
 
-  test("skew_salted_join actually joins on (key, salt)") {
+  test("skew_salted_join actually shuffles the fact side on (key, salt)") {
     // the driver query's oracle pins the ROWS; this pins the POINT —
-    // the physical join key carries the salt column, so no reducer
-    // owns a whole hot key
+    // the join runs as a SHUFFLED hash join (not a broadcast, which
+    // would make salting vacuous) and the exchange partitions on the
+    // salt, so no reducer owns a whole hot key
     val plan = SparkEntry.queries("skew_salted_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"join must shuffle:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__salt")),
+      s"fact side must partition on the salt:\n$plan")
   }
 
   test("bucketed tables join without a shuffle exchange") {
