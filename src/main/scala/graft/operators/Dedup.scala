@@ -268,6 +268,56 @@ object Dedup extends QueryModule {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster_id"))))
         .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+    }),
+
+    // Duplicated-SPAN coverage — the scale approximation of exact
+    // substring dedup (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", arXiv:2107.06499, dedups repeated
+    // ≥50-token substrings via a suffix array; a suffix array is not
+    // a distributed-join shape, so pipelines approximate it with
+    // fixed-length n-gram spans): a word 5-gram occurring in MORE
+    // THAN one distinct document marks its 5 token positions as
+    // duplicated; per document, report total tokens, duplicated-gram
+    // occurrences, and the size of the UNION of covered positions
+    // (overlapping spans merged by counting distinct positions — no
+    // interval arithmetic needed). Downstream, docs with high
+    // n_cov_tokens/n_tokens get their spans cut or are dropped.
+    // Scale: grams shuffle on the high-cardinality gram string for
+    // the df count; the duplicated subset joins back on the same key;
+    // coverage is one more hash agg on (doc_id, position). Explode
+    // factor is n=8 on the coverage side only (duplicated grams, a
+    // corpus-repetition-bounded subset), never the whole corpus.
+    "dedup_span_coverage" -> ((s, dir) => {
+      val n = 5
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // sequence(1, k) with k < 1 would generate a DESCENDING ramp,
+      // so short docs guard to an empty gram array explicitly
+      val grams = docs.select(col("doc_id"),
+        explode(expr(
+          s"""if(size(tk) < $n, array(),
+                transform(sequence(1, size(tk) - ${n - 1}),
+                  i -> struct(i AS pos, concat_ws(' ', slice(tk, i, $n)) AS gram)))"""))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1)
+        .select(col("gram"))
+      val dup = grams.join(dupGrams, "gram")
+      val perDoc = dup.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_grams"))
+      val cov = dup
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tp")).as("n_cov_tokens"))
+      docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"))
     })
   )
 
@@ -553,7 +603,27 @@ object Dedup extends QueryModule {
            COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
              AS n_members,
            CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
-         FROM documents d LEFT JOIN comp c USING (doc_id)"""
+         FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    // zipped unnests enumerate (pos, gram); slice bounds mirror the
+    // Spark guard (len < 5 → empty comprehension → no rows)
+    "dedup_span_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(range(1, greatest(len(tk) - 3, 1))) AS pos,
+                 unnest([array_to_string(tk[i:i+4], ' ')
+                         for i in range(1, greatest(len(tk) - 3, 1))]) AS gram
+               FROM t),
+         df AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) > 1),
+         dup AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)),
+         nd AS (SELECT doc_id, COUNT(*) AS n_dup FROM dup GROUP BY 1),
+         cov AS (SELECT doc_id, COUNT(DISTINCT tp) AS n_cov
+                 FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tp
+                       FROM dup) GROUP BY 1)
+         SELECT t.doc_id, len(t.tk) AS n_tokens,
+           COALESCE(nd.n_dup, 0) AS n_dup_grams,
+           COALESCE(cov.n_cov, 0) AS n_cov_tokens
+         FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)"""
   )
 
   private def containmentSql: String =

@@ -134,6 +134,48 @@ object EventWindows extends QueryModule {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("m_id").as("p_event_id"),
           (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
+    }),
+
+    // INTERVAL (range-containment) join — the other temporal join
+    // Spark has no native operator for: every event matched to the
+    // incident windows [st, st+15min) that CONTAIN it, with no shared
+    // equi-key between the sides. The naive spelling (join on two
+    // inequalities) plans as BroadcastNestedLoopJoin — a full
+    // probe×interval product at scale. The distributed shape is
+    // BUCKETIZATION: bucket width = the max interval length, so every
+    // interval overlaps at most 2 buckets; intervals explode to the
+    // buckets they overlap (replication ≤ 2, independent of data
+    // size), probes map to their single bucket, and the join becomes
+    // an EQUI-join on the bucket followed by the exact containment
+    // filter. One shuffle on a high-cardinality time key; per-task
+    // work bounded by events-per-15-minutes. Variable-length
+    // intervals bucket by the global max (or split long intervals
+    // into width-sized pieces first) — fixed here by construction.
+    // All bucket arithmetic is exact integer µs (`div`, never a
+    // double divide that could misround a boundary). EventSpec pins
+    // the plan: no BroadcastNestedLoop / CartesianProduct.
+    "ev_interval_join" -> ((s, dir) => {
+      val wUs = 15L * 60 * 1000000 // bucket width == interval length
+      val ev = Tables.load(s, dir, "events")
+      val inc = ev
+        .where(col("event_type") === "error" && col("value") > 200.0)
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("st_us"))
+        .withColumn("en_us", col("st_us") + lit(wUs))
+      val bucketed = inc.select(col("incident_id"), col("st_us"), col("en_us"),
+        explode(sequence(expr(s"st_us div ${wUs}L"),
+          expr(s"(en_us - 1) div ${wUs}L"))).as("bucket"))
+      val probes = ev.select(col("event_id"),
+          unix_micros(col("ts")).as("ev_us"), col("value"))
+        .withColumn("bucket", expr(s"ev_us div ${wUs}L"))
+      probes.join(bucketed, Seq("bucket"))
+        .where(col("ev_us") >= col("st_us") && col("ev_us") < col("en_us"))
+        .groupBy(col("incident_id"), col("st_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("incident_id"),
+          date_format(timestamp_micros(col("st_us")), "yyyy-MM-dd HH:mm:ss").as("st_s"),
+          col("n_events"), col("total_value"))
     })
   )
 
@@ -220,6 +262,20 @@ object EventWindows extends QueryModule {
            p.p_event_id,
            epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM c ASOF LEFT JOIN p
-           ON c.user_id = p.user_id AND c.ts >= p.ts"""
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    // the direct inequality join DuckDB executes as an IEJoin; the
+    // Spark side must produce identical rows through the bucketed
+    // equi-join spelling
+    "ev_interval_join" ->
+      """WITH inc AS (
+           SELECT event_id AS incident_id, ts AS st,
+             ts + INTERVAL 15 MINUTE AS en
+           FROM events WHERE event_type = 'error' AND value > 200)
+         SELECT i.incident_id,
+           strftime(i.st, '%Y-%m-%d %H:%M:%S') AS st_s,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM inc i JOIN events e ON e.ts >= i.st AND e.ts < i.en
+         GROUP BY 1, 2"""
   )
 }

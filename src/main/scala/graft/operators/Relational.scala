@@ -419,6 +419,45 @@ object Relational extends QueryModule {
           col("sum_qty"), col("n"))
     }),
 
+    // Explicit GROUPING SETS — the non-hierarchical mix neither
+    // ROLLUP nor CUBE emits alone: the union of the two single-column
+    // groupings, with grouping_id() disambiguating which set a row
+    // belongs to when a grouped value could itself be NULL. Same
+    // Expand-based physical shape as rollup/cube (replication factor
+    // = number of sets, partial-agg friendly).
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("sum_qty"), col("n"), col("gid"))
+    }),
+
+    // Rank-function surface beyond percent_rank: ntile / cume_dist /
+    // lead over a HIGH-cardinality partition key (user_id), ordered by
+    // the unique (ts, event_id) — ntile is only deterministic under a
+    // total order (tied rows straddle tile boundaries in
+    // engine-dependent order otherwise), so the unique tiebreaker is
+    // load-bearing for the oracle hash. cume_dist's long/long → double
+    // division is correctly-rounded IEEE on both engines. One shuffle
+    // on user_id; per-key sorts are bounded by per-user event counts,
+    // the same scale shape as ev_gaps/ev_asof_join.
+    "w4_ntile_cume" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("tile"),
+          col("cd"), col("next_value"))
+    }),
+
     // Pivot with an explicit value list (wide conditional aggregation;
     // the oracle spells out the equivalent CASE sums).
     "agg_pivot" -> ((s, dir) => {
@@ -661,6 +700,23 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    // GROUPING() bit order matches Spark's grouping_id() (1 bit per
+    // groupBy column, set where the column is aggregated away)
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    "w4_ntile_cume" ->
+      """SELECT event_id, user_id,
+           ntile(4) OVER w AS tile,
+           cume_dist() OVER w AS cd,
+           lead(value, 1) OVER w AS next_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "agg_pivot" ->
       """SELECT o_orderpriority,
            COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,

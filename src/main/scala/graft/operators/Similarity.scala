@@ -59,6 +59,27 @@ object Similarity extends QueryModule {
   def preparedEmbeddings(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
 
+  /** Corpus plus planted near-duplicates — the shared ground truth of
+    * the near-dup queries (the natural corpus's top pairs sit in the
+    * random-cosine noise floor, so recall is only measurable against
+    * plants): every vec_id < 40 gains a copy at id+1000000 with
+    * deterministic ±0.5% per-dim jitter (cos ≈ 0.999996). The jitter
+    * hashes the ORIGINAL vec_id (the select's input attribute), fixed
+    * across runs.
+    */
+  private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("vd"), col("nrm"))
+    val planted = embeddings(s, dir).where(col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("vd"), (x, i) =>
+          x * (lit(1.0) +
+            (pmod(hash(col("vec_id"), i), lit(1000)).cast("double") - 500.0)
+              / 100000.0)).as("vd"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("vd"), x => x * x), lit(0.0), (a, x) => a + x)))
+    e.unionByName(planted)
+  }
+
   /** Deterministic seed codebook: the `k` smallest vec_ids, RANK
     * based (TakeOrdered on the id, k rows to the driver) — a sparse
     * or non-contiguous id space still yields exactly k centroids,
@@ -417,16 +438,7 @@ object Similarity extends QueryModule {
     // bits-per-band, the standard precision knob. dim=64 matches the
     // testdata embedding schema; production callers pass their own.
     "dedup_embedding_lsh" -> ((s, dir) => {
-      val e = embeddings(s, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val planted = embeddings(s, dir).where(col("vec_id") < 40)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("vd"), (x, i) =>
-            x * (lit(1.0) +
-              (pmod(hash(col("vec_id"), i), lit(1000)).cast("double") - 500.0)
-                / 100000.0)).as("vd"))
-        .withColumn("nrm", sqrt(aggregate(
-          transform(col("vd"), x => x * x), lit(0.0), (a, x) => a + x)))
-      val all = e.unionByName(planted)
+      val all = withPlantedDups(s, dir)
       val sigs = srpSignatures(all.select(col("vec_id"), col("vd")),
         srpPlanes(s, dim = 64, bands = 8, bitsPerBand = 16))
       // rename BEFORE the self-join: dataset-alias column refs on a
@@ -447,6 +459,42 @@ object Similarity extends QueryModule {
         .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .where(col("cos") >= 0.998)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // SEMANTIC dedup (after SemDeDup, Abbas et al. 2023,
+    // arXiv:2303.09540): k-means clusters LOCALIZE the quadratic —
+    // exact pairwise cosine runs only WITHIN a cluster (expected
+    // (n/k)² pair work per cluster instead of n² global; production
+    // picks k ∝ corpus/target-cluster-size so per-cluster work stays
+    // bounded as the corpus grows), then near-identical members
+    // (cos > 0.99) dedup to the lowest surviving vec_id. Unlike the
+    // LSH spelling above this also yields the cluster structure
+    // itself (the codebook a curriculum/mixing stage reuses), and its
+    // misses are governed by cluster assignment rather than banding
+    // probability. Same planted ground truth as dedup_embedding_lsh.
+    // Rows-only (Lloyd training is not SQL-expressible);
+    // SimilaritySpec pins planted recall, zero false drops, and
+    // origin/copy cluster agreement.
+    "dedup_semantic" -> ((s, dir) => {
+      val all = withPlantedDups(s, dir)
+      val cents = ivfTrain(all, k = 16, iters = 3)
+      val assigned = assignToCentroid(
+        all.select(col("vec_id").as("__aid"), col("vd"), col("nrm")), cents)
+        .select(col("__aid").as("vec_id"), col("vd"), col("nrm"), col("c_id"))
+      val lhs = assigned.select(col("c_id"), col("vec_id").as("id_a"),
+        col("vd").as("va"), col("nrm").as("na"))
+      val rhs = assigned.select(col("c_id"), col("vec_id").as("id_b"),
+        col("vd").as("vb"), col("nrm").as("nb"))
+      val dups = lhs.join(rhs, Seq("c_id"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .where(col("cos") > 0.99)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min(col("id_a")).as("dup_of"))
+      assigned.select(col("vec_id"), col("c_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
     })
   )
 

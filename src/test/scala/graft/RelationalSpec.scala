@@ -94,6 +94,31 @@ class RelationalSpec extends SparkFunSuite {
     assert(matched > 0, "fixture should produce at least one match")
   }
 
+  test("interval join matches brute-force containment and never nested-loops") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val wUs = 15L * 60 * 1000000
+    val want = ev.filter(e => e._3 == "error" && e._4 > 200.0)
+      .map { inc =>
+        val hits = ev.filter(e => e._2 >= inc._2 && e._2 < inc._2 + wUs)
+        inc._1 -> hits.length.toLong
+      }.toMap
+    val q = SparkEntry.queries("ev_interval_join")(spark, sfDir)
+    val got = q.select(col("incident_id"), col("n_events")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should produce incidents")
+    // the point of the bucketed spelling: the range join must run as
+    // an equi-join on the bucket, never a nested-loop product
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$plan")
+  }
+
   test("stratified sample takes exactly min(|stratum|, 50) docs per language") {
     val counts = Tables.load(spark, sfDir, "documents")
       .groupBy(col("lang")).count().collect()

@@ -173,4 +173,27 @@ class SimilaritySpec extends SparkFunSuite {
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"expected only plane-table cross joins, got $bnlj:\n$plan")
   }
+
+  test("dedup_semantic: planted copies dedup to their origin inside one cluster") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val nOrig = Tables.load(spark, sfDir, "embeddings").count()
+    assert(byId.size == nOrig + 40, "corpus + 40 planted copies")
+    // every planted copy is dropped, and to its origin: the only
+    // cos > 0.99 pairs in the fixture are (origin, origin+1000000),
+    // so min(id_a) is exactly the origin
+    (0L until 40L).foreach { id =>
+      val (cCopy, keep, dupOf) = byId(id + 1000000L)
+      assert(keep == 0 && dupOf == id,
+        s"copy of $id: keep=$keep dup_of=$dupOf")
+      // k-means must put the near-identical pair in the SAME cluster
+      // (this is what makes within-cluster pairing sufficient)
+      assert(cCopy == byId(id)._1, s"origin/copy of $id split across clusters")
+    }
+    // zero false drops: natural members never reach cos > 0.99
+    byId.foreach { case (id, (_, keep, _)) =>
+      if (id < 1000000L) assert(keep == 1, s"false drop of natural $id")
+    }
+  }
 }
