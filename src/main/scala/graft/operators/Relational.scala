@@ -419,6 +419,69 @@ object Relational extends QueryModule {
           col("sum_qty"), col("n"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter →
+    // two-step join chain → grouped revenue → top-10. The canonical
+    // warehouse pattern every engine must get right end-to-end:
+    // the c_mktsegment filter prunes customers BEFORE the join
+    // (pushed to the scan), the small filtered dim broadcasts, both
+    // date filters push into their scans, and the final top-10 runs
+    // as TakeOrderedAndProject — never a global sort. Revenue
+    // quantizes each item to integer CENTS via round(prod·100) in
+    // DOUBLE before summing — NOT a double→DECIMAL cast: Spark casts
+    // through the shortest decimal string (value-faithful) while
+    // DuckDB scales in floating point, and a product like
+    // 40809.354999999996 crosses the .005 boundary under the latter
+    // only (measured). round(x) is safe where the cast is not: both
+    // engines round the same double (the ·100 product is the same
+    // IEEE op), half-boundaries are exactly representable at cent
+    // magnitudes so the shortest repr never crosses .5, and both
+    // resolve exact halves away from zero. The cent sum is exact
+    // integer arithmetic; one final /100 divide is correctly-rounded
+    // IEEE on both engines. Ties on revenue break by l_orderkey so
+    // the LIMIT is deterministic.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1996-07-01").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).cast("double") / 100).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // RANGE window frame (the ROWS twin is w1): per-user trailing-1h
+    // running features over exact integer µs — `RANGE BETWEEN x
+    // PRECEDING AND CURRENT ROW` over a numeric order key, the frame
+    // spelling for time-based features where ROWS counts are
+    // meaningless. Tie-safe by construction: peers (equal µs) share
+    // one frame on any engine, so no unique tiebreaker is needed for
+    // determinism. Same one-shuffle-per-user scale shape as ev_gaps.
+    "w5_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+    }),
+
     // Explicit GROUPING SETS — the non-hierarchical mix neither
     // ROLLUP nor CUBE emits alone: the union of the two single-column
     // groupings, with grouping_id() disambiguating which set a row
@@ -700,6 +763,27 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND l_shipdate > TIMESTAMP '1996-07-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "w5_range_frame" ->
+      """SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     // GROUPING() bit order matches Spark's grouping_id() (1 bit per
     // groupBy column, set where the column is aggregated away)
     "agg_grouping_sets" ->

@@ -177,6 +177,35 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Stream-stream INNER join with watermarks on BOTH sides: each
+    * click matched to the same user's purchases in the preceding
+    * hour. The time-interval join condition plus the two watermarks
+    * let Spark PROVE state is bounded — a click older than
+    * (watermark − 1 h) can never match a future purchase, so both
+    * sides' join state is evicted as the watermark advances (without
+    * the interval bound, stream-stream join state grows forever).
+    * This is the streaming face of the batch `ev_interval_join` /
+    * `ev_asof_join` family: same micro-batch semantics under
+    * AvailableNow, results emitted as soon as both sides' rows have
+    * arrived. StreamingSpec pins exact batch parity (inner joins emit
+    * eagerly — no withheld tail, unlike append-mode aggregations).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("c_id"), col("user_id"), col("p_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
   /** Streaming exactly-once dedup: drop duplicate `event_id`s arriving
     * within the watermark delay (`dropDuplicatesWithinWatermark` keeps
     * dedup state only until the watermark passes, so state is bounded —

@@ -53,6 +53,31 @@ class StreamingSpec extends SparkFunSuite {
       s"only ${got.size}/${want.size} sessions emitted")
   }
 
+  test("stream-stream interval join == batch join, exactly") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = EventStreams.clickPurchaseJoin(
+      EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.drainToMemory(spark, stream, "ssj_out",
+      OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val want = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
+      .select(col("c_id"), col("p_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture should produce click-purchase matches")
+    assert(got == want, s"stream diff: missing=${want.diff(got).size} " +
+      s"extra=${got.diff(want).size}")
+  }
+
   test("foreachBatch streaming MERGE upserts idempotently") {
     import spark.implicits._
     val targetDir = java.nio.file.Files.createTempDirectory("merge_target")
