@@ -229,6 +229,38 @@ object TextAnalysis extends QueryModule {
             / 1000000.0 < col("rate")).cast("int").as("keep"))
     }),
 
+    // Domain-MIXTURE resampling to explicit target weights — the
+    // data-mixing step that turns a cleaned corpus into a training
+    // mix (temperature sampling above reweights smoothly; this hits
+    // exact targets, with UPSAMPLING): given per-domain weights w_l,
+    // the output size T is the largest total where no domain repeats
+    // more than cap=2 epochs (T = min_l cap·n_l/w_l), each domain's
+    // rate is w_l·T/n_l ∈ [0, 2], and every doc emits ⌊rate⌋ copies
+    // plus one more on a deterministic multiplicative-hash coin with
+    // P = frac(rate) — so realized counts hit expectation without RNG
+    // and identically on both engines (all double arithmetic is the
+    // same IEEE op sequence; the binding domain's rate may land an
+    // ulp under 2.0, but both engines floor the same bits). Scale:
+    // one map-side count agg, a 5-row broadcast of rates, and a
+    // per-row explode bounded by cap — no shuffle of the corpus.
+    "text_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = Seq("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
+        "fr" -> 0.15, "es" -> 0.1).toDF("lang", "wt")
+      val docs = Tables.load(s, dir, "documents")
+      val joined = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .join(wdf, "lang")
+      val t = joined.agg(min(lit(2.0) * col("n") / col("wt")).as("t"))
+      val rates = joined.crossJoin(broadcast(t))
+        .select(col("lang"), ((col("wt") * col("t")) / col("n")).as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .withColumn("nc", floor(col("rate")) +
+          (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
+            / 1000000.0 < col("rate") - floor(col("rate"))).cast("long"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("if(nc < 1, array(), sequence(0L, nc - 1))")).as("copy_id"))
+    }),
+
     // Overlapping context-window chunking (64-token windows, stride
     // 48): the doc→training-example / RAG-index split. Chunk count per
     // doc is 1 + ceil(max(0, n−win)/stride) so every token is covered
@@ -477,6 +509,20 @@ object TextAnalysis extends QueryModule {
            CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
              / 1000000.0 < r.rate AS INTEGER) AS keep
          FROM documents d JOIN r ON d.lang = r.lang""",
+    "text_domain_mix" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.2),
+                      ('de', 0.15), ('fr', 0.15), ('es', 0.1)) AS w(lang, wt)),
+         c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         tt AS (SELECT MIN(2.0 * c.n / w.wt) AS t FROM c JOIN w USING (lang)),
+         r AS (SELECT c.lang, (w.wt * tt.t) / c.n AS rate
+               FROM c JOIN w USING (lang), tt),
+         x AS (SELECT d.doc_id, r.lang,
+                 CAST(floor(r.rate) AS BIGINT)
+                 + CASE WHEN CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
+                             / 1000000.0 < r.rate - floor(r.rate)
+                        THEN 1 ELSE 0 END AS nc
+               FROM documents d JOIN r USING (lang))
+         SELECT doc_id, lang, unnest(range(0, nc)) AS copy_id FROM x""",
     "text_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
            CAST(list_sum([len(t) for t in string_split(text, ' ')]) AS DOUBLE)

@@ -193,4 +193,31 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrdered:\n$plan")
   }
+
+  test("text_domain_mix hits target weights within coin tolerance, caps at 2 epochs") {
+    val rows = SparkEntry.queries("text_domain_mix")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
+      "fr" -> 0.15, "es" -> 0.1)
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val total = rows.length.toDouble
+    assert(total > 0)
+    targets.foreach { case (lang, w) =>
+      val got = byLang.getOrElse(lang, 0.0) / total
+      // the fractional coin adds at most ±(#docs-in-lang) absolute
+      // noise; on this fixture realized shares land well within 5pp
+      assert(math.abs(got - w) < 0.05, s"$lang: got $got want ~$w")
+    }
+    // repeat cap: no doc emits more than ceil(cap)=2 copies, and
+    // copy_ids are dense 0..k-1 per doc
+    rows.groupBy(_._1).foreach { case (id, copies) =>
+      val ids = copies.map(_._3).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, s"doc $id copy ids: $ids")
+      assert(ids.length <= 2, s"doc $id exceeded the 2-epoch cap")
+    }
+    // at least one language must actually upsample (rate > 1 → some
+    // doc with 2 copies), else the mix degenerates to pure filtering
+    assert(rows.groupBy(_._1).exists(_._2.length == 2),
+      "expected upsampled docs under the binding-domain construction")
+  }
 }
