@@ -176,6 +176,66 @@ object EventWindows extends QueryModule {
         .select(col("incident_id"),
           date_format(timestamp_micros(col("st_us")), "yyyy-MM-dd HH:mm:ss").as("st_s"),
           col("n_events"), col("total_value"))
+    }),
+
+    // Sequential-pattern FUNNEL (signup → click → purchase, each
+    // within 24 h of the previous stage, strictly ordered in event
+    // time) — the MATCH_RECOGNIZE-class question ("how far did each
+    // user get?") spelled as iterated conditional aggregation: stage
+    // k's earliest time is min(us) over stage-k events inside
+    // (t_{k−1}, t_{k−1} + 24 h]. Three hash aggs and
+    // two joins, all keyed on the high-cardinality user_id — each
+    // stage's frame shrinks (only users who reached k−1 join stage
+    // k), and co-partitioned exchanges reuse. No per-user sort, no
+    // window over the whole history — the shape that holds when one
+    // user has a million events.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_signup"))
+      val day = 86400L * 1000000
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id")
+        .where(col("us") > col("t_signup") && col("us") <= col("t_signup") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("us") > col("t_click") && col("us") <= col("t_click") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_signup").isNotNull, 1)
+            .otherwise(0).as("stage"),
+          col("t_signup"), col("t_click"), col("t_purchase"))
+    }),
+
+    // FULL OUTER join — the join flavor the rest of the catalog lacks
+    // (J3 covers left outer, J6/J7 anti/semi): per-day HIGH-VALUE
+    // click activity stitched to high-value purchase activity, where
+    // either side can genuinely be absent on a given day (the value
+    // cuts make single-sided days real, so the coalesce paths are
+    // exercised, not decorative). Keys are pre-aggregated day strings
+    // — the join input is already one row per (day, side), so the
+    // full-outer shuffle is trivially bounded no matter the event
+    // volume underneath.
+    "j10_full_outer" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value"))
+      val c = ev.where(col("event_type") === "click" && col("value") > 400.0)
+        .groupBy(col("day")).agg(count(lit(1)).as("n_clicks"))
+      val p = ev.where(col("event_type") === "purchase" && col("value") > 340.0)
+        .groupBy(col("day")).agg(count(lit(1)).as("n_purchases"))
+      c.join(p, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
     })
   )
 
@@ -276,6 +336,37 @@ object EventWindows extends QueryModule {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM inc i JOIN events e ON e.ts >= i.st AND e.ts < i.en
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, MIN(us) AS t_signup FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND us > t_signup
+                  AND us <= t_signup + 86400000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(us) AS t_purchase FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND us > t_click
+                  AND us <= t_click + 86400000000 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+                WHEN t_click IS NOT NULL THEN 2
+                WHEN t_signup IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           t_signup, t_click, t_purchase
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+    "j10_full_outer" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+                    FROM events WHERE event_type = 'click' AND value > 400
+                    GROUP BY 1),
+         p AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase' AND value > 340
+               GROUP BY 1)
+         SELECT coalesce(c.day, p.day) AS day,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases
+         FROM c FULL OUTER JOIN p ON c.day = p.day"""
   )
 }
