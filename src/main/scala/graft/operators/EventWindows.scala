@@ -236,6 +236,46 @@ object EventWindows extends QueryModule {
         .select(col("day"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+    }),
+
+    // COHORT RETENTION matrix — users bucketed by first-PURCHASE
+    // week (conversion cohorts vary where first-seen week is
+    // degenerate on an always-on fixture), counted per (cohort,
+    // weeks-since-cohort) over ALL subsequent activity: the canonical
+    // engagement/retention analysis. Weeks are integer epoch-week
+    // indices (µs div week — exact integer arithmetic, no tz or
+    // calendar dependence). Shape: per-user min (hash agg) + distinct
+    // (user, week) activity pairs + one join on user_id (both sides
+    // already partitioned by it) + final count-distinct agg. Every
+    // stage keys on user_id or a bounded (cohort, offset) grid —
+    // nothing super-linear at any corpus size.
+    "ev_retention" -> ((s, dir) => {
+      val weekUs = 7L * 86400 * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr(s"unix_micros(ts) div ${weekUs}L").as("week"))
+      val cohort = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("week")).as("w0"))
+      ev.select(col("user_id"), col("week")).distinct()
+        .join(cohort, "user_id")
+        .where(col("week") >= col("w0"))
+        .groupBy(col("w0").as("cohort_week"),
+          (col("week") - col("w0")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Fixed-width value HISTOGRAM per event type (bin width 25) —
+    // the one-pass distribution summary behind every monitoring
+    // dashboard; bin ids are exact integer floor-division of the
+    // double value (identical IEEE truncation on both engines for
+    // the in-range values here). Pure map-side-combining hash agg on
+    // a bounded (type, bin) grid.
+    "ev_histogram" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
     })
   )
 
@@ -367,6 +407,22 @@ object EventWindows extends QueryModule {
          SELECT coalesce(c.day, p.day) AS day,
            coalesce(n_clicks, 0) AS n_clicks,
            coalesce(n_purchases, 0) AS n_purchases
-         FROM c FULL OUTER JOIN p ON c.day = p.day"""
+         FROM c FULL OUTER JOIN p ON c.day = p.day""",
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_us(ts) // 604800000000 AS week
+                    FROM events),
+         c AS (SELECT user_id, MIN(week) AS w0 FROM e
+               WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT w0 AS cohort_week, week - w0 AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+         FROM (SELECT DISTINCT user_id, week FROM e) e JOIN c USING (user_id)
+         WHERE week >= w0
+         GROUP BY 1, 2""",
+    "ev_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2"""
   )
 }
