@@ -158,6 +158,48 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // STATS-PRUNED range read over the snapshot table (the sidecar
+    // data-skipping layer, SnapshotStore.readRange): seed v1 and
+    // update-merge v2 with per-(partition, column) min/max bands
+    // recorded for o_totalprice, then read a value band. Pruning is
+    // metadata-only — manifest entries whose recorded band cannot
+    // intersect never become scan inputs — and is pinned in
+    // SnapshotStatsSpec (disjoint-band fixture, band refresh, missing
+    // sidecar, vacuum); the residual filter makes correctness
+    // independent of how much was skipped. The oracle restates the
+    // post-merge table filtered by the band, so the driver hash-pins
+    // the whole stats-read path end-to-end. At 100 TB this is the
+    // difference between a point lookup that opens three partitions
+    // and one that lists the world (partition pruning can't help — pk
+    // says nothing about price).
+    "k2_snapshot_skip" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val updates = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2sk_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"),
+        statsCols = Seq("o_totalprice"))
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, updates, Seq("o_orderkey"), Seq("pk"),
+        statsCols = Seq("o_totalprice"))
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      val out = store
+        .readRange(target.schema, "o_totalprice", 50000.0, 150000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // Change-data-feed READ between two snapshot versions: seed v1,
     // merge v2 (updates to every %20==1 key + inserts of unseen
     // %10==2 keys), then readChangesBetween(v1, v2) must emit exactly
@@ -506,6 +548,21 @@ object Pipeline extends QueryModule {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            COUNT(*) AS n
          FROM v2 GROUP BY pk""",
+    // the post-merge table filtered by the stats band — pruning is
+    // invisible to the oracle by design (it must never change rows)
+    "k2_snapshot_skip" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 20 = 1
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 20 = 1 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk FROM t
+         WHERE o_totalprice >= 50000 AND o_totalprice <= 150000""",
     // the v1->v2 delta restated from the raw inputs: update
     // post-images for every %20==1 key, the inserted %10==2 rows
     "k2_snapshot_changes" ->

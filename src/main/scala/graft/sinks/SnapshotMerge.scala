@@ -30,14 +30,16 @@ object SnapshotMerge {
 
   /** K1 on a snapshot table: keep existing rows, add unseen keys. */
   def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
-      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Unit =
-    merge(spark, rootDir, incoming, partCols, retain)(
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit =
+    merge(spark, rootDir, incoming, partCols, retain, statsCols)(
       (target, inc) => Merge.upsertIgnore(target, inc, keys))
 
   /** K2 on a snapshot table: incoming wins on key collision. */
   def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
-      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Unit =
-    merge(spark, rootDir, incoming, partCols, retain)(
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit =
+    merge(spark, rootDir, incoming, partCols, retain, statsCols)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
 
   /** CDC apply on a snapshot table ([[Merge.applyCdc]] semantics:
@@ -53,8 +55,9 @@ object SnapshotMerge {
     */
   def applyCdc(spark: SparkSession, rootDir: String, changes: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
-      partCols: Seq[String], retain: Int = 2): Unit =
-    merge(spark, rootDir, changes, partCols, retain)(
+      partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit =
+    merge(spark, rootDir, changes, partCols, retain, statsCols)(
       (target, inc) =>
         Merge.applyCdc(target.drop(seqCol, opCol), inc, keys, seqCol, opCol))
 
@@ -153,7 +156,8 @@ object SnapshotMerge {
     * will fail with the below-retention error once it lags.
     */
   def merge(spark: SparkSession, rootDir: String, incoming0: DataFrame,
-      partCols: Seq[String], retain: Int = 2)(
+      partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
@@ -201,6 +205,11 @@ object SnapshotMerge {
     require(written.keySet.subsetOf(touched),
       s"merge produced unexpected partitions: ${(written.keySet -- touched).mkString(", ")}")
 
+    // Opt-in stats sidecar for the staged batch (one bounded agg over
+    // the just-written, page-warm files) — the metadata readRange
+    // prunes on. Written before the commit: an unreferenced batch
+    // with a sidecar is just a bigger orphan for vacuum.
+    store.writeBatchStats(batch, incoming.schema, partCols, statsCols)
     val entries = (curEntries -- touched) ++ written.map { case (s, sz) =>
       s -> SnapshotStore.SnapshotEntry(batch, sz)
     }

@@ -159,6 +159,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
   private val dataDir = new Path(root, "data")
+  private val statsDir = new Path(root, "stats")
   private val lockPath = new Path(root, "LOCK")
 
   private def versionName(v: Long): String = f"v-$v%012d"
@@ -638,6 +639,107 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
   }
 
+  /** Write the per-(partition, column) min/max STATS sidecar for a
+    * freshly staged batch — the metadata that lets [[readRange]] skip
+    * partitions on a NON-partition column, which partition pruning
+    * cannot touch (the Delta/Iceberg file-stats idea at this store's
+    * partition-per-batch granularity). One bounded aggregation over
+    * the just-written batch (its files are page-warm at the only call
+    * sites); the sidecar is immutable alongside its batch and is
+    * collected with it by [[vacuum]].
+    *
+    * `statsCols` must be NUMERIC table columns; values are recorded
+    * as doubles (exact for longs up to 2^53 — the caveat callers with
+    * larger keys must mind). A column that is all-NULL within a
+    * partition records no line, and a missing (partition, column)
+    * line makes that partition UNPRUNABLE on that column — absence
+    * degrades to a full read, never a wrong skip.
+    *
+    * Format (one line per partition × column, TSV):
+    * `suffix<TAB>col<TAB>min<TAB>max`. Written via tmp+rename so a
+    * crash mid-write leaves no torn sidecar (a torn file would parse
+    * partially; the rename makes it all-or-nothing).
+    */
+  def writeBatchStats(batch: String, schema: StructType,
+      partCols: Seq[String], statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    statsCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"stats column $c not in schema"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"stats column $c must be numeric, is ${f.dataType}")
+      require(!partCols.contains(c),
+        s"stats column $c is a partition column — partition pruning already covers it")
+    }
+    val df = spark.read.schema(schema).parquet(dataPath(batch).toString)
+    val aggs = statsCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).cast("double").as(s"__mn_$c"),
+      org.apache.spark.sql.functions.max(col(c)).cast("double").as(s"__mx_$c")))
+    val rows = df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val suffix = SnapshotMerge.partitionSuffix(partCols, r)
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        val mnIdx = partCols.size + 2 * i
+        if (!r.isNullAt(mnIdx) && !r.isNullAt(mnIdx + 1))
+          sb.append(suffix).append('\t').append(c).append('\t')
+            .append(r.getDouble(mnIdx)).append('\t')
+            .append(r.getDouble(mnIdx + 1)).append('\n')
+      }
+    }
+    fs.mkdirs(statsDir)
+    val tmp = new Path(statsDir, s".tmp-$batch")
+    writeFile(tmp, sb.toString)
+    fs.rename(tmp, new Path(statsDir, batch))
+  }
+
+  /** Parsed stats sidecar of `batch`: suffix -> col -> (min, max).
+    * Empty map when the batch has no sidecar (pre-stats batches, or a
+    * merge that opted out) — readers then cannot prune it.
+    */
+  def readBatchStats(batch: String): Map[String, Map[String, (Double, Double)]] = {
+    val p = new Path(statsDir, batch)
+    if (!fs.exists(p)) return Map.empty
+    readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(suffix, c, mn, mx) = line.split('\t')
+      (suffix, c, (mn.toDouble, mx.toDouble))
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+  }
+
+  /** Manifest entries whose recorded [min, max] band for `statsCol`
+    * intersects [lo, hi] — plus every entry with NO recorded band
+    * (unprunable, never wrongly skipped). Pure metadata: reads only
+    * the sidecars of referenced batches, lists no data directory.
+    */
+  def pruneByStats(entries: Map[String, String], statsCol: String,
+      lo: Double, hi: Double): Map[String, String] = {
+    val cache = scala.collection.mutable.Map[String,
+      Map[String, Map[String, (Double, Double)]]]()
+    entries.filter { case (suffix, batch) =>
+      cache.getOrElseUpdate(batch, readBatchStats(batch))
+        .get(suffix).flatMap(_.get(statsCol)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Stats-pruned range read: resolve the current manifest once,
+    * drop partitions whose recorded band cannot intersect
+    * [lo, hi], scan the survivors, and apply the RESIDUAL filter —
+    * correctness never depends on pruning (a stale, missing, or
+    * coarse band only widens the scan). The filter also pushes into
+    * the parquet scan, so row-group stats prune a second time inside
+    * the surviving files.
+    */
+  def readRange(schema: StructType, statsCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val entries = current().map(_._2).getOrElse(Map.empty)
+    readEntries(pruneByStats(entries, statsCol, lo, hi), schema, null)
+      .where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
   /** Fold the SMALLEST live batches together so the manifest
     * references at most `maxBatches` batch dirs, rewriting only the
     * partitions those batches hold — the incremental twin of
@@ -660,7 +762,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * legacy partition ever. No-op when already within bounds.
     */
   def compactIncremental(schema: StructType, partCols: Seq[String],
-      maxBatches: Int): Unit = {
+      maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
     val (version, entries) = currentSized().getOrElse(return)
@@ -691,6 +793,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
     require(written.keySet == foldParts,
       s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
+    writeBatchStats(batch, schema, partCols, statsCols)
     commitSized(version + 1,
       sized ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
@@ -707,7 +810,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * For hot-partition churn prefer [[compactIncremental]], which
     * fixes the same fragmentation without rewriting the cold bulk.
     */
-  def compact(schema: StructType, partCols: Seq[String]): Unit = {
+  def compact(schema: StructType, partCols: Seq[String],
+      statsCols: Seq[String] = Nil): Unit = {
     val (version, entries) = current().getOrElse(return)
     if (entries.values.toSet.size <= 1) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -717,6 +821,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
     require(written.keySet == entries.keySet,
       s"compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    writeBatchStats(batch, schema, partCols, statsCols)
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
@@ -780,7 +885,19 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       // b-<version>-… below the window and unreferenced → orphan; a
       // name that doesn't parse is treated as below-window (legacy)
       val below = batchVersion(n).forall(_ < keepMin)
-      if (below && !liveBatches.contains(n)) fs.delete(st.getPath, true)
+      if (below && !liveBatches.contains(n)) {
+        fs.delete(st.getPath, true)
+        // a batch's stats sidecar lives and dies with the batch
+        fs.delete(new Path(statsDir, n), false)
+      }
+    }
+    if (fs.exists(statsDir)) fs.listStatus(statsDir).foreach { st =>
+      val n = st.getPath.getName
+      // torn tmp sidecars; and sidecars orphaned by a pre-stats
+      // vacuum that removed their batch before this cleanup existed
+      if (n.startsWith(".tmp-") ||
+          (batchVersion(n).forall(_ < keepMin) && !liveBatches.contains(n)))
+        fs.delete(st.getPath, false)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sinks.{SnapshotMerge, SnapshotStore}
+
+/** Pins for the manifest-level STATS pruning layer: the sidecar's
+  * [min, max] bands must let `readRange` skip partitions a value
+  * predicate cannot touch, skipping must NEVER change results (a
+  * missing or stale sidecar only widens the scan), bands refresh on
+  * merge, and sidecars die with their batches under vacuum.
+  */
+class SnapshotStatsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** 300 rows, pk = id / 100 — each partition holds a DISJOINT value
+    * band: pk=0 -> v in [0,99], pk=1 -> [100,199], pk=2 -> [200,299].
+    */
+  private def rows = (0L until 300L).map(i => (i, i.toDouble, i / 100L))
+    .toDF("id", "v", "pk")
+
+  private def store(dir: String) = new SnapshotStore(spark, new Path(dir))
+
+  test("readRange prunes to the partitions whose band intersects, rows exact") {
+    val dir = tmp("stats_prune_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    val entries = st.current().get._2
+    assert(entries.keySet == Set("pk=0", "pk=1", "pk=2"))
+    // metadata decision: only pk=1's band [100,199] intersects [120,180]
+    assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet == Set("pk=1"))
+    // boundary inclusivity: hi == a band's min keeps that partition
+    assert(st.pruneByStats(entries, "v", 50.0, 100.0).keySet ==
+      Set("pk=0", "pk=1"))
+    val got = st.readRange(rows.schema, "v", 120.0, 180.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (120L to 180L))
+  }
+
+  test("bands refresh on merge; residual filter keeps widened bands correct") {
+    val dir = tmp("stats_refresh_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    // update one pk=0 row to v=500: pk=0's NEW band [0,500] now
+    // intersects [120,180] (band widening), but only true matches
+    // survive the residual filter
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((7L, 500.0, 0L)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"), statsCols = Seq("v"))
+    val st = store(dir)
+    val entries = st.current().get._2
+    assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet ==
+      Set("pk=0", "pk=1"))
+    val got = st.readRange(rows.schema, "v", 120.0, 180.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (120L to 180L), "widened band must not add rows")
+    // the moved row is findable through its new band
+    assert(st.readRange(rows.schema, "v", 499.0, 501.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("a missing sidecar disables pruning but never correctness") {
+    val dir = tmp("stats_missing_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    val entries = st.current().get._2
+    val batch = entries.values.head
+    st.fs.delete(new Path(new Path(st.root, "stats"), batch), false)
+    assert(st.readBatchStats(batch).isEmpty)
+    assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet ==
+      entries.keySet, "no sidecar -> nothing prunable")
+    val got = st.readRange(rows.schema, "v", 120.0, 180.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (120L to 180L))
+  }
+
+  test("opting out writes no sidecar; all-null stats column records no band") {
+    val dir = tmp("stats_optout_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"))
+    val st = store(dir)
+    assert(st.readBatchStats(st.current().get._2.values.head).isEmpty)
+    // all-NULL column: no line recorded -> unprunable, not a skip
+    val dir2 = tmp("stats_null_")
+    val withNulls = rows.withColumn("v",
+      when(col("pk") === 0L, lit(null).cast("double")).otherwise(col("v")))
+    SnapshotMerge.upsertUpdate(spark, dir2, withNulls, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st2 = store(dir2)
+    val e2 = st2.current().get._2
+    val bands = st2.readBatchStats(e2.values.head)
+    assert(!bands.getOrElse("pk=0", Map.empty).contains("v"))
+    assert(bands("pk=1").contains("v"))
+    // pk=0 (all-null v) is unprunable; its rows can't match anyway
+    assert(st2.pruneByStats(e2, "v", 120.0, 180.0).keySet ==
+      Set("pk=0", "pk=1"))
+    assert(st2.readRange(withNulls.schema, "v", 120.0, 180.0)
+      .count() == 61L)
+  }
+
+  test("vacuum collects sidecars with their batches; compaction refreshes stats") {
+    val dir = tmp("stats_vacuum_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    // churn pk=0 several times so early batches fall out of retention
+    (1 to 3).foreach { i =>
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((5L, 5.0 + i, 0L)).toDF("id", "v", "pk"),
+        Seq("id"), Seq("pk"), statsCols = Seq("v"))
+    }
+    val st = store(dir)
+    val statsPath = new Path(st.root, "stats")
+    def sidecars: Set[String] =
+      st.fs.listStatus(statsPath).map(_.getPath.getName).toSet
+    def liveBatches: Set[String] =
+      st.current().get._2.values.toSet
+    // every sidecar's batch is either live or within the retention
+    // window — no sidecar outlives vacuum's batch sweep
+    val dataBatches = st.fs.listStatus(new Path(st.root, "data"))
+      .map(_.getPath.getName).toSet
+    assert(sidecars.subsetOf(dataBatches),
+      s"orphan sidecars: ${sidecars -- dataBatches}")
+    assert(liveBatches.subsetOf(sidecars),
+      "every live batch written with statsCols keeps its sidecar")
+    // full compaction with stats keeps pruning working on the folded batch
+    st.compact(rows.schema, Seq("pk"), statsCols = Seq("v"))
+    val entries = st.current().get._2
+    assert(entries.values.toSet.size == 1, "compacted to one batch")
+    assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet == Set("pk=1"))
+  }
+}
