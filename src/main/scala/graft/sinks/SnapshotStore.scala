@@ -661,7 +661,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * partially; the rename makes it all-or-nothing).
     */
   def writeBatchStats(batch: String, schema: StructType,
-      partCols: Seq[String], statsCols: Seq[String]): Unit = {
+      partCols: Seq[String], statsCols: Seq[String],
+      fileStats: Boolean = false): Unit = {
     if (statsCols.isEmpty) return
     statsCols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -692,6 +693,147 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val tmp = new Path(statsDir, s".tmp-$batch")
     writeFile(tmp, sb.toString)
     fs.rename(tmp, new Path(statsDir, batch))
+    if (fileStats) writeBatchFileStats(batch, df, partCols, statsCols)
+  }
+
+  /** FILE-granularity twin of the partition sidecar (`<batch>.files`):
+    * one band per (file, column), keyed by the file's batch-relative
+    * path. Per-file bands only pay off after a CLUSTERED write
+    * ([[compactClustered]]) makes them near-disjoint — a shuffled
+    * write gives every file the full value range and nothing prunes.
+    *
+    * Every file is ENUMERATED with a `#` marker line even when all
+    * its bands are null — a file absent from the sidecar entirely
+    * would otherwise be silently dropped by [[readRangeFiles]], which
+    * must never happen (the sidecar is the file listing).
+    */
+  private def writeBatchFileStats(batch: String, df: DataFrame,
+      partCols: Seq[String], statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    val aggs = statsCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).cast("double").as(s"__mn_$c"),
+      org.apache.spark.sql.functions.max(col(c)).cast("double").as(s"__mx_$c")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val marker = s"/$batch/"
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val uri = r.getString(0)
+      val at = uri.indexOf(marker)
+      require(at >= 0, s"file $uri not under batch $batch")
+      val rel = uri.substring(at + marker.length)
+      sb.append(rel).append("\t#\t0\t0\n")
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        val mnIdx = 1 + 2 * i
+        if (!r.isNullAt(mnIdx) && !r.isNullAt(mnIdx + 1))
+          sb.append(rel).append('\t').append(c).append('\t')
+            .append(r.getDouble(mnIdx)).append('\t')
+            .append(r.getDouble(mnIdx + 1)).append('\n')
+      }
+    }
+    val tmp = new Path(statsDir, s".tmp-$batch.files")
+    writeFile(tmp, sb.toString)
+    fs.rename(tmp, new Path(statsDir, s"$batch.files"))
+  }
+
+  /** Parsed file sidecar: relpath -> col -> (min, max). Marker lines
+    * make every file present as a key (possibly with no bands). None
+    * when the batch has no file sidecar — callers must then fall back
+    * to whole-partition reads, NOT treat it as "no files".
+    */
+  def readBatchFileStats(batch: String):
+      Option[Map[String, Map[String, (Double, Double)]]] = {
+    val p = new Path(statsDir, s"$batch.files")
+    if (!fs.exists(p)) return None
+    val parsed = readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).map { l =>
+      val Array(rel, c, mn, mx) = l.split('\t')
+      (rel, c, (mn.toDouble, mx.toDouble))
+    }
+    Some(parsed.groupBy(_._1).view.mapValues(
+      _.filter(_._2 != "#").map(t => t._2 -> t._3).toMap).toMap)
+  }
+
+  /** [[readRange]] with FILE-level pruning inside surviving
+    * partitions: after the partition bands prune, each remaining
+    * partition's files are kept only when their own band intersects
+    * (files without a band, and batches without a file sidecar, fall
+    * back to being read whole). After [[compactClustered]] a narrow
+    * band touches O(1) files per partition instead of all of them —
+    * the clustered-table read path.
+    */
+  def readRangeFiles(schema: StructType, statsCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val entries = current().map(_._2).getOrElse(Map.empty)
+    val surviving = pruneByStats(entries, statsCol, lo, hi)
+    if (surviving.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .where(col(statsCol) >= lo && col(statsCol) <= hi)
+    val frames = surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (batch, batchEntries) =>
+        val base = dataPath(batch)
+        val suffixes = batchEntries.keys.toSeq.sorted
+        val paths: Seq[String] = readBatchFileStats(batch) match {
+          case None =>
+            suffixes.map(s => new Path(base, s).toString)
+          case Some(fileBands) =>
+            suffixes.flatMap { s =>
+              val mine = fileBands.filter(_._1.startsWith(s + "/"))
+              mine.collect {
+                case (rel, bands)
+                    if bands.get(statsCol).forall { case (mn, mx) =>
+                      mx >= lo && mn <= hi } =>
+                  new Path(base, rel).toString
+              }
+            }
+        }
+        paths -> base
+    }
+    val nonEmpty = frames.filter(_._1.nonEmpty)
+    if (nonEmpty.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .where(col(statsCol) >= lo && col(statsCol) <= hi)
+    nonEmpty.map { case (paths, base) =>
+      spark.read.option("basePath", base.toString).schema(schema)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionByName(_))
+      .where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** Full rewrite CLUSTERED on `clusterCol` within each partition —
+    * rows sort by the cluster column inside their partition dir and
+    * split into ≤ `maxRecordsPerFile`-row files, so per-file bands
+    * (written alongside, with the partition sidecar) become
+    * near-disjoint and [[readRangeFiles]] prunes to the few files a
+    * narrow band touches. The OPTIMIZE/ZORDER idea for one dimension,
+    * at this store's crash contract: invisible until the fenced
+    * pointer swap, orphans for vacuum on a crash.
+    *
+    * The sort is per written file only — query results never depend
+    * on it (parquet carries no order guarantee downstream); it exists
+    * purely to make file statistics selective.
+    */
+  def compactClustered(schema: StructType, partCols: Seq[String],
+      clusterCol: String, maxRecordsPerFile: Long): Unit = {
+    val (version, entries) = current().getOrElse(return)
+    if (entries.isEmpty) return
+    val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    read(schema)
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols :+ clusterCol).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(dataPath(batch).toString)
+    val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
+    require(written.keySet == entries.keySet,
+      s"clustered compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    writeBatchStats(batch, schema, partCols, Seq(clusterCol), fileStats = true)
+    commitSized(version + 1,
+      written.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(batch, sz)
+      }, Some(version))
+    vacuum()
   }
 
   /** Parsed stats sidecar of `batch`: suffix -> col -> (min, max).
@@ -887,16 +1029,21 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       val below = batchVersion(n).forall(_ < keepMin)
       if (below && !liveBatches.contains(n)) {
         fs.delete(st.getPath, true)
-        // a batch's stats sidecar lives and dies with the batch
+        // a batch's stats sidecars live and die with the batch
         fs.delete(new Path(statsDir, n), false)
+        fs.delete(new Path(statsDir, s"$n.files"), false)
       }
     }
     if (fs.exists(statsDir)) fs.listStatus(statsDir).foreach { st =>
       val n = st.getPath.getName
+      // the sidecar's batch name (file sidecars carry a .files suffix
+      // that must strip BEFORE the liveness check, or live file
+      // sidecars would read as unreferenced)
+      val b = n.stripSuffix(".files")
       // torn tmp sidecars; and sidecars orphaned by a pre-stats
       // vacuum that removed their batch before this cleanup existed
       if (n.startsWith(".tmp-") ||
-          (batchVersion(n).forall(_ < keepMin) && !liveBatches.contains(n)))
+          (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b)))
         fs.delete(st.getPath, false)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>

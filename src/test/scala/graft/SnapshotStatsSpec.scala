@@ -133,4 +133,43 @@ class SnapshotStatsSpec extends SparkFunSuite {
     assert(entries.values.toSet.size == 1, "compacted to one batch")
     assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet == Set("pk=1"))
   }
+
+  test("clustered compaction makes file bands selective; reads stay exact") {
+    val dir = tmp("stats_cluster_")
+    // SHUFFLED values within one partition: before clustering, every
+    // file's band covers ~the full range and file pruning is useless
+    val shuffled = (0L until 1000L).map(i => (i, ((i * 617) % 1000).toDouble, 0L))
+      .toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, shuffled, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    st.compactClustered(shuffled.schema, Seq("pk"), "v", maxRecordsPerFile = 100L)
+    val batch = st.current().get._2.values.head
+    val fileBands = st.readBatchFileStats(batch).get
+    assert(fileBands.size >= 10, s"expected ~10 files, got ${fileBands.size}")
+    // clustering makes bands near-disjoint: the files whose band
+    // intersects a 10%-wide range hold at most ~2 file-widths of rows
+    val lo = 300.0; val hi = 399.0
+    val touched = fileBands.filter(_._2.get("v").forall {
+      case (mn, mx) => mx >= lo && mn <= hi })
+    assert(touched.size <= 3,
+      s"clustered bands should localize the range, touched ${touched.size} of ${fileBands.size}")
+    val got = st.readRangeFiles(shuffled.schema, "v", lo, hi)
+      .select(col("v")).collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == (300L to 399L).map(_.toDouble))
+    // and the file sidecar survives vacuum while the batch is live
+    assert(st.fs.exists(new Path(new Path(st.root, "stats"), s"$batch.files")))
+  }
+
+  test("readRangeFiles falls back to whole partitions without a file sidecar") {
+    val dir = tmp("stats_fallback_")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    // merge wrote only the partition-level sidecar -> file path falls
+    // back to dir reads, identical rows to readRange
+    val a = st.readRangeFiles(rows.schema, "v", 120.0, 180.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == (120L to 180L))
+  }
 }
