@@ -229,6 +229,40 @@ object TextAnalysis extends QueryModule {
             / 1000000.0 < col("rate")).cast("int").as("keep"))
     }),
 
+    // Deterministic GLOBAL SHUFFLE — the "randomize the corpus" step
+    // before sequence packing / curriculum batching: every doc gets a
+    // dense position 0..n−1 in md5-hash order (pseudo-random w.r.t.
+    // any content ordering, identical on every engine/run; doc_id
+    // breaks exact-duplicate-text ties). The naive spelling —
+    // row_number() over a GLOBAL order — is a single-reducer sort of
+    // the corpus; this is the scale-safe twin: range-partition on the
+    // hash, per-shard row_number, plus broadcast per-shard offsets
+    // from an exclusive prefix sum over shard COUNTS (≤ P rows — the
+    // only globally-ordered window runs on partition-count metadata,
+    // not data; AQE may only merge adjacent range shards, which keeps
+    // shard ids monotone, the same invariant rankedValueCounts
+    // relies on).
+    "text_global_shuffle" -> ((s, dir) => {
+      val shards = s.sessionState.conf.numShufflePartitions
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val sharded = docs.repartitionByRange(shards, col("h"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val across = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = sharded.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(across), lit(0L)))
+        .select(col("pid"), col("off"))
+      val inShard = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+      sharded
+        .withColumn("r", row_number().over(inShard))
+        .join(broadcast(offs), "pid")
+        .select(col("doc_id"),
+          (col("r") - 1 + col("off")).as("shuffle_pos"))
+    }),
+
     // Domain-MIXTURE resampling to explicit target weights — the
     // data-mixing step that turns a cleaned corpus into a training
     // mix (temperature sampling above reweights smoothly; this hits
@@ -509,6 +543,10 @@ object TextAnalysis extends QueryModule {
            CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
              / 1000000.0 < r.rate AS INTEGER) AS keep
          FROM documents d JOIN r ON d.lang = r.lang""",
+    "text_global_shuffle" ->
+      """SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS shuffle_pos
+         FROM documents""",
     "text_domain_mix" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.2),
                       ('de', 0.15), ('fr', 0.15), ('es', 0.1)) AS w(lang, wt)),

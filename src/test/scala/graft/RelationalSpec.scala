@@ -244,4 +244,18 @@ class RelationalSpec extends SparkFunSuite {
         s"window not sharded or not the offset pass: $w")
     }
   }
+
+  test("text_global_shuffle: dense permutation, no single-reducer data window") {
+    val q = SparkEntry.queries("text_global_shuffle")(spark, sfDir)
+    val pos = q.collect().map(_.getLong(1)).sorted
+    assert(pos.toSeq == (0L until pos.length).toSeq, "positions must be dense 0..n-1")
+    // every Window over DATA partitions on pid; the only unpartitioned
+    // window is the exclusive prefix sum over the <=P shard counts
+    val plan = q.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    val unsharded = windows.filterNot(_.contains("pid#"))
+    assert(unsharded.forall(_.contains("n#")),
+      s"data-scale window without pid sharding:\n${unsharded.mkString("\n")}")
+  }
 }
