@@ -16,6 +16,17 @@ import graft.{QueryModule, Tables}
   */
 object TextAnalysis extends QueryModule {
 
+  /** The documents-table rule set behind `text_expectations` and the
+    * split-face specs: three corpus-wide invariants plus two length
+    * gates with real violations in the fixture.
+    */
+  val docRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "nonempty_text" -> (length(col("text")) > 0),
+    "chars_consistent" -> (col("n_chars") === length(col("text"))),
+    "min_tokens" -> (size(split(col("text"), " ")) >= 20),
+    "max_tokens" -> (size(split(col("text"), " ")) <= 90),
+    "lang_known" -> col("lang").isin("en", "zh", "de", "fr", "es"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: token stats + stopword ratio. Integer sums and
     // single divisions only → bit-identical to the oracle.
@@ -227,6 +238,17 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"), col("rate"),
           (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
             / 1000000.0 < col("rate")).cast("int").as("keep"))
+    }),
+
+    // Data-quality EXPECTATIONS gate ([[Expectations]]): declared
+    // rules → per-rule violation counts in ONE scan (rules compile to
+    // SUM(CASE) columns, unpivoted with stack — never a pass per
+    // rule). The mix exercises both outcomes: three rules hold
+    // corpus-wide, two fail on real rows. NULL rule results count as
+    // violations (see Expectations scaladoc for the three-valued-
+    // logic trap). The split faces are spec'd in TextAnalysisSpec.
+    "text_expectations" -> ((s, dir) => {
+      Expectations.summary(Tables.load(s, dir, "documents"), docRules)
     }),
 
     // Deterministic GLOBAL SHUFFLE — the "randomize the corpus" step
@@ -543,6 +565,28 @@ object TextAnalysis extends QueryModule {
            CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
              / 1000000.0 < r.rate AS INTEGER) AS keep
          FROM documents d JOIN r ON d.lang = r.lang""",
+    // NOT coalesce(rule, FALSE) restates "NULL counts as violation"
+    "text_expectations" ->
+      """SELECT rule, n_violations, n_rows FROM (
+           SELECT 'nonempty_text' AS rule,
+             COUNT(*) FILTER (NOT coalesce(len(text) > 0, FALSE)) AS n_violations,
+             COUNT(*) AS n_rows FROM documents
+           UNION ALL
+           SELECT 'chars_consistent',
+             COUNT(*) FILTER (NOT coalesce(n_chars = len(text), FALSE)),
+             COUNT(*) FROM documents
+           UNION ALL
+           SELECT 'min_tokens',
+             COUNT(*) FILTER (NOT coalesce(len(string_split(text, ' ')) >= 20, FALSE)),
+             COUNT(*) FROM documents
+           UNION ALL
+           SELECT 'max_tokens',
+             COUNT(*) FILTER (NOT coalesce(len(string_split(text, ' ')) <= 90, FALSE)),
+             COUNT(*) FROM documents
+           UNION ALL
+           SELECT 'lang_known',
+             COUNT(*) FILTER (NOT coalesce(lang IN ('en','zh','de','fr','es'), FALSE)),
+             COUNT(*) FROM documents)""",
     "text_global_shuffle" ->
       """SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS shuffle_pos

@@ -194,6 +194,36 @@ class TextAnalysisSpec extends SparkFunSuite {
       s"top-k must be TakeOrdered:\n$plan")
   }
 
+  test("expectations: split partitions exactly, null rule results violate") {
+    import graft.operators.{Expectations, TextAnalysis}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (pass, bad) = Expectations.split(docs, TextAnalysis.docRules)
+    assert(pass.count() + bad.count() == docs.count())
+    // quarantined rows carry the exact failing rules; hand-check one
+    val q = bad.select(col("doc_id"), col("_violations"), col("text")).collect()
+    assert(q.nonEmpty, "fixture should quarantine some rows")
+    q.foreach { r =>
+      val toks = r.getString(2).split(" ", -1).length
+      val vs = r.getSeq[String](1).toSet
+      assert(vs.nonEmpty)
+      assert(vs.contains("min_tokens") == (toks < 20), s"doc ${r.getLong(0)}")
+      assert(vs.contains("max_tokens") == (toks > 90), s"doc ${r.getLong(0)}")
+    }
+    // NULL rule result = violation (the three-valued-logic trap):
+    // a null lang row must fail lang_known, not silently pass
+    import spark.implicits._
+    val withNull = Seq((1L, "some text here", null.asInstanceOf[String], "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = Expectations.summary(withNull, TextAnalysis.docRules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s("lang_known") == 1L, "null lang must count as a violation")
+    // summary is ONE aggregation over one scan — no per-rule passes
+    val plan = SparkEntry.queries("text_expectations")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"summary must scan once:\n$plan")
+  }
+
   test("text_domain_mix hits target weights within coin tolerance, caps at 2 epochs") {
     val rows = SparkEntry.queries("text_domain_mix")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
