@@ -43,6 +43,14 @@ object Expectations {
     * SUM(CASE) columns, unpivoted with `stack`.
     */
   def summary(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    // rule names are spliced into the stack() SQL string below — only
+    // identifier-shaped names are representable there, so reject the
+    // rest loudly instead of producing a parse error (or worse, a
+    // quote injection) at plan time
+    rules.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"rule name '$n' must be identifier-shaped ([A-Za-z0-9_]+)")
+    }
     val aggs = rules.map { case (n, c) =>
       sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"__v_$n")
     } :+ count(lit(1)).as("__n")

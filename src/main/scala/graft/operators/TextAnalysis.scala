@@ -299,6 +299,9 @@ object TextAnalysis extends QueryModule {
     // ulp under 2.0, but both engines floor the same bits). Scale:
     // one map-side count agg, a 5-row broadcast of rates, and a
     // per-row explode bounded by cap — no shuffle of the corpus.
+    // Domains WITHOUT a declared weight are EXCLUDED by the inner
+    // join (weight 0 by intent) — the fixture's weight table covers
+    // all five languages, and the oracle joins identically.
     "text_domain_mix" -> ((s, dir) => {
       import s.implicits._
       val wdf = Seq("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
