@@ -781,7 +781,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
               mine.collect {
                 case (rel, bands)
                     if bands.get(statsCol).forall { case (mn, mx) =>
-                      mx >= lo && mn <= hi } =>
+                      bandIntersects(mn, mx, lo, hi) } =>
                   new Path(base, rel).toString
               }
             }
@@ -861,11 +861,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     entries.filter { case (suffix, batch) =>
       cache.getOrElseUpdate(batch, readBatchStats(batch))
         .get(suffix).flatMap(_.get(statsCol)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case Some((mn, mx)) => bandIntersects(mn, mx, lo, hi)
         case None => true
       }
     }
   }
+
+  /** A recorded band keeps its partition/file when it may intersect
+    * [lo, hi]. NaN poisons aggregates — Spark orders NaN as the
+    * LARGEST double, so max() over a partition with any NaN returns
+    * NaN, and a plain `mx >= lo` on the Scala side is then FALSE,
+    * which would prune a partition whose NORMAL values are squarely
+    * in range. A NaN endpoint therefore means "unknown" → keep.
+    */
+  private def bandIntersects(mn: Double, mx: Double,
+      lo: Double, hi: Double): Boolean =
+    mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi)
 
   /** Stats-pruned range read: resolve the current manifest once,
     * drop partitions whose recorded band cannot intersect

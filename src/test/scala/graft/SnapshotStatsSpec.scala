@@ -161,6 +161,24 @@ class SnapshotStatsSpec extends SparkFunSuite {
     assert(st.fs.exists(new Path(new Path(st.root, "stats"), s"$batch.files")))
   }
 
+  test("NaN values make a band unknown, never a wrong skip") {
+    val dir = tmp("stats_nan_")
+    // pk=0 mixes NaN with in-range values: Spark's max() returns NaN
+    // (NaN sorts largest), so a naive `mx >= lo` check would prune
+    // pk=0 and lose row v=150
+    val mixed = Seq((1L, Double.NaN, 0L), (2L, 150.0, 0L),
+      (3L, 999.0, 1L)).toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, mixed, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    val entries = st.current().get._2
+    assert(st.pruneByStats(entries, "v", 120.0, 180.0).keySet == Set("pk=0"),
+      "NaN-poisoned band must stay (unknown), clean out-of-range band must prune")
+    val got = st.readRange(mixed.schema, "v", 120.0, 180.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), "the in-range row beside the NaN must survive")
+  }
+
   test("readRangeFiles falls back to whole partitions without a file sidecar") {
     val dir = tmp("stats_fallback_")
     SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
