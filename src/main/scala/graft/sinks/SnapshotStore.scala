@@ -74,6 +74,9 @@ object SnapshotStore {
   *   <root>/manifests/v-000000000001     manifest: partition -> batch
   *   <root>/versions/v-000000000001      version log: winning manifest name
   *   <root>/data/<batch>/pk=0/part-*.parquet   immutable once written
+  *   <root>/stats/<batch>[.files]        opt-in min/max bands for data
+  *                                       skipping (see writeBatchStats /
+  *                                       readRange / compactClustered)
   * }}}
   *
   * A manifest maps every live partition suffix (`pk=0`, `a=1/b=2`) to
