@@ -240,6 +240,43 @@ object TextAnalysis extends QueryModule {
             / 1000000.0 < col("rate")).cast("int").as("keep"))
     }),
 
+    // Bigram language-model QUALITY score (the CCNet-style LM filter:
+    // docs whose word transitions are improbable under a corpus-
+    // trained model are boilerplate/garble candidates). The model is
+    // corpus-MLE — p(w2|w1) = c(w1,w2)/c(w1·) over bigram counts, no
+    // smoothing needed since every doc's bigrams are in the corpus —
+    // and the per-doc score is the MEAN transition probability.
+    // Cross-engine determinism: perplexity's log is libm-divergent in
+    // the last ulp (text_tf_df precedent), so each probability is
+    // quantized to an integer MICRO-probability via round(p·1e6) in
+    // double — the same representable-half-boundary argument as
+    // q3_shipping_priority — summed exactly as BIGINT, with ONE final
+    // correctly-rounded division. Scale: two hash aggs on the
+    // high-cardinality bigram/prefix keys, joins back on the same
+    // keys (exchange reuse), one per-doc agg — span-coverage's class.
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val bigrams = docs.select(col("doc_id"),
+        explode(expr(
+          """if(size(tk) < 2, array(),
+                transform(sequence(1, size(tk) - 1),
+                  i -> struct(element_at(tk, i) AS w1,
+                              element_at(tk, i + 1) AS w2)))""")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cBig = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_b"))
+      val cPre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_p"))
+      bigrams.join(cBig, Seq("w1", "w2")).join(cPre, Seq("w1"))
+        .withColumn("micro_p",
+          round(col("c_b") / col("c_p") * 1000000).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("micro_p")).as("sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_micro").cast("double")
+            / (col("n_bigrams") * 1000000.0)).as("lm_score"))
+    }),
+
     // Data-quality EXPECTATIONS gate ([[Expectations]]): declared
     // rules → per-rule violation counts in ONE scan (rules compile to
     // SUM(CASE) columns, unpivoted with stack — never a pass per
@@ -568,6 +605,19 @@ object TextAnalysis extends QueryModule {
            CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
              / 1000000.0 < r.rate AS INTEGER) AS keep
          FROM documents d JOIN r ON d.lang = r.lang""",
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id,
+                 unnest([tk[i] for i in range(1, greatest(len(tk), 1))]) AS w1,
+                 unnest([tk[i+1] for i in range(1, greatest(len(tk), 1))]) AS w2
+               FROM t),
+         cb AS (SELECT w1, w2, COUNT(*) AS c_b FROM g GROUP BY 1, 2),
+         cp AS (SELECT w1, COUNT(*) AS c_p FROM g GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(round(c_b / c_p * 1000000) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS lm_score
+         FROM g JOIN cb USING (w1, w2) JOIN cp USING (w1)
+         GROUP BY doc_id""",
     // NOT coalesce(rule, FALSE) restates "NULL counts as violation"
     "text_expectations" ->
       """SELECT rule, n_violations, n_rows FROM (
