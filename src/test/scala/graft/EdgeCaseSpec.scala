@@ -116,4 +116,26 @@ class EdgeCaseSpec extends SparkFunSuite {
       (3L, 0, "lead trail"),
       (5L, 0, "x"), (5L, 1, "y")))
   }
+
+  test("span coverage: sub-5-token docs hit the empty-gram guard, 5 exactly one") {
+    // the fixture's documents all have >= 10 tokens, so the
+    // sequence(1, size-4) DESCENDING-ramp guard (size < 5 -> empty
+    // array) never executes there — pin it on synthetic shorts.
+    // Two identical 5-token docs make their single gram duplicated.
+    val dir = java.nio.file.Files.createTempDirectory("span_edge_").toString
+    Seq(
+      (1L, "only four words here", "en", "src0", 20L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "a b c d e", "en", "src0", 9L),
+      (4L, "a b c d e", "en", "src0", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_span_coverage")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // split("") yields one empty token -> n_tokens 1, no grams
+    assert(got == Map(
+      1L -> ((4L, 0L, 0L)), 2L -> ((1L, 0L, 0L)),
+      3L -> ((5L, 1L, 5L)), 4L -> ((5L, 1L, 5L))))
+  }
 }
