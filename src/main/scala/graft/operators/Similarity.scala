@@ -461,6 +461,58 @@ object Similarity extends QueryModule {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    // PRODUCT QUANTIZATION (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search", TPAMI 2011): the 64-dim vector splits
+    // into 8 subvectors of 8 dims; each subspace gets its own 16-entry
+    // codebook (spherical k-means — the same Lloyd machinery as IVF,
+    // run per subspace), and a vector encodes as 8 one-byte centroid
+    // ids — 32× compression (256 B of floats → 8 B), the standard
+    // memory answer for billion-vector ANN (codes live in RAM, floats
+    // on disk; IVF above prunes candidates, PQ compresses them).
+    // Output: codes + reconstruction cosine against the original
+    // (decode = concatenate the chosen centroids). All stages
+    // distributed: per-subspace training is 8 tiny Lloyd runs, the
+    // encode is one explode (×8) + a 128-row broadcast + a partial
+    // argmax agg — no shuffle of the corpus beyond the (vec, s) agg.
+    // Rows-only (Lloyd is not SQL-expressible); SimilaritySpec pins
+    // code agreement on planted near-dups, reconstruction quality vs
+    // the trivial all-zero baseline, and code-id bounds.
+    "vec_pq" -> ((s, dir) => {
+      val m = 8; val sub = 8; val k = 16
+      val e = embeddings(s, dir).select(col("vec_id"), col("vd"))
+      def subNorm(c: Column): Column =
+        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
+      val codebook = (0 until m).map { si =>
+        val se = e.select(col("vec_id"),
+            slice(col("vd"), si * sub + 1, sub).as("vd"))
+          .withColumn("nrm", subNorm(col("vd")))
+        ivfTrain(se, k, iters = 2).withColumn("s", lit(si))
+      }.reduce(_.unionByName(_)) // m·k = 128 rows
+      val sliced = e.select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+                si -> struct(si AS s, slice(vd, si * $sub + 1, $sub) AS svd))"""))
+          .as("x"))
+        .select(col("vec_id"), col("x.s").as("s"), col("x.svd").as("svd"))
+        .withColumn("snrm", subNorm(col("svd")))
+      val enc = sliced.join(broadcast(codebook), Seq("s"))
+        .withColumn("c_cos",
+          dot(col("svd"), col("c_vd")) / (col("snrm") * col("c_nrm")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_id"),
+          col("c_vd"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("s"),
+          (-col("best.neg_id")).as("code"), col("best.c_vd").as("rec")))).as("parts"))
+        .select(col("vec_id"),
+          expr("transform(parts, p -> p.code)").as("codes"),
+          flatten(expr("transform(parts, p -> p.rec)")).as("rvd"))
+      enc.join(e, "vec_id")
+        .withColumn("recon_cos",
+          dot(col("rvd"), col("vd")) / (subNorm(col("rvd")) * subNorm(col("vd"))))
+        .select(col("vec_id"), col("codes"),
+          round(col("recon_cos"), 6).as("recon_r"))
+    }),
+
     // SEMANTIC dedup (after SemDeDup, Abbas et al. 2023,
     // arXiv:2303.09540): k-means clusters LOCALIZE the quadratic —
     // exact pairwise cosine runs only WITHIN a cluster (expected

@@ -174,6 +174,38 @@ class SimilaritySpec extends SparkFunSuite {
     assert(bnlj <= 2, s"expected only plane-table cross joins, got $bnlj:\n$plan")
   }
 
+  test("vec_pq: codes bounded, reconstruction beats chance, twins share codes") {
+    val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} codes")
+      assert(codes.forall(c => c >= 0L && c < 16L))
+    }
+    // reconstruction from 8 bytes must carry real signal: random
+    // 64-dim directions have cosine ~N(0, 1/8) (|cos| < 0.27 w.h.p.),
+    // so a mean recon cosine this high cannot come from chance codes
+    val recon = rows.map(_.getDouble(2))
+    assert(recon.sum / recon.length > 0.5,
+      s"mean recon cosine ${recon.sum / recon.length}")
+    // a near-identical twin (±0.5% jitter) must encode to the same
+    // codes — PQ cells are far coarser than the jitter
+    val dir = java.nio.file.Files.createTempDirectory("pq_twin_").toString
+    val e = Tables.load(spark, sfDir, "embeddings")
+    e.unionByName(
+      e.where(col("vec_id") === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x * (1.0D + " +
+            "(pmod(hash(vec_id, i), 1000) - 500) / 100000.0D) as float))")
+            .as("embedding"),
+          col("label")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val twin = SparkEntry.queries("vec_pq")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(twin(1000000L) == twin(0L),
+      s"twin codes ${twin(1000000L)} != original ${twin(0L)}")
+  }
+
   test("dedup_semantic: planted copies dedup to their origin inside one cluster") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
     val byId = rows.map(r => r.getLong(0) ->
