@@ -471,29 +471,57 @@ object Similarity extends QueryModule {
     // on disk; IVF above prunes candidates, PQ compresses them).
     // Output: codes + reconstruction cosine against the original
     // (decode = concatenate the chosen centroids). All stages
-    // distributed: per-subspace training is 8 tiny Lloyd runs, the
-    // encode is one explode (×8) + a 128-row broadcast + a partial
-    // argmax agg — no shuffle of the corpus beyond the (vec, s) agg.
-    // Rows-only (Lloyd is not SQL-expressible); SimilaritySpec pins
-    // code agreement on planted near-dups, reconstruction quality vs
-    // the trivial all-zero baseline, and code-id bounds.
+    // distributed — and all M subspaces train in ONE batched Lloyd
+    // loop: the (vector, subspace) rows assign against the whole
+    // 128-row broadcast codebook keyed by s, and one grouped update
+    // refreshes every subspace's centroids together, so an iteration
+    // costs ONE pass over the data for all M codebooks (M separate
+    // ivfTrain runs would pay M× the passes and M× the per-round
+    // scheduling — measured 4.8 s vs ~1 s at sf0.1). Rows-only (Lloyd
+    // is not SQL-expressible); SimilaritySpec pins code bounds,
+    // reconstruction quality over the random-direction noise floor,
+    // and that a jittered twin encodes identically.
     "vec_pq" -> ((s, dir) => {
-      val m = 8; val sub = 8; val k = 16
+      val m = 8; val sub = 8; val k = 16; val iters = 2
       val e = embeddings(s, dir).select(col("vec_id"), col("vd"))
       def subNorm(c: Column): Column =
         sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x))
-      val codebook = (0 until m).map { si =>
-        val se = e.select(col("vec_id"),
-            slice(col("vd"), si * sub + 1, sub).as("vd"))
-          .withColumn("nrm", subNorm(col("vd")))
-        ivfTrain(se, k, iters = 2).withColumn("s", lit(si))
-      }.reduce(_.unionByName(_)) // m·k = 128 rows
       val sliced = e.select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, ${m - 1}),
                 si -> struct(si AS s, slice(vd, si * $sub + 1, $sub) AS svd))"""))
           .as("x"))
         .select(col("vec_id"), col("x.s").as("s"), col("x.svd").as("svd"))
         .withColumn("snrm", subNorm(col("svd")))
+      // rank-based seeds (the k smallest vec_ids), same contract as
+      // seedCodebook: sparse ids still yield exactly k·m centroids
+      val seedIds = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("c_id"))
+      var codebook = sliced.join(broadcast(seedIds),
+          col("vec_id") === col("c_id"))
+        .select(col("s"), col("c_id"), col("svd").as("c_vd"),
+          col("snrm").as("c_nrm"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val assigned = sliced.join(broadcast(codebook), Seq("s"))
+          .withColumn("c_cos",
+            dot(col("svd"), col("c_vd")) / (col("snrm") * col("c_nrm")))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(max(struct(col("c_cos"), (-col("c_id")).as("neg_id"),
+            col("svd"))).as("best"))
+        val means = assigned
+          .groupBy(col("s"), (-col("best.neg_id")).as("c_id"))
+          .agg(graft.functions.VectorSum.vec_sum(col("best.svd")).as("sum_vd"),
+            count(lit(1)).as("cnt"))
+          .select(col("s"), col("c_id"),
+            transform(col("sum_vd"), x => x / col("cnt")).as("new_vd"))
+        // a centroid that loses all members keeps its position — the
+        // codebook never shrinks (same contract as ivfTrain)
+        codebook = codebook.join(means, Seq("s", "c_id"), "left")
+          .select(col("s"), col("c_id"),
+            coalesce(col("new_vd"), col("c_vd")).as("c_vd"))
+          .withColumn("c_nrm", subNorm(col("c_vd")))
+          .localCheckpoint(true)
+      }
       val enc = sliced.join(broadcast(codebook), Seq("s"))
         .withColumn("c_cos",
           dot(col("svd"), col("c_vd")) / (col("snrm") * col("c_nrm")))
