@@ -206,6 +206,36 @@ class SimilaritySpec extends SparkFunSuite {
       s"twin codes ${twin(1000000L)} != original ${twin(0L)}")
   }
 
+  test("ann_pq_search: ADC ranking carries real signal vs exact top-k") {
+    val adc = SparkEntry.queries("ann_pq_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.nonEmpty)
+    val exact = SparkEntry.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // true cosines, computed locally over the small corpus
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val adcMean = adc.map { case (q, v) => cos(vecs(q), vecs(v)) }.sum / adc.length
+    val exactMean = exact.toSeq.map { case (q, v) => cos(vecs(q), vecs(v)) }.sum / exact.size
+    // random 64-dim pairs have cosine ~N(0, 1/8): a mean this far
+    // above zero cannot come from chance code collisions, and ADC
+    // from 8-byte codes must retain a real fraction of the exact
+    // ranking's quality (measured ~0.73 at sf0.01, ~chance would be 0)
+    assert(adcMean > 0.1, s"ADC picks' mean true cosine $adcMean is noise")
+    assert(adcMean >= 0.4 * exactMean,
+      s"ADC mean $adcMean too far below exact top-k mean $exactMean")
+    // and the sets genuinely overlap
+    val overlap = adc.count(exact.contains).toDouble / adc.length
+    assert(overlap >= 0.1, s"ADC/exact overlap $overlap")
+  }
+
   test("dedup_semantic: planted copies dedup to their origin inside one cluster") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
     val byId = rows.map(r => r.getLong(0) ->
