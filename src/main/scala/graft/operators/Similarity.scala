@@ -585,7 +585,11 @@ object Similarity extends QueryModule {
     // billion-vector scale (codes in RAM, floats on cold storage;
     // compose with IVF to prune which codes are scanned). Top-5 per
     // query by approximate cosine, exact same ranking shape as
-    // ann_cosine_topk. Rows-only; SimilaritySpec pins that ADC's
+    // ann_cosine_topk. The FIXTURE trains the codebook and encodes
+    // the corpus in-query (most of its bench time); production
+    // amortizes both as stored artifacts — ann_ivf_trained has the
+    // same caveat — leaving only the 1 ms table build and the code
+    // scan at query time. Rows-only; SimilaritySpec pins that ADC's
     // top-5 carries real signal (mean TRUE cosine of the picks far
     // above the noise floor and within a factor of brute force) and
     // overlaps the exact top-k.
