@@ -622,6 +622,68 @@ object Similarity extends QueryModule {
           round(col("acos"), 6).as("acos_r"))
     }),
 
+    // IVF-PQ — the composition both halves exist for (the
+    // billion-vector serving architecture: FAISS's IVFPQ): coarse
+    // IVF centroids prune WHICH vectors are considered (each query
+    // scans its nprobe=4 nearest buckets, ~nprobe/k of the corpus),
+    // and ADC over PQ codes scores the survivors without touching
+    // their float vectors. The per-query cost is (corpus/k)·nprobe
+    // code-table lookups — both knobs (k, nprobe) and the code size
+    // are the standard recall/latency/memory dials. Everything
+    // reuses the catalog's parts: ivfTrain coarse codebook,
+    // assignToCentroid bucketing, pqCodebook/pqAssign codes, the
+    // ADC table join of ann_pq_search restricted by bucket equality.
+    // Same in-query-training caveat as its parents. Rows-only;
+    // SimilaritySpec pins bucket containment (every result lies in a
+    // probed bucket) and that pruning retains ADC-class signal.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("vd"))
+      // coarse quantizer: 16 full-dim centroids; corpus bucketed once
+      val full = embeddings(s, dir)
+      val coarse = ivfTrain(full, k = 16, iters = 3)
+      val buckets = assignToCentroid(
+        full.select(col("vec_id").as("__aid"), col("vd"), col("nrm")), coarse)
+        .select(col("__aid").as("vec_id"), col("c_id").as("bucket"))
+      // fine quantizer: PQ codes for every corpus vector
+      val sliced = pqSliced(e)
+      val codebook = pqCodebook(e, sliced)
+      val codes = pqAssign(sliced, codebook)
+        .select(col("vec_id"), col("s"), col("code"),
+          (col("c_nrm") * col("c_nrm")).as("c_nrm2"))
+        .join(buckets, "vec_id")
+      // probes: nprobe nearest coarse buckets per query
+      val probes = assignToCentroid(
+        full.where(col("vec_id") < 8)
+          .select(col("vec_id").as("__aid"), col("vd"), col("nrm")),
+        coarse, nprobe = 4)
+        .select(col("__aid").as("q_id"), col("c_id").as("bucket"))
+      // per-query ADC tables (8 × 128 rows, broadcast)
+      val table = sliced.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("s"), col("svd").as("q_svd"))
+        .join(broadcast(codebook), Seq("s"))
+        .select(col("q_id"), col("s"), col("c_id"),
+          dot(col("q_svd"), col("c_vd")).as("pdot"))
+      val qn = embeddings(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("acos").desc, col("vec_id").asc)
+      val t2 = table.select(col("q_id").as("t_qid"), col("s").as("t_s"),
+        col("c_id").as("t_cid"), col("pdot"))
+      codes.join(broadcast(probes), Seq("bucket"))
+        .join(broadcast(t2),
+          col("q_id") === col("t_qid") && col("s") === col("t_s") &&
+            col("code") === col("t_cid"))
+        .groupBy(col("q_id"), col("vec_id"), col("bucket"))
+        .agg(sum(col("pdot")).as("adot"), sum(col("c_nrm2")).as("rn2"))
+        .join(broadcast(qn), "q_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("acos", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("bucket"), col("rk"),
+          round(col("acos"), 6).as("acos_r"))
+    }),
+
     // SEMANTIC dedup (after SemDeDup, Abbas et al. 2023,
     // arXiv:2303.09540): k-means clusters LOCALIZE the quadratic —
     // exact pairwise cosine runs only WITHIN a cluster (expected

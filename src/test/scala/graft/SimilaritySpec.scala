@@ -236,6 +236,36 @@ class SimilaritySpec extends SparkFunSuite {
     assert(overlap >= 0.1, s"ADC/exact overlap $overlap")
   }
 
+  test("ann_ivf_pq: results lie in probed buckets and keep ADC-class signal") {
+    import graft.operators.Similarity
+    val out = SparkEntry.queries("ann_ivf_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // bucket containment: each query's results come only from its
+    // nprobe=4 nearest coarse buckets (the pruning contract)
+    val full = Similarity.preparedEmbeddings(spark, sfDir)
+    val coarse = Similarity.ivfTrain(full, k = 16, iters = 3)
+    val probed = Similarity.assignToCentroid(
+        full.where(col("vec_id") < 8)
+          .select(col("vec_id").as("__aid"), col("vd"), col("nrm")),
+        coarse, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    out.foreach { case (q, v, b) =>
+      assert(probed.contains((q, b)), s"query $q result $v from unprobed bucket $b")
+    }
+    // pruned ADC must still beat noise: mean true cosine of picks
+    // well above the N(0, 1/8) floor
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val mean = out.map { case (q, v, _) => cos(vecs(q), vecs(v)) }.sum / out.length
+    assert(mean > 0.1, s"IVF-PQ picks' mean true cosine $mean is noise")
+  }
+
   test("dedup_semantic: planted copies dedup to their origin inside one cluster") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
     val byId = rows.map(r => r.getLong(0) ->
