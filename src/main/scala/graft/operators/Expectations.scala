@@ -46,7 +46,13 @@ object Expectations {
     // rule names are spliced into the stack() SQL string below — only
     // identifier-shaped names are representable there, so reject the
     // rest loudly instead of producing a parse error (or worse, a
-    // quote injection) at plan time
+    // quote injection) at plan time; empty and duplicate-named rule
+    // lists would likewise die at plan time with opaque analyzer
+    // errors (stack(0, ) / ambiguous __v_<name>) where annotate()
+    // accepts them — make the API uniform with clear messages
+    require(rules.nonEmpty, "summary needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1).diff(rules.map(_._1).distinct).mkString(", ")}")
     rules.foreach { case (n, _) =>
       require(n.matches("[A-Za-z0-9_]+"),
         s"rule name '$n' must be identifier-shaped ([A-Za-z0-9_]+)")

@@ -134,6 +134,50 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("s"), (-col("best.neg_id")).as("code"),
         col("best.c_vd").as("c_vd"), col("best.c_nrm").as("c_nrm"))
 
+  /** ADC scoring shared by ann_pq_search / ann_ivf_pq: per-query
+    * partial-dot lookup tables against the codebook (one m·k-row
+    * table per query, broadcast), joined to the corpus CODES and
+    * summed per (query, vector); the approximate cosine normalizes
+    * by the reconstruction norm √(Σ|c|²). `codes` must carry
+    * (vec_id, s, code, c_nrm2) plus any extra pass-through columns
+    * (ann_ivf_pq rides its bucket through). The table join renames
+    * its key columns (t_*) — dataset-alias refs on same-lineage
+    * frames resolve both sides to one attribute (the self-join trap
+    * dedup_embedding_lsh documents), and the rename is immune.
+    * Returns top-`topK` per query by approximate cosine, self
+    * excluded.
+    */
+  private def adcScore(e: DataFrame, sliced: DataFrame, codebook: DataFrame,
+      codes: DataFrame, nQueries: Int, topK: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val table = sliced.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("t_qid"), col("s").as("t_s"),
+        col("svd").as("q_svd"))
+      .join(broadcast(codebook), col("t_s") === col("s"))
+      .select(col("t_qid"), col("t_s"), col("c_id").as("t_cid"),
+        dot(col("q_svd"), col("c_vd")).as("pdot"))
+    val qn = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    val joinCond =
+      if (codes.columns.contains("q_id"))
+        col("q_id") === col("t_qid") && col("s") === col("t_s") &&
+          col("code") === col("t_cid")
+      else col("s") === col("t_s") && col("code") === col("t_cid")
+    codes.join(broadcast(table), joinCond)
+      .groupBy((Seq("t_qid", "vec_id") ++ extraCols).map(col): _*)
+      .agg(sum(col("pdot")).as("adot"), sum(col("c_nrm2")).as("rn2"))
+      .withColumnRenamed("t_qid", "q_id")
+      .join(broadcast(qn), "q_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("acos", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select((Seq("q_id", "vec_id") ++ extraCols).map(col)
+        ++ Seq(col("rk"), round(col("acos"), 6).as("acos_r")): _*)
+  }
+
   /** Corpus plus planted near-duplicates — the shared ground truth of
     * the near-dup queries (the natural corpus's top pairs sit in the
     * random-cosine noise floor, so recall is only measurable against
@@ -594,32 +638,13 @@ object Similarity extends QueryModule {
     // above the noise floor and within a factor of brute force) and
     // overlaps the exact top-k.
     "ann_pq_search" -> ((s, dir) => {
-      val e = embeddings(s, dir).select(col("vec_id"), col("vd"))
-      val sliced = pqSliced(e)
+      val e = embeddings(s, dir)
+      val sliced = pqSliced(e.select(col("vec_id"), col("vd")))
       val codebook = pqCodebook(e, sliced)
       val codes = pqAssign(sliced, codebook)
         .select(col("vec_id"), col("s"), col("code"),
           (col("c_nrm") * col("c_nrm")).as("c_nrm2"))
-      val table = sliced.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("s"), col("svd").as("q_svd"))
-        .join(broadcast(codebook), Seq("s"))
-        .select(col("q_id"), col("s"), col("c_id"),
-          dot(col("q_svd"), col("c_vd")).as("pdot"))
-      val qn = embeddings(s, dir).where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("acos").desc, col("vec_id").asc)
-      codes.join(broadcast(table),
-          codes("s") === table("s") && codes("code") === table("c_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("pdot")).as("adot"), sum(col("c_nrm2")).as("rn2"))
-        .join(broadcast(qn), "q_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("acos", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"),
-          round(col("acos"), 6).as("acos_r"))
+      adcScore(e, sliced, codebook, codes, nQueries = 8, topK = 5)
     }),
 
     // IVF-PQ — the composition both halves exist for (the
@@ -657,31 +682,14 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("__aid"), col("vd"), col("nrm")),
         coarse, nprobe = 4)
         .select(col("__aid").as("q_id"), col("c_id").as("bucket"))
-      // per-query ADC tables (8 × 128 rows, broadcast)
-      val table = sliced.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("s"), col("svd").as("q_svd"))
-        .join(broadcast(codebook), Seq("s"))
-        .select(col("q_id"), col("s"), col("c_id"),
-          dot(col("q_svd"), col("c_vd")).as("pdot"))
-      val qn = embeddings(s, dir).where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("acos").desc, col("vec_id").asc)
-      val t2 = table.select(col("q_id").as("t_qid"), col("s").as("t_s"),
-        col("c_id").as("t_cid"), col("pdot"))
-      codes.join(broadcast(probes), Seq("bucket"))
-        .join(broadcast(t2),
-          col("q_id") === col("t_qid") && col("s") === col("t_s") &&
-            col("code") === col("t_cid"))
-        .groupBy(col("q_id"), col("vec_id"), col("bucket"))
-        .agg(sum(col("pdot")).as("adot"), sum(col("c_nrm2")).as("rn2"))
-        .join(broadcast(qn), "q_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("acos", col("adot") / (col("q_nrm") * sqrt(col("rn2"))))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
+      // pruned scoring: only codes in a query's probed buckets reach
+      // the shared ADC scorer (the q_id column restricts the table
+      // join per query; bucket rides through to the output)
+      val pruned = codes.join(broadcast(probes), Seq("bucket"))
+      adcScore(full, sliced, codebook, pruned, nQueries = 8, topK = 5,
+        extraCols = Seq("bucket"))
         .select(col("q_id"), col("vec_id"), col("bucket"), col("rk"),
-          round(col("acos"), 6).as("acos_r"))
+          col("acos_r"))
     }),
 
     // SEMANTIC dedup (after SemDeDup, Abbas et al. 2023,
@@ -690,7 +698,14 @@ object Similarity extends QueryModule {
     // (n/k)² pair work per cluster instead of n² global; production
     // picks k ∝ corpus/target-cluster-size so per-cluster work stays
     // bounded as the corpus grows), then near-identical members
-    // (cos > 0.99) dedup to the lowest surviving vec_id. Unlike the
+    // (cos > 0.99) drop, each naming its lowest-id similar partner
+    // as dup_of. PAIRWISE semantics (faithful to the published
+    // algorithm): similarity is not transitive, so in a chain
+    // a<b<c with a~b, b~c, a≁c the named dup_of (b for c) is itself
+    // dropped — following dup_of transitively lands on the chain
+    // minimum; consumers that need a SURVIVING representative per
+    // group should use dedup_cluster's transitive closure instead.
+    // Unlike the
     // LSH spelling above this also yields the cluster structure
     // itself (the codebook a curriculum/mixing stage reuses), and its
     // misses are governed by cluster assignment rather than banding

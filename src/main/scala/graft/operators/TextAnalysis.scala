@@ -348,7 +348,8 @@ object TextAnalysis extends QueryModule {
         .join(wdf, "lang")
       val t = joined.agg(min(lit(2.0) * col("n") / col("wt")).as("t"))
       val rates = joined.crossJoin(broadcast(t))
-        .select(col("lang"), ((col("wt") * col("t")) / col("n")).as("rate"))
+        .select(col("lang"),
+          least(lit(2.0), (col("wt") * col("t")) / col("n")).as("rate"))
       docs.join(broadcast(rates), "lang")
         .withColumn("nc", floor(col("rate")) +
           (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
@@ -649,7 +650,7 @@ object TextAnalysis extends QueryModule {
                       ('de', 0.15), ('fr', 0.15), ('es', 0.1)) AS w(lang, wt)),
          c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          tt AS (SELECT MIN(2.0 * c.n / w.wt) AS t FROM c JOIN w USING (lang)),
-         r AS (SELECT c.lang, (w.wt * tt.t) / c.n AS rate
+         r AS (SELECT c.lang, least(2.0, (w.wt * tt.t) / c.n) AS rate
                FROM c JOIN w USING (lang), tt),
          x AS (SELECT d.doc_id, r.lang,
                  CAST(floor(r.rate) AS BIGINT)

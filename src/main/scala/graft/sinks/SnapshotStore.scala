@@ -695,7 +695,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     fs.mkdirs(statsDir)
     val tmp = new Path(statsDir, s".tmp-$batch")
     writeFile(tmp, sb.toString)
-    fs.rename(tmp, new Path(statsDir, batch))
+    // rename returns false instead of throwing on some FSes — a
+    // silently missing sidecar would just disable pruning, but the
+    // writer deserves to know its metadata write failed
+    require(fs.rename(tmp, new Path(statsDir, batch)),
+      s"stats sidecar rename failed for $batch")
     if (fileStats) writeBatchFileStats(batch, df, partCols, statsCols)
   }
 
@@ -721,7 +725,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val marker = s"/$batch/"
     val sb = new StringBuilder
     rows.foreach { r =>
-      val uri = r.getString(0)
+      // input_file_name() returns a URI whose path segments are
+      // percent-ENCODED (a dir literally named `pk=us east` or the
+      // Hive-escaped `pk=a%3Ab` arrives as `pk=us%20east` /
+      // `pk=a%253Ab`); manifest suffixes are the RAW dir names, so
+      // decode once or readRangeFiles' startsWith(suffix) match
+      // silently drops every file of such a partition
+      val uri = new java.net.URI(r.getString(0)).getPath
       val at = uri.indexOf(marker)
       require(at >= 0, s"file $uri not under batch $batch")
       val rel = uri.substring(at + marker.length)
@@ -736,7 +746,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     }
     val tmp = new Path(statsDir, s".tmp-$batch.files")
     writeFile(tmp, sb.toString)
-    fs.rename(tmp, new Path(statsDir, s"$batch.files"))
+    require(fs.rename(tmp, new Path(statsDir, s"$batch.files")),
+      s"file-stats sidecar rename failed for $batch")
   }
 
   /** Parsed file sidecar: relpath -> col -> (min, max). Marker lines
@@ -1050,14 +1061,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     }
     if (fs.exists(statsDir)) fs.listStatus(statsDir).foreach { st =>
       val n = st.getPath.getName
-      // the sidecar's batch name (file sidecars carry a .files suffix
-      // that must strip BEFORE the liveness check, or live file
-      // sidecars would read as unreferenced)
-      val b = n.stripSuffix(".files")
-      // torn tmp sidecars; and sidecars orphaned by a pre-stats
-      // vacuum that removed their batch before this cleanup existed
-      if (n.startsWith(".tmp-") ||
-          (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b)))
+      // the sidecar's batch name (file sidecars carry a .files
+      // suffix, tmp stagings a .tmp- prefix — both must strip BEFORE
+      // the version/liveness checks, or live file sidecars would
+      // read as unreferenced and an IN-FLIGHT writer's above-window
+      // .tmp- staging would be swept out from under it, violating
+      // vacuum's only-below-the-window invariant)
+      val b = n.stripPrefix(".tmp-").stripSuffix(".files")
+      if (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b))
         fs.delete(st.getPath, false)
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>

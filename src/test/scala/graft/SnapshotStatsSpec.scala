@@ -179,6 +179,36 @@ class SnapshotStatsSpec extends SparkFunSuite {
     assert(got == Seq(2L), "the in-range row beside the NaN must survive")
   }
 
+  test("file sidecars survive URI-encodable partition values (space, colon)") {
+    // input_file_name() percent-encodes path segments while manifest
+    // suffixes are the raw dir names — without decoding, every file
+    // of a `pk=us east` partition silently vanished from
+    // readRangeFiles (startsWith never matched)
+    val dir = tmp("stats_uri_")
+    val mixed = Seq((1L, 10.0, "us east"), (2L, 20.0, "us east"),
+      (3L, 30.0, "eu:west")).toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, mixed, Seq("id"), Seq("pk"),
+      statsCols = Seq("v"))
+    val st = store(dir)
+    st.compactClustered(mixed.schema, Seq("pk"), "v", maxRecordsPerFile = 1L)
+    val batch = st.current().get._2.values.head
+    val bands = st.readBatchFileStats(batch).get
+    assert(bands.nonEmpty)
+    // the actual contract: every sidecar key prefix-matches a RAW
+    // manifest suffix (the Hive-escaped `pk=eu%3Awest` itself — one
+    // decode exactly, not zero, not two)
+    val suffixes = st.current().get._2.keySet
+    assert(suffixes.exists(_.contains("%3A")), s"expected Hive-escaped suffix in $suffixes")
+    bands.keys.foreach { rel =>
+      assert(suffixes.exists(sfx => rel.startsWith(sfx + "/")),
+        s"sidecar key '$rel' matches no manifest suffix in $suffixes")
+    }
+    val got = st.readRangeFiles(mixed.schema, "v", 5.0, 25.0)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L),
+      s"encoded-partition files must not be silently dropped, got ${got.toSeq}")
+  }
+
   test("readRangeFiles falls back to whole partitions without a file sidecar") {
     val dir = tmp("stats_fallback_")
     SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"),
