@@ -482,6 +482,27 @@ object Relational extends QueryModule {
         .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
     }),
 
+    // Value window functions (first/last/nth) — the remaining ANSI
+    // window family beside frames (w1/w5) and ranks (w2/w3/w4):
+    // per-user session anchors (first event's value, running last,
+    // the second value) over the unique (ts, event_id) order. The
+    // default frame (unbounded preceding → current row) makes
+    // last_value the RUNNING last — pinned explicitly so the oracle
+    // can't silently disagree on frame defaults; nth_value is NULL
+    // until the 2nd row exists, exercising the null path.
+    "w6_value_functions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("first_v", first(col("value")).over(w))
+        .withColumn("running_last_v", last(col("value")).over(w))
+        .withColumn("second_v", nth_value(col("value"), 2).over(w))
+        .select(col("event_id"), col("user_id"),
+          col("first_v"), col("running_last_v"), col("second_v"))
+    }),
+
     // Explicit GROUPING SETS — the non-hierarchical mix neither
     // ROLLUP nor CUBE emits alone: the union of the two single-column
     // groupings, with grouping_id() disambiguating which set a row
@@ -784,6 +805,14 @@ object Relational extends QueryModule {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "w6_value_functions" ->
+      """SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS running_last_v,
+           nth_value(value, 2) OVER w AS second_v
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     // GROUPING() bit order matches Spark's grouping_id() (1 bit per
     // groupBy column, set where the column is aggregated away)
     "agg_grouping_sets" ->
