@@ -102,6 +102,19 @@ object Bench {
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     }
 
+  /** Cumulative hypervisor STEAL jiffies (/proc/stat cpu field 8) —
+    * the contention signal loadavg cannot see: a host taking cycles
+    * from this guest slows every query and inflates guest-side
+    * cpu-seconds uniformly while the box looks idle from inside
+    * (observed in round 11: identical builds drifting 72→90 s with
+    * load < 2). The start/end DELTA in the artifact makes host-side
+    * slowdown decidable from the JSON alone. -1 when unreadable.
+    */
+  def stealJiffies(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
+
   /** Time one query: `reps` reps, per-rep error capture, then the
     * spike guard — if the median of successful runs exceeds
     * `spikeFactor`× their min, run up to `maxExtra` extra reps and
@@ -151,7 +164,8 @@ object Bench {
     * Field order on the stdout line is load-bearing (see scaladoc).
     */
   def artifactLines(timed: Seq[(String, Timing)], reps: Int, cpus: Int,
-                    sfDir: String, loadStart: Double, loadEnd: Double)
+                    sfDir: String, loadStart: Double, loadEnd: Double,
+                    stealStart: Long = -1L, stealEnd: Long = -1L)
       : (String, String) = {
     val ok = timed.filter(_._2.runs.nonEmpty)
     def jmap(m: Seq[(String, String)]): String =
@@ -168,6 +182,7 @@ object Bench {
     val suffix = (fmt: Double => String) =>
       s""","first_total":${fmt(firstTotal)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"""" +
       s""","load":[${f2(loadStart)},${f2(loadEnd)}],"cpu_total":${f2(cpuTotal)}""" +
+      s""","steal":[$stealStart,$stealEnd]""" +
       s""","err":${jmap(errs)},"reruns":${jmap(reruns)}""" +
       s""","metric":"total","unit":"sec","value":${fmt(total)}}"""
     val stdoutLine =
@@ -193,6 +208,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
+    val stealStart = stealJiffies()
     // Warm the JVM/codegen/scan machinery so the first timed query
     // doesn't absorb session startup (~4s), and prime file listings +
     // parquet footers for the benched SF. A warmup failure is recorded
@@ -215,7 +231,8 @@ object Bench {
         name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
       } ++ warmErr.map(e => "_warmup" -> Timing(Vector.empty, Vector.empty, 0, Some(e)))
     val (stdoutLine, fullLine) =
-      artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg())
+      artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg(),
+        stealStart, stealJiffies())
     println(stdoutLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
