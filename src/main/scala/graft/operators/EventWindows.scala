@@ -276,6 +276,30 @@ object EventWindows extends QueryModule {
           floor(col("value") / 25.0).as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+    }),
+
+    // Time-series downsampling to per-(user, hour) OHLC bars — the
+    // resample step a feature pipeline runs before model training.
+    // open/close are min_by/max_by over the UNIQUE (ts, event_id)
+    // struct key (lexicographic, ties impossible), so the whole bar is
+    // ONE hash aggregate with map-side combine — no window, no
+    // per-group sort; at 100 TB this shuffles only the distinct
+    // (user, hour) bars, not the raw events. Values pass through
+    // unchanged (no arithmetic) → bit-exact against the oracle's
+    // row_number spelling.
+    "ev_downsample" -> ((s, dir) => {
+      val key = struct(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("b"))
+        .agg(
+          min_by(col("value"), key).as("open_v"),
+          max_by(col("value"), key).as("close_v"),
+          min(col("value")).as("low_v"),
+          max(col("value")).as("high_v"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("open_v"), col("close_v"), col("low_v"), col("high_v"), col("n"))
     })
   )
 
@@ -423,6 +447,22 @@ object EventWindows extends QueryModule {
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // DuckDB's arg_min/arg_max don't take composite keys, so the
+    // oracle spells open/close with row_number over the same unique
+    // (ts, event_id) order
+    "ev_downsample" ->
+      """WITH ranked AS (
+           SELECT user_id, date_trunc('hour', ts) AS b, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           max(CASE WHEN ra = 1 THEN value END) AS open_v,
+           max(CASE WHEN rd = 1 THEN value END) AS close_v,
+           min(value) AS low_v, max(value) AS high_v, count(*) AS n
+         FROM ranked GROUP BY user_id, b"""
   )
 }

@@ -649,6 +649,65 @@ object Relational extends QueryModule {
         .agg(countDistinct(col("l_partkey")).as("nd_parts"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
           count(lit(1)).as("n"))
+    }),
+
+    // Correlated-subquery surface (TPC-H Q4 shape): EXISTS with a
+    // correlated equality. Spelled in SQL deliberately — the DataFrame
+    // API has no subquery syntax, and the thing under test is
+    // Catalyst's RewritePredicateSubquery planning the correlated
+    // EXISTS as a LEFT SEMI hash join on l_orderkey (never a
+    // per-row nested-loop re-execution; RelationalSpec pins the plan).
+    // Scale shape: both sides shuffle on the order key; the date
+    // filter pushes into the orders scan before the join.
+    "q4_exists_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q4v_orders")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q4v_lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+               FROM q4v_orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+                 AND EXISTS (SELECT 1 FROM q4v_lineitem
+                             WHERE l_orderkey = o_orderkey
+                               AND l_discount > 0.09)
+               GROUP BY o_orderpriority""")
+    }),
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape): per-part average
+    // threshold. Catalyst decorrelates the scalar subquery into an
+    // aggregate-then-join (one pass over lineitem grouped by partkey,
+    // joined back) instead of re-running the aggregate per outer row —
+    // the decorrelation rule is the operator here; RelationalSpec pins
+    // no-nested-loop. Determinism: l_quantity holds integers 1..50, so
+    // avg's double sum is EXACT (≪ 2^53) and order-independent; the
+    // 0.2·avg product and the compare are single correctly-rounded
+    // IEEE ops on both engines. Money goes through the q3 cents
+    // quantization (exact BIGINT sum, one final divide).
+    "q17_scalar_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q17v_lineitem")
+      Tables.load(s, dir, "part").createOrReplaceTempView("q17v_part")
+      s.sql("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100 / 7.0 AS avg_yearly
+               FROM q17v_lineitem, q17v_part
+               WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+                 AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                   FROM q17v_lineitem l2
+                                   WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // IN-subquery over a grouped HAVING (TPC-H Q18 shape): membership
+    // in an aggregated set. Plans as aggregate → LEFT SEMI join (the
+    // IN-set is never collected to the driver or broadcast as a
+    // literal list). sum(l_quantity) is exact in double (integers), so
+    // the HAVING cut is deterministic cross-engine.
+    "q18_in_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q18v_orders")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("q18v_customer")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q18v_lineitem")
+      s.sql("""SELECT c_name, o_orderkey, o_totalprice
+               FROM q18v_orders JOIN q18v_customer ON c_custkey = o_custkey
+               WHERE o_orderkey IN (SELECT l_orderkey FROM q18v_lineitem
+                                    GROUP BY l_orderkey
+                                    HAVING sum(l_quantity) > 250)""")
     })
   )
 
@@ -868,6 +927,29 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * rf_weight)
                 AS DOUBLE) AS weighted_rev
          FROM lineitem li JOIN dim USING (l_returnflag)
-         GROUP BY li.l_returnflag"""
+         GROUP BY li.l_returnflag""",
+    "q4_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_discount > 0.09)
+         GROUP BY o_orderpriority""",
+    "q17_scalar_subquery" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100 / 7.0 AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "q18_in_subquery" ->
+      """SELECT c_name, o_orderkey, o_totalprice
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(l_quantity) > 250)"""
   )
 }

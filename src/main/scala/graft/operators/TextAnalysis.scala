@@ -512,10 +512,47 @@ object TextAnalysis extends QueryModule {
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_coll"), lit(0L)).as("n_coll"),
           (coalesce(col("n_coll"), lit(0L)) > 0).cast("int").as("contaminated"))
+    }),
+
+    // Exact corpus-level heavy hitters: global top-20 tokens. Scale
+    // shape: explode → one hash agg on the token key (map-side combine
+    // collapses each partition's counts before the shuffle, so the
+    // exchange carries per-partition DISTINCT tokens, not token
+    // occurrences) → TakeOrderedAndProject (per-partition top-20 +
+    // driver merge, never a global sort). Ties break by token asc.
+    "text_heavy_hitters" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    }),
+
+    // The sketch rung: single-pass bounded-memory frequent items
+    // (Spark's freqItems — the Karp/Papadimitriou/Shenker lossy
+    // counting family). Guarantees a SUPERSET of every token with
+    // frequency > support·N using O(1/support) counters per partition
+    // — the 100 TB answer when the exact agg's distinct-token shuffle
+    // is too wide (e.g. heavy-hitter detection over raw n-grams).
+    // False positives are possible (bounded by the counter budget),
+    // false negatives are not; TextAnalysisSpec pins the superset
+    // property against the exact counts. Rows-only: the false-positive
+    // tail is implementation-specific. Output is exploded + sorted so
+    // the result is a deterministic relation.
+    "text_heavy_hitters_approx" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .stat.freqItems(Seq("tok"), 0.01)
+        .select(explode(col("tok_freqItems")).as("tok"))
+        .orderBy(col("tok"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "text_chunk" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

