@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
-    operators.Pipeline
+    operators.Pipeline,
+    operators.Graph
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
