@@ -200,6 +200,48 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // Z-ORDERED box read over the snapshot table: seed the store,
+    // rewrite with compactZOrder on (l_partkey, l_suppkey) — rows
+    // sort by the interleaved-bit morton value of per-column QUANTILE
+    // codes, so every file's band is narrow in BOTH columns — then
+    // read a 2-D box through readBoxFiles (partition bands, then file
+    // bands, each predicate pruning independently; residual filter
+    // keeps correctness pruning-independent). The selectivity win
+    // over 1-D clustering is pinned in SnapshotStatsSpec (10 vs 32 of
+    // 256 files on the grid fixture); the oracle here restates the
+    // box over the raw relation, hash-pinning the whole
+    // quantile-code → morton-sort → sidecar → box-prune path. At
+    // 100 TB this is OPTIMIZE ZORDER BY: multi-dimensional lookups
+    // touch O(1) files without a partition scheme per dimension.
+    "k2_snapshot_zorder" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // the synthetic lineitem does NOT keep (l_orderkey, l_linenumber)
+      // unique, so the upsert key is the full distinct tuple — both
+      // sides dedup identically
+      val target = li.where(col("l_orderkey") % 3 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          pmod(col("l_orderkey"), lit(4L)).as("pk"))
+        .distinct()
+      val base = java.nio.file.Files.createTempDirectory("graft_k2zo_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), Seq("pk"))
+      val store = new graft.sinks.SnapshotStore(s, new org.apache.hadoop.fs.Path(base))
+      store.compactZOrder(target.schema, Seq("pk"),
+        Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = 2000L)
+      val out = store
+        .readBoxFiles(target.schema,
+          Seq(("l_partkey", 500.0, 700.0), ("l_suppkey", 50.0, 80.0)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // Change-data-feed READ between two snapshot versions: seed v1,
     // merge v2 (updates to every %20==1 key + inserts of unseen
     // %10==2 keys), then readChangesBetween(v1, v2) must emit exactly
@@ -550,6 +592,13 @@ object Pipeline extends QueryModule {
          FROM v2 GROUP BY pk""",
     // the post-merge table filtered by the stats band — pruning is
     // invisible to the oracle by design (it must never change rows)
+    "k2_snapshot_zorder" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_orderkey % 4 AS pk
+         FROM lineitem
+         WHERE l_orderkey % 3 = 1
+           AND l_partkey BETWEEN 500 AND 700
+           AND l_suppkey BETWEEN 50 AND 80""",
     "k2_snapshot_skip" ->
       """WITH t AS (
            SELECT o_orderkey,

@@ -776,43 +776,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * the clustered-table read path.
     */
   def readRangeFiles(schema: StructType, statsCol: String,
-      lo: Double, hi: Double): DataFrame = {
-    val entries = current().map(_._2).getOrElse(Map.empty)
-    val surviving = pruneByStats(entries, statsCol, lo, hi)
-    if (surviving.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .where(col(statsCol) >= lo && col(statsCol) <= hi)
-    val frames = surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
-      case (batch, batchEntries) =>
-        val base = dataPath(batch)
-        val suffixes = batchEntries.keys.toSeq.sorted
-        val paths: Seq[String] = readBatchFileStats(batch) match {
-          case None =>
-            suffixes.map(s => new Path(base, s).toString)
-          case Some(fileBands) =>
-            suffixes.flatMap { s =>
-              val mine = fileBands.filter(_._1.startsWith(s + "/"))
-              mine.collect {
-                case (rel, bands)
-                    if bands.get(statsCol).forall { case (mn, mx) =>
-                      bandIntersects(mn, mx, lo, hi) } =>
-                  new Path(base, rel).toString
-              }
-            }
-        }
-        paths -> base
-    }
-    val nonEmpty = frames.filter(_._1.nonEmpty)
-    if (nonEmpty.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .where(col(statsCol) >= lo && col(statsCol) <= hi)
-    nonEmpty.map { case (paths, base) =>
-      spark.read.option("basePath", base.toString).schema(schema)
-        .parquet(paths: _*)
-        .select(schema.fieldNames.map(col): _*)
-    }.reduce(_.unionByName(_))
-      .where(col(statsCol) >= lo && col(statsCol) <= hi)
-  }
+      lo: Double, hi: Double): DataFrame =
+    readBoxFiles(schema, Seq((statsCol, lo, hi)))
 
   /** Full rewrite CLUSTERED on `clusterCol` within each partition —
     * rows sort by the cluster column inside their partition dir and
@@ -843,6 +808,76 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(written.keySet == entries.keySet,
       s"clustered compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
     writeBatchStats(batch, schema, partCols, Seq(clusterCol), fileStats = true)
+    commitSized(version + 1,
+      written.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(batch, sz)
+      }, Some(version))
+    vacuum()
+  }
+
+  /** MULTI-dimensional clustered rewrite — the OPTIMIZE ZORDER BY
+    * idea. [[compactClustered]] makes per-file bands selective in ONE
+    * column; sorting by an interleaved-bit Z-value makes them narrow
+    * in EVERY clustered column at once, so a [[readBoxFiles]] box
+    * touches O(1) files where a linear sort on column A leaves column
+    * B's per-file bands spanning the full range.
+    *
+    * Per-column codes are QUANTILE ranks, not linear scaling: each
+    * column maps through its own approx_percentile boundary array
+    * (one aggregation pass, collected once — this is a maintenance
+    * action like the rest of compaction), so skewed distributions
+    * still spread codes uniformly and no dimension starves the
+    * interleave. `bits` per column bounds the code table at
+    * 2^bits − 1 boundaries; 6 bits (64 cells per dimension) is plenty
+    * to separate files — a file holds many rows, so sub-cell order
+    * doesn't matter. The Z-value exists only during the write; stored
+    * data and query results never depend on it.
+    */
+  def compactZOrder(schema: StructType, partCols: Seq[String],
+      zCols: Seq[String], maxRecordsPerFile: Long, bits: Int = 6): Unit = {
+    require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
+    require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
+    val (version, entries) = current().getOrElse(return)
+    if (entries.isEmpty) return
+    val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    val df = read(schema)
+    val nb = (1 << bits) - 1
+    val qs = (1 to nb).map(i => i.toDouble / (nb + 1))
+    val aggs = zCols.map(c => org.apache.spark.sql.functions.expr(
+      s"approx_percentile(cast(`$c` as double), array(${qs.mkString(",")}), 10000)")
+      .as(s"__q_$c"))
+    val qrow = df.agg(aggs.head, aggs.tail: _*).head()
+    // code_c = #boundaries <= value (0..nb); NULLs sort first (code 0)
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      val bounds: Seq[Double] =
+        if (qrow.isNullAt(i)) Seq.empty
+        else qrow.getSeq[Any](i).map(v => String.valueOf(v).toDouble)
+      bounds.foldLeft(org.apache.spark.sql.functions.lit(0)) { (acc, b) =>
+        acc + org.apache.spark.sql.functions
+          .when(col(c).cast("double") >= b, 1).otherwise(0)
+      }
+    }
+    // interleave: bit i of code j lands at position i·k + j (k = #cols)
+    val k = zCols.size
+    val zv = (0 until bits).flatMap { i =>
+      codes.zipWithIndex.map { case (code, j) =>
+        org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftright(code, i).bitwiseAND(1)
+            .cast("long"), i * k + j)
+      }
+    }.reduce(_ + _)
+    df.withColumn("__z", zv)
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(dataPath(batch).toString)
+    val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
+    require(written.keySet == entries.keySet,
+      s"z-order compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    writeBatchStats(batch, schema, partCols, zCols, fileStats = true)
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
@@ -905,6 +940,77 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val entries = current().map(_._2).getOrElse(Map.empty)
     readEntries(pruneByStats(entries, statsCol, lo, hi), schema, null)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** Multi-column [[pruneByStats]]: a partition survives when EVERY
+    * predicate's band may intersect (missing bands keep, as always).
+    * The conjunction is what makes multi-dimensional clustering pay:
+    * each dimension prunes independently, and after [[compactZOrder]]
+    * the per-file bands are narrow in all clustered dimensions at
+    * once.
+    */
+  def pruneByStatsBox(entries: Map[String, String],
+      preds: Seq[(String, Double, Double)]): Map[String, String] =
+    preds.foldLeft(entries) { case (kept, (c, lo, hi)) =>
+      pruneByStats(kept, c, lo, hi)
+    }
+
+  /** The file lists a box read would scan, per batch — partition bands
+    * prune first, then each surviving partition's files drop when ANY
+    * predicate's file band cannot intersect. Package-visible so specs
+    * can pin SELECTIVITY (how many files a box touches) without
+    * scanning anything. Batches without a file sidecar degrade to
+    * whole-partition paths, never to silence.
+    */
+  private[graft] def boxFilePaths(preds: Seq[(String, Double, Double)])
+      : Seq[(Seq[String], Path)] = {
+    val entries = current().map(_._2).getOrElse(Map.empty)
+    val surviving = pruneByStatsBox(entries, preds)
+    surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (batch, batchEntries) =>
+        val base = dataPath(batch)
+        val suffixes = batchEntries.keys.toSeq.sorted
+        val paths: Seq[String] = readBatchFileStats(batch) match {
+          case None =>
+            suffixes.map(s => new Path(base, s).toString)
+          case Some(fileBands) =>
+            suffixes.flatMap { s =>
+              val mine = fileBands.filter(_._1.startsWith(s + "/"))
+              mine.collect {
+                case (rel, bands)
+                    if preds.forall { case (c, lo, hi) =>
+                      bands.get(c).forall { case (mn, mx) =>
+                        bandIntersects(mn, mx, lo, hi) } } =>
+                  new Path(base, rel).toString
+              }
+            }
+        }
+        paths -> base
+    }
+  }
+
+  /** Box read with partition- AND file-level pruning on every
+    * predicate — the multi-dimensional twin of [[readRangeFiles]],
+    * the read path [[compactZOrder]] exists for. Residual filters
+    * keep correctness independent of pruning and push into the
+    * parquet scan for a third (row-group) pruning level.
+    */
+  def readBoxFiles(schema: StructType,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    require(preds.nonEmpty, "box read needs at least one predicate")
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    val nonEmpty = boxFilePaths(preds).filter(_._1.nonEmpty)
+    if (nonEmpty.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .where(residual)
+    nonEmpty.map { case (paths, base) =>
+      spark.read.option("basePath", base.toString).schema(schema)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionByName(_))
+      .where(residual)
   }
 
   /** Fold the SMALLEST live batches together so the manifest

@@ -161,6 +161,64 @@ class SnapshotStatsSpec extends SparkFunSuite {
     assert(st.fs.exists(new Path(new Path(st.root, "stats"), s"$batch.files")))
   }
 
+  test("z-order beats linear clustering on 2-D boxes; box reads stay exact") {
+    // 128×128 value grid (x = i mod 128, y = i div 128), shuffled into
+    // the store, then rewritten two ways at 256 rows/file (64 files):
+    // linear clustering on x leaves every file's y-band spanning the
+    // full range; the morton interleave bounds BOTH bands per file.
+    val grid = (0L until 16384L)
+      .map(i => ((i * 2654435761L) % 16384L))  // permuted write order
+      .map(i => (i, (i % 128L).toDouble, (i / 128L).toDouble, 0L))
+      .toDF("id", "x", "y", "pk")
+    val box = Seq(("x", 32.0, 47.0), ("y", 32.0, 47.0))
+    val wantIds = (0L until 16384L).filter(i =>
+      (i % 128) >= 32 && (i % 128) <= 47 && (i / 128) >= 32 && (i / 128) <= 47)
+
+    def filesTouched(dir: String): Int = {
+      val st = store(dir)
+      st.boxFilePaths(box).map(_._1.size).sum
+    }
+
+    val linDir = tmp("stats_zlin_")
+    SnapshotMerge.upsertUpdate(spark, linDir, grid, Seq("id"), Seq("pk"),
+      statsCols = Seq("x", "y"))
+    store(linDir).compactClustered(grid.schema, Seq("pk"), "x",
+      maxRecordsPerFile = 64L)
+    // compactClustered records stats for the cluster column only; the
+    // box prune on y then keeps every file via the missing-band rule,
+    // so the linear count reflects x-pruning alone — the comparison
+    // z-order must beat
+    val linTouched = filesTouched(linDir)
+
+    val zDir = tmp("stats_zord_")
+    SnapshotMerge.upsertUpdate(spark, zDir, grid, Seq("id"), Seq("pk"),
+      statsCols = Seq("x", "y"))
+    store(zDir).compactZOrder(grid.schema, Seq("pk"), Seq("x", "y"),
+      maxRecordsPerFile = 64L)
+    val zTouched = filesTouched(zDir)
+
+    val total = store(zDir).readBatchFileStats(
+      store(zDir).current().get._2.values.head).get.size
+    assert(total >= 128, s"expected ~256 files, got $total")
+    // the box covers 1/64 of the grid. Linear-on-x must read every
+    // file overlapping 16 of 128 x-values — 1/8 of the table (32
+    // files, measured) with y unbounded per file. The morton layout
+    // bounds BOTH per-file bands, confining the box to ~10 files
+    // (ideal 4 + quantile-cell straddle) — measured 10 of 256.
+    assert(zTouched < linTouched / 2,
+      s"z-order touched $zTouched files, linear $linTouched of $total")
+    assert(zTouched <= 16, s"z-order box should be local, touched $zTouched")
+    assert(linTouched >= 28, s"linear fixture unexpectedly selective: $linTouched")
+
+    val got = store(zDir).readBoxFiles(grid.schema, box)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == wantIds, s"box read returned ${got.length} rows, want ${wantIds.length}")
+    // and the 1-pred twin still routes through the same path
+    val one = store(zDir).readRangeFiles(grid.schema, "x", 32.0, 47.0)
+      .select(col("id")).collect().length
+    assert(one == 16 * 128)
+  }
+
   test("NaN values make a band unknown, never a wrong skip") {
     val dir = tmp("stats_nan_")
     // pk=0 mixes NaN with in-range values: Spark's max() returns NaN
