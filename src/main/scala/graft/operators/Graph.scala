@@ -41,8 +41,102 @@ object Graph extends QueryModule {
       Dedup.releaseCheckpoints(pairs)
       Dedup.releaseCheckpoints(od)
       Seq((nTri, nEdges)).toDF("n_triangles", "n_edges")
+    }),
+
+    // PageRank over the same co-occurrence graph (both directions of
+    // each undirected edge), 10 power iterations, d = 0.85 — "which
+    // parts sit at the center of the basket graph". Rows-only: no SQL
+    // oracle can restate an iterative fixpoint, so GraphSpec pins the
+    // ranks against an in-memory power iteration (≤ 1e-9) and the
+    // rank-mass invariant; the decimal arithmetic inside [[pageRank]]
+    // makes the output BIT-deterministic across runs, which the
+    // driver's determinism sweep relies on.
+    "g2_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint(false)
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst").localCheckpoint(false)
+      val ranks = pageRank(edges)
+      val top = ranks
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node"), col("rank").cast("double").as("rank"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      Dedup.releaseCheckpoints(ranks)
+      Dedup.releaseCheckpoints(edges)
+      Dedup.releaseCheckpoints(pairs)
+      top.toDF("node", "rank")
     })
   )
+
+  /** PageRank by power iteration over the undirected co-occurrence
+    * graph, with every arithmetic op in DECIMAL(38,18) — decimal adds
+    * are order-independent and decimal division/multiplication are
+    * engine-deterministic, so two runs produce BIT-identical ranks
+    * regardless of shuffle order (double sums would drift in the last
+    * ulp per run; the text_lm_score / BM25 quantization precedent
+    * applied to iterative state). Per iteration: one key join
+    * (rank ⋈ degree), one shuffle join (edges ⋈ shares, on src), one
+    * hash agg (sum of in-shares on dst), one left join back to the
+    * node set (dangling-free here: every node of an undirected edge
+    * has degree ≥ 1). Each round's result is a lazy localCheckpoint
+    * materialized by a count probe, and the previous round's blocks
+    * release immediately — the connectedComponents loop discipline,
+    * so lineage stays flat at any iteration count.
+    *
+    * Returns the FULL rank table (node, rank DECIMAL(38,18));
+    * [[queries]] takes the top 20. Caller must release `edges` via
+    * [[Dedup.releaseCheckpoints]] after consuming the result — the
+    * returned frame's final checkpoint is released here after landing
+    * ranks via collect-free checkpoint chaining (the last round's
+    * frame IS the result; the caller's consumption materializes
+    * nothing new).
+    */
+  private[graft] def pageRank(edges: DataFrame, d: BigDecimal = BigDecimal("0.85"),
+      iters: Int = 10): DataFrame = {
+    // Decimal-typing care: Spark's precision-loss rules collapse the
+    // scale of wide÷wide to 6 (s = max(6, 38 - intDigits)), which
+    // would quantize ranks of a big graph to dust. Divisors and the
+    // damping factor therefore stay NARROW — deg as decimal(10,0)
+    // keeps (38,18)/(10,0) at scale 18, damp as decimal(3,2) keeps
+    // the product at scale 16 — and every result is cast back to
+    // (38,18) so the loop's type is a fixpoint.
+    val dec = "decimal(38,18)"
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("decimal(10,0)").as("deg"))
+      .localCheckpoint(false)
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val damp = lit(d.underlying()).cast("decimal(3,2)")
+    val one = lit(1).cast("decimal(2,0)")
+    val nLit = lit(n).cast("decimal(12,0)")
+    val teleport = ((one - damp) / nLit).cast(dec)
+    var rank = nodes
+      .select(col("node"), col("deg"), (one / nLit).cast(dec).as("rank"))
+      .localCheckpoint(false)
+    rank.count()
+    for (_ <- 1 to iters) {
+      val shares = rank.select(col("node"),
+        (col("rank") / col("deg")).cast(dec).as("share"))
+      val contrib = edges.join(shares, edges("src") === shares("node"))
+        .groupBy(col("dst")).agg(sum(col("share")).cast(dec).as("in_share"))
+      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"), nodes("deg"),
+          (teleport + damp * coalesce(col("in_share"), lit(0).cast(dec)))
+            .cast(dec).as("rank"))
+        .localCheckpoint(false)
+      next.count()
+      Dedup.releaseCheckpoints(rank)
+      rank = next
+    }
+    Dedup.releaseCheckpoints(deg)
+    rank.select(col("node"), col("rank"))
+  }
 
   /** The lazy triangle dataflow over an (ok, pk) incidence relation:
     * returns (edge set, oriented edges, closing semi join). The edge

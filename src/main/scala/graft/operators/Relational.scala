@@ -287,6 +287,33 @@ object Relational extends QueryModule {
       big.intersect(urgent)
     }),
 
+    // BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    // matters — a customer with 3 mid-band orders and 1 urgent order
+    // keeps 2 rows under EXCEPT ALL where EXCEPT keeps 0 or 1. Spark
+    // plans both as one aggregate computing per-key multiplicities on
+    // each side + a generate replaying min/difference counts — two
+    // hash shuffles on the key, no sort, no row-pair blowup; the same
+    // partial-agg scale shape as a6.
+    "e4_except_all" -> ((s, dir) => {
+      val mid = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey"))
+      val urgent = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      mid.exceptAll(urgent)
+    }),
+
+    "e5_intersect_all" -> ((s, dir) => {
+      val mid = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey"))
+      val urgent = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      mid.intersectAll(urgent)
+    }),
+
     // P7/J10/A3: parallel arrays collected per group (struct-sorted so
     // both stay aligned — the reference relies on PG emitting two
     // ARRAY_AGGs in the same order, modal/occurrence.py:48-51), zipped
@@ -789,6 +816,14 @@ object Relational extends QueryModule {
     "e3_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
          INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "e4_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "e5_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+         INTERSECT ALL
          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "p7_zip_filter" ->
       """SELECT o_custkey, CAST(rk - 1 AS INT) AS pos, o_orderkey FROM (

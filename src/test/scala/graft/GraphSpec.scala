@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 class GraphSpec extends SparkFunSuite {
+  import spark.implicits._
 
   test("g1_triangles equals brute-force adjacency-set intersection") {
     // ground truth: collect the (small) sf0.001 edge set and count
@@ -40,5 +41,58 @@ class GraphSpec extends SparkFunSuite {
       s"data-scale product leaked into the plan:\n$plan")
     operators.Dedup.releaseCheckpoints(pairs)
     operators.Dedup.releaseCheckpoints(od)
+  }
+
+  test("g2_pagerank matches in-memory power iteration; mass conserved") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    var r = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val in = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      adj.foreach { case (u, outs) =>
+        val share = r(u) / outs.size
+        outs.foreach(v => in(v) += share)
+      }
+      r = adj.keys.map(k => k -> (0.15 / n + 0.85 * in(k))).toMap
+    }
+
+    val edgesDf = und.toSeq.toDF("u", "v")
+    val edges = edgesDf.select(col("u").as("src"), col("v").as("dst"))
+      .union(edgesDf.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val ranks = operators.Graph.pageRank(edges)
+    val got = ranks.collect()
+      .map(row => row.getLong(0) -> row.getDecimal(1).doubleValue()).toMap
+    operators.Dedup.releaseCheckpoints(ranks)
+    operators.Dedup.releaseCheckpoints(edges)
+
+    assert(got.keySet == r.keySet)
+    // decimal pipeline vs double reference: agreement far below any
+    // ranking-relevant difference
+    r.foreach { case (k, want) =>
+      assert(math.abs(got(k) - want) < 1e-9, s"node $k: ${got(k)} vs $want")
+    }
+    // no dangling nodes in an undirected graph -> rank mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+
+    // and the query's top-20 agrees with the reference (set-compare
+    // plus descending order — double-vs-decimal noise below 1e-9 must
+    // not flip the assertion on near-ties)
+    val top = SparkEntry.queries("g2_pagerank")(spark, sfDir).collect()
+      .map(row => (row.getLong(0), row.getDouble(1)))
+    assert(top.length == 20)
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    val wantTop = r.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    assert(math.abs(top.head._2 - wantTop.head._2) < 1e-9)
+    val borderGap = math.abs(wantTop.last._2 - top.last._2)
+    assert(top.map(_._1).toSet == wantTop.map(_._1).toSet || borderGap < 1e-9,
+      s"top-20 sets differ beyond boundary noise")
   }
 }
