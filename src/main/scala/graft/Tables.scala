@@ -10,26 +10,48 @@ import org.apache.spark.sql.functions._
   * sources, see [[graft.sources.TranscriptJson]]). Filters/projections
   * applied downstream push into the scan (PushedFilters / ReadSchema).
   *
-  * Session contract: `spark.sql.legacy.parquet.nanosAsLong=true` must
-  * be set AT SESSION BUILD (Verify/Bench/SparkTestBase all do; build.sbt
-  * also sets it as a JVM-wide default for forked runs) — events.ts is
-  * parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
-  * timestamp, so it arrives as raw nanos and is truncated to a
-  * microsecond TimestampType here with integer division (`div` — a
-  * double division would lose precision above 2^53 ns; DuckDB performs
-  * the same nanos → micros truncation on read). The conf is
-  * deliberately NOT mutated per load call: a global `conf.set` in a
-  * read path races concurrent queries on the same session.
+  * events.ts contract — SCHEMA-ADAPTIVE, the file footer decides:
+  *  - parquet TIMESTAMP(NANOS): Spark 4 refuses to read nanos as a
+  *    timestamp, so under `spark.sql.legacy.parquet.nanosAsLong=true`
+  *    (set at session build by Verify/Bench/SparkTestBase; build.sbt
+  *    also sets it JVM-wide for forked runs) it arrives as raw BIGINT
+  *    nanos and is truncated to a microsecond TimestampType with
+  *    integer division (`div` — a double division would lose precision
+  *    above 2^53 ns; DuckDB performs the same nanos → micros
+  *    truncation on read).
+  *  - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false (the
+  *    driver's current export): Spark reads TIMESTAMP_NTZ; the session
+  *    timezone is pinned UTC everywhere, so a cast to TimestampType
+  *    preserves the wall-clock instant bit-for-bit and downstream
+  *    window/date_format expressions see the exact type they always
+  *    did. DuckDB reads the same file as plain TIMESTAMP — parity.
+  *  - already TimestampType: pass through.
+  * The nanosAsLong conf is deliberately NOT mutated per load call: a
+  * global `conf.set` in a read path races concurrent queries on the
+  * same session.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize an events-shaped frame so `ts` is a microsecond
+    * TimestampType regardless of which physical schema the file
+    * carries (BIGINT nanos / TIMESTAMP_NTZ / TIMESTAMP — see object
+    * doc). Shared by the batch loader and the streaming source.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

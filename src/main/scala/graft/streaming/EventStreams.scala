@@ -23,13 +23,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as the stream source sees it (ts arrives as raw
-    * nanos — see graft.Tables: Spark cannot read TIMESTAMP(NANOS)
-    * natively — and is converted to a micros timestamp here).
+  /** events schema the stream source falls back to when the drop
+    * folder is still empty at stream start (ts as TIMESTAMP_NTZ — the
+    * driver's current parquet export; see graft.Tables for the full
+    * schema-adaptive contract).
     */
-  private val rawSchema = StructType(Seq(
+  private val fallbackSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -39,13 +40,22 @@ object EventStreams {
     * (file streams consume directories — new files appearing under
     * `eventsDir` become new micro-batches; that's the drop-folder
     * ingestion shape).
+    *
+    * Streaming sources need the schema declared up front, but the
+    * events `ts` physical type varies by producer (BIGINT nanos vs
+    * TIMESTAMP_NTZ — graft.Tables scaladoc). A one-time batch footer
+    * read of the directory resolves the actual schema (metadata-only;
+    * file streams list the directory at every micro-batch anyway), and
+    * [[graft.Tables.normalizeEventTs]] then yields the same micros
+    * TimestampType on every path. An empty-at-start drop folder falls
+    * back to the current driver export shape.
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at session
-    // build (see graft.Tables scaladoc) — not mutated per call here.
-    spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema =
+      try spark.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => fallbackSchema }
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark — the streaming
