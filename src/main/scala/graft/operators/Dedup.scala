@@ -179,6 +179,19 @@ object Dedup extends QueryModule {
     // extra candidates are harmless, a too-short prefix is not.
     "dedup_jaccard_prefix" -> ((s, dir) => jaccardPrefix(Tables.load(s, dir, "documents"))),
 
+    // INCREMENTAL near-dup detection — the daily-crawl-increment
+    // shape: only pairs involving a NEW document (top-10% of doc_id,
+    // standing in for the latest arrival batch) are emitted; pairs
+    // wholly inside the existing corpus were found by previous
+    // increments and are never re-derived. The candidate join is
+    // delta-prefixes ⋈ corpus-prefixes, so per-increment work is
+    // bounded by the DELTA's postings, not the corpus — at 100 TB the
+    // corpus-side prefix index is a stored artifact appended once per
+    // increment (recomputed in-query here), and each day's dedup cost
+    // is O(|delta| · postings), independent of total corpus size.
+    "dedup_incremental" -> ((s, dir) =>
+      jaccardIncremental(Tables.load(s, dir, "documents"))),
+
     // Asymmetric CONTAINMENT dedup: find corpus documents holding
     // ≥ 60% of a seed document's shingles — the sub-document
     // duplication check a symmetric Jaccard threshold misses (a long
@@ -560,6 +573,40 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
   }
 
+  /** Delta-vs-corpus prefix-filtered exact Jaccard (t = 0.5, no
+    * blocking): every pair with Jaccard ≥ t whose LARGER doc_id is in
+    * the delta (ids are arrival-ordered, so the smaller side was
+    * already present when the larger arrived — `prior_id`/`new_id`).
+    * Same pigeonhole prefix bound as [[jaccardPrefix]] under the same
+    * deterministic xxhash64 token order; only the candidate join is
+    * asymmetric: the delta side's prefixes probe the full corpus's
+    * prefix postings, so candidates are bounded by delta postings
+    * co-occurrence. The 0.9·max(doc_id) threshold is one scalar,
+    * broadcast — never collected driver-side.
+    */
+  def jaccardIncremental(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    val thr = d.agg((max(col("doc_id")).cast("double") * 0.9).as("thr"))
+    val prefixes = d
+      .withColumn("h", array_sort(transform(col("sh"), t => xxhash64(t))))
+      .withColumn("plen",
+        least(size(col("h")), size(col("h")) - (size(col("h")) / 2).cast("int") + 1))
+      .select(col("doc_id"), explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+    val deltaPrefixes = prefixes.crossJoin(broadcast(thr))
+      .where(col("doc_id") > col("thr")).drop("thr")
+    val byId = d.select(col("doc_id"), col("sh"))
+    prefixes.as("a").join(deltaPrefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("prior_id"), col("b.doc_id").as("new_id"))
+      .distinct()
+      .join(byId.as("da"), col("prior_id") === col("da.doc_id"))
+      .join(byId.as("db"), col("new_id") === col("db.doc_id"))
+      .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
+      .where(col("jacc") >= 0.5)
+      .select(col("prior_id"), col("new_id"), round(col("jacc"), 6).as("jacc"))
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -567,6 +614,21 @@ object Dedup extends QueryModule {
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
     "dedup_jaccard_prefix" -> jaccardBlockSql,
+    // brute delta × corpus restatement: every qualifying pair whose
+    // larger id clears the 0.9·max threshold
+    "dedup_incremental" ->
+      """WITH dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents)),
+         mx AS (SELECT 0.9 * MAX(doc_id) AS thr FROM documents)
+         SELECT a.doc_id AS prior_id, b.doc_id AS new_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+         FROM dd a JOIN dd b ON a.doc_id < b.doc_id, mx
+         WHERE b.doc_id > mx.thr
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
     "dedup_containment" -> containmentSql,
     // identical result by construction — the prefix-postings candidate
     // set is lossless, so the same brute-force oracle applies

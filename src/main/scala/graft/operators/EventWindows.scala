@@ -300,6 +300,63 @@ object EventWindows extends QueryModule {
         .select(col("user_id"),
           date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("open_v"), col("close_v"), col("low_v"), col("high_v"), col("n"))
+    }),
+
+    // Time-series GAP FILL: densify each user's hourly series over
+    // their observed [first, last] hour (missing hours get n=0) and
+    // forward-fill the last observed close value — the
+    // regular-cadence resample an ML feature pipeline needs before
+    // windowed training. Shape: one hash agg to hourly bars (shuffles
+    // bars, not events), a tiny per-user span agg, `sequence`-explode
+    // of the span (bounded by the time range, never by event count),
+    // a (user, hour) equi-join back, and ONE per-user window for the
+    // fill — every stage partitions on the user key, no global sort.
+    // Fill copies values verbatim (no arithmetic) → bit parity with
+    // the oracle's IGNORE NULLS last_value.
+    "ev_gap_fill" -> ((s, dir) => {
+      val key = struct(col("ts"), col("event_id"))
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), max_by(col("value"), key).as("close_v"))
+      val dense = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+      dense.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("close_v"), ignoreNulls = true).over(w).as("filled_value"),
+          col("n").isNull.cast("int").as("is_filled"))
+    }),
+
+    // Robust ANOMALY FLAGGING on hourly volumes: median/MAD outlier
+    // detection (|n − median| > 3·MAD per event type) — the data-drift
+    // tripwire over ingest volumes. The exact order statistics run on
+    // the ALREADY-AGGREGATED (type, hour) counts — a time-bounded
+    // table (hours × types), metadata-sized at any corpus scale — so
+    // the only data-scale stage is the first hash agg; this is the
+    // aggregate-first answer to the exact-percentile scale trap
+    // (NOTES_r10 w3). Counts are integers and medians/MADs land on
+    // exact halves (lerp of two ints), so 3·MAD and the comparison
+    // are IEEE-exact on both engines.
+    "ev_anomaly" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val med = c.groupBy(col("event_type"))
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val dev = c.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .where(col("dev") > lit(3) * col("mad"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("med"), col("mad"))
     })
   )
 
@@ -463,6 +520,41 @@ object EventWindows extends QueryModule {
            max(CASE WHEN ra = 1 THEN value END) AS open_v,
            max(CASE WHEN rd = 1 THEN value END) AS close_v,
            min(value) AS low_v, max(value) AS high_v, count(*) AS n
-         FROM ranked GROUP BY user_id, b"""
+         FROM ranked GROUP BY user_id, b""",
+
+    "ev_gap_fill" ->
+      """WITH ranked AS (
+           SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events),
+         h AS (SELECT user_id, h, COUNT(*) AS n,
+                 max(CASE WHEN rd = 1 THEN value END) AS close_v
+               FROM ranked GROUP BY 1, 2),
+         dense AS (
+           SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+           FROM (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM h GROUP BY 1)),
+         j AS (SELECT d.user_id, d.h, hh.n, hh.close_v
+               FROM dense d LEFT JOIN h hh USING (user_id, h))
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n, 0) AS n_events,
+           last_value(close_v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY h) AS filled_value,
+           CAST(n IS NULL AS INT) AS is_filled
+         FROM j""",
+
+    "ev_anomaly" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, median(n) AS med FROM c GROUP BY 1),
+         d AS (SELECT c.event_type, c.h, c.n, m.med,
+                 abs(c.n - m.med) AS dev
+               FROM c JOIN m USING (event_type)),
+         md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+         SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           d.n, d.med, md.mad
+         FROM d JOIN md USING (event_type)
+         WHERE d.dev > 3 * md.mad"""
   )
 }

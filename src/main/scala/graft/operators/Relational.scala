@@ -643,6 +643,28 @@ object Relational extends QueryModule {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // MERGEABLE-SKETCH ROLLUP (Datasketches HLL): build one compact
+    // per-day sketch of distinct users, then answer the cross-day
+    // distinct WITHOUT re-touching the raw events — the union is
+    // register-wise max over the day sketches, a few KB each. This is
+    // THE 100 TB cardinality pattern: daily jobs persist sketches;
+    // weekly/monthly/all-time distincts aggregate sketches, not data.
+    // Rows-only (sketch internals are engine-specific); the spec pins
+    // the union estimate EQUAL to a direct single-pass sketch (same
+    // lgK → identical registers) and within 5% of the exact distinct.
+    "agg_hll_partial" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val perDay = daily.select(
+        date_format(col("day"), "yyyy-MM-dd").as("scope"),
+        hll_sketch_estimate(col("sk")).as("est_users"))
+      val overall = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_users"))
+        .select(lit("ALL").as("scope"), col("est_users"))
+      perDay.unionByName(overall)
+    }),
+
     // Salted hot-key join, driver-checked: l_returnflag has 3 values,
     // so a plain shuffle join lands a third of the fact table on ONE
     // reducer — the pathological skew AQE's splitter can mitigate but

@@ -188,6 +188,32 @@ class DedupSpec extends SparkFunSuite {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("dedup_incremental equals the brute-force delta restriction") {
+    import spark.implicits._
+    // near-dups planted on BOTH sides of the 0.9·max(id)=90 boundary:
+    // (1,3) is prior×prior and must NOT appear; (·,95/97/100) must.
+    val a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val b = "completely different words describing another unrelated subject entirely now"
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, a + " extra"),
+      (95L, a + " tail"), (97L, b + " ok"), (100L, a))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"))).as("sh"))
+    val brute = d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jacc", Dedup.shingleSetJaccard(col("x.sh"), col("y.sh")))
+      .where(col("jacc") >= 0.5 && col("y.doc_id") > 90)
+      .select(col("x.doc_id"), col("y.doc_id"), round(col("jacc"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.jaccardIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(got.contains((1L, 100L, 1.0)), "exact copy of doc 1 must surface")
+    assert(got.forall(_._2 > 90), "every pair must involve a new doc")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L),
+      "prior×prior pairs must never re-emit")
+  }
+
   test("connectedComponents on an empty edge set returns an empty mapping") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -283,4 +283,83 @@ class RelationalSpec extends SparkFunSuite {
     assert(unsharded.forall(_.contains("n#")),
       s"data-scale window without pid sharding:\n${unsharded.mkString("\n")}")
   }
+
+  test("ev_gap_fill: dense spans, forward-filled values, fill flag consistent") {
+    val rows = SparkEntry.queries("ev_gap_fill")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val hours = rs.map(_._2).sorted
+      // densification: hour strings step by exactly 3600s, no holes
+      val us = hours.map(h => java.time.LocalDateTime.parse(
+        h.replace(' ', 'T')).toEpochSecond(java.time.ZoneOffset.UTC))
+      assert(us.last - us.head == 3600L * (us.length - 1),
+        s"user $u: span not dense")
+      assert(us.distinct.length == us.length, s"user $u: duplicate hours")
+      // endpoints are observed hours (span is [first, last] observed)
+      val byHour = rs.sortBy(_._2)
+      assert(byHour.head._3 > 0 && byHour.last._3 > 0,
+        s"user $u: span endpoints must be observed")
+      // flag ⟺ zero events; filled_value never NULL (no leading gap)
+      byHour.foreach { r =>
+        assert((r._3 == 0) == (r._5 == 1), s"user $u ${r._2}: flag mismatch")
+        assert(!r._4.isNaN, s"user $u ${r._2}: fill produced NULL")
+      }
+      // forward fill: a filled hour carries the previous hour's value
+      byHour.sliding(2).foreach {
+        case Array(prev, cur) if cur._5 == 1 =>
+          assert(cur._4 == prev._4,
+            s"user $u ${cur._2}: filled value must equal previous hour's")
+        case _ =>
+      }
+    }
+  }
+
+  test("ev_anomaly flags exactly the median/MAD outliers, computed brute-force") {
+    val counts = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val want = counts.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val med = median(rs.toSeq.map(_._3.toDouble))
+      val mad = median(rs.toSeq.map(r => math.abs(r._3 - med)))
+      rs.toSeq.filter(r => math.abs(r._3 - med) > 3 * mad)
+        .map(r => (t, r._2, r._3, med, mad))
+    }.toSet
+    val got = SparkEntry.queries("ev_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain volume bursts")
+  }
+
+  test("agg_hll_partial: daily-sketch union == direct sketch, within 5% of exact") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = SparkEntry.queries("agg_hll_partial")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mergeability: register-wise max over day sketches must equal the
+    // single-pass sketch over the same rows (same lgK → same registers)
+    val direct = ev.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"), lit(12))).as("e")).collect()(0).getLong(0)
+    assert(got("ALL") == direct,
+      s"union estimate ${got("ALL")} != direct sketch $direct")
+    val exactAll = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(got("ALL") - exactAll).toDouble / exactAll < 0.05)
+    // per-day rungs present and each within 5% of its exact distinct
+    val exactDays = ev.groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exactDays.keySet + "ALL")
+    exactDays.foreach { case (d, ex) =>
+      assert(math.abs(got(d) - ex).toDouble / ex < 0.05, s"day $d: ${got(d)} vs $ex")
+    }
+  }
 }
