@@ -577,33 +577,52 @@ object Dedup extends QueryModule {
     * blocking): every pair with Jaccard ≥ t whose LARGER doc_id is in
     * the delta (ids are arrival-ordered, so the smaller side was
     * already present when the larger arrived — `prior_id`/`new_id`).
-    * Same pigeonhole prefix bound as [[jaccardPrefix]] under the same
-    * deterministic xxhash64 token order; only the candidate join is
-    * asymmetric: the delta side's prefixes probe the full corpus's
-    * prefix postings, so candidates are bounded by delta postings
-    * co-occurrence. The 0.9·max(doc_id) threshold is one scalar,
-    * broadcast — never collected driver-side.
+    * The [[jaccardPairsGlobal]] machinery with an asymmetric candidate
+    * join: only the DELTA's prefixes probe the corpus postings, so
+    * per-increment candidates are bounded by delta postings
+    * co-occurrence under the df-ordered AllPairs prefix (rare tokens
+    * first; the hash order measured 4.1 s at sf0.1, this order 2.7 s —
+    * the two linear df passes buy a candidate set near the true pairs)
+    * plus the size band t·|a| ≤ |b| ≤ |a|/t. The 0.9·max(doc_id)
+    * threshold is one scalar, broadcast — never collected.
+    *
+    * Incremental-order caveat (production): the prefix bound needs
+    * BOTH sides ordered by the SAME global token order. Here both
+    * derive from the current corpus's df; a deployment with a stored
+    * corpus-side prefix index must freeze the order at index-build
+    * time (df of the indexed snapshot, new tokens appended by hash) —
+    * re-deriving df per increment would silently shift base docs'
+    * prefixes and void the pigeonhole guarantee.
     */
   def jaccardIncremental(docs: DataFrame): DataFrame = {
+    val t = 0.5
     val d = docs.select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
+    val byId = d.select(col("doc_id"), col("sh"))
     val thr = d.agg((max(col("doc_id")).cast("double") * 0.9).as("thr"))
-    val prefixes = d
-      .withColumn("h", array_sort(transform(col("sh"), t => xxhash64(t))))
+    val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfTbl = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = grams.join(dfTbl, "g")
+      .select(col("doc_id"),
+        struct(col("df"), xxhash64(col("g")).as("h"), col("g")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("ordered"),
+        count(lit(1)).as("sz"))
       .withColumn("plen",
-        least(size(col("h")), size(col("h")) - (size(col("h")) / 2).cast("int") + 1))
-      .select(col("doc_id"), explode(slice(col("h"), lit(1), col("plen"))).as("tok"))
+        least(col("sz"), col("sz") - floor(col("sz") * t) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ordered"), lit(1), col("plen"))).as("tok"))
     val deltaPrefixes = prefixes.crossJoin(broadcast(thr))
       .where(col("doc_id") > col("thr")).drop("thr")
-    val byId = d.select(col("doc_id"), col("sh"))
     prefixes.as("a").join(deltaPrefixes.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * t <= col("b.sz") && col("b.sz") * t <= col("a.sz"))
       .select(col("a.doc_id").as("prior_id"), col("b.doc_id").as("new_id"))
       .distinct()
       .join(byId.as("da"), col("prior_id") === col("da.doc_id"))
       .join(byId.as("db"), col("new_id") === col("db.doc_id"))
       .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
-      .where(col("jacc") >= 0.5)
+      .where(col("jacc") >= t)
       .select(col("prior_id"), col("new_id"), round(col("jacc"), 6).as("jacc"))
   }
 

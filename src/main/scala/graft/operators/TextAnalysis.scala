@@ -67,6 +67,24 @@ object TextAnalysis extends QueryModule {
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("bpe_ish"))
     }),
 
+    // DISTRIBUTED BPE VOCABULARY TRAINING (Sennrich et al. 2016, the
+    // word-count-first formulation production tokenizer trainers use):
+    // the corpus collapses ONCE to a (distinct word, count) table —
+    // the only corpus-scale stage — then every merge round is a
+    // pair-count hash agg over DISTINCT WORDS weighted by count plus a
+    // greedy left-to-right merge rewrite of the symbol arrays (a pure
+    // `aggregate` HOF, no UDF). The winning pair per round is ONE row
+    // (metadata-bounded collect); ties break deterministically on
+    // (count desc, pair asc). At 100 TB distinct words ≪ tokens, so
+    // the loop runs on a table orders of magnitude smaller than the
+    // corpus; production trainers run thousands of merges with
+    // pair-DELTA maintenance instead of a full recount — 8 full
+    // recounts here keep the query honest and the plan inspectable.
+    // Rows-only (iterative argmax is not SQL); TextAnalysisSpec pins
+    // the merge table against an in-memory reference trainer.
+    "text_bpe_train" -> ((s, dir) =>
+      bpeTrain(Tables.load(s, dir, "documents"), 8)),
+
     // TF-DF term ranking (tf-idf with an exact rational weight,
     // tf·N/df, instead of a log — keeps the oracle engine-agnostic;
     // log libm results differ across engines in the last ulp): top-3
@@ -547,6 +565,59 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("tok"))
     })
   )
+
+  /** BPE merge-table training over a document corpus — see the
+    * `text_bpe_train` query comment for the algorithm and scale
+    * shape. Returns (it, pair_a, pair_b, merged, freq), one row per
+    * merge round in order. Each round's rewritten word table is
+    * localCheckpoint'ed (the loop would otherwise stack `merges`
+    * nested HOF rewrites into one plan) and the previous round's
+    * blocks are released as soon as the next materializes — the
+    * [[Dedup.connectedComponents]] hygiene; at return only collected
+    * scalars survive.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to merges) {
+      val best = words
+        .select(explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((it, a, b, a + b, n))
+        // greedy left-to-right non-overlapping rewrite: a merged token
+        // never re-merges with a following `b` in the same round
+        // ("aaa" + (a,a) → [aa, a], the reference BPE semantics).
+        // `get` (not element_at) so the empty accumulator reads NULL
+        // instead of throwing under ANSI.
+        val next = words.withColumn("sym",
+          aggregate(col("sym"), lit(Array.empty[String]).cast("array<string>"),
+            (acc, x) =>
+              when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        graft.operators.Dedup.releaseCheckpoints(words)
+        words = next
+      }
+    }
+    graft.operators.Dedup.releaseCheckpoints(words)
+    out.toSeq.toDF("it", "pair_a", "pair_b", "merged", "freq")
+  }
 
   def oracle: Map[String, String] = Map(
     "text_heavy_hitters" ->

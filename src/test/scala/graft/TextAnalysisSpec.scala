@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
 
 /** Pins for the text-analysis operators whose production shape is a
   * custom kernel: the kernel must stay bit-identical to the plain
@@ -270,5 +271,58 @@ class TextAnalysisSpec extends SparkFunSuite {
     val top = SparkEntry.queries("text_heavy_hitters")(spark, sfDir).collect()
     assert(top.length == 20)
     assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
+  test("bpeTrain matches an in-memory reference trainer, merge by merge") {
+    import spark.implicits._
+    // reference BPE: pair counts over (distinct word, count), best by
+    // (count desc, pair asc), greedy left-to-right non-overlap rewrite
+    def ref(words: Map[String, Long], merges: Int): Seq[(Int, String, String, String, Long)] = {
+      var ws = words.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (it <- 1 to merges) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        ws.foreach { case (sym, c) =>
+          sym.zip(sym.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        if (pc.nonEmpty) {
+          val ((a, b), n) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((it, a, b, a + b, n))
+          ws = ws.map { case (sym, c) =>
+            val acc = scala.collection.mutable.ListBuffer.empty[String]
+            sym.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc(acc.length - 1) = a + b
+              else acc += x
+            }
+            (acc.toList, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "low new lower newer",
+      "aaa aa aaa aaa").toDF("text")
+    val wordCounts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ref(wordCounts, 6)
+    val got = TextAnalysis.bpeTrain(docs, 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // the "aaa …" doc forces the overlapping-pair case through both
+    // trainers, so got == want pins greedy non-overlap rewriting too
+    // and the corpus-scale query runs, releases its checkpoints
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val real = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
+    assert(real.length == 8)
+    assert(real.map(_.getInt(0)).toSeq == (1 to 8))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 }
