@@ -332,6 +332,74 @@ object EventWindows extends QueryModule {
           col("n").isNull.cast("int").as("is_filled"))
     }),
 
+    // Rolling 24 h DISTINCT users per hour — the trailing-window
+    // cardinality no SQL window function expresses (COUNT(DISTINCT)
+    // OVER is unsupported everywhere). Scale shape: collapse to
+    // distinct (hour, user) pairs first (hash agg, the only
+    // corpus-scale stage), then each pair contributes to exactly 24
+    // target hours via a BOUNDED sequence-explode — the ev_concurrency
+    // densification trick — and a hash agg counts distinct users per
+    // target hour; a semi-join restricts output to hours that exist.
+    // No range join, no nested loop, every stage keyed and parallel.
+    "ev_rolling_distinct" -> ((s, dir) => {
+      val hu = Tables.load(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val contrib = hu.select(col("user_id"),
+        explode(sequence(col("h"), col("h") + expr("interval 23 hours"),
+          expr("interval 1 hour"))).as("oh"))
+      contrib.join(hu.select(col("h").as("oh")).distinct(), Seq("oh"), "left_semi")
+        .groupBy(col("oh"))
+        .agg(countDistinct(col("user_id")).as("u24"))
+        .select(date_format(col("oh"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("u24"))
+    }),
+
+    // Event-type TRANSITION MATRIX (first-order Markov features):
+    // lead() per user stream, pair counts, and exact conditional
+    // probabilities. One shuffle on the user key for the sequence
+    // window; the count tables are (types × types) — metadata-sized.
+    // p = n/m spells the SAME two bigint operands on both engines →
+    // one correctly-rounded IEEE division, bit parity.
+    "ev_markov_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seq0 = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull)
+      val c = seq0.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("cur")).agg(sum(col("n")).as("m"))
+      c.join(broadcast(tot), "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          (col("n").cast("double") / col("m")).as("p"))
+    }),
+
+    // SQL SESSIONIZATION (gap ≥ 30 min ⇒ new session — the same
+    // half-open boundary as session_window, so ev_session and this
+    // query agree session-for-session, spec-pinned): the classic
+    // lag-flag + running-sum idiom — the batch spelling of what
+    // session_window/flatMapGroupsWithState do with state. Both
+    // windows and the final agg share the user partitioning, so the
+    // whole query is ONE shuffle on the user key; session ids are
+    // per-user ordinals (stable under reruns, no global counter).
+    "ev_sessionize_sql" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("user_id"), col("sid"), col("n_events"),
+          col("session_start"), col("total_value"))
+    }),
+
     // Robust ANOMALY FLAGGING on hourly volumes: median/MAD outlier
     // detection (|n − median| > 3·MAD per event type) — the data-drift
     // tripwire over ingest volumes. The exact order statistics run on
@@ -542,6 +610,46 @@ object EventWindows extends QueryModule {
              OVER (PARTITION BY user_id ORDER BY h) AS filled_value,
            CAST(n IS NULL AS INT) AS is_filled
          FROM j""",
+
+    "ev_rolling_distinct" ->
+      """WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                     FROM events),
+         hours AS (SELECT DISTINCT h FROM hu)
+         SELECT strftime(o.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(DISTINCT hu.user_id) AS u24
+         FROM hours o JOIN hu
+           ON hu.h <= o.h AND hu.h > o.h - INTERVAL 24 HOUR
+         GROUP BY o.h""",
+
+    "ev_markov_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         c AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+               WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT cur, SUM(n) AS m FROM c GROUP BY 1)
+         SELECT c.cur, c.nxt, c.n, CAST(c.n AS DOUBLE) / tot.m AS p
+         FROM c JOIN tot USING (cur)""",
+
+    "ev_sessionize_sql" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sn AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS sid
+                FROM g)
+         SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM sn GROUP BY user_id, sid""",
 
     "ev_anomaly" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,

@@ -341,6 +341,60 @@ class RelationalSpec extends SparkFunSuite {
     assert(got.nonEmpty, "fixture should contain volume bursts")
   }
 
+  test("ev_rolling_distinct equals the brute-force trailing-24h distinct count") {
+    val hu = Tables.load(spark, sfDir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1)))
+    val hours = hu.map(_._1).distinct
+    val want = hours.map { o =>
+      val lo = o.minusSeconds(24 * 3600)
+      val users = hu.collect { case (h, u) if h.isAfter(lo) && !h.isAfter(o) => u }
+      (java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(o), users.distinct.length.toLong)
+    }.toSet
+    val got = SparkEntry.queries("ev_rolling_distinct")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    // densification must not invent hours: output hours == observed hours
+    assert(got.size == hours.length)
+  }
+
+  test("ev_markov_transitions: probabilities normalize and counts tie out") {
+    val rows = SparkEntry.queries("ev_markov_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-source distribution sums to 1 (n_i/m with m = Σn_i; fp-tolerant)
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$cur: probabilities sum to $s")
+      val m = rs.map(_._3).sum
+      rs.foreach(r => assert(r._4 == r._3.toDouble / m, s"$cur->${r._2}"))
+    }
+    // total transition count = events - one per user (last event has no next)
+    val ev = Tables.load(spark, sfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+  }
+
+  test("ev_sessionize_sql agrees session-for-session with session_window ev_session") {
+    val raw = SparkEntry.queries("ev_sessionize_sql")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val got = raw.map(r => (r._1, r._4, r._3, r._5))
+    val want = SparkEntry.queries("ev_session")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == want.toSet)
+    assert(got.length == want.length, "duplicate (user, start) collapsed")
+    // sids are dense per-user ordinals aligned with session_start order
+    raw.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"user $u: sids not dense 1..k")
+      assert(rs.sortBy(_._2).map(_._4).toSeq == rs.map(_._4).sorted.toSeq,
+        s"user $u: sid order != time order")
+    }
+  }
+
   test("agg_hll_partial: daily-sketch union == direct sketch, within 5% of exact") {
     val ev = Tables.load(spark, sfDir, "events")
     val got = SparkEntry.queries("agg_hll_partial")(spark, sfDir).collect()
