@@ -400,6 +400,32 @@ object EventWindows extends QueryModule {
           col("session_start"), col("total_value"))
     }),
 
+    // EWMA smoothing per user (α = 0.25): the sequential-dependency
+    // op window functions cannot express (s_t = α·x_t + (1−α)·s_{t−1}
+    // depends on its own previous OUTPUT). Spelled as a per-key
+    // sorted LEFT FOLD: collect the user's series, array_sort by the
+    // unique (us, event_id) key, and fold with `aggregate` — state per
+    // key is the user's own series (the same per-key bound as any
+    // sessionization; the streaming spelling is mapGroupsWithState).
+    // Bit parity: α = 0.25 and 1−α = 0.75 are EXACT binaries, each
+    // fold step is two correctly-rounded multiplies + one add in the
+    // same order on both engines (DuckDB list_reduce is the same left
+    // fold, seeded with the first element) — zero libm, zero
+    // order-nondeterminism. One shuffle on user_id.
+    "ev_ewma" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("a"))
+        .select(col("user_id"), size(col("a")).as("n_events"),
+          expr("""aggregate(slice(a, 2, size(a) - 1),
+                            element_at(a, 1).value,
+                            (s, x) -> 0.25D * x.value + 0.75D * s)""")
+            .as("ewma"))
+    }),
+
     // Robust ANOMALY FLAGGING on hourly volumes: median/MAD outlier
     // detection (|n − median| > 3·MAD per event type) — the data-drift
     // tripwire over ingest volumes. The exact order statistics run on
@@ -650,6 +676,15 @@ object EventWindows extends QueryModule {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM sn GROUP BY user_id, sid""",
+
+    // list() with ORDER BY gives the same (ts, event_id)-sorted series;
+    // list_reduce seeds with the first element exactly like the Spark
+    // side's element_at(a, 1) init
+    "ev_ewma" ->
+      """SELECT user_id, CAST(len(l) AS INTEGER) AS n_events,
+           list_reduce(l, (s, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * s) AS ewma
+         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+               FROM events GROUP BY user_id) t""",
 
     "ev_anomaly" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,

@@ -563,6 +563,42 @@ object TextAnalysis extends QueryModule {
         .stat.freqItems(Seq("tok"), 0.01)
         .select(explode(col("tok_freqItems")).as("tok"))
         .orderBy(col("tok"))
+    }),
+
+    // WEIGHTED sampling without replacement, k per language, weight =
+    // doc length: PRIORITY SAMPLING (Duffield/Lund/Thorup, JACM '07) —
+    // rank by u/w ascending (their w/u priority descending) and take
+    // the k smallest. Deterministic draws (the temperature-sample
+    // multiplicative hash), and the rank key is ONE division of two
+    // integer-valued doubles — correctly rounded IEEE on both engines,
+    // so selection and the emitted priority are bit-identical with
+    // ZERO libm (the reason this is u/w, not the Efraimidis–Spirakis
+    // u^(1/w): pow is not correctly rounded). Scale: per-group top-k
+    // runs TWO-LEVEL — a salted (lang, salt) window keeps k per shard
+    // (parallelism = langs × 16 regardless of group skew), the final
+    // per-lang window sees ≤ 16·k rows — never a whole-group
+    // single-reducer sort (the w3_percent_rank lesson).
+    "text_weighted_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val keyed = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          greatest(col("n_chars"), lit(1L)).as("w"))
+        .withColumn("pri",
+          (pmod(col("doc_id") * 2654435761L, lit(1000000L)) + 1L).cast("double")
+            / col("w").cast("double"))
+      val local = keyed
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+        .withColumn("lrk", row_number().over(Window
+          .partitionBy(col("lang"), col("salt"))
+          .orderBy(col("pri").asc, col("doc_id").asc)))
+        .where(col("lrk") <= k)
+      local
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("lang"))
+          .orderBy(col("pri").asc, col("doc_id").asc)))
+        .where(col("rk") <= k)
+        .select(col("lang"), col("doc_id"), col("w"), col("pri"), col("rk"))
     })
   )
 
@@ -624,6 +660,20 @@ object TextAnalysis extends QueryModule {
       """SELECT tok, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    // one-level spelling: the two-level Spark plan is exact, so the
+    // direct per-lang window must produce identical rows
+    "text_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id, greatest(n_chars, 1) AS w,
+             CAST((doc_id * 2654435761) % 1000000 + 1 AS DOUBLE)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS pri
+           FROM documents)
+         SELECT lang, doc_id, w, pri, rk FROM (
+           SELECT lang, doc_id, w, pri,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY pri ASC, doc_id ASC) AS rk
+           FROM keyed) t
+         WHERE rk <= 10""",
     "text_chunk" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

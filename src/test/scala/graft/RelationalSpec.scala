@@ -378,6 +378,43 @@ class RelationalSpec extends SparkFunSuite {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("ev_ewma equals a brute-force sorted fold per user") {
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    val want = rows.groupBy(_._1).map { case (u, rs) =>
+      val xs = rs.map(_._2).sortBy(t => (t._1, t._2)).map(_._3)
+      (u, xs.length, xs.tail.foldLeft(xs.head)((s, x) => 0.25d * x + 0.75d * s))
+    }.toSet
+    val got = SparkEntry.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("text_weighted_sample: two-level top-k identical to the direct window") {
+    val got = SparkEntry.queries("text_weighted_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // direct one-level reference, brute-forced in memory
+    val keyed = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .collect().map { r =>
+      val (id, lang, w) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val pri = ((id * 2654435761L) % 1000000L + 1L).toDouble / w.toDouble
+      (lang, id, w, pri)
+    }
+    val want = keyed.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._4, r._2)).take(10).zipWithIndex
+        .map { case (r, i) => (r._1, r._2, r._3, r._4, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+    // every language is represented with min(k, group size) rows
+    val sizes = keyed.groupBy(_._1).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.length == math.min(10, sizes(l)), s"$l: wrong sample size")
+    }
+  }
+
   test("ev_sessionize_sql agrees session-for-session with session_window ev_session") {
     val raw = SparkEntry.queries("ev_sessionize_sql")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
