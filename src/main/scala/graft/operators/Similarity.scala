@@ -733,6 +733,62 @@ object Similarity extends QueryModule {
         .join(dups, Seq("vec_id"), "left")
         .select(col("vec_id"), col("c_id"),
           col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
+    }),
+
+    // PCA PROJECTION — the dimensionality-reduction pass before an ANN
+    // index or scalar quantizer (e.g. 64 → 4 dims for coarse routing).
+    // ONE distributed pass computes n, per-dim sums, and the
+    // upper-triangle second-moment matrix: each row explodes to its
+    // d(d+1)/2 moment cells, the hash agg map-side-combines them, so
+    // the shuffle carries ~d²/2 partials per partition — never the
+    // corpus (the n·d² multiply work is inherent to covariance). Sums
+    // go through DECIMAL(38,12), so the covariance matrix is
+    // order-independent and bit-reproducible run to run; the 64×64
+    // eigensolve is a deterministic driver-side cyclic Jacobi
+    // (metadata-sized, like IVF's codebook collect), eigenvectors
+    // sign-canonicalized. The projection back over the corpus is a
+    // zero-shuffle codegen'd projection (dot kernel, sequential IEEE
+    // fold — deterministic). Rows-only: no SQL oracle can spell the
+    // eigensolve; MLlibCrossSpec pins the subspace against
+    // ml.feature.PCA and the eigen equations brute-force.
+    "vec_pca" -> ((s, dir) => {
+      val p = 4
+      val e = embeddings(s, dir).select(col("vec_id"), col("label"), col("vd"))
+      val cells = e.select(explode(expr(
+        """flatten(transform(sequence(0, size(vd) - 1),
+             i -> transform(sequence(i, size(vd) - 1),
+               j -> struct(i AS i, j AS j,
+                 element_at(vd, i + 1) * element_at(vd, j + 1) AS xx,
+                 if(j = i, element_at(vd, i + 1), 0D) AS x))))""")).as("m"))
+        .groupBy(col("m.i").as("i"), col("m.j").as("j"))
+        .agg(sum(col("m.xx").cast("decimal(38,12)")).cast("double").as("sxx"),
+          sum(col("m.x").cast("decimal(38,12)")).cast("double").as("sx"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val dim = cells.iterator.map(_.getInt(0)).max + 1
+      val n = cells.head.getLong(4).toDouble
+      val mu = new Array[Double](dim)
+      val cov = Array.ofDim[Double](dim, dim)
+      cells.foreach { r =>
+        if (r.getInt(0) == r.getInt(1)) mu(r.getInt(0)) = r.getDouble(3) / n
+      }
+      cells.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val c = r.getDouble(2) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val (evals, vecs) = Jacobi.eigSym(cov)
+      val top = vecs.take(p)
+      val offs = top.map { v =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += mu(i) * v(i); i += 1 }; s
+      }
+      val projected = (0 until p).foldLeft(e) { (df, k) =>
+        df.withColumn(s"pc${k + 1}",
+          dot(col("vd"), lit(top(k))) - lit(offs(k)))
+      }
+      projected.select(col("vec_id") +: col("label") +:
+        (1 to p).map(k => col(s"pc$k")): _*)
     })
   )
 
@@ -806,4 +862,83 @@ object Similarity extends QueryModule {
                               (x, y) -> x + y) / (a.nrm * b.nrm) DESC,
                   a.vec_id ASC, b.vec_id ASC
          LIMIT 20"""
+}
+
+/** Deterministic cyclic-Jacobi eigensolver for small symmetric
+  * matrices (the driver-side step of [[Similarity]]'s `vec_pca` —
+  * d×d with d = embedding dim, metadata-sized). Fixed sweep order,
+  * fixed thresholds, no randomness: identical input bits give
+  * identical eigenpairs, which the determinism sweep relies on.
+  * Returns (eigenvalues, eigenvectors) sorted by eigenvalue
+  * descending (index ascending on ties), each eigenvector
+  * sign-canonicalized so its largest-|component| entry (first on
+  * ties) is positive.
+  */
+private[graft] object Jacobi {
+  def eigSym(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (offDiag() > 1e-22 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      var best = 0
+      var k = 1
+      while (k < d) {
+        if (math.abs(col(k)) > math.abs(col(best))) best = k
+        k += 1
+      }
+      if (col(best) < 0) col.map(x => -x) else col
+    }.toArray
+    (evals, vecs)
+  }
 }

@@ -85,6 +85,32 @@ object TextAnalysis extends QueryModule {
     "text_bpe_train" -> ((s, dir) =>
       bpeTrain(Tables.load(s, dir, "documents"), 8)),
 
+    // BPE APPLY — tokenize the corpus with the trained merge table
+    // (the other half of the tokenizer: train once, encode at corpus
+    // scale). The merge table is the trainer's metadata-sized output,
+    // collected once and carried as plan-constant config on the
+    // [[graft.functions.BpeEncode]] kernel — the per-doc encode is a
+    // ZERO-SHUFFLE codegen'd projection, flat in plan size no matter
+    // the vocab (a HOF-fold spelling would nest one `aggregate` per
+    // merge and collapse the optimizer at real vocab sizes). Rows-only:
+    // the iterative trainer has no SQL oracle; TextAnalysisSpec pins
+    // the kernel against a brute-force reimplementation, the
+    // concat-roundtrip invariant, and the trainer's own word table.
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merges = bpeTrain(docs, 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("n_words"),
+          transform(col("tk"),
+            w => graft.functions.BpeEncode.bpe_encode(w, merges)).as("enc"))
+        .select(col("doc_id"), col("n_words"),
+          expr("aggregate(enc, 0, (a, x) -> a + size(x))").as("n_sym"),
+          array_join(flatten(slice(col("enc"), 1, 3)), "|").as("head_sym"))
+    }),
+
     // TF-DF term ranking (tf-idf with an exact rational weight,
     // tf·N/df, instead of a log — keeps the oracle engine-agnostic;
     // log libm results differ across engines in the last ulp): top-3

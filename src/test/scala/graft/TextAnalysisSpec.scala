@@ -325,4 +325,47 @@ class TextAnalysisSpec extends SparkFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
+
+  test("bpe_encode kernel matches a brute-force reimplementation and round-trips") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = TextAnalysis.bpeTrain(docs, 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 8)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val got = words
+      .select(col("w"),
+        graft.functions.BpeEncode.bpe_encode(col("w"), merges).as("e"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(got.nonEmpty)
+    // independent spelling: the trainer's fold-based rewrite, in Scala
+    def brute(w: String): Seq[String] =
+      merges.foldLeft(w.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    got.foreach { case (w, e) =>
+      assert(e == brute(w), s"word '$w': $e != ${brute(w)}")
+      assert(e.mkString == w, s"word '$w' does not round-trip: $e")
+    }
+    // at least one real word actually merged, or the pin is vacuous
+    assert(got.exists(_._2.exists(_.length > 1)))
+    // the overlap trap: greedy left-to-right, non-overlapping
+    val trap = graft.functions.BpeEncode.bpe_encode(lit("aaa"), Seq("a" -> "a"))
+    val trapped = spark.range(1).select(trap.as("e"))
+      .collect().head.getSeq[String](0)
+    assert(trapped == Seq("aa", "a"))
+
+    // the corpus-scale query composes the kernel zero-shuffle
+    val applied = SparkEntry.queries("text_bpe_apply")(spark, sfDir).collect()
+    assert(applied.length == docs.count())
+    applied.foreach { r =>
+      assert(r.getInt(2) <= 0 + r.getInt(1) * 100 && r.getInt(2) >= r.getInt(1),
+        s"doc ${r.getLong(0)}: n_sym ${r.getInt(2)} vs n_words ${r.getInt(1)}")
+    }
+  }
 }
