@@ -105,6 +105,37 @@ object EventStreams {
       }
   }
 
+  /** Streaming EWMA per user — the stateful spelling of the batch
+    * `ev_ewma` sorted fold (α = 0.25). State carries (count, ewma);
+    * each micro-batch's rows fold in (us, event_id) order on top of
+    * the carried value, seeding from the first observation exactly
+    * like the batch init. With in-order arrival (drop-folder files in
+    * event-time order), the final emission per user is BIT-IDENTICAL
+    * to the batch fold — StreamingSpec pins that on the drained
+    * fixture. State is two numbers per key (the O(1)-per-key class
+    * running counts sit in), so capacity scales with the state store
+    * like any keyed aggregation.
+    */
+  def userEwma(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val xs = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+          val (n0, e0) = state.getOption.getOrElse((0L, 0.0))
+          var e = e0
+          var i = 0
+          if (n0 == 0L && xs.nonEmpty) { e = xs(0); i = 1 }
+          while (i < xs.length) { e = 0.25d * xs(i) + 0.75d * e; i += 1 }
+          state.update((n0 + xs.length, e))
+          (user, n0 + xs.length, e)
+      }
+  }
+
   /** Streaming MERGE: drain a stream into a parquet "table" with
     * idempotent upsert-update semantics per micro-batch (foreachBatch
     * + [[graft.sinks.Merge.upsertUpdate]] — the reference's ON

@@ -216,6 +216,22 @@ class StreamingSpec extends SparkFunSuite {
     assert(store.currentVersion() == v)
   }
 
+  test("streaming EWMA state fold == batch ev_ewma, bit-identical") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ewma = EventStreams.userEwma(
+      spark, EventStreams.readEvents(spark, eventsDir))
+    val got = EventStreams.drainToMemory(
+      spark, ewma.toDF("user_id", "n", "ewma"), "ewma_out", OutputMode.Update())
+      // running emissions across micro-batches: the final one per user
+      // is the row with the largest count
+      .groupBy(col("user_id")).agg(max(struct(col("n"), col("ewma"))).as("f"))
+      .collect().map(r => (r.getLong(0),
+        (r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1)))).toMap
+    val want = SparkEntry.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
