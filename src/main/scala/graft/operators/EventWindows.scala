@@ -400,6 +400,37 @@ object EventWindows extends QueryModule {
           col("session_start"), col("total_value"))
     }),
 
+    // Per-type OLS TREND (least-squares value-over-time slope): the
+    // drift statistic behind "is this metric creeping up". Five exact
+    // moment sums (x as integer SECONDS — decimal-exact sums that
+    // never overflow 38 digits even at 10¹² rows, unlike micros²),
+    // then slope/intercept as a fixed tree of correctly-rounded
+    // double ops — bit parity by the a9_cov_corr argument. One
+    // map-side-combined hash agg on a 25-value key.
+    "ev_trend" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          // seconds over a fixed 2020-09 base: keeps x² ~10¹⁶, far
+          // from BIGINT overflow for any plausible event time
+          (expr("unix_micros(ts) div 1000000") - 1600000000L).as("x"),
+          col("value").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(38,6)")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("x").cast("double") * col("y")).cast("decimal(38,6)"))
+            .cast("double").as("sxy"))
+      m.withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")))
+        // rounded past ulp noise: n·sxy − sx·sy is FMA-contractable
+        // in a C++ engine, never on the JVM (a9_cov_corr precedent)
+        .select(col("event_type"), col("n"), round(col("slope"), 12).as("slope"),
+          round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+            .as("intercept"))
+    }),
+
     // EWMA smoothing per user (α = 0.25): the sequential-dependency
     // op window functions cannot express (s_t = α·x_t + (1−α)·s_{t−1}
     // depends on its own previous OUTPUT). Spelled as a per-key
@@ -676,6 +707,26 @@ object EventWindows extends QueryModule {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM sn GROUP BY user_id, sid""",
+
+    "ev_trend" ->
+      """WITH m AS (
+           SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1600000000
+               AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST((epoch_us(ts) // 1000000 - 1600000000)
+               * (epoch_us(ts) // 1000000 - 1600000000)
+               AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(epoch_us(ts) // 1000000 - 1600000000 AS DOUBLE)
+               * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM events GROUP BY event_type),
+         sl AS (
+           SELECT event_type, n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM m)
+         SELECT event_type, n, round(slope, 12) AS slope,
+           round((sy - slope * sx) / n, 6) AS intercept
+         FROM sl""",
 
     // list() with ORDER BY gives the same (ts, event_id)-sorted series;
     // list_reduce seeds with the first element exactly like the Spark

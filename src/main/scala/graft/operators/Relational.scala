@@ -643,6 +643,38 @@ object Relational extends QueryModule {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // Exact per-group COVARIANCE + CORRELATION of (quantity, price) —
+    // built from the five DECIMAL(38,6)-exact moment sums instead of
+    // covar_pop/corr builtins, whose streaming update order makes the
+    // double result partition-dependent AND engine-specific. Here
+    // every sum is order-free exact decimal; the final covariance /
+    // correlation is a fixed tree of correctly-rounded double ops, so
+    // the result is bit-identical across engines and runs. One
+    // map-side-combined hash agg — the same single-pass shape as any
+    // moment statistic at 100 TB.
+    "a9_cov_corr" -> ((s, dir) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val m = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast("decimal(38,6)")).cast("double").as("sx"),
+          sum(y.cast("decimal(38,6)")).cast("double").as("sy"),
+          sum((x * x).cast("decimal(38,6)")).cast("double").as("sxx"),
+          sum((y * y).cast("decimal(38,6)")).cast("double").as("syy"),
+          sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"))
+      // outputs rounded past the last-ulp noise: product-difference
+      // trees (a·b − c·d) are FMA-contractable in a C++ engine but
+      // never on the JVM, so the raw doubles can differ by an ulp —
+      // the ann_range_search precedent applies
+      m.select(col("l_returnflag"), col("n"),
+        round(col("sxy") / col("n")
+          - (col("sx") / col("n")) * (col("sy") / col("n")), 6).as("cov_pop"),
+        round((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+          / (sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+            * sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))), 9)
+          .as("corr"))
+    }),
+
     // MERGEABLE-SKETCH ROLLUP (Datasketches HLL): build one compact
     // per-day sketch of distinct users, then answer the cross-day
     // distinct WITHOUT re-touching the raw events — the union is
@@ -974,6 +1006,23 @@ object Relational extends QueryModule {
            COUNT(DISTINCT l_suppkey) AS nd_supp,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    // same fixed operand tree as the Spark side — moment sums are
+    // decimal-exact, the final ops correctly-rounded doubles
+    "a9_cov_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round(sxy / n - (sx / n) * (sy / n), 6) AS cov_pop,
+           round((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+               * sqrt(syy / n - (sy / n) * (sy / n))), 9) AS corr
+         FROM m""",
     // the PLAIN join + aggregate — salting must be invisible in rows
     "skew_salted_join" ->
       """WITH dim AS (

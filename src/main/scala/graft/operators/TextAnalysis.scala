@@ -591,6 +591,42 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("tok"))
     }),
 
+    // Distribution DRIFT between corpus slices: per-source total-
+    // variation and squared-Hellinger distance of the token
+    // distribution against the whole corpus — the dump-over-dump
+    // drift tripwire run before mixing a new crawl in. The
+    // divergences are LOG-FREE on purpose: ÷ and √ are
+    // correctly-rounded IEEE ops (log/ln are libm, last-ulp
+    // divergent across engines — the text_tf_df lesson), so every
+    // per-token term has identical bits on both engines; terms are
+    // then quantized to integer 1e-12 units and summed exactly —
+    // order-free, oracle-hashable. Scale: two token hash aggs plus a
+    // |vocab| × |sources| grid (hash join on tok, sources broadcast)
+    // — linear in corpus, grid bounded by vocab.
+    "text_source_divergence" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val ca = toks.groupBy("tok").agg(count(lit(1)).as("ca"))
+      val cs = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val ns = toks.groupBy("source").agg(count(lit(1)).as("ns"))
+      val na = toks.agg(count(lit(1)).as("na"))
+      val grid = ca.crossJoin(broadcast(ns))
+        .join(cs, Seq("source", "tok"), "left")
+        .crossJoin(broadcast(na))
+        .select(col("source"), col("ns"),
+          (coalesce(col("cs"), lit(0L)).cast("double") / col("ns")).as("p"),
+          (col("ca").cast("double") / col("na")).as("q"))
+      grid
+        .select(col("source"), col("ns"),
+          round(abs(col("p") - col("q")) * 1e12).cast("long").as("qtv"),
+          round((sqrt(col("p")) - sqrt(col("q")))
+            * (sqrt(col("p")) - sqrt(col("q"))) * 1e12).cast("long").as("qh"))
+        .groupBy(col("source"), col("ns").as("n_tokens"))
+        .agg((sum(col("qtv")).cast("double") / 1e12 / 2).as("tv"),
+          (sum(col("qh")).cast("double") / 1e12 / 2).as("h2"))
+    }),
+
     // WEIGHTED sampling without replacement, k per language, weight =
     // doc length: PRIORITY SAMPLING (Duffield/Lund/Thorup, JACM '07) —
     // rank by u/w ascending (their w/u priority descending) and take
@@ -686,6 +722,28 @@ object TextAnalysis extends QueryModule {
       """SELECT tok, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "text_source_divergence" ->
+      """WITH toks AS (
+           SELECT source, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents) t
+           WHERE len(tok) > 0),
+         ca AS (SELECT tok, COUNT(*) AS ca FROM toks GROUP BY 1),
+         cs AS (SELECT source, tok, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+         ns AS (SELECT source, COUNT(*) AS ns FROM toks GROUP BY 1),
+         na AS (SELECT COUNT(*) AS na FROM toks),
+         grid AS (
+           SELECT ns.source, ns.ns,
+             CAST(coalesce(cs.cs, 0) AS DOUBLE) / ns.ns AS p,
+             CAST(ca.ca AS DOUBLE) / na.na AS q
+           FROM ca CROSS JOIN ns CROSS JOIN na
+           LEFT JOIN cs ON cs.source = ns.source AND cs.tok = ca.tok)
+         SELECT source, ns AS n_tokens,
+           CAST(SUM(CAST(round(abs(p - q) * 1e12) AS BIGINT)) AS DOUBLE)
+             / 1e12 / 2 AS tv,
+           CAST(SUM(CAST(round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))
+             * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / 2 AS h2
+         FROM grid GROUP BY 1, 2""",
     // one-level spelling: the two-level Spark plan is exact, so the
     // direct per-lang window must produce identical rows
     "text_weighted_sample" ->

@@ -378,6 +378,51 @@ class RelationalSpec extends SparkFunSuite {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("a9_cov_corr agrees with Spark's covar_pop/corr builtins") {
+    val got = SparkEntry.queries("a9_cov_corr")(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (n, cv, cr)) =>
+      val (rn, rcv, rcr) = ref(k)
+      assert(n == rn)
+      assert(math.abs(cv - rcv) <= 1e-6 * math.max(1.0, math.abs(rcv)),
+        s"$k: cov $cv vs builtin $rcv")
+      assert(math.abs(cr - rcr) <= 1e-6, s"$k: corr $cr vs builtin $rcr")
+    }
+  }
+
+  test("ev_trend equals a brute-force least-squares fit") {
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 1000000"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) - 1600000000L, r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (t, rs) =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._2.toDouble).sum; val sy = rs.map(_._3).sum
+      val sxx = rs.map(r => r._2.toDouble * r._2).sum
+      val sxy = rs.map(r => r._2.toDouble * r._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (t, (rs.length.toLong, slope, (sy - slope * sx) / n))
+    }
+    val got = SparkEntry.queries("ev_trend")(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (t, (n, sl, ic)) =>
+      val (gn, gsl, gic) = got(t)
+      assert(gn == n)
+      assert(math.abs(gsl - sl) <= 1e-9 * math.max(1.0, math.abs(sl)),
+        s"$t: slope $gsl vs $sl")
+      assert(math.abs(gic - ic) <= 1e-5 * math.max(1.0, math.abs(ic)),
+        s"$t: intercept $gic vs $ic")
+    }
+  }
+
   test("ev_ewma equals a brute-force sorted fold per user") {
     val rows = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))

@@ -326,6 +326,39 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("text_source_divergence equals brute-force TV and Hellinger distances") {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nAll = toks.length.toDouble
+    val q = toks.groupBy(_._2).view.mapValues(_.length / nAll).toMap
+    val want = toks.groupBy(_._1).map { case (src, rs) =>
+      val ns = rs.length.toDouble
+      val p = rs.groupBy(_._2).view.mapValues(_.length / ns).toMap
+      val tv = q.keysIterator.map { t =>
+        math.abs(p.getOrElse(t, 0.0) - q(t))
+      }.sum / 2
+      val h2 = q.keysIterator.map { t =>
+        val d = math.sqrt(p.getOrElse(t, 0.0)) - math.sqrt(q(t))
+        d * d
+      }.sum / 2
+      (src, (rs.length.toLong, tv, h2))
+    }
+    val got = SparkEntry.queries("text_source_divergence")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (srcName, (n, tv, h2)) =>
+      val (gn, gtv, gh2) = got(srcName)
+      assert(gn == n)
+      assert(math.abs(gtv - tv) < 1e-6, s"$srcName: tv $gtv vs $tv")
+      assert(math.abs(gh2 - h2) < 1e-6, s"$srcName: h2 $gh2 vs $h2")
+      // both divergences live in [0, 1]; a same-as-corpus slice is ~0
+      assert(gtv >= 0 && gtv <= 1 && gh2 >= 0 && gh2 <= 1)
+    }
+  }
+
   test("bpe_encode kernel matches a brute-force reimplementation and round-trips") {
     val docs = Tables.load(spark, sfDir, "documents")
     val merges = TextAnalysis.bpeTrain(docs, 8).collect()
