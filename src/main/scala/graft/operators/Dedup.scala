@@ -283,6 +283,30 @@ object Dedup extends QueryModule {
         .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
     }),
 
+    // CANONICAL SELECTION per duplicate cluster — production dedup
+    // keeps the BEST member of each near-dup cluster (longest here;
+    // quality score in a real pipeline), not the arbitrary smallest
+    // id. Same exact clustering as dedup_cluster; the canonical pick
+    // is a partial-aggregating max(struct(n_chars, −doc_id)) per
+    // cluster — an arg-max hash agg, never a per-cluster sort — and
+    // one join back. Oracle restates the clustering with the
+    // recursive-CTE reachability and the pick with a window arg-max.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cc = connectedComponents(jaccardPairsGlobal(docs, 0.8))
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val canon = labeled.groupBy(col("cluster_id"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+        .select(col("cluster_id"), (-col("best.neg_id")).as("canonical_id"))
+      labeled.join(canon, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).cast("int").as("keep"))
+    }),
+
     // Duplicated-SPAN coverage — the scale approximation of exact
     // substring dedup (Lee et al., "Deduplicating Training Data Makes
     // Language Models Better", arXiv:2107.06499, dedups repeated
@@ -685,6 +709,44 @@ object Dedup extends QueryModule {
              AS n_members,
            CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
          FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    // same recursive-CTE clustering; the canonical pick restated as a
+    // window arg-max (longest, tie smallest doc_id)
+    "dedup_canonical" ->
+      """WITH RECURSIVE dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+            AND len(a.sh) * 0.8 <= len(b.sh) AND len(b.sh) * 0.8 <= len(a.sh)
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         edges AS (
+           SELECT doc_a AS u, doc_b AS v FROM pairs
+           UNION
+           SELECT doc_b, doc_a FROM pairs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (
+           SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u),
+         lab AS (
+           SELECT d.doc_id, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         canon AS (
+           SELECT cluster_id, doc_id AS canonical_id FROM (
+             SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+             FROM lab) t
+           WHERE rn = 1)
+         SELECT l.doc_id, l.cluster_id, c.canonical_id,
+           CAST(l.doc_id = c.canonical_id AS INT) AS keep
+         FROM lab l JOIN canon c USING (cluster_id)""",
     // zipped unnests enumerate (pos, gram); slice bounds mirror the
     // Spark guard (len < 5 → empty comprehension → no rows)
     "dedup_span_coverage" ->

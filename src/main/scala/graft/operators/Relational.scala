@@ -618,6 +618,28 @@ object Relational extends QueryModule {
         .select(col("l_returnflag"), col("p50"), col("p90"), col("price_p50"))
     }),
 
+    // Exact EQUI-DEPTH histogram (the feature-binning / stats-sidecar
+    // pass: decile edges with per-bucket counts and value bounds) —
+    // one more consumer of the scale-safe rank engine: bucket =
+    // ⌊10·cnt_less/n_g⌋ per DISTINCT value from rankedValueCounts
+    // (every stage parallel, no per-group sort), then a hash agg per
+    // (group, bucket). The bucket index is one correctly-rounded
+    // double division + floor — engine-identical. Ties sit wholly in
+    // one bucket (they share cnt_less), so buckets are exactly the
+    // ntile-style depth split up to tie granularity.
+    "agg_equidepth" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val shards = s.sessionState.conf.numShufflePartitions
+      rankedValueCounts(li.where(col("l_extendedprice").isNotNull),
+          "l_returnflag", "l_extendedprice", shards)
+        .select(col("l_returnflag"),
+          floor(lit(10) * col("cnt_less") / col("n_g")).as("bucket"),
+          col("l_extendedprice").as("v"), col("c"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+    }),
+
     // The sketch rung of the percentile ladder (exact reference
     // spelling / exact scaled twin / THIS): approx_percentile's GK
     // sketch is one bounded-memory pass with map-side combine — the
@@ -996,6 +1018,23 @@ object Relational extends QueryModule {
            quantile_cont(l_quantity, 0.9) AS p90,
            quantile_cont(l_extendedprice, 0.5) AS price_p50
          FROM lineitem GROUP BY l_returnflag""",
+    // per-distinct-value prefix counts via a window; bucket formula
+    // identical to the Spark side (double division + floor)
+    "agg_equidepth" ->
+      """WITH dv AS (
+           SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cnt_less,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS n_g
+           FROM dv)
+         SELECT l_returnflag,
+           CAST(floor(10 * cnt_less / n_g) AS BIGINT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+         FROM r GROUP BY 1, 2""",
     "u1_union" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
          UNION

@@ -176,6 +176,31 @@ class DedupSpec extends SparkFunSuite {
     assert(broad.nonEmpty)
   }
 
+  test("dedup_canonical keeps exactly the best member of every cluster") {
+    val nChars = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = SparkEntry.queries("dedup_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("dedup_canonical")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // same clustering as dedup_cluster
+    rows.foreach { case (id, cl, _, _) => assert(cl == clusters(id)) }
+    rows.groupBy(_._2).foreach { case (cl, rs) =>
+      // one canonical id per cluster, flagged on exactly that member
+      val canon = rs.map(_._3).distinct
+      assert(canon.length == 1, s"cluster $cl: several canonicals $canon")
+      assert(rs.count(_._4 == 1) == 1, s"cluster $cl: keep count != 1")
+      assert(rs.find(_._4 == 1).get._1 == canon.head)
+      // the pick is the longest member, smallest doc_id on ties
+      val best = rs.map(_._1).minBy(id => (-nChars(id), id))
+      assert(canon.head == best, s"cluster $cl: canonical ${canon.head} != $best")
+    }
+    // clusters with >1 member exist and pick a non-root sometimes or
+    // the arg-max is vacuously the min-id root everywhere
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("dedup_cluster leaves no persisted RDD blocks behind") {
     // VERDICT r10 #3: a long-lived shared session must be able to run
     // clustering in a loop without checkpoint blocks accruing in the

@@ -378,6 +378,31 @@ class RelationalSpec extends SparkFunSuite {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("agg_equidepth buckets are ordered, complete, and depth-balanced") {
+    val rows = SparkEntry.queries("agg_equidepth")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val sizes = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val byB = rs.sortBy(_._2)
+      assert(byB.map(_._2).toSeq == (0L until byB.length), s"$g: bucket gaps")
+      assert(byB.map(_._3).sum == sizes(g), s"$g: counts don't cover the group")
+      // value ranges strictly ordered across buckets (ties never split)
+      byB.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._4, s"$g: overlapping buckets")
+        case _ =>
+      }
+      // depth balance: every bucket within ties of n/10
+      val target = sizes(g) / 10.0
+      byB.foreach { r =>
+        assert(math.abs(r._3 - target) <= math.max(10, target * 0.5),
+          s"$g bucket ${r._2}: depth ${r._3} vs target $target")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("a9_cov_corr agrees with Spark's covar_pop/corr builtins") {
     val got = SparkEntry.queries("a9_cov_corr")(spark, sfDir).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
