@@ -400,6 +400,45 @@ object EventWindows extends QueryModule {
           col("session_start"), col("total_value"))
     }),
 
+    // GAPS-AND-ISLANDS streaks: longest run of CONSECUTIVE active
+    // days per user — the classic `date − row_number()` anchor trick
+    // (consecutive days share one anchor; integer arithmetic only).
+    // Stages: distinct (user, day) — the only corpus-scale agg —
+    // then a per-user window over DISTINCT DAYS (bounded by the
+    // calendar, not event volume: a user has ≤ 365·years rows here
+    // no matter how many events) and two tiny hash aggs. All-integer
+    // → exact.
+    "ev_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"))
+        .distinct()
+        .withColumn("anchor", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+    }),
+
+    // Top-3 event types per hour — per-group top-k where the window
+    // partition key (hour) is HIGH-cardinality and each partition
+    // holds ≤ |event types| pre-aggregated rows, so the window sort
+    // is trivially bounded (contrast text_weighted_sample, where the
+    // group is low-cardinality and needs the two-level salt).
+    "ev_topk_per_hour" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("n").desc, col("event_type").asc)
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+    }),
+
     // Per-type OLS TREND (least-squares value-over-time slope): the
     // drift statistic behind "is this metric creeping up". Five exact
     // moment sums (x as integer SECONDS — decimal-exact sums that
@@ -707,6 +746,32 @@ object EventWindows extends QueryModule {
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM sn GROUP BY user_id, sid""",
+
+    "ev_streaks" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+         a AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS anchor
+               FROM ud),
+         runs AS (SELECT user_id, anchor, COUNT(*) AS len
+                  FROM a GROUP BY 1, 2)
+         SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           COUNT(*) AS n_streaks
+         FROM runs GROUP BY user_id""",
+
+    "ev_topk_per_hour" ->
+      """SELECT h, event_type, n, rk FROM (
+           SELECT h, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY n DESC, event_type ASC) AS rk
+           FROM (SELECT strftime(date_trunc('hour', ts),
+                   '%Y-%m-%d %H:%M:%S') AS h,
+                   event_type, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2) c) t
+         WHERE rk <= 3""",
 
     "ev_trend" ->
       """WITH m AS (

@@ -378,6 +378,29 @@ class RelationalSpec extends SparkFunSuite {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("ev_streaks equals a brute-force consecutive-day scan") {
+    val days = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val want = days.groupBy(_._1).map { case (u, rs) =>
+      val ds = rs.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = 1L
+      for (i <- 1 until ds.length) {
+        if (ds(i) == ds(i - 1) + 1) cur += 1
+        else { runs += cur; cur = 1L }
+      }
+      runs += cur
+      (u, (runs.max, runs.length.toLong))
+    }
+    val got = SparkEntry.queries("ev_streaks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (u, v) => assert(got(u) == v, s"user $u: ${got(u)} vs $v") }
+    // fixture sanity: at least one real multi-day streak
+    assert(got.values.exists(_._1 > 1))
+  }
+
   test("agg_equidepth buckets are ordered, complete, and depth-balanced") {
     val rows = SparkEntry.queries("agg_equidepth")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
