@@ -354,6 +354,31 @@ object EventWindows extends QueryModule {
         .select(date_format(col("oh"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("u24"))
     }),
 
+    // The SKETCH twin of ev_rolling_distinct — the 100 TB path. The
+    // exact query pushes 24× the distinct (hour, user) pairs through
+    // a count-distinct; this one reduces the corpus ONCE to a few-KB
+    // HLL sketch per hour (map-side combinable), then unions 24
+    // sketches per output hour with a RANGE-framed window over the
+    // HOURLY table — which is calendar-sized after the first agg, so
+    // the unpartitioned window is metadata-scale by construction
+    // (drop to one window per coarse time range if years of hours
+    // ever mattered). Rows-only (sketch internals are
+    // engine-specific); the spec pins every hour within 5% of the
+    // exact query and the estimate EXACT on hours whose true
+    // cardinality is far below 2^lgK.
+    "ev_rolling_distinct_approx" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("hs")).rangeBetween(-23 * 3600L, 0L)
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .withColumn("hs", unix_seconds(col("h")))
+        .withColumn("u24_est",
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w)))
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("u24_est"))
+    }),
+
     // Event-type TRANSITION MATRIX (first-order Markov features):
     // lead() per user stream, pair counts, and exact conditional
     // probabilities. One shuffle on the user key for the sequence

@@ -360,6 +360,20 @@ class RelationalSpec extends SparkFunSuite {
     assert(got.size == hours.length)
   }
 
+  test("ev_rolling_distinct_approx tracks the exact rolling distinct within 5%") {
+    val exact = SparkEntry.queries("ev_rolling_distinct")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("ev_rolling_distinct_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (h, n) =>
+      val e = approx(h)
+      assert(math.abs(e - n) <= math.max(1, n * 0.05), s"$h: est $e vs exact $n")
+      // far below 2^12 registers the HLL estimate is exact
+      if (n < 100) assert(e == n, s"$h: est $e should be exact at n=$n")
+    }
+  }
+
   test("ev_markov_transitions: probabilities normalize and counts tie out") {
     val rows = SparkEntry.queries("ev_markov_transitions")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
