@@ -12,14 +12,19 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    # normalize cells to comparable primitives
+    # normalize cells to comparable primitives BEFORE sorting — an
+    # ndarray/list/dict cell is unhashable and crashes sort_values
+    # (the driver comparator's vec_pq failure mode in round 11); the
+    # catalog contract now bans such outputs, but the local gate should
+    # diagnose rather than crash if one slips through.
     def norm(v):
         if isinstance(v, float):
             return repr(v)
         return str(v)
-    return df.map(norm)
+    df = df.map(norm)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -59,19 +64,49 @@ def main():
         else:
             print(f"ok   {name} ({len(got)} rows)")
             n_ok += 1
-    # rows-only queries (no oracle)
+    # rows-only queries (no oracle): rows > 0 AND, when a committed
+    # golden hash exists for this scale factor, the canonical output
+    # hash must match it — the determinism sweeps prove these outputs
+    # are bit-reproducible, so a hash drift means a semantic
+    # regression, not noise. Regenerate after an intentional change:
+    #   python3 scripts/check.py <sfDir> <outDir> --write-golden
+    import hashlib
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_hashes.json")
+    write_golden = "--write-golden" in sys.argv
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    golden = {}
+    if os.path.exists(golden_path):
+        golden = json.load(open(golden_path))
+    new_golden = {}
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle:
             continue
         files = glob.glob(f"{d}/*.parquet")
-        nrows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-        status = "ok  " if nrows > 0 else "FAIL"
+        if not files:
+            print(f"FAIL {name} (rows-only: no output)")
+            n_bad += 1
+            continue
+        df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        nrows = len(df)
+        digest = hashlib.sha256(
+            df.to_csv(index=False).encode("utf-8")).hexdigest()[:16]
+        new_golden[name] = digest
+        want = golden.get(sf_key, {}).get(name)
         if nrows == 0:
+            print(f"FAIL {name} (rows-only: 0 rows)")
+            n_bad += 1
+        elif want is not None and not write_golden and digest != want:
+            print(f"FAIL {name} (rows-only: hash {digest} != golden {want})")
             n_bad += 1
         else:
+            tag = "golden" if want is not None or write_golden else "no-golden"
+            print(f"ok   {name} (rows-only: {nrows} rows, {tag} {digest})")
             n_ok += 1
-        print(f"{status} {name} (rows-only: {nrows} rows)")
+    if write_golden:
+        golden[sf_key] = new_golden
+        json.dump(golden, open(golden_path, "w"), indent=1, sort_keys=True)
+        print(f"\nwrote {len(new_golden)} golden hashes for {sf_key} -> {golden_path}")
     print(f"\n{n_ok} ok, {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 

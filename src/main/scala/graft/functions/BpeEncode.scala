@@ -68,8 +68,16 @@ object BpeEncodeKernel {
   }
 }
 
-case class BpeEncode(child: Expression, merges: Array[Array[String]])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   extends UnaryExpression {
+
+  // The case-class field is a Seq (structural equals/hashCode), so two
+  // structurally identical bpe_encode calls canonicalize and common-
+  // subexpression-eliminate — an Array field would compare by reference
+  // and defeat CSE. The kernel's (a, b, ab) table derives lazily once
+  // per expression instance.
+  @transient private lazy val mergeTable: Array[Array[String]] =
+    merges.map { case (a, b) => Array(a, b, a + b) }.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -82,10 +90,10 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
   override def prettyName: String = "bpe_encode"
 
   override protected def nullSafeEval(v: Any): Any =
-    BpeEncodeKernel.eval(v.asInstanceOf[UTF8String], merges)
+    BpeEncodeKernel.eval(v.asInstanceOf[UTF8String], mergeTable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    val ref = ctx.addReferenceObj("bpeMerges", mergeTable, "java.lang.String[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncodeKernel.eval($c, $ref)")
   }
 
@@ -98,6 +106,5 @@ object BpeEncode {
     * their concatenation, matching the trainer's output column.
     */
   def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
-    GraftShims.column(BpeEncode(GraftShims.expression(word),
-      merges.map { case (a, b) => Array(a, b, a + b) }.toArray))
+    GraftShims.column(BpeEncode(GraftShims.expression(word), merges.toList))
 }

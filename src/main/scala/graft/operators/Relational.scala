@@ -582,15 +582,18 @@ object Relational extends QueryModule {
         .withColumnRenamed("P", "n_p")
     }),
 
-    // Exact continuous percentiles (median / p90).
+    // Exact continuous percentiles (median / p90) — the reference
+    // spelling, kept as ground truth.
     //
-    // SCALE CAVEAT (measured: 6.4× wall at 10× rows, NOTES_r11): exact
+    // EVAL-ONLY at scale (the `dedup_jaccard_block` convention;
+    // measured: 6.4× wall at 10× rows, NOTES_r11): exact
     // `percentile(...)` buffers and sorts every group member inside
     // the aggregate, and l_returnflag has 6 values — each group's sort
-    // is one reducer. This is the reference spelling;
-    // `agg_percentile_scaled` below computes the identical doubles
-    // with every stage parallel — use that at scale (or
-    // `approx_percentile` when a sketch suffices).
+    // is one reducer, so wall time grows super-linearly with rows per
+    // group. The production-exact path is `agg_percentile_scaled`
+    // below — identical doubles (same oracle), every stage parallel,
+    // 2.0× growth at 10× and absolutely cheaper beyond ~10× — or
+    // `agg_percentile_approx` when a GK sketch suffices.
     "agg_percentile" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

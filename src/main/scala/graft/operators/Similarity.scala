@@ -178,6 +178,58 @@ object Similarity extends QueryModule {
         ++ Seq(col("rk"), round(col("acos"), 6).as("acos_r")): _*)
   }
 
+  /** Served-PQ artifacts: the trained codebook and the corpus codes as
+    * STORED tables, published once per corpus via the AtomicDir
+    * rename-swap and reused by every subsequent query — the production
+    * split the in-query-training capstones (`ann_pq_search`,
+    * `ann_ivf_trained`, `ann_ivf_pq`) deliberately do not amortize.
+    * Training is deterministic (rank-seeded Lloyd), so a concurrent
+    * re-train publishes byte-identical content and last-wins is safe.
+    * The artifact key hashes the corpus dir path, so distinct corpora
+    * (including test temp dirs) never share an index. Returns the
+    * (codebook, codes) frames READ FROM STORAGE — at serve time no
+    * float corpus vector is touched and no Lloyd iteration runs;
+    * at 100 TB the codes table is the only per-corpus scan and is
+    * 32× smaller than the vectors.
+    */
+  /** Where `dir`'s served-PQ artifacts live. The key carries a format
+    * version (bust on any training/geometry change) and a hash of the
+    * full corpus path (distinct corpora never share an index).
+    */
+  private[graft] def pqArtifactRoot(dir: String): org.apache.hadoop.fs.Path = {
+    val key = f"${new java.io.File(dir).getName}_${dir.hashCode & 0x7fffffff}%08x_v1"
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_pq_index"), key)
+  }
+
+  private def pqServeArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    import graft.sinks.AtomicDir
+    val root = pqArtifactRoot(dir)
+    val fs = AtomicDir.fileSystem(s, root)
+    val cbDir = new Path(root, "codebook")
+    val cdDir = new Path(root, "codes")
+    if (!fs.exists(cbDir) || !fs.exists(cdDir)) {
+      AtomicDir.recover(fs, cbDir); AtomicDir.recover(fs, cdDir)
+      if (!fs.exists(cbDir) || !fs.exists(cdDir)) {
+        val e = embeddings(s, dir).select(col("vec_id"), col("vd"))
+        val sliced = pqSliced(e)
+        val codebook = pqCodebook(e, sliced)
+        val codes = pqAssign(sliced, codebook)
+          .select(col("vec_id"), col("s"), col("code"),
+            (col("c_nrm") * col("c_nrm")).as("c_nrm2"))
+        codebook.write.mode("overwrite")
+          .parquet(AtomicDir.stagingPath(cbDir).toString)
+        codes.write.mode("overwrite")
+          .parquet(AtomicDir.stagingPath(cdDir).toString)
+        AtomicDir.commit(fs, cbDir)
+        AtomicDir.commit(fs, cdDir)
+      }
+    }
+    (s.read.parquet(cbDir.toString), s.read.parquet(cdDir.toString))
+  }
+
   /** Corpus plus planted near-duplicates — the shared ground truth of
     * the near-dup queries (the natural corpus's top pairs sit in the
     * random-cosine noise floor, so recall is only measurable against
@@ -611,10 +663,15 @@ object Similarity extends QueryModule {
         .select(col("vec_id"),
           expr("transform(parts, p -> p.code)").as("codes"),
           flatten(expr("transform(parts, p -> p.rec)")).as("rvd"))
+      // Output contract: declared query outputs carry only scalar
+      // columns (the driver's canonical-sort cannot order arrays), so
+      // the 8 code bytes serialize as a dash-joined string — see the
+      // CatalogContractSpec guard that pins this rule for the whole
+      // catalog.
       enc.join(e, "vec_id")
         .withColumn("recon_cos",
           dot(col("rvd"), col("vd")) / (subNorm(col("rvd")) * subNorm(col("vd"))))
-        .select(col("vec_id"), col("codes"),
+        .select(col("vec_id"), concat_ws("-", col("codes")).as("codes"),
           round(col("recon_cos"), 6).as("recon_r"))
     }),
 
@@ -692,6 +749,25 @@ object Similarity extends QueryModule {
           col("acos_r"))
     }),
 
+    // SERVED PQ search — the production split of ann_pq_search: the
+    // codebook and corpus codes come from STORED artifacts
+    // ([[pqServeArtifacts]]: trained once per corpus, AtomicDir
+    // rename-swap publish, reused by every later query), so serve
+    // time is only (a) the 8-query lookup-table build against the
+    // broadcast stored codebook and (b) the scan of the stored codes
+    // table — no Lloyd iteration, no float corpus vector touched.
+    // Output is row-identical to ann_pq_search (same deterministic
+    // training; SimilaritySpec pins the equality and that a second
+    // call reuses the artifact without retraining). At scale the
+    // codes table is the 32×-compressed only-scanned asset — exactly
+    // the FAISS serving layout.
+    "ann_pq_serve" -> ((s, dir) => {
+      val (codebook, codes) = pqServeArtifacts(s, dir)
+      val e = embeddings(s, dir)
+      val sliced = pqSliced(e.select(col("vec_id"), col("vd")))
+      adcScore(e, sliced, codebook, codes, nQueries = 8, topK = 5)
+    }),
+
     // SEMANTIC dedup (after SemDeDup, Abbas et al. 2023,
     // arXiv:2303.09540): k-means clusters LOCALIZE the quadratic —
     // exact pairwise cosine runs only WITHIN a cluster (expected
@@ -759,22 +835,51 @@ object Similarity extends QueryModule {
       // imperative case: a relational spelling explodes d²/2
       // interpreted-HOF cells per row and measured 13× slower at
       // sf0.1 — 7.6 s vs 0.6 s), then
-      // each partition emits its Gram ONCE, quantized to integer
-      // 1e-12 units, and a metadata-sized exact DECIMAL(38,0) agg
-      // combines the P×d²/2 partials. Determinism: partition contents
-      // are deterministic (hash repartition over deterministic
-      // splits), within-partition fold order is the iterator order,
-      // and the cross-partition combine is exact integer addition —
-      // order-free. The hash exchange first spreads a small parquet's
-      // single input split so no one task owns the whole corpus pass.
+      // each partition emits its Gram in CHUNKS of ≤ 2²² rows,
+      // quantized to integer 1e-12 units, and a metadata-sized exact
+      // DECIMAL(38,0) agg combines the partials. The chunking bounds
+      // every quantized partial: a unit-scale cell sum over ≤ 4.2M
+      // rows is ≤ 4.2e6, so ×1e12 stays far inside Long — an UNBOUNDED
+      // per-partition sum would silently saturate Long past ~9.2M
+      // rows/partition, corrupting the covariance at exactly the
+      // corpus sizes this targets. Determinism: the layout is PINNED
+      // by an explicit 64-way hash repartition on vec_id (independent
+      // of spark.sql.shuffle.partitions), chunk boundaries fall at
+      // fixed iterator offsets, and the cross-chunk combine is exact
+      // integer addition — order-free; bit-reproducibility therefore
+      // holds for a fixed corpus regardless of session shuffle config.
+      // The hash exchange also spreads a small parquet's single input
+      // split so no one task owns the whole corpus pass.
       import s.implicits._
-      val cells = e.repartition(col("vec_id")).select(col("vd"))
+      val chunkRows = 1 << 22
+      val cells = e.repartition(64, col("vec_id")).select(col("vd"))
         .as[Seq[Double]]
         .mapPartitions { it =>
           var acc: Array[Double] = null
           var diag: Array[Double] = null
-          var n = 0L
           var d = 0
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Long)]
+          var inChunk = 0
+          // every cell row carries its chunk's row count, so each
+          // (i, j) group's summed count is the total corpus n — the
+          // same invariant the single-flush spelling had per partition
+          def flush(): Unit = if (acc != null && inChunk > 0) {
+            var i0 = 0
+            while (i0 < d) {
+              var j0 = i0
+              while (j0 < d) {
+                val idx = i0 * d - i0 * (i0 - 1) / 2 + (j0 - i0)
+                out += ((i0, j0, math.rint(acc(idx) * 1e12).toLong,
+                  if (i0 == j0) math.rint(diag(i0) * 1e12).toLong else 0L,
+                  inChunk.toLong))
+                acc(idx) = 0.0
+                j0 += 1
+              }
+              diag(i0) = 0.0
+              i0 += 1
+            }
+            inChunk = 0
+          }
           it.foreach { v =>
             if (acc == null) {
               d = v.length
@@ -790,16 +895,11 @@ object Similarity extends QueryModule {
               while (j < d) { acc(idx) += xi * a(j); idx += 1; j += 1 }
               i += 1
             }
-            n += 1L
+            inChunk += 1
+            if (inChunk >= chunkRows) flush()
           }
-          if (acc == null) Iterator.empty
-          else Iterator.range(0, d).flatMap { i0 =>
-            (i0 until d).map { j0 =>
-              val idx = i0 * d - i0 * (i0 - 1) / 2 + (j0 - i0)
-              (i0, j0, math.rint(acc(idx) * 1e12).toLong,
-                if (i0 == j0) math.rint(diag(i0) * 1e12).toLong else 0L, n)
-            }
-          }
+          flush()
+          out.iterator
         }
         .toDF("i", "j", "qxx", "qx", "pn")
         .groupBy(col("i"), col("j"))

@@ -280,8 +280,8 @@ object TextAnalysis extends QueryModule {
               * (col("total") / lit(2.0)) / col("n")).as("rate"))
       docs.join(broadcast(rates), "lang")
         .select(col("doc_id"), col("lang"), col("rate"),
-          (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
-            / 1000000.0 < col("rate")).cast("int").as("keep"))
+          (drawBucket(col("doc_id")).cast("double")
+            / 1.0e9 < col("rate")).cast("int").as("keep"))
     }),
 
     // Bigram language-model QUALITY score (the CCNet-style LM filter:
@@ -396,8 +396,8 @@ object TextAnalysis extends QueryModule {
           least(lit(2.0), (col("wt") * col("t")) / col("n")).as("rate"))
       docs.join(broadcast(rates), "lang")
         .withColumn("nc", floor(col("rate")) +
-          (pmod(col("doc_id") * 2654435761L, lit(1000000L)).cast("double")
-            / 1000000.0 < col("rate") - floor(col("rate"))).cast("long"))
+          (drawBucket(col("doc_id")).cast("double")
+            / 1.0e9 < col("rate") - floor(col("rate"))).cast("long"))
         .select(col("doc_id"), col("lang"),
           explode(expr("if(nc < 1, array(), sequence(0L, nc - 1))")).as("copy_id"))
     }),
@@ -647,7 +647,7 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"),
           greatest(col("n_chars"), lit(1L)).as("w"))
         .withColumn("pri",
-          (pmod(col("doc_id") * 2654435761L, lit(1000000L)) + 1L).cast("double")
+          (drawBucket(col("doc_id")) + 1L).cast("double")
             / col("w").cast("double"))
       val local = keyed
         .withColumn("salt", pmod(col("doc_id"), lit(16L)))
@@ -663,6 +663,21 @@ object TextAnalysis extends QueryModule {
         .select(col("lang"), col("doc_id"), col("w"), col("pri"), col("rk"))
     })
   )
+
+  /** Deterministic uniform draw in [0, buckets): Knuth multiplicative
+    * hash with doc_id first reduced mod the Mersenne prime 2³¹−1 so
+    * the product fits a Long for ANY id — the bare
+    * `doc_id * 2654435761` spelling overflows BIGINT once doc_id
+    * exceeds ~3.46e9, i.e. ANSI Spark (and DuckDB) would throw at
+    * exactly the multi-billion-document scale these samplers target.
+    * 1e9 buckets (not 1e6) keep draw ties rare at that scale, so
+    * priority order stays informative rather than collapsing toward
+    * doc_id order. Oracle twin: `((id % 2147483647) * 2654435761) %
+    * 1000000000` — identical integer arithmetic on both engines.
+    */
+  private def drawBucket(id: org.apache.spark.sql.Column,
+      buckets: Long = 1000000000L): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(2147483647L)) * 2654435761L, lit(buckets))
 
   /** BPE merge-table training over a document corpus — see the
     * `text_bpe_train` query comment for the algorithm and scale
@@ -749,7 +764,7 @@ object TextAnalysis extends QueryModule {
     "text_weighted_sample" ->
       """WITH keyed AS (
            SELECT lang, doc_id, greatest(n_chars, 1) AS w,
-             CAST((doc_id * 2654435761) % 1000000 + 1 AS DOUBLE)
+             CAST(((doc_id % 2147483647) * 2654435761) % 1000000000 + 1 AS DOUBLE)
                / CAST(greatest(n_chars, 1) AS DOUBLE) AS pri
            FROM documents)
          SELECT lang, doc_id, w, pri, rk FROM (
@@ -845,8 +860,8 @@ object TextAnalysis extends QueryModule {
                    * (t.total / 2.0) / c.n) AS rate
                FROM c, t)
          SELECT d.doc_id, r.lang, r.rate,
-           CAST(CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
-             / 1000000.0 < r.rate AS INTEGER) AS keep
+           CAST(CAST(((d.doc_id % 2147483647) * 2654435761) % 1000000000 AS DOUBLE)
+             / 1000000000.0 < r.rate AS INTEGER) AS keep
          FROM documents d JOIN r ON d.lang = r.lang""",
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -896,8 +911,8 @@ object TextAnalysis extends QueryModule {
                FROM c JOIN w USING (lang), tt),
          x AS (SELECT d.doc_id, r.lang,
                  CAST(floor(r.rate) AS BIGINT)
-                 + CASE WHEN CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE)
-                             / 1000000.0 < r.rate - floor(r.rate)
+                 + CASE WHEN CAST(((d.doc_id % 2147483647) * 2654435761) % 1000000000 AS DOUBLE)
+                             / 1000000000.0 < r.rate - floor(r.rate)
                         THEN 1 ELSE 0 END AS nc
                FROM documents d JOIN r USING (lang))
          SELECT doc_id, lang, unnest(range(0, nc)) AS copy_id FROM x""",

@@ -49,6 +49,17 @@ object EventStreams {
     * [[graft.Tables.normalizeEventTs]] then yields the same micros
     * TimestampType on every path. An empty-at-start drop folder falls
     * back to the current driver export shape.
+    *
+    * CONSTRAINT of the fallback path: a streaming source's schema is
+    * fixed at start. If the drop folder is EMPTY at stream start and
+    * the first files to arrive carry the OTHER ts shape (BIGINT
+    * nanos), the declared TIMESTAMP_NTZ schema mismatches the files
+    * and the first micro-batch fails (or misreads). Producers that
+    * may start against an empty folder should either drop one
+    * schema-bearing seed file before starting the stream, or call
+    * [[validateEventSchema]] from a `foreachBatch` on the first
+    * non-empty batch so a mismatch surfaces as a clear error at the
+    * earliest possible point instead of a downstream misread.
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     val schema =
@@ -56,6 +67,29 @@ object EventStreams {
       catch { case _: org.apache.spark.sql.AnalysisException => fallbackSchema }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(eventsDir))
+  }
+
+  /** Fail fast when the files now present under `eventsDir` disagree
+    * with the schema a running stream declared at start (the
+    * empty-at-start fallback's blind spot — see [[readEvents]]).
+    * Metadata-only (parquet footer read). Intended from a
+    * `foreachBatch` guard on the first non-empty batch.
+    */
+  def validateEventSchema(spark: SparkSession, eventsDir: String,
+      declared: StructType): Unit = {
+    val actual =
+      try spark.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val a = actual.fields.map(f => f.name -> f.dataType).toMap
+    declared.fields.foreach { f =>
+      a.get(f.name).filter(_ != f.dataType).foreach { dt =>
+        throw new IllegalStateException(
+          s"events drop folder $eventsDir now holds files whose '${f.name}' " +
+            s"is ${dt.simpleString} but the stream declared " +
+            s"${f.dataType.simpleString} at start (empty-folder fallback); " +
+            "restart the stream so the schema re-resolves from the files")
+      }
+    }
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark — the streaming

@@ -168,9 +168,9 @@ class DedupSpec extends SparkFunSuite {
     // The prefix-postings candidate set must be LOSSLESS (pigeonhole
     // bound) — any divergence from the broadcast cross-join spelling
     // means a candidate was dropped or a threshold drifted.
-    val broad = SparkEntry.queries("dedup_containment")(spark, sfDir)
+    val broad = SparkEntry.queries("dedup_containment_broadcast")(spark, sfDir)
       .collect().map(_.toSeq).toSet
-    val post = SparkEntry.queries("dedup_containment_postings")(spark, sfDir)
+    val post = SparkEntry.queries("dedup_containment")(spark, sfDir)
       .collect().map(_.toSeq).toSet
     assert(post == broad)
     assert(broad.nonEmpty)

@@ -507,7 +507,7 @@ class RelationalSpec extends SparkFunSuite {
       .select(col("doc_id"), col("lang"), greatest(col("n_chars"), lit(1L)).as("w"))
       .collect().map { r =>
       val (id, lang, w) = (r.getLong(0), r.getString(1), r.getLong(2))
-      val pri = ((id * 2654435761L) % 1000000L + 1L).toDouble / w.toDouble
+      val pri = (((id % 2147483647L) * 2654435761L) % 1000000000L + 1L).toDouble / w.toDouble
       (lang, id, w, pri)
     }
     val want = keyed.groupBy(_._1).toSeq.flatMap { case (_, rs) =>

@@ -178,7 +178,7 @@ class SimilaritySpec extends SparkFunSuite {
     val rows = SparkEntry.queries("vec_pq")(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val codes = r.getSeq[Long](1)
+      val codes = r.getString(1).split("-").map(_.toLong).toSeq
       assert(codes.length == 8, s"vec ${r.getLong(0)}: ${codes.length} codes")
       assert(codes.forall(c => c >= 0L && c < 16L))
     }
@@ -201,7 +201,7 @@ class SimilaritySpec extends SparkFunSuite {
           col("label")))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val twin = SparkEntry.queries("vec_pq")(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twin(1000000L) == twin(0L),
       s"twin codes ${twin(1000000L)} != original ${twin(0L)}")
   }
@@ -234,6 +234,31 @@ class SimilaritySpec extends SparkFunSuite {
     // and the sets genuinely overlap
     val overlap = adc.count(exact.contains).toDouble / adc.length
     assert(overlap >= 0.1, s"ADC/exact overlap $overlap")
+  }
+
+  test("ann_pq_serve: row-identical to ann_pq_search, artifact reused not retrained") {
+    import graft.operators.Similarity
+    val root = Similarity.pqArtifactRoot(sfDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(root, true) // force a cold first call
+    val serve1 = SparkEntry.queries("ann_pq_serve")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val search = SparkEntry.queries("ann_pq_search")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    // same deterministic training -> serving from the stored codes
+    // must reproduce the in-query-training capstone row for row
+    assert(serve1 == search)
+    assert(serve1.nonEmpty)
+    // second call must REUSE the published artifact: the codebook
+    // dir's modification time cannot change (a retrain republishes
+    // via rename-swap, which replaces the directory entry)
+    val cbDir = new org.apache.hadoop.fs.Path(root, "codebook")
+    val m1 = fs.getFileStatus(cbDir).getModificationTime
+    val serve2 = SparkEntry.queries("ann_pq_serve")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(serve2 == serve1)
+    assert(fs.getFileStatus(cbDir).getModificationTime == m1,
+      "second serve call republished the artifact instead of reusing it")
   }
 
   test("ann_ivf_pq: results lie in probed buckets and keep ADC-class signal") {
