@@ -29,6 +29,13 @@ import sys
 import duckdb
 
 src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+# --graph-partkey (r12): shift l_partkey per replica too, so the
+# co-occurrence GRAPH grows — with partkeys shared, replicated orders
+# reproduce the SAME part pairs and the distinct edge set (and hence
+# triangle/pagerank graph size) would not grow at all; with shifted
+# partkeys the replicas are disjoint subgraphs: nodes x K, edges x K,
+# wedges x K — the honest scaling regime for the graph capstones.
+graph_partkey = "--graph-partkey" in sys.argv
 import os
 os.makedirs(out, exist_ok=True)
 
@@ -64,7 +71,8 @@ con.execute(f"CREATE VIEW evsrc AS SELECT * FROM '{src}/events.parquet'")
 con.execute(f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)")
 
 lireps = " UNION ALL ".join(
-    f"""SELECT l_orderkey + {r * 10_000_000} AS l_orderkey, l_partkey,
+    f"""SELECT l_orderkey + {r * 10_000_000} AS l_orderkey,
+          l_partkey{f' + {r * 10_000_000}' if graph_partkey else ''} AS l_partkey,
           l_suppkey, l_linenumber, l_quantity,
           l_extendedprice + {r} * 0.01 AS l_extendedprice,
           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
@@ -76,3 +84,9 @@ con.execute(f"COPY ({lireps}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
 for t in ("documents", "embeddings", "events", "lineitem"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
+
+# remaining tables ride along at 1x (symlinked) so the full catalog runs
+for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    dst = f"{out}/{t}.parquet"
+    if not os.path.exists(dst):
+        os.symlink(f"{src}/{t}.parquet", dst)

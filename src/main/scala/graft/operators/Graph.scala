@@ -43,6 +43,29 @@ object Graph extends QueryModule {
       Seq((nTri, nEdges)).toDF("n_triangles", "n_edges")
     }),
 
+    // SAMPLED triangle count — DOULION (Tsourakakis et al., KDD'09):
+    // keep each EDGE with probability p = 1/2 by a deterministic
+    // per-edge coin, count triangles exactly on the sparsified graph,
+    // scale by 1/p³ = 8. Unbiased (each triangle survives with
+    // probability p³) with concentration bounds from the paper; the
+    // scale answer to the exact capstone's growth — the committed 10×
+    // probe (NOTES_r12) measured exact g1 at 8.5× per 10× while the
+    // sparsified graph's wedge work drops by ~p² up front and the
+    // dominant pair-materialization by p. p and the coin are
+    // plan-constants, so DuckDB restates the whole computation —
+    // ORACLE-checked, not just spec-pinned; GraphSpec additionally
+    // pins unbiasedness (mean over salted coins ≈ exact) and the
+    // p=1 coin degenerating to the exact count. The coin reduces u
+    // mod 2³¹−1 before the Knuth multiply (the sampler-hash overflow
+    // rule — ANSI-safe for any partkey).
+    "g1_triangles_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val (est, nEdges) = sampledTriangles(li, salt = 0L)
+      Seq((est, nEdges)).toDF("n_triangles_est", "n_edges_sampled")
+    }),
+
     // PageRank over the same co-occurrence graph (both directions of
     // each undirected edge), 10 power iterations, d = 0.85 — "which
     // parts sit at the center of the basket graph". Rows-only: no SQL
@@ -138,6 +161,38 @@ object Graph extends QueryModule {
     rank.select(col("node"), col("rank"))
   }
 
+  /** The DOULION edge coin: deterministic uniform draw per (u, v)
+    * edge, salted so the estimator's unbiasedness is testable across
+    * independent coins. Keep-probability 1/2 (draw < 5e8 of 1e9
+    * buckets). The two endpoints MIX through a combined key
+    * (k = (u·1048573 + v + salt) mod 2³¹−1) BEFORE the Knuth multiply
+    * — a coin linear in per-endpoint hashes is provably 3-cycle
+    * dependent (draw(ab)+draw(bc)−draw(ac) collapses to a function of
+    * b alone), which skews triangle survival away from p³: the first
+    * spelling of this coin measured 1.8× bias on the sf0.001 graph.
+    * Every intermediate fits a Long for ANY partkey (the sampler-hash
+    * overflow rule). SQL twin spelled in the oracle.
+    */
+  private[graft] def edgeCoin(salt: Long): org.apache.spark.sql.Column = {
+    val m = 2147483647L
+    val k = pmod(pmod(col("u"), lit(m)) * 1048573L
+      + pmod(col("v"), lit(m)) + lit(salt), lit(m))
+    pmod(k * 2654435761L, lit(1000000000L)) < 500000000L
+  }
+
+  /** Exact triangle count over the coin-sparsified graph, scaled by
+    * 1/p³ = 8 — returns (estimate, sampled edge count), releasing the
+    * pipeline's checkpoints before returning.
+    */
+  private[graft] def sampledTriangles(li: DataFrame, salt: Long): (Long, Long) = {
+    val (pairs, od, closing) = trianglePipeline(li, Some(edgeCoin(salt)))
+    val nTri = closing.count()
+    val nEdges = pairs.count()
+    Dedup.releaseCheckpoints(pairs)
+    Dedup.releaseCheckpoints(od)
+    (nTri * 8L, nEdges)
+  }
+
   /** The lazy triangle dataflow over an (ok, pk) incidence relation:
     * returns (edge set, oriented edges, closing semi join). The edge
     * set and oriented-edge table are LAZY localCheckpoints — they feed
@@ -148,11 +203,15 @@ object Graph extends QueryModule {
     * [[Dedup.releaseCheckpoints]] both returned frames (the
     * connectedComponents pattern).
     */
-  private[graft] def trianglePipeline(li: DataFrame)
+  private[graft] def trianglePipeline(li: DataFrame,
+      edgeKeep: Option[org.apache.spark.sql.Column] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+    val allPairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
       .where(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+    // optional edge sparsifier (DOULION) — applied AFTER distinct so
+    // the coin decides each EDGE once, which the 1/p³ estimator needs
+    val pairs = edgeKeep.map(allPairs.where(_)).getOrElse(allPairs)
       .localCheckpoint(false)
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
@@ -203,6 +262,33 @@ object Graph extends QueryModule {
                AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst)))
          SELECT count(*) AS n_triangles,
            (SELECT count(*) FROM pairs) AS n_edges
+         FROM wed JOIN o ON wed.v = o.src AND wed.w2 = o.dst""",
+    // identical dataflow over the coin-sparsified edge set; the coin,
+    // p, and the 1/p³ scale are plan constants so DuckDB restates the
+    // whole estimator
+    "g1_triangles_sampled" ->
+      """WITH pairs AS (SELECT u, v FROM (
+             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+           WHERE ((((u % 2147483647) * 1048573 + (v % 2147483647))
+                   % 2147483647) * 2654435761) % 1000000000 < 500000000),
+         deg AS (SELECT node, count(*) AS d
+           FROM (SELECT u AS node FROM pairs
+                 UNION ALL SELECT v AS node FROM pairs) t
+           GROUP BY node),
+         o AS (SELECT
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS src,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS dst
+           FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+         od AS (SELECT src, dst, d AS dd FROM o JOIN deg ON node = dst),
+         wed AS (SELECT o1.dst AS v, o2.dst AS w2 FROM od o1 JOIN od o2
+               ON o1.src = o2.src
+               AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst)))
+         SELECT count(*) * 8 AS n_triangles_est,
+           (SELECT count(*) FROM pairs) AS n_edges_sampled
          FROM wed JOIN o ON wed.v = o.src AND wed.w2 = o.dst"""
   )
 }

@@ -43,6 +43,40 @@ class GraphSpec extends SparkFunSuite {
     operators.Dedup.releaseCheckpoints(od)
   }
 
+  test("g1_triangles_sampled: unbiased across coins, exact under a p=1 coin") {
+    import graft.operators.Graph
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val exact = SparkEntry.queries("g1_triangles")(spark, sfDir)
+      .collect()(0).getLong(0)
+    // a coin that keeps everything degenerates to the exact count ×8/8:
+    // the estimator applied to the full graph must reproduce exact
+    val (fullEst, _) = {
+      val (pairs, od, closing) =
+        Graph.trianglePipeline(li, Some(lit(true)))
+      val t = closing.count(); val e = pairs.count()
+      graft.operators.Dedup.releaseCheckpoints(pairs)
+      graft.operators.Dedup.releaseCheckpoints(od)
+      (t, e)
+    }
+    assert(fullEst == exact)
+    // unbiasedness: the mean estimate over independent salted coins
+    // must land near the exact count (DOULION's E[T̂] = T; measured
+    // single-coin deviations on this graph are within ±5%, so a ±15%
+    // band on the 5-coin mean is loose — yet a biased coin fails it
+    // decisively: the endpoint-linear coin this replaced measured
+    // 1.8× high, and a 1/p² scale lands at 0.5×)
+    val ests = (0 until 5).map(i => Graph.sampledTriangles(li, salt = i * 7919L)._1)
+    val mean = ests.sum.toDouble / ests.length
+    assert(math.abs(mean - exact) <= 0.15 * exact,
+      s"mean estimate $mean vs exact $exact (samples: $ests)")
+    assert(ests.distinct.length > 1, "salted coins must differ")
+    // and the catalog query (salt 0) is one of those draws
+    val cat = SparkEntry.queries("g1_triangles_sampled")(spark, sfDir)
+      .collect()(0)
+    assert(cat.getLong(0) == ests(0))
+  }
+
   test("g2_pagerank matches in-memory power iteration; mass conserved") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

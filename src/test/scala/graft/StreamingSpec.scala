@@ -20,6 +20,30 @@ class StreamingSpec extends SparkFunSuite {
     dir.toString
   }
 
+  test("validateEventSchema: clear error when files contradict the declared schema") {
+    import org.apache.spark.sql.types._
+    // empty folder: nothing to contradict — a no-op (stream not yet fed)
+    val empty = java.nio.file.Files.createTempDirectory("ev_schema_empty").toString
+    EventStreams.validateEventSchema(spark, empty,
+      StructType(Seq(StructField("ts", TimestampNTZType))))
+    // folder later filled by a BIGINT-nanos producer while the stream
+    // declared the TIMESTAMP_NTZ fallback: must fail with the
+    // restart-hint error, not misread
+    import spark.implicits._
+    val nanosDir = java.nio.file.Files.createTempDirectory("ev_schema_nanos").toString
+    Seq((1L, 1700000000000000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(nanosDir)
+    val declared = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    val e = intercept[IllegalStateException] {
+      EventStreams.validateEventSchema(spark, nanosDir, declared)
+    }
+    assert(e.getMessage.contains("'ts'") && e.getMessage.contains("restart"))
+    // agreeing files: no-op
+    EventStreams.validateEventSchema(spark, nanosDir, StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType))))
+  }
+
   test("streaming tumbling window == batch ev_tumbling") {
     val stream = EventStreams.tumblingCounts(
       EventStreams.readEvents(spark, eventsDir))

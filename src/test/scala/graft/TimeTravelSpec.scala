@@ -244,4 +244,69 @@ class TimeTravelSpec extends SparkFunSuite {
     assert(store.readChangesBetween(before, after, v1Rows.schema, Seq("id"),
       includeUpdatePreimages = true).isEmpty)
   }
+
+  test("follower end-to-end: upsert, compaction, partition-delete; anchor survives restart") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = tmp("ttfollow2")
+    // the anchor a real consumer persists atomically with its side
+    // effects — here a file next to the table, re-read after "restart"
+    val anchorFile = java.nio.file.Paths.get(dir + ".anchor")
+    def persistAnchor(v: Long): Unit =
+      Files.writeString(anchorFile, v.toString)
+    def loadAnchor(): Long = Files.readString(anchorFile).trim.toLong
+
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"), retain = 10) // v1
+    val store = new SnapshotStore(spark, new Path(dir))
+    var view = Map.empty[Long, String]
+    var delivered = Vector.empty[(Long, Int)] // (version, delta rows)
+    def applyDelta(v: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect()
+      rows.foreach { r =>
+        val (id, value, ch) = (r.getAs[Long]("id"),
+          r.getAs[String]("v"), r.getAs[String]("_change"))
+        if (ch == "delete") view -= id else view += id -> value
+      }
+      delivered :+= (v -> rows.length)
+    }
+    // bootstrap at v1, persist the anchor
+    store.readAt(1L, v1Rows.schema).collect()
+      .foreach(r => view += r.getAs[Long]("id") -> r.getAs[String]("v"))
+    persistAnchor(1L)
+
+    // commit 2: a plain upsert — delivered as a non-empty delta
+    SnapshotMerge.upsertUpdate(spark, dir, v2Rows, Seq("id"), Seq("pk"), retain = 10)
+    persistAnchor(ChangeFeedFollower.drainOnce(store, v1Rows.schema, Seq("id"),
+      loadAnchor())(applyDelta))
+    assert(delivered == Vector(2L -> 2))
+    assert(view == vals(store.read(v1Rows.schema)))
+
+    // commit 3: compaction — a MAINTENANCE commit the follower must
+    // deliver as a zero-row delta (invented updates would corrupt
+    // every downstream fold)
+    store.compact(v1Rows.schema, Seq("pk"))
+    persistAnchor(ChangeFeedFollower.drainOnce(store, v1Rows.schema, Seq("id"),
+      loadAnchor())(applyDelta))
+    assert(delivered.last == (3L -> 0), s"compaction delta not empty: $delivered")
+    assert(view == vals(store.read(v1Rows.schema)))
+
+    // commit 4: manifest-level PARTITION DELETE of pk=4 (ids 4, 9)
+    val (v3, entries) = store.current().get
+    assert(entries.contains("pk=4"))
+    store.commit(v3 + 1, entries - "pk=4")
+
+    // RESTART: fresh store handle + fresh follower resuming from the
+    // PERSISTED anchor — the crash-recovery path of the contract
+    val store2 = new SnapshotStore(spark, new Path(dir))
+    val resumed = loadAnchor()
+    assert(resumed == 3L, "anchor must have survived the restart")
+    persistAnchor(ChangeFeedFollower.drainOnce(store2, v1Rows.schema, Seq("id"),
+      resumed)(applyDelta))
+    assert(delivered.last == (4L -> 2), s"partition delete delta wrong: $delivered")
+    assert(!view.contains(4L) && !view.contains(9L),
+      "partition-delete rows must arrive as deletes")
+    assert(view == vals(store2.read(v1Rows.schema)))
+    // caught up: no further delivery, anchor stable
+    assert(ChangeFeedFollower.drainOnce(store2, v1Rows.schema, Seq("id"),
+      loadAnchor())((_, _) => fail("caught-up drain must not deliver")) == loadAnchor())
+  }
 }
