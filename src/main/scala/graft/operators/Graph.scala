@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -93,8 +94,150 @@ object Graph extends QueryModule {
       Dedup.releaseCheckpoints(edges)
       Dedup.releaseCheckpoints(pairs)
       top.toDF("node", "rank")
+    }),
+
+    // K-CORE DECOMPOSITION — coreness of every node by the h-index
+    // iteration (Lü, Zhou, Zhang, Stanley — Nature Communications
+    // 2016, "The H-index of a network node"): start every node at its
+    // degree, then repeatedly replace each node's value with the
+    // H-index of its neighbors' values; the fixpoint is exactly the
+    // coreness from the classic sequential peel (Batagelj-Zaversnik),
+    // but every round is a pure join + per-node window + hash agg —
+    // the distributable spelling. Integer state → BIT-deterministic
+    // output. Rows-only: the until-convergence loop has no SQL
+    // restatement; GraphSpec pins the fixpoint against a brute-force
+    // sequential peel on the same graph plus closed-form cases
+    // (clique, path, triangle-with-tail).
+    "g3_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint(false)
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst").localCheckpoint(false)
+      edges.count()
+      val core = coreness(edges)
+      val dist = core.groupBy(col("core"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      Dedup.releaseCheckpoints(core)
+      Dedup.releaseCheckpoints(edges)
+      Dedup.releaseCheckpoints(pairs)
+      dist.toDF("core", "n_nodes")
+    }),
+
+    // NODE SIMILARITY by common-neighbor Jaccard (the link-prediction
+    // / item-item co-occurrence primitive): for part pairs sharing at
+    // least one basket neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|, top 20.
+    // Common-neighbor counting is inherently Σ deg² over wedge
+    // CENTERS — a hub with k neighbors yields k² candidate pairs, the
+    // structural blowup at scale. The standard mitigation is a HUB
+    // CAP (as in production co-occurrence recommenders): only nodes
+    // with deg ≤ 64 serve as wedge centers, bounding the join at
+    // 64·m pairs; the documented bias (common neighbors routed only
+    // through non-hub nodes) is part of the operator's definition and
+    // the oracle restates it identically, so the whole thing is
+    // hash-checked. Jaccard = one IEEE division of two exactly
+    // converted longs → bit-identical across engines; top-20 ties
+    // break on (u, v) so the LIMIT selection is deterministic.
+    "g4_node_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // checkpoint the edge set and (tiny) degree table once — the
+      // dataflow reads each 3×, and without the checkpoints the
+      // lineitem self-join replays per consumer (the g1 discipline)
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint(false)
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .toDF("node", "d").localCheckpoint(false)
+      // adjacency restricted to small-degree wedge centers; the deg
+      // table is |nodes| rows and broadcasts
+      val adj = edges
+        .join(broadcast(deg.where(col("d") <= hubCap)
+          .select(col("node").as("src"))), "src")
+      val common = adj.toDF("x", "a").join(adj.toDF("x", "b"), "x")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      val top = common
+        .join(broadcast(deg.toDF("a", "da")), "a")
+        .join(broadcast(deg.toDF("b", "db")), "b")
+        .select(col("a").as("u"), col("b").as("v"), col("common"),
+          (col("common").cast("double")
+            / (col("da") + col("db") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+        .limit(20)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      Dedup.releaseCheckpoints(deg)
+      Dedup.releaseCheckpoints(pairs)
+      top.toDF("u", "v", "common", "jaccard")
     })
   )
+
+  /** Wedge-center degree cap for [[queries]]' `g4_node_jaccard` — a
+    * plan constant shared with the oracle SQL.
+    */
+  private[graft] val hubCap = 64
+
+  /** Coreness (max k such that the node survives in the k-core) by
+    * h-index iteration until fixpoint. Per round: one shuffle join
+    * (edges ⋈ estimates on dst — the neighbor-value gather, linear in
+    * m), one per-node window (row_number over a node's neighbor
+    * values, bounded by that node's degree — the same per-key work
+    * the PageRank contribution agg does), one hash agg (the H-index
+    * is max over neighbors of min(value, rank)), and one join back to
+    * the previous estimate for the convergence count. Rounds needed =
+    * the graph's "h-index convergence time" — small for real graphs
+    * (≤ the graph's degeneracy ordering depth); `maxRounds` is a
+    * safety rail, and non-convergence is an error, never a silently
+    * wrong answer. Checkpoint-and-release per round (the
+    * connectedComponents discipline) keeps lineage flat.
+    *
+    * Takes the BIDIRECTIONAL edge table; returns (node, core INT).
+    * Caller releases the returned frame's checkpoint.
+    */
+  private[graft] def coreness(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var est = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("int").as("c"))
+      .toDF("node", "c")
+      .localCheckpoint(false)
+    est.count()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val nbr = edges.join(est.toDF("dst", "cn"), "dst")
+        .select(col("src"), col("cn"))
+      // H-index per node: sort the neighbor values desc (ties in any
+      // order — max of min(value, rank) is tie-order invariant), then
+      // h = max(min(value_i, i)).
+      val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
+      val h = nbr.withColumn("rn", row_number().over(w))
+        .groupBy(col("src"))
+        .agg(max(least(col("cn"), col("rn"))).cast("int").as("h"))
+        .toDF("node", "h")
+      val next = est.toDF("node", "c0").join(h, "node")
+        .select(col("node"), least(col("c0"), col("h")).cast("int").as("c"))
+        .localCheckpoint(false)
+      changed = next.toDF("node", "c1")
+        .join(est.toDF("node", "c0"), "node")
+        .where(col("c1") =!= col("c0")).count()
+      Dedup.releaseCheckpoints(est)
+      est = next
+    }
+    require(changed == 0,
+      s"coreness did not converge in $maxRounds rounds")
+    est.select(col("node"), col("c").as("core"))
+  }
 
   /** PageRank by power iteration over the undirected co-occurrence
     * graph, with every arithmetic op in DECIMAL(38,18) — decimal adds
@@ -289,6 +432,25 @@ object Graph extends QueryModule {
                AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst)))
          SELECT count(*) * 8 AS n_triangles_est,
            (SELECT count(*) FROM pairs) AS n_edges_sampled
-         FROM wed JOIN o ON wed.v = o.src AND wed.w2 = o.dst"""
+         FROM wed JOIN o ON wed.v = o.src AND wed.w2 = o.dst""",
+    // the hub cap (deg <= 64) is part of the operator definition, so
+    // the oracle restates it and the whole estimator hash-checks
+    "g4_node_jaccard" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+         adj AS (SELECT e.src AS x, e.dst AS y FROM edges e
+                 JOIN deg ON deg.node = e.src WHERE deg.d <= 64),
+         cmn AS (SELECT a1.y AS a, a2.y AS b, count(*) AS common
+           FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+           GROUP BY a1.y, a2.y)
+         SELECT a AS u, b AS v, common,
+           CAST(common AS DOUBLE)
+             / CAST(da.d + db.d - common AS DOUBLE) AS jaccard
+         FROM cmn JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+         ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20"""
   )
 }

@@ -222,6 +222,50 @@ object Relational extends QueryModule {
       r.crossJoin(n)
     }),
 
+    // J11: BUCKETED CO-LOCATED JOIN — the zero-shuffle big⋈big join.
+    // Both sides are written ONCE bucketed (8 buckets, hashed +
+    // sorted on the join key); the sort-merge join then reads bucket
+    // i ⋈ bucket i directly — NO Exchange on either side, the
+    // pre-partitioning that turns the repeated fact⋈fact join at
+    // 100 TB from two corpus shuffles per query into zero
+    // (Spark's bucketBy ≡ Hive bucketing ≡ the reference DB's
+    // clustered index locality). RelationalSpec pins the physical
+    // plan: with broadcast disabled, the bucketed join contains zero
+    // Exchange operators while the identical unbucketed join
+    // shuffles both sides; the merge hint here keeps the
+    // demonstration honest (without it the planner would broadcast
+    // the small side at this SF and the bucketing would be moot).
+    // The tables land in a per-invocation temp dir (local-mode
+    // harness scaffolding, same caveat as k2_upsert_partitioned) as
+    // EXTERNAL tables with a unique name, dropped after the result
+    // materializes; semantics = plain join+agg, which is what the
+    // oracle hash-checks.
+    "j11_bucketed_join" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      o.write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$base/o")
+        .saveAsTable(s"graft_bkt_o_$tag")
+      l.write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$base/l")
+        .saveAsTable(s"graft_bkt_l_$tag")
+      val res = s.table(s"graft_bkt_o_$tag")
+        .join(s.table(s"graft_bkt_l_$tag").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE graft_bkt_o_$tag")
+      s.sql(s"DROP TABLE graft_bkt_l_$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      res
+    }),
+
     // A7: distinct / dedup by key (reference set((song,archive)),
     // cmdline.py:291-296).
     "a7_distinct" -> ((s, dir) => {
@@ -867,6 +911,12 @@ object Relational extends QueryModule {
                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
     "j9_cross_join" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation""",
+    // physical layout (bucketing) must not change semantics
+    "j11_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus""",
     "a7_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
     "o1_topk" ->

@@ -499,6 +499,84 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"), col("rk"))
     }),
 
+    // CORPUS-WIDE SUBSTRING-DEDUP REWRITE (the C4/Dolma "remove
+    // repeated spans, keep the first occurrence" pass — the rewrite
+    // counterpart of dedup_span_coverage, which only SCORES): docs
+    // split into non-overlapping 8-token chunks, each distinct chunk
+    // keeps exactly its first occurrence corpus-wide (min (doc_id,
+    // idx) — deterministic), and every doc is REBUILT from its
+    // surviving chunks in order. Two shuffles total at any scale: the
+    // keep-election groups by chunk content (hash-partitioned — the
+    // exact-dedup shape, linear), the rebuild groups by doc_id; the
+    // per-chunk window is bounded by that chunk's duplicate count and
+    // the rebuild's sort_array by the doc's own chunk count. Output
+    // rows keep EVERY doc (a fully-duplicated doc survives with
+    // empty clean_text and n_kept = 0), so downstream counts
+    // reconcile.
+    "text_dedup_rewrite" -> ((s, dir) => {
+      val chunks = Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, (n + 7) div 8 - 1),
+                 i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"""))
+            .as(Seq("idx", "chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+      chunks
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+          count(when(col("keep"), lit(1))).as("n_kept"),
+          count(when(!col("keep"), lit(1))).as("n_dropped"))
+    }),
+
+    // CURRICULUM SHARDING — deterministic global ordering by a
+    // difficulty score (token count; ties on doc_id) cut into 8
+    // contiguous shards, reported as per-shard stats: the "order the
+    // corpus easy→hard and emit shard k for epoch k" step. The naive
+    // spelling is ROW_NUMBER over a GLOBAL sort (single-reducer); this
+    // reuses the text_global_shuffle factorization — range-partition
+    // on (score, doc_id), per-shard row_number, broadcast prefix-sum
+    // offsets over ≤ P metadata rows — so the global position costs
+    // one range exchange at any corpus size. shard = pos·8 div n
+    // (pure integer) and every stat is an integer agg → hash-exact
+    // vs the oracle's one-window restatement.
+    "text_curriculum_shards" -> ((s, dir) => {
+      val parts = s.sessionState.conf.numShufflePartitions
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("score"))
+      val sharded = docs.repartitionByRange(parts, col("score"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val across = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val counts = sharded.groupBy(col("pid")).agg(count(lit(1)).as("cn"))
+      val offs = counts
+        .withColumn("off", coalesce(sum(col("cn")).over(across), lit(0L)))
+        .select(col("pid"), col("off"))
+      val total = counts.agg(sum(col("cn")).as("n"))
+      val inShard = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("score"), col("doc_id"))
+      sharded
+        .withColumn("r", row_number().over(inShard))
+        .join(broadcast(offs), "pid")
+        .crossJoin(broadcast(total))
+        .withColumn("pos", col("r") - 1 + col("off"))
+        .withColumn("shard", expr("(pos * 8) div n"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"),
+          sum(col("score")).as("sum_tokens"))
+    }),
+
     // Benchmark decontamination: count each corpus document's distinct
     // 5-word shingles that collide with any shingle of the "benchmark"
     // docs (fixed ids < 8, standing in for an eval set) — the n-gram
@@ -902,6 +980,38 @@ object TextAnalysis extends QueryModule {
       """SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS shuffle_pos
          FROM documents""",
+    "text_dedup_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         ix AS (SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST((len(toks) + 7) // 8 AS INT) - 1)) AS idx
+           FROM t),
+         ch AS (SELECT doc_id, idx,
+             array_to_string(toks[idx * 8 + 1 : idx * 8 + 8], ' ') AS chunk
+           FROM ix),
+         k AS (SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+               AS keep
+           FROM ch)
+         SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep),
+             '') AS clean_text,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           count(*) FILTER (WHERE NOT keep) AS n_dropped
+         FROM k GROUP BY doc_id""",
+    // one-window restatement of the sharded-prefix-sum spelling
+    "text_curriculum_shards" ->
+      """WITH r AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+             ROW_NUMBER() OVER
+               (ORDER BY len(string_split(text, ' ')), doc_id) - 1 AS pos,
+             COUNT(*) OVER () AS n
+           FROM documents)
+         SELECT (pos * 8) // n AS shard, count(*) AS n_docs,
+           min(score) AS min_score, max(score) AS max_score,
+           CAST(sum(score) AS BIGINT) AS sum_tokens
+         FROM r GROUP BY 1""",
     "text_domain_mix" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.2),
                       ('de', 0.15), ('fr', 0.15), ('es', 0.1)) AS w(lang, wt)),

@@ -129,4 +129,107 @@ class GraphSpec extends SparkFunSuite {
     assert(top.map(_._1).toSet == wantTop.map(_._1).toSet || borderGap < 1e-9,
       s"top-20 sets differ beyond boundary noise")
   }
+
+  /** Sequential Batagelj-Zaversnik peel: repeatedly remove a
+    * minimum-degree node; its coreness is the running max of the
+    * degrees at removal time. The h-index iteration must reach the
+    * same fixpoint.
+    */
+  private def brutePeel(und: Seq[(Long, Long)]): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val core = scala.collection.mutable.Map.empty[Long, Int]
+    var k = 0
+    while (adj.nonEmpty) {
+      val (node, nbrs) = adj.minBy { case (n, ns) => (ns.size, n) }
+      k = math.max(k, nbrs.size)
+      core(node) = k
+      adj.remove(node)
+      nbrs.foreach(v => if (adj.contains(v)) adj(v) -= node)
+    }
+    core.toMap
+  }
+
+  test("g3_kcore: h-index fixpoint equals sequential peel; closed forms hold") {
+    import graft.operators.Graph
+    // closed forms: K5 clique -> all coreness 4; a 6-path -> all 1;
+    // a triangle with a pendant tail -> {2,2,2,1}
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSeq
+    val path = (1L to 5L).map(i => (i, i + 1))
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    for ((g, want) <- Seq(
+        k5 -> k5.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 4).toMap,
+        path -> (1L to 6L).map(_ -> 1).toMap,
+        triTail -> Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1))) {
+      val df = g.toDF("u", "v")
+      val edges = df.select(col("u").as("src"), col("v").as("dst"))
+        .union(df.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(false)
+      val core = Graph.coreness(edges)
+      val got = core.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      operators.Dedup.releaseCheckpoints(core)
+      operators.Dedup.releaseCheckpoints(edges)
+      assert(got == want, s"graph $g: got $got want $want")
+      assert(got == brutePeel(g), "peel reference disagrees on closed form")
+    }
+
+    // the real co-occurrence graph: fixpoint == peel, node by node
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = brutePeel(und)
+    val df = und.toDF("u", "v")
+    val edges = df.select(col("u").as("src"), col("v").as("dst"))
+      .union(df.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val core = Graph.coreness(edges)
+    val got = core.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    operators.Dedup.releaseCheckpoints(core)
+    operators.Dedup.releaseCheckpoints(edges)
+    assert(got == want)
+
+    // and the catalog query's distribution is the peel's distribution
+    val dist = SparkEntry.queries("g3_kcore")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wantDist = want.values.groupBy(identity).map { case (c, vs) =>
+      c -> vs.size.toLong }
+    assert(dist == wantDist)
+  }
+
+  test("g4_node_jaccard: capped common-neighbor counts match brute force") {
+    import graft.operators.Graph
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    // brute force with the same hub cap: common neighbors routed only
+    // through centers with deg <= hubCap
+    val commons = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    adj.foreach { case (x, nbrs) =>
+      if (nbrs.size <= Graph.hubCap) {
+        val ns = nbrs.toSeq.sorted
+        for (i <- ns.indices; j <- (i + 1) until ns.length)
+          commons((ns(i), ns(j))) += 1
+      }
+    }
+    val want = commons.toSeq.map { case ((a, b), c) =>
+      val j = c.toDouble / (adj(a).size + adj(b).size - c).toDouble
+      (a, b, c, j)
+    }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+
+    val got = SparkEntry.queries("g4_node_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == want.length)
+    (got zip want).foreach { case (g, w) =>
+      assert(g == w, s"mismatch: got $g want $w")
+    }
+  }
 }

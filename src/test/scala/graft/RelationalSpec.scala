@@ -245,6 +245,54 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("bucketed join plan has zero exchanges; unbucketed twin shuffles both sides") {
+    // The point of j11: identical bucketing on the join key makes the
+    // sort-merge join read bucket i ⋈ bucket i with NO Exchange. Pin
+    // it against the unbucketed control under the same conf
+    // (broadcast off, so the planner can't sidestep the comparison).
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tag = "spec" + System.nanoTime()
+      val base = java.nio.file.Files.createTempDirectory("graft_bktspec_").toString
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      o.write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$base/o")
+        .saveAsTable(s"bkt_o_$tag")
+      l.write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$base/l")
+        .saveAsTable(s"bkt_l_$tag")
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan.toString
+      }
+      val bucketed = spark.table(s"bkt_o_$tag")
+        .join(spark.table(s"bkt_l_$tag").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+      val bp = planOf(bucketed)
+      assert(!bp.contains("Exchange"),
+        s"bucketed join still shuffles:\n$bp")
+      val up = planOf(o.join(l.hint("merge"),
+        col("o_orderkey") === col("l_orderkey")))
+      assert("Exchange".r.findAllIn(up).size >= 2,
+        s"control join should shuffle both sides:\n$up")
+      // and the layout changes nothing semantically
+      val a = bucketed.groupBy(col("o_orderstatus")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val b = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(a == b)
+      spark.sql(s"DROP TABLE bkt_o_$tag")
+      spark.sql(s"DROP TABLE bkt_l_$tag")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("subquery shapes decorrelate to joins, never nested-loop re-execution") {
     // The operator under test is Catalyst's subquery planning:
     // EXISTS/IN → LEFT SEMI hash join (RewritePredicateSubquery), the

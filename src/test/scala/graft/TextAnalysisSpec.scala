@@ -401,4 +401,59 @@ class TextAnalysisSpec extends SparkFunSuite {
         s"doc ${r.getLong(0)}: n_sym ${r.getInt(2)} vs n_words ${r.getInt(1)}")
     }
   }
+
+  test("text_dedup_rewrite equals the brute-force keep-first-occurrence rewrite") {
+    // in-memory reference: chunk every doc into 8-token spans, keep a
+    // span only at its globally first (doc_id, idx), rebuild in order
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunksOf = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    }.toMap
+    val firstSeen = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, _) <- docs; (ch, i) <- chunksOf(id).zipWithIndex)
+      if (!firstSeen.contains(ch)) firstSeen(ch) = (id, i)
+    val want = docs.map { case (id, _) =>
+      val ch = chunksOf(id)
+      val kept = ch.zipWithIndex.filter { case (c, i) => firstSeen(c) == (id, i) }
+      id -> (kept.map(_._1).mkString(" "), kept.size.toLong,
+        (ch.size - kept.size).toLong)
+    }.toMap
+
+    val got = SparkEntry.queries("text_dedup_rewrite")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet, "every doc must survive the rewrite")
+    got.foreach { case (id, g) =>
+      assert(g == want(id), s"doc $id: got $g want ${want(id)}")
+    }
+    // global invariant: each distinct chunk survives exactly once
+    val keptTotal = got.values.map(_._2).sum
+    assert(keptTotal == firstSeen.size.toLong)
+  }
+
+  test("text_curriculum_shards equals the brute-force global sort cut") {
+    val scores = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordered = scores.sortBy { case (id, s) => (s, id) }
+    val n = ordered.length
+    val want = ordered.zipWithIndex
+      .groupBy { case (_, pos) => pos.toLong * 8 / n }
+      .map { case (shard, rows) =>
+        val ss = rows.map(_._1._2)
+        shard -> (rows.length.toLong, ss.min, ss.max, ss.sum)
+      }
+    val got = SparkEntry.queries("text_curriculum_shards")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // shards are contiguous score ranges (boundaries may split a tie)
+    val byShard = got.toSeq.sortBy(_._1)
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a._3 <= b._2)
+      case _ =>
+    }
+  }
 }
