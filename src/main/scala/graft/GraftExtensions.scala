@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotProduct, IndelRatio, MinHashSig, SimHashSig, WordShingles}
+import graft.functions.{DotProduct, IndelRatio, KmvSketch, MinHashSig, SimHashSig, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so `spark.sql("SELECT indel_ratio(a, b) …")` works the
@@ -37,7 +37,9 @@ object GraftExtensions {
     "minhash_sig" -> (exprs => MinHashSig(exprs(0), intLit(exprs(1)))),
     "simhash_sig" -> (exprs => SimHashSig(exprs(0))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), intLit(exprs(1)))),
-    "dot_d" -> (exprs => DotProduct(exprs(0), exprs(1))))
+    "dot_d" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "kmv_sketch" -> (exprs =>
+      KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression()))
 
   /** Register the same functions on an already-built session (the
     * extensions hook only applies at session build time).

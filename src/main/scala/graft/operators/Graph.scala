@@ -189,54 +189,111 @@ object Graph extends QueryModule {
   private[graft] val hubCap = 64
 
   /** Coreness (max k such that the node survives in the k-core) by
-    * h-index iteration until fixpoint. Per round: one shuffle join
-    * (edges ⋈ estimates on dst — the neighbor-value gather, linear in
-    * m), one per-node window (row_number over a node's neighbor
-    * values, bounded by that node's degree — the same per-key work
-    * the PageRank contribution agg does), one hash agg (the H-index
-    * is max over neighbors of min(value, rank)), and one join back to
-    * the previous estimate for the convergence count. Rounds needed =
-    * the graph's "h-index convergence time" — small for real graphs
-    * (≤ the graph's degeneracy ordering depth); `maxRounds` is a
-    * safety rail, and non-convergence is an error, never a silently
-    * wrong answer. Checkpoint-and-release per round (the
-    * connectedComponents discipline) keeps lineage flat.
+    * h-index iteration until fixpoint. Engineered so NO round shuffles
+    * the edge table:
+    *
+    *  - edges are hash-partitioned by `src` ONCE up front; the
+    *    per-round neighbor gather is then a BROADCAST join (the
+    *    estimate table is |nodes| rows — metadata next to m), which
+    *    preserves that layout, so the per-node window (row_number
+    *    over a node's neighbor values) and the H-index hash agg both
+    *    run with their Exchange ELIDED — per round the corpus-scale
+    *    work is one partitioned scan + in-partition sort, zero
+    *    corpus shuffles (vs. the naive spelling's shuffle-join +
+    *    window exchange every round: measured 72 s → ~8 s at sf0.1).
+    *  - FRONTIER recomputation: a node's H-index can only change if
+    *    a NEIGHBOR's estimate changed last round, so each round
+    *    recomputes only nodes adjacent to the previous round's
+    *    changes (everyone, round 1). Real graphs converge their bulk
+    *    in a few rounds; the long tail of rounds then touches a
+    *    vanishing frontier instead of re-scoring every node.
+    *
+    * The fixpoint equals the sequential Batagelj-Zaversnik peel
+    * (Lü et al. 2016); `maxRounds` is a safety rail and
+    * non-convergence is an error, never a silently wrong answer.
+    * Checkpoint-and-release per round (the connectedComponents
+    * discipline) keeps lineage flat.
     *
     * Takes the BIDIRECTIONAL edge table; returns (node, core INT).
     * Caller releases the returned frame's checkpoint.
     */
-  private[graft] def coreness(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    var est = edges.groupBy(col("src"))
+  private[graft] def coreness(edges: DataFrame, maxRounds: Int = 512): DataFrame = {
+    val spark = edges.sparkSession
+    // STATS-INHERITANCE TRAP (found live: 1 s rounds degrading to 51 s
+    // by round 21 at sf0.1, driver pinned in BigInteger.multiply):
+    // a checkpointed Dataset's LogicalRDD INHERITS the origin plan's
+    // Catalyst sizeInBytes, and this loop's plan references the
+    // estimate table twice (h side and keep side) — so the inherited
+    // stat roughly SQUARES every round and the stats visitor ends up
+    // doing ToomCook multiplications on million-bit integers. Rebasing
+    // the round state through a fresh RDD scan drops the inherited
+    // stat (fresh leaf = constant default), keeping every round's
+    // stats work O(plan size). Join strategies don't regress because
+    // every join in the loop is explicitly broadcast-hinted.
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val ep = edges.repartition(col("src")).localCheckpoint(false)
+    var stateCk = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("int").as("c"))
       .toDF("node", "c")
+      .withColumn("chg", lit(true))
       .localCheckpoint(false)
-    est.count()
+    var changed = stateCk.count()
+    var first = true
     var round = 0
-    var changed = 1L
     while (changed > 0 && round < maxRounds) {
       round += 1
-      val nbr = edges.join(est.toDF("dst", "cn"), "dst")
+      val state = rebase(stateCk)
+      // nodes that must re-score: those with a changed neighbor
+      // (everyone, round 1)
+      val gathered = if (first) ep else {
+        val touched = ep
+          .join(broadcast(state.where(col("chg")).select(col("node").as("dst"))),
+            "dst")
+          .select(col("src")).distinct()
+        ep.join(broadcast(touched), "src")
+      }
+      val nbr = gathered
+        .join(broadcast(state.select(col("node").as("dst"),
+          col("c").as("cn"))), "dst")
         .select(col("src"), col("cn"))
       // H-index per node: sort the neighbor values desc (ties in any
       // order — max of min(value, rank) is tie-order invariant), then
-      // h = max(min(value_i, i)).
+      // h = max(min(value_i, i)). ep is src-partitioned and the
+      // broadcast joins preserve that layout, so the window sort and
+      // the agg both run with their Exchange elided — zero corpus
+      // shuffles per round.
       val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
       val h = nbr.withColumn("rn", row_number().over(w))
         .groupBy(col("src"))
         .agg(max(least(col("cn"), col("rn"))).cast("int").as("h"))
         .toDF("node", "h")
-      val next = est.toDF("node", "c0").join(h, "node")
-        .select(col("node"), least(col("c0"), col("h")).cast("int").as("c"))
+      // untouched nodes keep their value (left join + coalesce); the
+      // monotone least() guards the theorem's non-increasing path
+      val next = state.select(col("node"), col("c").as("c0"))
+        .join(h, Seq("node"), "left")
+        .select(col("node"),
+          least(col("c0"), coalesce(col("h"), col("c0"))).cast("int").as("c"),
+          (coalesce(col("h"), col("c0")) < col("c0")).as("chg"))
         .localCheckpoint(false)
-      changed = next.toDF("node", "c1")
-        .join(est.toDF("node", "c0"), "node")
-        .where(col("c1") =!= col("c0")).count()
-      Dedup.releaseCheckpoints(est)
-      est = next
+      // ONE action per round: materializes the checkpoint and counts
+      // the new frontier in the same job
+      changed = next.where(col("chg")).count()
+      Dedup.releaseCheckpoints(stateCk)
+      stateCk = next
+      first = false
+      if (sys.env.contains("GRAFT_KCORE_LOG"))
+        println(s"[kcore] round $round changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}")
     }
     require(changed == 0,
       s"coreness did not converge in $maxRounds rounds")
-    est.select(col("node"), col("c").as("core"))
+    val out = stateCk.select(col("node"), col("c").as("core"))
+      .localCheckpoint(false)
+    out.count()
+    Dedup.releaseCheckpoints(stateCk)
+    Dedup.releaseCheckpoints(ep)
+    out
   }
 
   /** PageRank by power iteration over the undirected co-occurrence

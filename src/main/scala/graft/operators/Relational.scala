@@ -712,6 +712,39 @@ object Relational extends QueryModule {
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // A10: KMV distinct sketches with SET OPERATIONS — per-returnflag
+    // k-minimum-values sketches of the distinct ORDER sets ("how many
+    // orders contain an A item? how many contain both an A and an R
+    // item?"), composed driver-side into union AND intersection
+    // estimates. HLL (a8 above) unions but cannot intersect; KMV
+    // sketches of the same hash can (Beyer et al. SIGMOD'07: the
+    // kept-value Jaccard times the union estimate). The sketched
+    // entity is l_orderkey, whose per-flag membership is genuinely
+    // partial (an order holds only a couple of lineitems), so the
+    // three sets overlap non-trivially — unlike the per-flag PART
+    // sets, which saturate to "all parts" at any SF. One map-side-
+    // combined hash agg whose shuffle payload is ≤ k longs per
+    // (group, partition) at ANY row count; the driver-side compose
+    // touches 3 × 256 longs of metadata. Deterministic (xxhash64 +
+    // sorted arrays + fixed IEEE op tree) → rows-only with a
+    // committed golden; RelationalSpec pins accuracy vs exact counts,
+    // below-capacity exactness, and sketch-merge associativity.
+    "a10_kmv_sets" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val sk = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.KmvSketch.kmv_sketch(
+          xxhash64(col("l_orderkey")), k).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      import graft.functions.KmvSketch.{estimate, intersectEstimate}
+      val (estUnion, estBoth) = intersectEstimate(sk("A"), sk("R"), k)
+      val rows = sk.toSeq.sortBy(_._1)
+        .map { case (g, s0) => (g, estimate(s0, k)) } ++
+        Seq(("A_union_R", estUnion), ("A_intersect_R", estBoth))
+      rows.toDF("set_name", "est_distinct")
+    }),
+
     // Exact per-group COVARIANCE + CORRELATION of (quantity, price) —
     // built from the five DECIMAL(38,6)-exact moment sums instead of
     // covar_pop/corr builtins, whose streaming update order makes the

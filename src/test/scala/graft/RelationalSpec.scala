@@ -63,6 +63,71 @@ class RelationalSpec extends SparkFunSuite {
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 16)
     assert(r.getDouble(3) == 11.0)
+    // the KMV aggregate registers too (below-capacity → exact size)
+    val kmv = spark.sql(
+      "SELECT size(kmv_sketch(xxhash64(id), 16)) AS n FROM range(10)")
+      .collect()(0)
+    assert(kmv.getInt(0) == 10)
+  }
+
+  test("kmv sketch: accuracy, exactness below k, mergeability, intersection") {
+    import graft.functions.KmvSketch
+    import graft.functions.KmvSketch.{estimate, intersectEstimate, union}
+    val k = 256
+    // estimation regime: 20k distinct ids → (k−1)/U(kth) within the
+    // ~1/√k relative-error envelope (σ ≈ 6%; 20% bound is ~3σ)
+    val ids = spark.range(0, 20000)
+      .select(xxhash64(col("id")).as("h"), (col("id") % 2 === 0).as("even"))
+    val full = ids.agg(KmvSketch.kmv_sketch(col("h"), k).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(full.length == k)
+    assert(full.toSeq == full.toSeq.sorted, "sketch must be sorted")
+    val est = estimate(full, k)
+    assert(math.abs(est - 20000) / 20000.0 < 0.2, s"estimate $est vs 20000")
+    // below capacity the sketch IS the distinct set → exact estimate
+    val small = spark.range(0, 100)
+      .agg(KmvSketch.kmv_sketch(xxhash64(col("id")), k).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(small.length == 100 && estimate(small, k) == 100.0)
+    // mergeability: union of the halves' sketches == the full sketch
+    // (the property that makes KMV a partial aggregate / rollup-safe)
+    val halves = ids.groupBy(col("even"))
+      .agg(KmvSketch.kmv_sketch(col("h"), k).as("sk"))
+      .collect().map(r => r.getBoolean(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(union(halves(true), halves(false), k).toSeq == full.toSeq)
+    // intersection: A = [0, 12000), B = [8000, 20000) → ∩ = 4000,
+    // ∪ = 20000; ρ's binomial noise at jaccard 0.2, k=256 has
+    // σ ≈ 12.5% relative — 0.5 is a ≈4σ bound, yet a broken
+    // estimator (ρ of the wrong base, missing ·|∪|) fails decisively
+    def sketchOf(lo: Long, hi: Long): Array[Long] =
+      spark.range(lo, hi)
+        .agg(KmvSketch.kmv_sketch(xxhash64(col("id")), k).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+    val (estU, estI) = intersectEstimate(
+      sketchOf(0, 12000), sketchOf(8000, 20000), k)
+    assert(math.abs(estU - 20000) / 20000.0 < 0.2, s"union $estU vs 20000")
+    assert(math.abs(estI - 4000) / 4000.0 < 0.5, s"intersect $estI vs 4000")
+    // catalog query: the five composed rows track the exact per-flag
+    // order-set cardinalities (k = 256 → ~6% σ on singles; the
+    // intersection's ρ adds binomial noise — 0.5 bound, decisive
+    // against a broken estimator, and the whole thing is
+    // deterministic so whatever margin it measures today it keeps)
+    val q = SparkEntry.queries("a10_kmv_sets")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q.keySet == Set("A", "N", "R", "A_union_R", "A_intersect_R"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def orderSet(flag: String) = li.where(col("l_returnflag") === flag)
+      .select(col("l_orderkey")).distinct()
+    for (f <- Seq("A", "N", "R")) {
+      val ex = orderSet(f).count()
+      assert(math.abs(q(f) - ex) / ex < 0.2, s"$f: ${q(f)} vs exact $ex")
+    }
+    val exactBoth = orderSet("A").intersect(orderSet("R")).count()
+    val exactUnion = orderSet("A").union(orderSet("R")).distinct().count()
+    assert(math.abs(q("A_union_R") - exactUnion) / exactUnion < 0.2,
+      s"union ${q("A_union_R")} vs exact $exactUnion")
+    assert(math.abs(q("A_intersect_R") - exactBoth) / exactBoth < 0.5,
+      s"intersection ${q("A_intersect_R")} vs exact $exactBoth")
   }
 
   test("as-of join matches the brute-force latest-prior-purchase lookup") {
