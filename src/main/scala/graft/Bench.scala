@@ -198,7 +198,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores, not a fixed 4: a local probe run
+    // without SPARK_GRAFT_CPUS must measure under the same
+    // parallelism as the driver's run, or the parallel-bound tail
+    // reads ~2× slow and round-over-round totals mislead (bit us
+    // this round; the artifact's "cpus" field self-describes either
+    // way)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

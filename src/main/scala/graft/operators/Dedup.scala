@@ -533,6 +533,10 @@ object Dedup extends QueryModule {
     // land the mapping off the block manager so the final round's
     // checkpoint can be released too (see scaladoc)
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-").toString
+    // consumers read this dir lazily for the rest of the session, so
+    // it can only be reclaimed at JVM exit (observed: ~16 KB/run
+    // accumulating in /tmp across bench/verify sessions)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(new java.io.File(dir))
     result.write.mode("overwrite").parquet(dir)
     releaseCheckpoints(e)
     spark.read.parquet(dir)

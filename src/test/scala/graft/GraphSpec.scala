@@ -199,6 +199,56 @@ class GraphSpec extends SparkFunSuite {
     assert(dist == wantDist)
   }
 
+  test("g3_kcore_bounded: certified upper bound, exact where converged") {
+    import graft.operators.Graph
+    // closed forms converge within the 6-round budget → exact
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSeq
+    val df = k5.toDF("u", "v")
+    val edges = df.select(col("u").as("src"), col("v").as("dst"))
+      .union(df.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val bounded = Graph.coreness(edges, maxRounds = 6, requireConverged = false)
+    val got = bounded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    operators.Dedup.releaseCheckpoints(bounded)
+    operators.Dedup.releaseCheckpoints(edges)
+    assert(got.values.forall(_ == 4))
+
+    // the real graph: bound >= exact coreness node-by-node, and the
+    // bulk is already exact at 6 rounds
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = brutePeel(und)
+    val d2 = und.toDF("u", "v")
+    val e2 = d2.select(col("u").as("src"), col("v").as("dst"))
+      .union(d2.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val b2 = Graph.coreness(e2, maxRounds = 6, requireConverged = false)
+    val bound = b2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    operators.Dedup.releaseCheckpoints(b2)
+    operators.Dedup.releaseCheckpoints(e2)
+    assert(bound.keySet == exact.keySet)
+    bound.foreach { case (n, b) =>
+      assert(b >= exact(n), s"node $n: bound $b below exact ${exact(n)}")
+    }
+    // tightness: on this dense fixture the 6-round bound is loose on
+    // the slow-decaying core but must stay within 2.5× of exact on
+    // average (measured ~1.9× at sf0.001; deterministic, so the
+    // margin it shows today it keeps)
+    val meanRatio = bound.map { case (n, b) =>
+      b.toDouble / exact(n) }.sum / bound.size
+    assert(meanRatio < 2.5, s"mean bound/exact ratio $meanRatio")
+
+    // and the catalog twin emits the distribution of the same bounds
+    val dist = SparkEntry.queries("g3_kcore_bounded")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wantDist = bound.values.groupBy(identity).map { case (c, vs) =>
+      c -> vs.size.toLong }
+    assert(dist == wantDist)
+  }
+
   test("g4_node_jaccard: capped common-neighbor counts match brute force") {
     import graft.operators.Graph
     val li = Tables.load(spark, sfDir, "lineitem")
