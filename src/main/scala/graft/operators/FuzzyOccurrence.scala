@@ -179,6 +179,40 @@ object FuzzyOccurrence extends QueryModule {
             array_join(slice(split(col("text"), " "), 1, 5), " "),
             lit("the fast key order sort")).as("lev"))
         .where(col("lev") <= 15)
+    }),
+
+    // Record linkage with BLOCKED Jaro–Winkler (the native codegen
+    // kernel graft.functions.JaroWinkler — classic Winkler semantics,
+    // matching DuckDB's jaro_winkler_similarity, so the whole query
+    // hash-checks). Blocking is the standard linkage scale lever:
+    // candidate pairs are generated only inside (brand, head-noun)
+    // blocks — an equi-join, never an all-pairs cross — so pair work
+    // is Σ block² with block sizes bounded by the key's selectivity,
+    // not corpus². The comparator runs inside whole-stage codegen
+    // over the blocked pairs (no UDF boxing). Scores are quantized at
+    // 1e6 for cross-engine hash parity (both engines compute the same
+    // small-denominator rationals in double; FuzzSpec pins the kernel
+    // against a direct definition restatement and DuckDB agreement
+    // was probed before the oracle was committed).
+    "fuzzy_jaro_winkler" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_partkey").as("p1"), col("p_name").as("nm1"),
+        col("p_brand").as("br"), col("noun"))
+      val b = p.select(col("p_partkey").as("p2"), col("p_name").as("nm2"),
+        col("p_brand").as("br"), col("noun"))
+      val jw = graft.functions.JaroWinkler.jaro_winkler(col("nm1"), col("nm2"))
+      // Threshold on the QUANTIZED score: jw = 0.8 is exactly
+      // achievable as a rational, so `jw >= 0.8` sits one ulp from
+      // flipping per engine; `jw_q >= 800000` is ulp-proof (the
+      // nearest achieved score is 0.056 quantization units from any
+      // round-half boundary — probed at sf0.01 before committing).
+      a.join(b, Seq("br", "noun"))
+        .where(col("p1") < col("p2"))
+        .withColumn("jw_q", round(jw * 1e6).cast("long"))
+        .where(col("jw_q") >= 800000L)
+        .select(col("p1"), col("p2"), col("jw_q"))
     })
   )
 
@@ -189,6 +223,18 @@ object FuzzyOccurrence extends QueryModule {
                        'the fast key order sort') AS lev
          FROM documents
          WHERE levenshtein(array_to_string(string_split(text, ' ')[1:5], ' '),
-                           'the fast key order sort') <= 15"""
+                           'the fast key order sort') <= 15""",
+
+    "fuzzy_jaro_winkler" ->
+      """WITH p AS (
+           SELECT p_partkey AS k, p_name AS nm, p_brand AS br,
+                  string_split(p_name, ' ')[-1] AS noun
+           FROM part
+         )
+         SELECT p1, p2, jw_q FROM (
+           SELECT a.k AS p1, b.k AS p2,
+                  CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1e6) AS BIGINT) AS jw_q
+           FROM p a JOIN p b ON a.br = b.br AND a.noun = b.noun AND a.k < b.k
+         ) WHERE jw_q >= 800000"""
   )
 }

@@ -215,8 +215,53 @@ object Graph extends QueryModule {
       Dedup.releaseCheckpoints(deg)
       Dedup.releaseCheckpoints(pairs)
       top.toDF("u", "v", "common", "jaccard")
+    }),
+
+    // Frequent-pair mining with support + lift (A-Priori level 2 /
+    // market basket, Agrawal-Srikant VLDB'94): which part pairs
+    // co-occur in orders more than independence predicts. Pair
+    // generation is the per-basket self-join (bounded by Σ basket² —
+    // the same shape as g1's wedge build, NOT an all-pairs cross);
+    // support pruning (c_ab ≥ minSupport) happens straight after the
+    // pair count so low-support mass never reaches the lift join; the
+    // per-item support table is |items| rows and broadcasts. Lift is
+    // computed in INTEGER arithmetic — lift_q = (nB·c_ab·1e6) div
+    // (c_a·c_b) — so the whole ranking hash-checks against the SQL
+    // oracle with zero float drift. Top-50 by (support, key) via
+    // TakeOrderedAndProject, never a global sort.
+    "g5_frequent_pairs" -> ((s, dir) => {
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(false)
+      // one scalar action: basket universe size (metadata-bounded)
+      val nB = baskets.select(col("ok")).distinct().count()
+      val itemSupp = baskets.groupBy(col("pk"))
+        .agg(count(lit(1)).as("c_item"))
+      val pairSupp = baskets.toDF("ok", "u")
+        .join(baskets.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= minPairSupport)
+      val out = pairSupp
+        .join(broadcast(itemSupp.toDF("u", "c_a")), "u")
+        .join(broadcast(itemSupp.toDF("v", "c_b")), "v")
+        .select(col("u"), col("v"), col("c_ab"),
+          expr(s"($nB * c_ab * 1000000L) div (c_a * c_b)").as("lift_q"))
+        .orderBy(col("c_ab").desc, col("u").asc, col("v").asc)
+        .limit(50)
+      val rows = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      Dedup.releaseCheckpoints(baskets)
+      import s.implicits._
+      rows.toDF("u", "v", "c_ab", "lift_q")
     })
   )
+
+  /** Minimum pair support for `g5_frequent_pairs` — a plan constant
+    * shared with the oracle SQL.
+    */
+  private[graft] val minPairSupport = 3
 
   /** Wedge-center degree cap for [[queries]]' `g4_node_jaccard` — a
     * plan constant shared with the oracle SQL.
@@ -544,6 +589,24 @@ object Graph extends QueryModule {
            CAST(common AS DOUBLE)
              / CAST(da.d + db.d - common AS DOUBLE) AS jaccard
          FROM cmn JOIN deg da ON da.node = a JOIN deg db ON db.node = b
-         ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20"""
+         ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20""",
+
+    // min-support 3 and the integer lift quantization are plan
+    // constants restated here, so the full ranking hash-checks
+    "g5_frequent_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         nb AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+         item AS (SELECT pk, count(*) AS c_item FROM baskets GROUP BY pk),
+         pair AS (SELECT a.pk AS u, b.pk AS v, count(*) AS c_ab
+           FROM baskets a JOIN baskets b
+             ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk HAVING count(*) >= 3)
+         SELECT u, v, c_ab,
+           (nb.n * c_ab * 1000000) // (ia.c_item * ib.c_item) AS lift_q
+         FROM pair
+         JOIN item ia ON ia.pk = u JOIN item ib ON ib.pk = v
+         CROSS JOIN nb
+         ORDER BY c_ab DESC, u ASC, v ASC LIMIT 50"""
   )
 }

@@ -266,6 +266,32 @@ object Relational extends QueryModule {
       res
     }),
 
+    // J12: runtime bloom-filter join pruning — the pattern behind
+    // Spark's own InjectRuntimeFilter, spelled explicitly: fold the
+    // SELECTIVE dim's join keys into a fixed-size bloom sketch (1 MiB
+    // regardless of row count), probe it as a constant predicate ON
+    // THE FACT SCAN so non-joining fact rows die before the shuffle,
+    // then exact-join to remove the bounded false-positive trickle —
+    // output-identical to the plain join (no false negatives), which
+    // is exactly what the oracle hash-checks. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~1/5 of it that can join; the sketch build is one scalar
+    // aggregate over the dim ([[graft.functions.BloomFilterOps]]).
+    "j12_bloom_prune" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val sketch = graft.functions.BloomFilterOps.buildBloom(
+        dim, "o_orderkey", expectedItems = 1000000L, numBits = 1L << 23)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        .where(graft.functions.BloomFilterOps.might_contain(sketch, col("l_orderkey")))
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // A7: distinct / dedup by key (reference set((song,archive)),
     // cmdline.py:291-296).
     "a7_distinct" -> ((s, dir) => {
@@ -950,6 +976,13 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
+    // bloom prune + exact verify ≡ plain join (no false negatives)
+    "j12_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
     "a7_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
     "o1_topk" ->

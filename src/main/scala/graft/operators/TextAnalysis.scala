@@ -136,6 +136,39 @@ object TextAnalysis extends QueryModule {
           round(col("score"), 6).as("score_r"))
     }),
 
+    // PMI collocations (Church-Hanks 1990): adjacent-token bigrams
+    // whose observed count beats the independence prediction from the
+    // bigram marginals. ONE corpus shuffle total: bigrams are
+    // extracted array-natively inside the scan (transform over the
+    // token array — no posexplode self-join on (doc, pos)) and hash-
+    // aggregated once; the marginals c_x = Σ_y c_xy, c_y = Σ_x c_xy
+    // and the total N all derive from that vocab²-bounded aggregate,
+    // so every downstream join is a broadcast of vocab-sized tables.
+    // Score is log-free staged integer division — pmi_q =
+    // ((c_xy·1e6 div c_x)·N) div c_y, a deterministic restatable
+    // formula (6 digits of p(y|x), then the independence ratio) whose
+    // intermediates stay ≤ 1e6·N — BIGINT-safe to ~9e12 bigrams.
+    "text_pmi_collocations" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+      val big = d.select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS x, t[i+1] AS y))"))
+        .as("bg"))
+        .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      val pc = big.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      val cx = pc.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+      val cy = pc.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+      val nb = pc.agg(sum(col("c_xy")).as("n_big"))
+      pc.join(broadcast(cx), "x").join(broadcast(cy), "y")
+        .crossJoin(broadcast(nb))
+        .where(col("c_xy") >= 10)
+        .select(col("x"), col("y"), col("c_xy"),
+          expr("(((c_xy * 1000000L) div c_x) * n_big) div c_y").as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("c_xy").desc, col("x").asc, col("y").asc)
+        .limit(40)
+    }),
+
     // BM25-style ranked retrieval for a fixed 3-term query — the
     // quality-weighted lexical search a training-data pipeline runs to
     // mine topical documents. Scoring follows BM25's tf saturation
@@ -1061,6 +1094,22 @@ object TextAnalysis extends QueryModule {
                         tf.tok ASC) AS rk
            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
          WHERE rk <= 3""",
+    // min-support 10 and the staged integer-division score are plan
+    // constants restated here, so the full ranking hash-checks
+    "text_pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS a FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+         big AS (SELECT a[i] AS x, a[i+1] AS y
+                 FROM d, UNNEST(range(1, len(a))) AS t(i)),
+         pc AS (SELECT x, y, count(*) AS c_xy FROM big GROUP BY x, y),
+         cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pc GROUP BY x),
+         cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM pc GROUP BY y),
+         nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM pc)
+         SELECT x, y, c_xy,
+           CAST((((c_xy * 1000000) // c_x) * n_big) // c_y AS BIGINT) AS pmi_q
+         FROM pc JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nb
+         WHERE c_xy >= 10
+         ORDER BY pmi_q DESC, c_xy DESC, x ASC, y ASC LIMIT 40""",
     "text_fingerprint" ->
       """SELECT doc_id,
            list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],

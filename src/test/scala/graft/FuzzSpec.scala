@@ -131,4 +131,78 @@ class FuzzSpec extends SparkFunSuite {
       .select(indel_ratio(col("a"), col("b")).as("r"))
     assert(nulls.collect()(0).isNullAt(0))
   }
+
+  // ---- Jaro-Winkler kernel (graft.functions.JaroWinkler) ----
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerUtils.jaroWinkler(a, b)
+
+  test("jaro_winkler matches the classic literature vectors") {
+    // Winkler's canonical examples (same values DuckDB's
+    // jaro_winkler_similarity returns — probed before the oracle
+    // was committed)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333) < 1e-9)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962963) < 1e-9)
+    assert(math.abs(jw("prince", "prence") - 0.9111111111) < 1e-9)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("", "") == 1.0)
+    // no shared codepoints → m = 0 → 0 (not NaN)
+    assert(jw("abc", "xyz") == 0.0)
+  }
+
+  test("jaro_winkler floors the transposition count (strcmp95 rule)") {
+    // 8 matches with THREE out-of-order positions: ⌊3/2⌋ = 1
+    // transposition gives the classic 0.825; fractional 1.5 would give
+    // 0.8042 (the initial bug, caught live by the sf0.01 oracle diff).
+    assert(math.abs(jw("red widget", "new widget") - 0.825) < 1e-9)
+    // prefix-less pair with the same floor behavior
+    assert(math.abs(jw("red gear", "large gear") - 0.8107142857) < 1e-9)
+  }
+
+  test("jaro_winkler boost applies only above the 0.7 threshold") {
+    // common prefix "ab" but jaro ≤ 0.7 → NO boost (classic Winkler)
+    val j = graft.functions.JaroWinklerUtils.jaro(
+      "abcdwxyz".codePoints().toArray, "abzzzzzz".codePoints().toArray)
+    assert(j <= 0.7)
+    assert(jw("abcdwxyz", "abzzzzzz") == j)
+    // just above the threshold: boost = l·0.1·(1−jaro), prefix cap 4
+    val base = graft.functions.JaroWinklerUtils.jaro(
+      "ab".codePoints().toArray, "abcdefghij".codePoints().toArray)
+    assert(base > 0.7)
+    assert(math.abs(jw("ab", "abcdefghij") - (base + 2 * 0.1 * (1 - base))) < 1e-12)
+  }
+
+  test("jaro_winkler invariants over seeded random strings") {
+    val rnd = new Random(7)
+    for (_ <- 0 until 300) {
+      val a = randomString(rnd)
+      val b = randomString(rnd)
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of range on a='$a' b='$b'")
+      // symmetric in its jaro core when lengths are equal; in general
+      // jw(a,b) == jw(b,a) because matching is bijective and the
+      // prefix is shared
+      assert(math.abs(s - jw(b, a)) < 1e-12, s"asymmetric on a='$a' b='$b'")
+      assert(jw(a, a) == (if (a.isEmpty) 1.0 else 1.0))
+    }
+  }
+
+  test("jaro_winkler expression works in a plan with codegen") {
+    import spark.implicits._
+    import graft.functions.JaroWinkler.jaro_winkler
+    import org.apache.spark.sql.functions._
+    val df = Seq(("martha", "marhta"), ("夜空中", "夜空中"), ("", ""))
+      .toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b")).as("r"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111) < 1e-9)
+    assert(got(1) == 1.0)
+    assert(got(2) == 1.0)
+    val nulls = Seq((Some("a"), Option.empty[String])).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b")).as("r"))
+    assert(nulls.collect()(0).isNullAt(0))
+  }
 }

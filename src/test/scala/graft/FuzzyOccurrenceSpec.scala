@@ -182,4 +182,19 @@ class FuzzyOccurrenceSpec extends SparkFunSuite {
     assert(rows.length == 38792 && hash == "f3698127d2047d601b9f9c0a31b6c861",
       s"flagship drifted at sf0.1: rows=${rows.length} md5=$hash")
   }
+
+  test("fuzzy_jaro_winkler: blocked join is an equi-join, never a cross") {
+    // the record-linkage scale contract: candidate pairs come from the
+    // (brand, noun) equi-join — a cartesian/nested-loop here would be
+    // corpus² at 100 TB
+    val df = SparkEntry.queries("fuzzy_jaro_winkler")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked JW join degraded to a cross:\n$plan")
+    // spot-check one scored pair end-to-end against the kernel
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 800000L && r.getLong(2) <= 1000000L))
+  }
 }

@@ -282,4 +282,44 @@ class GraphSpec extends SparkFunSuite {
       assert(g == w, s"mismatch: got $g want $w")
     }
   }
+
+  test("g5_frequent_pairs: support + integer lift match brute force") {
+    // ground truth in plain Scala integer arithmetic over the small
+    // sf0.001 basket set — the same staged formula the query and the
+    // oracle restate
+    val baskets = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nB = byOrder.size.toLong
+    val itemSupp = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    byOrder.values.foreach { pks =>
+      for (i <- pks.indices; j <- (i + 1) until pks.length
+           if pks(i) != pks(j)) {
+        val k = (pks(i), pks(j))
+        pairCounts(k) = pairCounts(k) + 1
+      }
+    }
+    val want = pairCounts.toSeq
+      .filter(_._2 >= operators.Graph.minPairSupport)
+      .map { case ((u, v), cAb) =>
+        val lift = (nB * cAb * 1000000L) / (itemSupp(u) * itemSupp(v))
+        (u, v, cAb, lift)
+      }
+      .sortBy { case (u, v, c, _) => (-c, u, v) }.take(50)
+
+    val got = SparkEntry.queries("g5_frequent_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length,
+      s"row count: got ${got.length} want ${want.length}")
+    (got zip want).foreach { case (g, w) =>
+      assert(g == w, s"mismatch: got $g want $w")
+    }
+    // lift sanity: a pair can never have more support than either item
+    got.foreach { case (u, v, cAb, _) =>
+      assert(cAb <= itemSupp(u) && cAb <= itemSupp(v))
+    }
+  }
 }

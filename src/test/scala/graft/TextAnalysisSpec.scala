@@ -456,4 +456,41 @@ class TextAnalysisSpec extends SparkFunSuite {
       case _ =>
     }
   }
+
+  test("text_pmi_collocations: staged integer PMI matches brute force") {
+    import org.apache.spark.sql.functions._
+    // brute-force bigram statistics over sf0.001 with the exact staged
+    // integer-division formula the query and the oracle restate
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = texts.iterator.flatMap { t =>
+      val a = t.split(" ", -1)
+      if (a.length < 2) Iterator.empty
+      else a.iterator.zip(a.iterator.drop(1))
+    }.toSeq
+    val cXY = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cX = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cY = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nBig = bigrams.size.toLong
+    val want = cXY.toSeq
+      .filter(_._2 >= 10L)
+      .map { case ((x, y), c) =>
+        val pmi = (((c * 1000000L) / cX(x)) * nBig) / cY(y)
+        (x, y, c, pmi)
+      }
+      .sortBy { case (x, y, c, p) => (-p, -c, x, y) }.take(40)
+
+    val got = SparkEntry.queries("text_pmi_collocations")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length,
+      s"row count: got ${got.length} want ${want.length}")
+    (got zip want).foreach { case (g, w) =>
+      assert(g == w, s"mismatch: got $g want $w")
+    }
+    // independence baseline: a bigram drawn by chance has pmi_q ≈ 1e6;
+    // the reported top collocations must clear it
+    assert(got.forall(_._4 >= 1000000L),
+      "top collocations should beat the independence baseline")
+  }
 }
