@@ -255,13 +255,95 @@ object Graph extends QueryModule {
       Dedup.releaseCheckpoints(baskets)
       import s.implicits._
       rows.toDF("u", "v", "c_ab", "lift_q")
+    }),
+
+    // Community detection by synchronous label propagation (Raghavan
+    // et al. 2007), BOUNDED at 5 rounds — the anytime production
+    // spelling (LPA moves its bulk in the first few rounds; a fixed
+    // round budget is the lever that keeps the cost linear at any
+    // scale, the g3_kcore_bounded convention). Deterministic variant:
+    // each node adopts the MINIMUM label among its neighbors' most
+    // frequent labels, so the output is bit-stable and golden-
+    // hashable (classic LPA breaks ties randomly and need not
+    // converge; min-tie-break synchronous LPA is deterministic).
+    // Per-round plan discipline = coreness's: edges hash-partitioned
+    // by src ONCE, labels broadcast, so BOTH the (src, lbl) frequency
+    // agg and the per-src arg-max run with their Exchange elided —
+    // zero corpus shuffles per round (GraphSpec pins the brute-force
+    // differential; the round state is rebased per round to dodge the
+    // stats-inheritance blowup documented on [[coreness]]).
+    "g6_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // community graph = co-occurrence pairs seen in ≥ 2 baskets
+      // (minEdgeWeight): single-basket pairs are noise edges that fuse
+      // the dense co-occurrence graph into one giant community; the
+      // weight filter is part of the operator definition (restated in
+      // the oracle) and also prunes the edge table ~30× before any
+      // round runs — the standard support-threshold lever.
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= minEdgeWeight)
+        .select(col("u"), col("v"))
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst")
+      val labels = labelProp(edges, rounds = 5)
+      val out = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      Dedup.releaseCheckpoints(labels)
+      out.toDF("community", "n_nodes", "min_node")
     })
   )
+
+  /** Synchronous min-tie-break label propagation over a BIDIRECTIONAL
+    * edge table; returns (node, lbl) after `rounds` rounds. Caller
+    * releases the returned frame's checkpoint.
+    */
+  private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // see coreness: fresh-RDD rebase drops inherited Catalyst stats
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val ep = edges.repartition(col("src")).localCheckpoint(false)
+    var labelsCk = ep.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val labels = rebase(labelsCk)
+      // neighbor-label gather: broadcast join preserves ep's src
+      // layout; both following aggs group by (a superset of) src, so
+      // their exchanges are elided against that layout
+      val next = ep.join(broadcast(labels.toDF("dst", "nlbl")), "dst")
+        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("cnt"))
+        // arg-max with min tie-break: labels are non-negative ids, so
+        // max(struct(cnt, -lbl)) picks highest count then lowest label
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("src").as("node"), (-col("m.neg")).as("lbl"))
+      val nextCk = next.localCheckpoint(false)
+      nextCk.count()
+      Dedup.releaseCheckpoints(labelsCk)
+      labelsCk = nextCk
+    }
+    Dedup.releaseCheckpoints(ep)
+    labelsCk
+  }
 
   /** Minimum pair support for `g5_frequent_pairs` — a plan constant
     * shared with the oracle SQL.
     */
   private[graft] val minPairSupport = 3
+
+  /** Minimum co-occurrence weight for `g6_label_prop`'s community
+    * graph — a plan constant shared with the oracle SQL.
+    */
+  private[graft] val minEdgeWeight = 2
 
   /** Wedge-center degree cap for [[queries]]' `g4_node_jaccard` — a
     * plan constant shared with the oracle SQL.
@@ -607,6 +689,47 @@ object Graph extends QueryModule {
          FROM pair
          JOIN item ia ON ia.pk = u JOIN item ib ON ib.pk = v
          CROSS JOIN nb
-         ORDER BY c_ab DESC, u ASC, v ASC LIMIT 50"""
+         ORDER BY c_ab DESC, u ASC, v ASC LIMIT 50""",
+
+    // the round budget (5) is part of the operator definition, so the
+    // whole bounded iteration UNROLLS into SQL — min-tie-break argmax
+    // per round via QUALIFY row_number
+    "g6_label_prop" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         pairs AS (SELECT a.pk AS u, bb.pk AS v
+           FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+           GROUP BY a.pk, bb.pk HAVING count(*) >= 2),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         l1 AS (SELECT src AS node, nlbl AS lbl FROM (
+             SELECT e.src, l.lbl AS nlbl, count(*) AS cnt FROM edges e
+             JOIN l0 l ON e.dst = l.node GROUP BY e.src, l.lbl) t
+           QUALIFY row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1),
+         l2 AS (SELECT src AS node, nlbl AS lbl FROM (
+             SELECT e.src, l.lbl AS nlbl, count(*) AS cnt FROM edges e
+             JOIN l1 l ON e.dst = l.node GROUP BY e.src, l.lbl) t
+           QUALIFY row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1),
+         l3 AS (SELECT src AS node, nlbl AS lbl FROM (
+             SELECT e.src, l.lbl AS nlbl, count(*) AS cnt FROM edges e
+             JOIN l2 l ON e.dst = l.node GROUP BY e.src, l.lbl) t
+           QUALIFY row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1),
+         l4 AS (SELECT src AS node, nlbl AS lbl FROM (
+             SELECT e.src, l.lbl AS nlbl, count(*) AS cnt FROM edges e
+             JOIN l3 l ON e.dst = l.node GROUP BY e.src, l.lbl) t
+           QUALIFY row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1),
+         l5 AS (SELECT src AS node, nlbl AS lbl FROM (
+             SELECT e.src, l.lbl AS nlbl, count(*) AS cnt FROM edges e
+             JOIN l4 l ON e.dst = l.node GROUP BY e.src, l.lbl) t
+           QUALIFY row_number() OVER (
+             PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1)
+         SELECT lbl AS community, count(*) AS n_nodes,
+           min(node) AS min_node
+         FROM l5 GROUP BY lbl"""
   )
 }

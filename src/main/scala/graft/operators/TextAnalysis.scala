@@ -227,6 +227,45 @@ object TextAnalysis extends QueryModule {
             (acc, v) => (acc * 131 + v) % 2147483647L).as("fp"))
     }),
 
+    // Count-min sketch (Cormode-Muthukrishnan 2005) spelled as PURE
+    // relational algebra — no custom aggregate needed: counter
+    // c[i][b] is just `count(*) GROUP BY (i, bucket_i(h))`, and a
+    // point query is `min(c)` over the d rows — so the entire sketch
+    // (build + query) is restated by the SQL oracle and HASH-CHECKED,
+    // something an opaque binary sketch buffer can't do. Scale shape:
+    // the build explodes each occurrence ×d (d = 3) into a hash agg
+    // whose map-side combine bounds the shuffle at d·w = 48 rows per
+    // partition REGARDLESS of corpus size or vocab — the reason CMS
+    // beats an exact groupBy when the key space is huge. The exact
+    // counts ride along as the verification column (c_exact ≤ est
+    // always — CMS never undercounts; TextAnalysisSpec pins both
+    // bounds). Token hash = the restatable char-polynomial (the
+    // text_fingerprint convention); bucket_i = (h·P_i + i) mod w with
+    // distinct primes P_i (pairwise-independent enough for the
+    // Markov-bound guarantee; deterministic for golden hashing).
+    "text_cms_counts" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val hashed = toks.select(col("tok"),
+        expr("aggregate(split(tok, ''), 0L, " +
+          "(a, c) -> (a * 131 + ascii(c)) % 2147483647)").as("h"))
+      val bucketed = hashed
+        .select(col("tok"), col("h"),
+          explode(expr("array(0, 1, 2)")).as("i"))
+        .select(col("tok"), col("i"),
+          expr("pmod(h * CAST(elt(i + 1, 31, 131, 1009) AS BIGINT) + i, 16)")
+            .as("b"))
+      val counters = bucketed.groupBy(col("i"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val cand = bucketed.select(col("tok"), col("i"), col("b")).distinct()
+      val est = cand.join(broadcast(counters), Seq("i", "b"))
+        .groupBy(col("tok")).agg(min(col("c")).as("est"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_exact"))
+      est.join(exact, "tok")
+        .select(col("tok"), col("est"), col("c_exact"))
+    }),
+
     // Repetition-based quality rules (the MassiveText/Gopher family):
     // duplicate-token fraction and most-common-token fraction per
     // document, plus the keep/drop gate. The gate compares INTEGERS
@@ -1115,6 +1154,26 @@ object TextAnalysis extends QueryModule {
            list_reduce([unicode(t) * 7 + len(t) for t in string_split(text, ' ')],
                        (a, b) -> (a * 131 + b) % 2147483647) AS fp
          FROM documents""",
+    // the full sketch restated: counters = GROUP BY (i, bucket),
+    // point query = min over the d rows; list_reduce with no init
+    // equals aggregate-from-0 because f(0, x) = x for this fold
+    "text_cms_counts" ->
+      """WITH t AS (SELECT tok FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           WHERE tok <> ''),
+         h AS (SELECT tok,
+             list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split(tok, '')],
+                         (a, b) -> (a * 131 + b) % 2147483647) AS h
+           FROM t),
+         buck AS (SELECT tok, i,
+             (h * (CASE i WHEN 0 THEN 31 WHEN 1 THEN 131 ELSE 1009 END) + i) % 16 AS b
+           FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) d),
+         counters AS (SELECT i, b, count(*) AS c FROM buck GROUP BY i, b),
+         cand AS (SELECT DISTINCT tok, i, b FROM buck),
+         est AS (SELECT tok, CAST(min(c) AS BIGINT) AS est
+                 FROM cand JOIN counters USING (i, b) GROUP BY tok),
+         exact AS (SELECT tok, count(*) AS c_exact FROM t GROUP BY tok)
+         SELECT tok, est, c_exact FROM est JOIN exact USING (tok)""",
     // same operand tree as the Spark side: raw-odds idf × saturated
     // tf, per-term scores quantized to DECIMAL(38,6) before the sum
     "text_bm25_topk" ->

@@ -322,4 +322,52 @@ class GraphSpec extends SparkFunSuite {
       assert(cAb <= itemSupp(u) && cAb <= itemSupp(v))
     }
   }
+
+  test("g6_label_prop: 5 synchronous min-tie-break rounds match brute force") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edgeList = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= operators.Graph.minEdgeWeight)
+      .select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    edgeList.foreach { case (u, v) =>
+      adj(u) = adj(u) :+ v; adj(v) = adj(v) :+ u
+    }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      val cur = lbl
+      lbl = adj.keys.map { n =>
+        val freq = adj(n).groupBy(cur).view.mapValues(_.size).toMap
+        val best = freq.values.max
+        n -> freq.collect { case (l, c) if c == best => l }.min
+      }.toMap
+    }
+    val want = lbl.groupBy(_._2).view
+      .mapValues(m => (m.size.toLong, m.keys.min)).toMap
+
+    val got = SparkEntry.queries("g6_label_prop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"communities differ: got ${got.size} want ${want.size}")
+    // structural sanity: communities partition the node set
+    assert(got.values.map(_._1).sum == adj.size.toLong)
+  }
+
+  test("labelProp resolves disjoint cliques to their min-id communities") {
+    import spark.implicits._
+    // two disjoint triangles {1,2,3} and {10,11,12}: synchronous
+    // min-tie-break LPA converges each to the all-min label
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val labels = operators.Graph.labelProp(edges, rounds = 5)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    operators.Dedup.releaseCheckpoints(labels)
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(got) == Set(10L))
+  }
 }

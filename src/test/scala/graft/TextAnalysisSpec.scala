@@ -493,4 +493,36 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got.forall(_._4 >= 1000000L),
       "top collocations should beat the independence baseline")
   }
+
+  test("text_cms_counts: sketch matches in-memory CMS; never undercounts") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    val primes = Array(31L, 131L, 1009L)
+    val counters = Array.fill(3, 16)(0L)
+    toks.foreach { t =>
+      val h = tokHash(t)
+      for (i <- 0 until 3)
+        counters(i)(((h * primes(i) + i) % 16).toInt) += 1
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def cmsEst(t: String): Long = {
+      val h = tokHash(t)
+      (0 until 3).map(i => counters(i)(((h * primes(i) + i) % 16).toInt)).min
+    }
+
+    val got = SparkEntry.queries("text_cms_counts")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == exact.size)
+    got.foreach { case (tok, est, cExact) =>
+      assert(cExact == exact(tok), s"exact count drifted for '$tok'")
+      assert(est == cmsEst(tok), s"sketch estimate drifted for '$tok'")
+      assert(est >= cExact, s"CMS undercounted '$tok': $est < $cExact")
+    }
+    // each row of counters conserves the total token mass
+    assert(counters.forall(_.sum == toks.length.toLong))
+  }
 }
