@@ -81,12 +81,26 @@ lireps = " UNION ALL ".join(
 con.execute(f"CREATE VIEW lisrc AS SELECT * FROM '{src}/lineitem.parquet'")
 con.execute(f"COPY ({lireps}) TO '{out}/lineitem.parquet' (FORMAT PARQUET)")
 
-for t in ("documents", "embeddings", "events", "lineitem"):
+# part replicates with a per-replica NOUN suffix (r12, for the
+# blocked-JW linkage probe): block keys (brand, noun_r) multiply by K
+# while block SIZES stay constant — the honest record-linkage regime
+# (a shared-noun replication would grow within-block pair work K^2,
+# which measures the blocking key's selectivity, not the engine).
+preps = " UNION ALL ".join(
+    f"""SELECT p_partkey + {r * 10_000_000} AS p_partkey,
+          {'p_name' if r == 0 else f"p_name || 'r{r}'"} AS p_name,
+          p_brand, p_type, p_size, p_retailprice
+        FROM psrc"""
+    for r in range(k))
+con.execute(f"CREATE VIEW psrc AS SELECT * FROM '{src}/part.parquet'")
+con.execute(f"COPY ({preps}) TO '{out}/part.parquet' (FORMAT PARQUET)")
+
+for t in ("documents", "embeddings", "events", "lineitem", "part"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
 
 # remaining tables ride along at 1x (symlinked) so the full catalog runs
-for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+for t in ("region", "nation", "customer", "supplier", "orders"):
     dst = f"{out}/{t}.parquet"
     if not os.path.exists(dst):
         os.symlink(f"{src}/{t}.parquet", dst)

@@ -296,6 +296,62 @@ object Graph extends QueryModule {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       Dedup.releaseCheckpoints(labels)
       out.toDF("community", "n_nodes", "min_node")
+    }),
+
+    // Bounded k-hop reachability (frontier BFS, 3 hops) from a seed
+    // set over the same weight-filtered community graph — "what does
+    // this brand's neighborhood look like" influence analysis. The
+    // frontier discipline is the scale contract: each hop joins ONLY
+    // the frontier against the edge table (hash equi-join) and
+    // anti-joins the visited set, so per-hop work is O(frontier
+    // degree mass), never O(nodes²); the hop budget is a plan
+    // constant, so the whole walk UNROLLS into the SQL oracle (the
+    // g6 convention) and hash-checks. Visited/frontier checkpoint per
+    // hop (flat lineage, released before return).
+    "g7_khop_reach" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= minEdgeWeight)
+        .select(col("u"), col("v"))
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst").localCheckpoint(false)
+      val seeds = Tables.load(s, dir, "part")
+        .where(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var visited = nodes.join(seeds, "node").localCheckpoint(false)
+      var frontier = visited
+      val hops = scala.collection.mutable.Buffer((0, frontier.count()))
+      var h = 0
+      while (h < 3) {
+        h += 1
+        val next = edges
+          .join(frontier.toDF("src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(false)
+        hops += ((h, next.count()))
+        // materialize the new visited set BEFORE releasing the old
+        // one — localCheckpoint(false) is lazy, and the union reads
+        // the old checkpoint's blocks when it first evaluates
+        val nv = visited.union(next).localCheckpoint(false)
+        nv.count()
+        val oldVisited = visited
+        val oldFrontier = frontier
+        visited = nv
+        frontier = next
+        Dedup.releaseCheckpoints(oldVisited)
+        if (h > 1) Dedup.releaseCheckpoints(oldFrontier)
+      }
+      Dedup.releaseCheckpoints(visited)
+      Dedup.releaseCheckpoints(frontier)
+      Dedup.releaseCheckpoints(edges)
+      hops.toSeq.toDF("hop", "n_nodes")
     })
   )
 
@@ -730,6 +786,36 @@ object Graph extends QueryModule {
              PARTITION BY src ORDER BY cnt DESC, nlbl ASC) = 1)
          SELECT lbl AS community, count(*) AS n_nodes,
            min(node) AS min_node
-         FROM l5 GROUP BY lbl"""
+         FROM l5 GROUP BY lbl""",
+
+    // the hop budget (3) is a plan constant, so the frontier walk
+    // unrolls (the g6 convention) and the whole reach profile
+    // hash-checks
+    "g7_khop_reach" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         pairs AS (SELECT a.pk AS u, bb.pk AS v
+           FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+           GROUP BY a.pk, bb.pk HAVING count(*) >= 2),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         f0 AS (SELECT DISTINCT src AS node FROM edges
+           WHERE src IN (SELECT p_partkey FROM part
+                         WHERE p_brand = 'Brand#1')),
+         f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f0 ON e.src = f0.node
+           WHERE e.dst NOT IN (SELECT node FROM f0)),
+         v1 AS (SELECT node FROM f0 UNION SELECT node FROM f1),
+         f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f1 ON e.src = f1.node
+           WHERE e.dst NOT IN (SELECT node FROM v1)),
+         v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+         f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f2 ON e.src = f2.node
+           WHERE e.dst NOT IN (SELECT node FROM v2))
+         SELECT 0 AS hop, count(*) AS n_nodes FROM f0
+         UNION ALL SELECT 1 AS hop, count(*) AS n_nodes FROM f1
+         UNION ALL SELECT 2 AS hop, count(*) AS n_nodes FROM f2
+         UNION ALL SELECT 3 AS hop, count(*) AS n_nodes FROM f3"""
   )
 }

@@ -120,6 +120,42 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // K2 with ADD-COLUMN SCHEMA EVOLUTION: v1 commits (key, price,
+    // pk); v2 upserts a batch that carries a NEW o_orderpriority
+    // column. The evolve is metadata-only — v1's files are never
+    // rewritten (absent parquet columns resolve to NULL under the
+    // widened schema), the effective schema persists per version in a
+    // schemas/ sidecar, and the reader ([[SnapshotMerge.readEvolved]])
+    // needs no knowledge of the table's history. Output coalesces the
+    // evolved column to 'NONE' so the null-representation is
+    // comparator-proof; the oracle restates the union-widened merge
+    // directly.
+    "k2_upsert_evolve" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), pk)
+      val incoming = o.where(col("o_orderkey") % 2 === 0 &&
+          pmod(col("o_orderkey"), lit(5L)) < 2)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          col("o_orderpriority"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2e_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertEvolve(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      graft.sinks.SnapshotMerge.upsertEvolve(
+        s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+      val out = graft.sinks.SnapshotMerge.readEvolved(s, base)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("o_orderpriority"), lit("NONE")).as("prio"),
+          col("pk").cast("long").as("pk"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // Time-travel read through the snapshot version log (r11): seed
     // the table (v1), merge an update batch on top (v2), then read AS
     // OF v1 while CURRENT points at v2 — the oracle is simply the
@@ -539,6 +575,24 @@ object Pipeline extends QueryModule {
          SELECT * FROM incoming
          UNION ALL
          SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // the union-widened merge restated: pre-evolution rows carry the
+    // NONE-coalesced null in the evolved column
+    "k2_upsert_evolve" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             o_orderpriority, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 < 2)
+         SELECT o_orderkey, o_totalprice,
+           coalesce(o_orderpriority, 'NONE') AS prio, pk
+         FROM incoming
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'NONE' AS prio, pk
+         FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
     // readAt(v1) after a v2 merge must return exactly the seed
     // relation — the pre-merge table, not the merged one.

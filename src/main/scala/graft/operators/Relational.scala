@@ -652,6 +652,23 @@ object Relational extends QueryModule {
         .withColumnRenamed("P", "n_p")
     }),
 
+    // UNPIVOT (melt) — the inverse of agg_pivot, completing the
+    // reshape pair: wide per-priority status counts back to long
+    // (priority, status, n) rows via the variable-length `stack`
+    // generator — a zero-shuffle projection over the (already tiny)
+    // pivoted frame; the whole round trip (pivot → unpivot) is what
+    // the oracle restates as a plain GROUP BY.
+    "agg_unpivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"),
+          expr("stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, n)"))
+        .where(col("n") > 0)
+    }),
+
     // Exact continuous percentiles (median / p90) — the reference
     // spelling, kept as ground truth.
     //
@@ -1125,6 +1142,13 @@ object Relational extends QueryModule {
            COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY o_orderpriority""",
+    // pivot → unpivot round trip ≡ plain GROUP BY (zero-count cells
+    // dropped, matching the WHERE n > 0 on the Spark side)
+    "agg_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+         FROM orders
+         WHERE o_orderstatus IN ('F', 'O', 'P')
+         GROUP BY o_orderpriority, o_orderstatus""",
     "agg_percentile" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS p50,

@@ -67,6 +67,102 @@ object SnapshotMerge {
   def read(spark: SparkSession, rootDir: String, schema: StructType): DataFrame =
     new SnapshotStore(spark, new Path(rootDir)).read(schema)
 
+  /** K2 with ADD-COLUMN SCHEMA EVOLUTION (the Delta/Iceberg
+    * `mergeSchema` capability): the table's effective schema is the
+    * UNION of the stored schema and `incoming`'s — stored fields keep
+    * their order and types (a common field with a different type
+    * fails fast; silent coercion at 100 TB is how columns rot), new
+    * incoming fields append as nullable. Existing data files are
+    * NEVER rewritten for an evolve: parquet under a declared wider
+    * schema resolves absent columns to NULL, so old partitions keep
+    * their bytes and only the manifest + a schemas/ sidecar move —
+    * evolution is a metadata operation, exactly like the production
+    * table formats. The effective schema persists per version
+    * ([[SnapshotStore.writeSchemaFile]]); readers use
+    * [[readEvolved]] without having to know the table's history.
+    */
+  def upsertEvolve(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    // Adopting a pre-evolution table infers its schema from parquet
+    // footers — but PARTITION columns only exist as `col=val` dir
+    // strings there, so their inferred type is a guess ("0" → int).
+    // The caller's declared type is authoritative for partition
+    // columns (exactly as it was for every pre-evolution read, where
+    // the caller always supplied the schema): reconcile them before
+    // the conflict check. Persisted schemas recorded real types and
+    // skip this.
+    val stored: Option[StructType] = storedSchema(spark, store).map { s =>
+      if (store.currentSchema().isDefined) s
+      else StructType(s.fields.map { f =>
+        if (partCols.contains(f.name))
+          incoming.schema.find(_.name == f.name)
+            .map(inF => f.copy(dataType = inF.dataType)).getOrElse(f)
+        else f
+      })
+    }
+    val union: StructType = stored match {
+      case None => incoming.schema
+      case Some(s) =>
+        val incByName = incoming.schema.fields.map(f => f.name -> f).toMap
+        s.fields.foreach { f =>
+          incByName.get(f.name).foreach { inF =>
+            require(inF.dataType == f.dataType,
+              s"schema evolution type conflict on '${f.name}': " +
+                s"stored ${f.dataType.simpleString} vs " +
+                s"incoming ${inF.dataType.simpleString}")
+          }
+        }
+        val storedNames = s.fieldNames.toSet
+        StructType(s.fields.map(_.copy(nullable = true)) ++
+          incoming.schema.fields.filterNot(f => storedNames(f.name))
+            .map(_.copy(nullable = true)))
+    }
+    val widened = widenTo(incoming, union)
+    merge(spark, rootDir, widened, partCols, retain, statsCols)(
+      (target, inc) => Merge.upsertUpdate(target, inc, keys))
+    // written AFTER the commit it describes; see the schemas/ note on
+    // SnapshotStore for why the crash window self-heals
+    store.currentVersion().foreach(v => store.writeSchemaFile(v, union))
+  }
+
+  /** Read the committed snapshot under its PERSISTED (evolved)
+    * schema; falls back to footer inference for a pre-evolution
+    * table.
+    */
+  def readEvolved(spark: SparkSession, rootDir: String): DataFrame = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val schema = storedSchema(spark, store).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    store.read(schema)
+  }
+
+  /** The table's effective schema: the persisted one when present,
+    * else inferred from the current manifest's batch dirs (partition
+    * columns parse from the `col=val` suffix dirs).
+    */
+  private def storedSchema(spark: SparkSession,
+      store: SnapshotStore): Option[StructType] =
+    store.currentSchema().orElse {
+      store.current().map { case (_, entries) =>
+        val batches = entries.values.toSet.toSeq
+          .map((b: String) => store.dataPath(b).toString)
+        spark.read.parquet(batches: _*).schema
+      }
+    }
+
+  /** Project `df` onto `schema`: shared fields pass through (types
+    * already verified equal), absent fields become typed NULLs.
+    */
+  private def widenTo(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Rows of `incoming` whose `joinKeys` are NOT already in the
     * committed snapshot, with the guard's scan pruned to the
     * partitions `incoming` itself touches — under [[merge]]'s

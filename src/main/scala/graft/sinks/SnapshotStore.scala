@@ -197,6 +197,45 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def currentVersion(): Option[Long] = currentManifestName().map(parseVersion)
 
+  // --- persisted table schema (schema evolution, r12) ---------------
+  //
+  // One JSON StructType per EVOLVING commit under schemas/ (plain
+  // upserts don't write one — their schema is the caller's contract,
+  // pre-evolution tables stay byte-identical on disk). Lookup is
+  // "latest at or before version": a schema applies until superseded,
+  // and a crash between commit and schema write self-heals — the
+  // previous (narrower) schema still reads every file because an
+  // absent parquet column resolves to NULL under a declared schema.
+
+  private val schemasDir = new Path(root, "schemas")
+
+  /** Persist the table schema effective from `version`. */
+  def writeSchemaFile(version: Long, schema: StructType): Unit =
+    writeFile(new Path(schemasDir, s"schema-${versionName(version)}.json"),
+      schema.json)
+
+  /** Latest persisted schema at or before `version` (None when the
+    * table has never evolved).
+    */
+  def schemaAt(version: Long): Option[StructType] = {
+    if (!fs.exists(schemasDir)) return None
+    val eligible = fs.listStatus(schemasDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("schema-v-") && n.endsWith(".json"))
+      .map(n => parseVersion(n.stripPrefix("schema-").stripSuffix(".json")))
+      .filter(_ <= version)
+    if (eligible.isEmpty) None
+    else {
+      val v = eligible.max
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        readSmallFile(new Path(schemasDir,
+          s"schema-${versionName(v)}.json"))).asInstanceOf[StructType])
+    }
+  }
+
+  /** Schema of the current commit, if persisted. */
+  def currentSchema(): Option[StructType] =
+    currentVersion().flatMap(schemaAt)
+
   /** Live partition map of the manifest file `name`: suffix -> batch
     * dir name (sizes dropped).
     */

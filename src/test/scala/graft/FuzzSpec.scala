@@ -151,6 +151,12 @@ class FuzzSpec extends SparkFunSuite {
     assert(jw("", "") == 1.0)
     // no shared codepoints → m = 0 → 0 (not NaN)
     assert(jw("abc", "xyz") == 0.0)
+    // supplementary-plane codepoint counts as ONE unit (surrogate-pair
+    // based lengths would shift the match window and the prefix scan)
+    assert(jw("a😀b", "a😀b") == 1.0)
+    val j3 = graft.functions.JaroWinklerUtils.jaro(
+      "a😀b".codePoints().toArray, "a😀c".codePoints().toArray)
+    assert(math.abs(j3 - (2.0 / 3 + 2.0 / 3 + 1.0) / 3) < 1e-12)
   }
 
   test("jaro_winkler floors the transposition count (strcmp95 rule)") {

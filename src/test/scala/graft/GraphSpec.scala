@@ -357,6 +357,40 @@ class GraphSpec extends SparkFunSuite {
     assert(got.values.map(_._1).sum == adj.size.toLong)
   }
 
+  test("g7_khop_reach: frontier BFS matches brute-force hop partition") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edgeList = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= operators.Graph.minEdgeWeight)
+      .select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edgeList.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val seeds = Tables.load(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    var frontier = adj.keySet.toSet & seeds
+    var visited = frontier
+    val want = scala.collection.mutable.Buffer(0 -> frontier.size.toLong)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj) -- visited
+      want += h -> next.size.toLong
+      visited ++= next
+      frontier = next
+    }
+    val got = SparkEntry.queries("g7_khop_reach")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(got == want.toSeq, s"hop profile: got $got want ${want.toSeq}")
+    // monotone containment sanity: every reached node is in the graph
+    assert(visited.subsetOf(adj.keySet))
+  }
+
   test("labelProp resolves disjoint cliques to their min-id communities") {
     import spark.implicits._
     // two disjoint triangles {1,2,3} and {10,11,12}: synchronous

@@ -673,4 +673,16 @@ class RelationalSpec extends SparkFunSuite {
       assert(math.abs(got(d) - ex).toDouble / ex < 0.05, s"day $d: ${got(d)} vs $ex")
     }
   }
+
+  test("agg_unpivot inverts agg_pivot back to the plain group-by") {
+    val direct = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderstatus").isin("F", "O", "P"))
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = SparkEntry.queries("agg_unpivot")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == direct, "pivot -> unpivot round trip drifted")
+  }
 }

@@ -174,6 +174,64 @@ class SnapshotMergeSpec extends SparkFunSuite {
       .map(i => i -> (if (i == 0) "U0" else s"t$i")).toMap)
   }
 
+  test("upsertEvolve persists the evolved schema; readers need no history") {
+    val dir = tmp("sevolve")
+    // v1 through the evolve path: schema file written from the start
+    SnapshotMerge.upsertEvolve(spark, dir, targetRows, Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "pk")))
+    val before = store.currentSized().get._2
+
+    // v2 adds a column; only pk=0 touched
+    val widened = Seq((0L, "U0", "extra", 0L)).toDF("id", "v", "v2", "pk")
+    SnapshotMerge.upsertEvolve(spark, dir, widened, Seq("id"), Seq("pk"))
+    // persisted schema = union, stored field order first
+    assert(store.currentSchema().map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "pk", "v2")))
+    // schema history: v1's persisted schema is still the narrow one
+    assert(store.schemaAt(1L).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v", "pk")))
+
+    // history-free read: evolved column null for pre-evolution rows
+    val wide = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("v"), r.getAs[String]("v2")))
+      .toMap
+    assert(wide.size == 10)
+    assert(wide(0L) == ("U0", "extra"))
+    (1L until 10L).foreach(i => assert(wide(i) == (s"t$i", null)))
+
+    // the evolve was metadata-only for untouched partitions: every
+    // non-pk=0 partition still references its v1 batch
+    val after = store.currentSized().get._2
+    before.keys.filterNot(_.startsWith("pk=0")).foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+
+    // type conflict fails fast instead of silently coercing
+    val bad = Seq((1L, 7L, 1L)).toDF("id", "v", "pk") // v: long vs string
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertEvolve(spark, dir, bad, Seq("id"), Seq("pk"))
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
+  test("upsertEvolve adopts a pre-evolution table via footer inference") {
+    val dir = seed() // plain upsertUpdate: no schema file on disk
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().isEmpty)
+    val widened = Seq((5L, "U5", 42L, 0L)).toDF("id", "v", "score", "pk")
+    SnapshotMerge.upsertEvolve(spark, dir, widened, Seq("id"), Seq("pk"))
+    // inferred (id, v, pk) + appended score; persisted from now on
+    val names = store.currentSchema().get.fieldNames.toSet
+    assert(names == Set("id", "v", "pk", "score"))
+    val got = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("v"), Option(r.get(r.fieldIndex("score"))))).toMap
+    assert(got(5L)._1 == "U5" && got(5L)._2.contains(42L))
+    assert(got(1L)._2.isEmpty)
+  }
+
   test("partitioned merge keeps exact string partition values (no inference loss)") {
     // the declared-schema read contract: "00123" must NOT infer to
     // int 123 on the second merge — that would re-key the committed
