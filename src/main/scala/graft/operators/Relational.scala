@@ -292,6 +292,50 @@ object Relational extends QueryModule {
           dsum(col("l_extendedprice")).as("revenue"))
     }),
 
+    // Column profiling (DuckDB's SUMMARIZE / Deequ's analyzer shape):
+    // per-column row count, non-null count, exact distinct count, and
+    // min/max — the data-quality snapshot every ingest pipeline runs
+    // before trusting a drop. ONE aggregation pass over the table:
+    // Spark plans the multiple COUNT(DISTINCT)s via Expand (input
+    // rows × #profiled columns before partial aggregation — the
+    // standard spelling; the factor is the column count, a constant,
+    // so the pass stays linear). Min/max stringify through types with
+    // engine-stable renderings (bigint, varchar, DECIMAL(18,2) —
+    // never raw double→string, whose scientific-notation cutoffs
+    // differ per engine); the wide single row then melts via stack()
+    // into the long (col_name, stats) shape.
+    "profile_summary" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("price_d", col("o_totalprice").cast("decimal(18,2)"))
+      o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_orderstatus")).as("nn2"),
+        countDistinct(col("o_orderstatus")).as("nd2"),
+        min(col("o_orderstatus")).as("mn2"),
+        max(col("o_orderstatus")).as("mx2"),
+        count(col("o_orderpriority")).as("nn3"),
+        countDistinct(col("o_orderpriority")).as("nd3"),
+        min(col("o_orderpriority")).as("mn3"),
+        max(col("o_orderpriority")).as("mx3"),
+        count(col("price_d")).as("nn4"),
+        countDistinct(col("price_d")).as("nd4"),
+        min(col("price_d")).cast("string").as("mn4"),
+        max(col("price_d")).cast("string").as("mx4"))
+        .select(col("n"), expr(
+          """stack(4,
+               'o_orderkey', nn1, nd1, mn1, mx1,
+               'o_orderstatus', nn2, nd2, mn2, mx2,
+               'o_orderpriority', nn3, nd3, mn3, mx3,
+               'o_totalprice', nn4, nd4, mn4, mx4)
+             AS (col_name, n_nonnull, n_distinct, min_s, max_s)"""))
+        .select(col("col_name"), col("n"), col("n_nonnull"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }),
+
     // A7: distinct / dedup by key (reference set((song,archive)),
     // cmdline.py:291-296).
     "a7_distinct" -> ((s, dir) => {
@@ -993,6 +1037,30 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
+    // the same wide aggregate melted by UNION ALL; DECIMAL(18,2) for
+    // the double column so min/max strings render identically
+    "profile_summary" ->
+      """WITH a AS (SELECT count(*) AS n,
+           count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+           CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+           CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+           count(o_orderstatus) AS nn2, count(DISTINCT o_orderstatus) AS nd2,
+           min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+           count(o_orderpriority) AS nn3, count(DISTINCT o_orderpriority) AS nd3,
+           min(o_orderpriority) AS mn3, max(o_orderpriority) AS mx3,
+           count(CAST(o_totalprice AS DECIMAL(18,2))) AS nn4,
+           count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS nd4,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn4,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx4
+         FROM orders)
+         SELECT 'o_orderkey' AS col_name, n, nn1 AS n_nonnull,
+                nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+         UNION ALL
+         SELECT 'o_orderstatus', n, nn2, nd2, mn2, mx2 FROM a
+         UNION ALL
+         SELECT 'o_orderpriority', n, nn3, nd3, mn3, mx3 FROM a
+         UNION ALL
+         SELECT 'o_totalprice', n, nn4, nd4, mn4, mx4 FROM a""",
     // bloom prune + exact verify ≡ plain join (no false negatives)
     "j12_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

@@ -307,6 +307,26 @@ object TextAnalysis extends QueryModule {
           (substring(col("h"), 1, 2) === "00").cast("int").as("in_1of256"))
     }),
 
+    // GROUP-wise (leakage-safe) split: the split key is the SOURCE,
+    // not the document — near-duplicate documents cluster within a
+    // source (same site, same crawl), so a per-doc split leaks
+    // train near-dups into test; hashing the group key sends every
+    // doc of a source to the SAME side, the standard leakage control
+    // for train/test splits over scraped corpora. Zero-shuffle
+    // projection (the split is a pure function of the row); the
+    // output aggregates per (source, split) so the invariant "one
+    // split per source" is visible in the oracle-checked result.
+    "text_group_split" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("h", md5(col("source").cast("binary")))
+        .withColumn("split",
+          when(substring(col("h"), 1, 1) <= "b", "train")
+            .when(substring(col("h"), 1, 1) <= "d", "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Sequence packing: assign documents to fixed-budget (512-token)
     // context windows — the batching step between a cleaned corpus and
     // an LLM trainer. Docs are packed in doc_id order by running token
@@ -1221,6 +1241,15 @@ object TextAnalysis extends QueryModule {
                 ELSE 'test' END AS split,
            CAST(substr(md5(text), 1, 2) = '00' AS INT) AS in_1of256
          FROM documents""",
+    // one split per source by construction (split is a function of
+    // the group key alone)
+    "text_group_split" ->
+      """SELECT source,
+           CASE WHEN substr(md5(source), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(source), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+         FROM documents GROUP BY source""",
     "text_decontaminate" -> decontaminateSql
   )
 

@@ -152,6 +152,38 @@ object SnapshotMerge {
       }
     }
 
+  /** Full logical replacement: after this commit the table IS
+    * `incoming` — every pre-existing partition the frame did not
+    * reproduce is dropped in the SAME atomic pointer swap (all-old or
+    * all-new for any reader, the [[merge]] guarantee without the
+    * carry-forward). Fenced on the current version like every commit,
+    * so a concurrent writer aborts instead of interleaving.
+    */
+  def replaceAll(spark: SparkSession, rootDir: String, incoming0: DataFrame,
+      partCols: Seq[String], retain: Int = 2,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(partCols.nonEmpty, "use AtomicDir for unpartitioned targets")
+    requirePartitionable(incoming0.schema, partCols)
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val incoming = incoming0.localCheckpoint(true)
+    val parts: Array[Row] =
+      incoming.select(partCols.map(col): _*).distinct().collect()
+    requirePartitionValues(parts)
+    val cur = store.currentSized()
+    val newVersion = cur.map(_._1).getOrElse(0L) + 1
+    val batch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
+    val batchPath = store.dataPath(batch)
+    incoming.repartition(partCols.map(col): _*).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(batchPath.toString)
+    val written = SnapshotStore.partitionSizes(store.fs, batchPath)
+    store.writeBatchStats(batch, incoming.schema, partCols, statsCols)
+    val entries = written.map { case (s, sz) =>
+      s -> SnapshotStore.SnapshotEntry(batch, sz)
+    }
+    store.commitSized(newVersion, entries, cur.map(_._1))
+    store.vacuum(retain)
+  }
+
   /** Project `df` onto `schema`: shared fields pass through (types
     * already verified equal), absent fields become typed NULLs.
     */

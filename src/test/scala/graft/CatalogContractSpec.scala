@@ -39,4 +39,26 @@ class CatalogContractSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracle keys without a query: $missing")
     assert(SparkEntry.entry(spark).limit(1).count() > 0)
   }
+
+  test("no catalog query plans a CartesianProduct") {
+    // Catalog-wide plan lint: a CartesianProduct exec means Spark is
+    // shuffling BOTH sides of a cross with no broadcast — the one join
+    // shape with no 100 TB story. Deliberate tiny crosses (scalar
+    // totals, 25-row dims, metadata grids) plan as
+    // BroadcastNestedLoopJoin and stay legal; a query that silently
+    // degrades to CartesianProduct (e.g. a self-join whose aliases
+    // resolved to one attribute — the dedup_embedding_lsh bug class)
+    // fails here by name. Queries whose returned frame is a collected
+    // LocalRelation (the iterative graph ops) lint their FIXTURE work
+    // implicitly: the offending join would have executed while the
+    // schema walk built the frame, and their pipelines carry their own
+    // plan pins in GraphSpec.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
+  }
 }

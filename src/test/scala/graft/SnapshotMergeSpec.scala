@@ -216,6 +216,25 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
+    val dir = tmp("snarrow")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "a", "x0", 0L), (1L, "b", "x1", 1L)).toDF("id", "v", "extra", "pk"),
+      Seq("id"), Seq("pk"))
+    // incoming WITHOUT `extra`: schema stays the union (no column
+    // drop), and because upsert is ROW replacement, the replaced key's
+    // absent column becomes null — the defined (and pinned) semantics
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "a2", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().get.fieldNames.toSeq ==
+      Seq("id", "v", "extra", "pk"))
+    val got = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("v"), r.getAs[String]("extra"))).toMap
+    assert(got == Map(0L -> (("a2", null)), 1L -> (("b", "x1"))))
+  }
+
   test("upsertEvolve adopts a pre-evolution table via footer inference") {
     val dir = seed() // plain upsertUpdate: no schema file on disk
     val store = new SnapshotStore(spark, new Path(dir))
@@ -230,6 +249,48 @@ class SnapshotMergeSpec extends SparkFunSuite {
         (r.getAs[String]("v"), Option(r.get(r.fieldIndex("score"))))).toMap
     assert(got(5L)._1 == "U5" && got(5L)._2.contains(42L))
     assert(got(1L)._2.isEmpty)
+  }
+
+  test("df.write.format(graft-snapshot): SaveMode mapping end-to-end") {
+    import org.apache.spark.sql.SaveMode
+    val dir = tmp("ssink")
+    def write(df: org.apache.spark.sql.DataFrame, mode: SaveMode,
+        extra: Map[String, String] = Map.empty): Unit = {
+      val w = df.write.format("graft-snapshot")
+        .option("path", dir).option("keys", "id").option("partitionBy", "pk")
+        .mode(mode)
+      extra.foreach { case (k, v) => w.option(k, v) }
+      w.save()
+    }
+    // ErrorIfExists seeds a fresh table...
+    write(targetRows, SaveMode.ErrorIfExists)
+    assert(readVals(dir) == (0L until 10L).map(i => i -> s"t$i").toMap)
+    // ...and refuses a committed one
+    intercept[IllegalStateException] { write(targetRows, SaveMode.ErrorIfExists) }
+    // Append = K2 upsert-update
+    write(incomingRows, SaveMode.Append)
+    val afterUpsert = readVals(dir)
+    assert(afterUpsert(0L) == "U0" && afterUpsert(10L) == "N10"
+      && afterUpsert(2L) == "t2")
+    // Ignore = K1 (existing rows win)
+    write(Seq((0L, "LOSER", 0L), (20L, "N20", 0L)).toDF("id", "v", "pk"),
+      SaveMode.Ignore)
+    val afterIgnore = readVals(dir)
+    assert(afterIgnore(0L) == "U0" && afterIgnore(20L) == "N20")
+    // Overwrite = full logical replacement: pk=1 not reproduced → gone
+    write(Seq((100L, "W", 0L)).toDF("id", "v", "pk"), SaveMode.Overwrite)
+    assert(readVals(dir) == Map(100L -> "W"))
+    // evolve opt-in routes through schema evolution
+    write(Seq((100L, "W2", 9L, 0L)).toDF("id", "v", "score", "pk"),
+      SaveMode.Append, Map("evolve" -> "true"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().get.fieldNames.contains("score"))
+    // missing required option is a clear error
+    val e = intercept[IllegalArgumentException] {
+      targetRows.write.format("graft-snapshot").option("path", dir)
+        .mode(SaveMode.Append).save()
+    }
+    assert(e.getMessage.contains("keys"))
   }
 
   test("partitioned merge keeps exact string partition values (no inference loss)") {

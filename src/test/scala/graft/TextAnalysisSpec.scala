@@ -494,6 +494,23 @@ class TextAnalysisSpec extends SparkFunSuite {
       "top collocations should beat the independence baseline")
   }
 
+  test("text_group_split: every source lands in exactly one split") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_group_split")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // leakage invariant: the split is a function of the group key
+    val bySource = got.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"source '$src' split across ${rows.map(_._2).toSeq}")
+    }
+    assert(got.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // doc counts reconcile with the corpus
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(got.map(_._3).sum == total)
+  }
+
   test("text_cms_counts: sketch matches in-memory CMS; never undercounts") {
     import org.apache.spark.sql.functions._
     val toks = Tables.load(spark, sfDir, "documents")
