@@ -225,10 +225,15 @@ object Graph extends QueryModule {
     // support pruning (c_ab ≥ minSupport) happens straight after the
     // pair count so low-support mass never reaches the lift join; the
     // per-item support table is |items| rows and broadcasts. Lift is
-    // computed in INTEGER arithmetic — lift_q = (nB·c_ab·1e6) div
-    // (c_a·c_b) — so the whole ranking hash-checks against the SQL
-    // oracle with zero float drift. Top-50 by (support, key) via
-    // TakeOrderedAndProject, never a global sort.
+    // computed in STAGED integer arithmetic — lift_q =
+    // (((nB·1e6) div c_a) · c_ab) div c_b — so the whole ranking
+    // hash-checks against the SQL oracle with zero float drift, and
+    // every intermediate is bounded by nB·1e6 (c_ab ≤ c_a caps the
+    // product) — BIGINT-safe to ~9e12 baskets, the sampler-hash
+    // overflow rule applied to lift (the naive nB·c_ab·1e6 spelling
+    // overflows at multi-billion-basket · high-support scale).
+    // Top-50 by (support, key) via TakeOrderedAndProject, never a
+    // global sort.
     "g5_frequent_pairs" -> ((s, dir) => {
       val baskets = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -247,7 +252,7 @@ object Graph extends QueryModule {
         .join(broadcast(itemSupp.toDF("u", "c_a")), "u")
         .join(broadcast(itemSupp.toDF("v", "c_b")), "v")
         .select(col("u"), col("v"), col("c_ab"),
-          expr(s"($nB * c_ab * 1000000L) div (c_a * c_b)").as("lift_q"))
+          expr(s"((($nB * 1000000L) div c_a) * c_ab) div c_b").as("lift_q"))
         .orderBy(col("c_ab").desc, col("u").asc, col("v").asc)
         .limit(50)
       val rows = out.collect().map(r =>
@@ -729,7 +734,7 @@ object Graph extends QueryModule {
          FROM cmn JOIN deg da ON da.node = a JOIN deg db ON db.node = b
          ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20""",
 
-    // min-support 3 and the integer lift quantization are plan
+    // min-support 3 and the STAGED integer lift quantization are plan
     // constants restated here, so the full ranking hash-checks
     "g5_frequent_pairs" ->
       """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -741,7 +746,7 @@ object Graph extends QueryModule {
              ON a.ok = b.ok AND a.pk < b.pk
            GROUP BY a.pk, b.pk HAVING count(*) >= 3)
          SELECT u, v, c_ab,
-           (nb.n * c_ab * 1000000) // (ia.c_item * ib.c_item) AS lift_q
+           (((nb.n * 1000000) // ia.c_item) * c_ab) // ib.c_item AS lift_q
          FROM pair
          JOIN item ia ON ia.pk = u JOIN item ib ON ib.pk = v
          CROSS JOIN nb

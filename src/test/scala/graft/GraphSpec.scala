@@ -305,7 +305,7 @@ class GraphSpec extends SparkFunSuite {
     val want = pairCounts.toSeq
       .filter(_._2 >= operators.Graph.minPairSupport)
       .map { case ((u, v), cAb) =>
-        val lift = (nB * cAb * 1000000L) / (itemSupp(u) * itemSupp(v))
+        val lift = ((nB * 1000000L) / itemSupp(u)) * cAb / itemSupp(v)
         (u, v, cAb, lift)
       }
       .sortBy { case (u, v, c, _) => (-c, u, v) }.take(50)
