@@ -793,6 +793,36 @@ object Graph extends QueryModule {
            min(node) AS min_node
          FROM l5 GROUP BY lbl""",
 
+    // the round budget (6) is a plan constant, so the bounded h-index
+    // iteration unrolls (the g6 convention) and the whole certified
+    // upper-bound distribution hash-checks. All-integer state and a
+    // tie-order-invariant h-index (max(least(cn, rn)) gives the same
+    // value under ANY tie order in the rank window) make the unroll
+    // engine-exact; the frontier optimization in the Scala loop is
+    // pure work-saving (an unchanged-neighbor node cannot change), so
+    // full recomputation per round restates it value-identically.
+    "g3_kcore_bounded" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""h$k AS (SELECT src, max(least(cn, rn)) AS h FROM (
+             SELECT e.src, c.c AS cn,
+               row_number() OVER (PARTITION BY e.src ORDER BY c.c DESC) AS rn
+             FROM edges e JOIN c${k - 1} c ON e.dst = c.node) t$k
+           GROUP BY src),
+         c$k AS (SELECT c.node,
+             CAST(least(c.c, coalesce(h.h, c.c)) AS INT) AS c
+           FROM c${k - 1} c LEFT JOIN h$k h ON h.src = c.node)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         c0 AS (SELECT src AS node, CAST(count(*) AS INT) AS c
+                FROM edges GROUP BY src),
+         $rounds
+         SELECT c AS core_bound, count(*) AS n_nodes FROM c6 GROUP BY c"""
+    },
+
     // the hop budget (3) is a plan constant, so the frontier walk
     // unrolls (the g6 convention) and the whole reach profile
     // hash-checks
