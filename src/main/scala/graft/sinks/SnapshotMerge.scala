@@ -158,6 +158,10 @@ object SnapshotMerge {
     * all-new for any reader, the [[merge]] guarantee without the
     * carry-forward). Fenced on the current version like every commit,
     * so a concurrent writer aborts instead of interleaving.
+    *
+    * An EMPTY incoming frame commits an empty manifest — i.e.
+    * Overwrite-with-empty TRUNCATES the table (the Delta semantic);
+    * callers who mean "no-op on empty" must guard before calling.
     */
   def replaceAll(spark: SparkSession, rootDir: String, incoming0: DataFrame,
       partCols: Seq[String], retain: Int = 2,
