@@ -136,6 +136,69 @@ object EventWindows extends QueryModule {
           (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
     }),
 
+    // RFM SEGMENTATION (recency / frequency / monetary quartiles —
+    // the classic customer-analytics segmentation): per user over
+    // purchases, recency = last purchase micros, frequency = count,
+    // monetary = DECIMAL-exact spend; each scored into ntile(4)
+    // quartiles with a user_id tie-break (ntile is deterministic
+    // given a total order), segment = "r-f-m". The ntile windows run
+    // over the AGGREGATED per-user table (|users| rows, not events) —
+    // at a scale where the user dimension itself is corpus-sized, the
+    // sharded-prefix-sum factorization (text_curriculum_shards /
+    // w3_percent_rank_scaled) is the documented spelling.
+    "ev_rfm_segments" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("recency_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).as("monetary"))
+      def q(metric: String) = ntile(4).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(metric).asc, col("user_id").asc))
+      p.withColumn("r", q("recency_us"))
+        .withColumn("f", q("frequency"))
+        .withColumn("m", q("monetary"))
+        .select(concat_ws("-", col("r"), col("f"), col("m")).as("segment"),
+          col("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // SCD2 BUILD + TEMPORAL LOOKUP (the slowly-changing-dimension
+    // pattern, Kimball type 2): purchases define each user's "tier"
+    // history as validity intervals — valid_from = purchase ts,
+    // valid_to = the NEXT purchase's ts (lead window; null = open) —
+    // and clicks then join to the dimension row valid AT CLICK TIME.
+    // Because the dimension has the user as an equi-key, the temporal
+    // lookup is a plain HASH join on user_id with the validity range
+    // as a residual filter — per-user dim rows are few, so no
+    // bucketization is needed (contrast ev_interval_join, where no
+    // equi-key exists). The tier is an integer bucket of a double the
+    // engines share bit-for-bit (IEEE /10 then floor), and the output
+    // aggregates, so the whole build+lookup hash-checks.
+    "ev_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dim = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(col("value") / 10).cast("int").as("tier"),
+          col("ts"), col("event_id"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id").as("d_user"), col("tier"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      clicks.join(dim,
+          col("user_id") === col("d_user") &&
+          col("c_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("c_ts") < col("valid_to")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_clicks"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // INTERVAL (range-containment) join — the other temporal join
     // Spark has no native operator for: every event matched to the
     // incident windows [st, st+15min) that CONTAIN it, with no shared
@@ -633,6 +696,39 @@ object EventWindows extends QueryModule {
            epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    // ntile semantics match (equal buckets, remainder to the first);
+    // the user_id tie-break makes the quartile assignment a total
+    // order, so segment counts hash-check
+    "ev_rfm_segments" ->
+      """WITH p AS (SELECT user_id,
+             max(epoch_us(ts)) AS recency_us,
+             count(*) AS frequency,
+             sum(CAST(value AS DECIMAL(18,2))) AS monetary
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         scored AS (SELECT user_id,
+             ntile(4) OVER (ORDER BY recency_us ASC, user_id ASC) AS r,
+             ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+             ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m
+           FROM p)
+         SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+                || '-' || CAST(m AS VARCHAR) AS segment,
+           count(*) AS n_users
+         FROM scored GROUP BY 1""",
+    // SCD2 build (lead window) + validity-range lookup restated
+    // directly; the tie-broken ORDER BY (ts, event_id) makes lead()
+    // deterministic in both engines
+    "ev_scd2_lookup" ->
+      """WITH d AS (
+           SELECT user_id, CAST(floor(value / 10) AS INT) AS tier, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         SELECT tier, count(*) AS n_clicks,
+           count(DISTINCT c.user_id) AS n_users
+         FROM c JOIN d ON c.user_id = d.user_id
+           AND c.ts >= d.ts AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+         GROUP BY tier""",
     // the direct inequality join DuckDB executes as an IEJoin; the
     // Spark side must produce identical rows through the bucketed
     // equi-join spelling

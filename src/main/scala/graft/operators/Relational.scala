@@ -336,6 +336,36 @@ object Relational extends QueryModule {
           col("n_distinct"), col("min_s"), col("max_s"))
     }),
 
+    // ABC / PARETO ANALYSIS: classify parts by cumulative revenue
+    // share — A while the running share ≤ 80%, B to 95%, C after —
+    // the inventory-management classic. All comparisons are
+    // DECIMAL-exact cross-multiplications (cum·5 ≤ total·4, never a
+    // float share), so the classification hash-checks. The cumulative
+    // window runs over the AGGREGATED part dimension (|parts| rows,
+    // not lineitem) with a (rev, key) total order; for a dimension
+    // that is itself corpus-scale, the sharded-prefix-sum
+    // factorization is the documented spelling (the
+    // w3_percent_rank_scaled convention).
+    "a13_abc_analysis" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("l_partkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val total = rev.agg(sum(col("rev")).as("total"))
+      rev.withColumn("cum", sum(col("rev")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("cls",
+          when(col("cum") * 5 <= col("total") * 4, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_rev"))
+    }),
+
     // A7: distinct / dedup by key (reference set((song,archive)),
     // cmdline.py:291-296).
     "a7_distinct" -> ((s, dir) => {
@@ -1037,6 +1067,24 @@ object Relational extends QueryModule {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
+    // decimal cross-multiplication thresholds restated exactly; the
+    // (rev desc, key) order makes the cumulative sum a total order
+    "a13_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           FROM lineitem GROUP BY l_partkey),
+         t AS (SELECT sum(rev) AS total FROM rev),
+         c AS (SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM rev)
+         SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                     WHEN cum * 20 <= total * 19 THEN 'B'
+                     ELSE 'C' END AS cls,
+           count(*) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS class_rev
+         FROM c CROSS JOIN t
+         GROUP BY 1""",
     // the same wide aggregate melted by UNION ALL; DECIMAL(18,2) for
     // the double column so min/max strings render identically
     "profile_summary" ->

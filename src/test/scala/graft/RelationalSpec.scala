@@ -159,6 +159,76 @@ class RelationalSpec extends SparkFunSuite {
     assert(matched > 0, "fixture should produce at least one match")
   }
 
+  test("a13_abc_analysis and ev_rfm_segments: partition + share invariants") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    val totalRev = li.agg(
+      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    val abc = SparkEntry.queries("a13_abc_analysis")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(abc.keySet.subsetOf(Set("A", "B", "C")))
+    assert(abc.values.map(_._1).sum == nParts, "classes must partition parts")
+    assert(math.abs(abc.values.map(_._2).sum - totalRev) < 1e-6,
+      "class revenues must sum to total")
+    // boundary property: the A class holds at most 80% of revenue
+    // (the part that crosses the line tips to B by construction);
+    // note the synthetic revenue is near-uniform, so the classic
+    // "small head" shape does NOT hold here — only the boundary does
+    abc.get("A").foreach { case (_, revA) =>
+      assert(revA <= totalRev * 0.8 + 1e-6)
+    }
+
+    val ev = Tables.load(spark, sfDir, "events")
+    val nBuyers = ev.where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    val rfm = SparkEntry.queries("ev_rfm_segments")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rfm.values.sum == nBuyers, "segments must partition buyers")
+    rfm.keys.foreach { seg =>
+      val parts = seg.split("-")
+      assert(parts.length == 3 && parts.forall(p => (1 to 4).contains(p.toInt)),
+        s"malformed segment '$seg'")
+    }
+  }
+
+  test("ev_scd2_lookup: temporal lookup is an equi hash join, and matches brute force") {
+    val df = SparkEntry.queries("ev_scd2_lookup")(spark, sfDir)
+    // the scale contract: user_id must be extracted as the equi key
+    // (hash/sort-merge join with the validity range as residual) —
+    // a nested-loop here would be clicks × dim at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"SCD2 lookup degraded to a non-equi join:\n$plan")
+
+    // brute force: per click, the purchase interval containing it
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), floor(col("value") / 10).cast("int").as("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = scala.collection.mutable.Map.empty[Int, (Long, Set[Long])]
+      .withDefaultValue((0L, Set.empty))
+    clicks.foreach { case (user, us) =>
+      val hist = purchases.filter(_._1 == user).sortBy(p => (p._2, p._3))
+      // the valid row = last purchase with ts <= click ts (lead()
+      // makes intervals [ts_i, ts_{i+1}) with the last one open)
+      val valid = hist.filter(_._2 <= us).lastOption
+      valid.foreach { p =>
+        val (n, users) = want(p._4)
+        want(p._4) = (n + 1, users + user)
+      }
+    }
+    val got = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want.view.mapValues { case (n, u) => (n, u.size.toLong) }.toMap,
+      "SCD2 lookup drifted from brute force")
+  }
+
   test("interval join matches brute-force containment and never nested-loops") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
