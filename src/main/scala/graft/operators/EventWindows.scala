@@ -136,6 +136,60 @@ object EventWindows extends QueryModule {
           (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
     }),
 
+    // CUSUM CHANGE-POINT DETECTION (Page 1954, the SPC classic): per
+    // event type, the point where the cumulative deviation from the
+    // mean peaks — "where did this metric's level shift". Division-
+    // free integer spelling: S'_k = n·prefix_k − k·total (cents) is
+    // n× the classic CUSUM, so its argmax is the SAME point with
+    // every intermediate exact in BIGINT — no float mean, no drift.
+    // Scale factorization: the per-type prefix sum is SHARDED BY DAY
+    // (in-day running sums over high-cardinality (type, day) windows
+    // + broadcast per-day offsets — the text_curriculum_shards
+    // pattern; a bare per-type window serializes each type through
+    // one reducer, the w3_percent_rank class), and the final argmax
+    // is a partial-agg max(struct(s, −µs, −id)) — never a per-type
+    // sort. The sharding is value-transparent, so DuckDB restates
+    // the whole thing with plain windows and it hash-checks.
+    "ev_cusum_changepoint" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("day", to_date(col("ts")))
+      val inDay = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val withRun = e
+        .withColumn("run", sum(col("c")).over(
+          inDay.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("rn", row_number().over(inDay))
+      val dayAgg = e.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("c")).as("dsum"), count(lit(1)).as("dcnt"))
+      val acrossDays = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = dayAgg
+        .withColumn("off_sum", coalesce(sum(col("dsum")).over(acrossDays), lit(0L)))
+        .withColumn("off_cnt", coalesce(sum(col("dcnt")).over(acrossDays), lit(0L)))
+        .select(col("event_type"), col("day"), col("off_sum"), col("off_cnt"))
+      val totals = dayAgg.groupBy(col("event_type"))
+        .agg(sum(col("dsum")).as("t"), sum(col("dcnt")).as("n"))
+      withRun
+        .join(broadcast(offs), Seq("event_type", "day"))
+        .join(broadcast(totals), "event_type")
+        .withColumn("s", abs(col("n") * (col("off_sum") + col("run"))
+          - (col("off_cnt") + col("rn")) * col("t")))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("s"),
+          (-unix_micros(col("ts"))).as("nus"),
+          (-col("event_id")).as("nid"))).as("m"))
+        .select(col("event_type"),
+          date_format(timestamp_micros(-col("m.nus")), "yyyy-MM-dd HH:mm:ss")
+            .as("cp_ts"),
+          col("m.s").as("s_scaled"))
+    }),
+
     // RFM SEGMENTATION (recency / frequency / monetary quartiles —
     // the classic customer-analytics segmentation): per user over
     // purchases, recency = last purchase micros, frequency = count,
@@ -696,6 +750,27 @@ object EventWindows extends QueryModule {
            epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
          FROM c ASOF LEFT JOIN p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    // the sharded factorization is value-transparent, so the oracle
+    // uses plain per-type windows; argmax tie-break (s desc, ts asc,
+    // id asc) restated via QUALIFY
+    "ev_cusum_changepoint" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         s AS (SELECT event_type, ts, event_id,
+             sum(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS pre,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS k,
+             sum(c) OVER (PARTITION BY event_type) AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e)
+         SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+           CAST(abs(n * pre - k * t) AS BIGINT) AS s_scaled
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(n * pre - k * t) DESC, ts ASC, event_id ASC) = 1""",
     // ntile semantics match (equal buckets, remainder to the first);
     // the user_id tie-break makes the quartile assignment a total
     // order, so segment counts hash-check

@@ -303,6 +303,37 @@ object Graph extends QueryModule {
       out.toDF("community", "n_nodes", "min_node")
     }),
 
+    // NEGATIVE SAMPLING for pairwise training data (the word2vec /
+    // recommender pattern): for every observed (basket, item)
+    // positive, propose k pseudo-random negatives by a deterministic
+    // hash draw, REJECT any candidate that is itself a positive of
+    // the same basket (anti-join — at scale this is the only
+    // collision check that matters; per-draw rejection probability =
+    // basket size / |items|), and keep the first 2 surviving draws
+    // per positive (row_number over ≤ 4 rows — a bounded window,
+    // never corpus-serial). The draw is the sampler-overflow-safe
+    // mix (reduce mod 2³¹−1 before the Knuth multiply), so DuckDB
+    // restates every draw and the full sample hash-checks —
+    // deterministic negatives also make training runs reproducible.
+    "g8_negative_samples" -> ((s, dir) => {
+      val pos = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val maxPk = pos.agg(max(col("pk"))).collect()(0).getLong(0) + 1
+      val cand = pos
+        .select(col("ok"), col("pk"), explode(expr("array(1, 2, 3, 4)")).as("j"))
+        .withColumn("neg_pk", expr(
+          s"""((((ok % 2147483647) * 1048573 + (pk % 2147483647) * 131 + j)
+               % 2147483647) * 2654435761) % 2147483647 % $maxPk"""))
+      val kept = cand
+        .join(pos.toDF("ok", "neg_pk"), Seq("ok", "neg_pk"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ok"), col("pk")).orderBy(col("j").asc)
+      kept.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("ok"), col("pk"), col("neg_pk"), col("j"))
+    }),
+
     // Bounded k-hop reachability (frontier BFS, 3 hops) from a seed
     // set over the same weight-filtered community graph — "what does
     // this brand's neighborhood look like" influence analysis. The
@@ -822,6 +853,23 @@ object Graph extends QueryModule {
          $rounds
          SELECT c AS core_bound, count(*) AS n_nodes FROM c6 GROUP BY c"""
     },
+
+    // every draw restated (same overflow-safe mix); the kept-first-2
+    // rule via QUALIFY over the bounded per-positive window
+    "g8_negative_samples" ->
+      """WITH pos AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         mx AS (SELECT max(pk) + 1 AS m FROM pos),
+         cand AS (SELECT ok, pk, j,
+             ((((ok % 2147483647) * 1048573 + (pk % 2147483647) * 131 + j)
+               % 2147483647) * 2654435761) % 2147483647 % mx.m AS neg_pk
+           FROM pos CROSS JOIN mx
+           CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) js),
+         kept AS (SELECT c.ok, c.pk, c.neg_pk, c.j FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM pos p
+                             WHERE p.ok = c.ok AND p.pk = c.neg_pk))
+         SELECT ok, pk, neg_pk, j FROM kept
+         QUALIFY row_number() OVER (PARTITION BY ok, pk ORDER BY j ASC) <= 2""",
 
     // the hop budget (3) is a plan constant, so the frontier walk
     // unrolls (the g6 convention) and the whole reach profile

@@ -391,6 +391,30 @@ class GraphSpec extends SparkFunSuite {
     assert(visited.subsetOf(adj.keySet))
   }
 
+  test("g8_negative_samples: negatives are never same-basket positives; <=2 each") {
+    val pos = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("g8_negative_samples")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // the rejection contract: a kept negative is NOT a positive of
+    // its basket (in particular never the positive item itself)
+    got.foreach { case (ok, _, neg, _) =>
+      assert(!pos.contains((ok, neg)), s"negative ($ok, $neg) is a positive")
+    }
+    // at most 2 negatives per positive, first-j-wins
+    val perPos = got.groupBy(g => (g._1, g._2))
+    perPos.values.foreach { rows =>
+      assert(rows.length <= 2)
+      assert(rows.map(_._4).distinct.length == rows.length)
+    }
+    // coverage: the 4-draw budget leaves almost every positive with 2
+    val full = perPos.values.count(_.length == 2)
+    assert(full.toDouble / perPos.size > 0.95,
+      s"only $full/${perPos.size} positives got both negatives")
+  }
+
   test("labelProp resolves disjoint cliques to their min-id communities") {
     import spark.implicits._
     // two disjoint triangles {1,2,3} and {10,11,12}: synchronous

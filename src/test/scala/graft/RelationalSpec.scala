@@ -192,6 +192,41 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("ev_cusum_changepoint: sharded prefix sums equal the serial CUSUM argmax") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (tp, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val n = sorted.length.toLong
+      val t = sorted.map(_._4).sum
+      var pre = 0L
+      var best = (-1L, 0L, 0L) // (s, us, id) with (s desc, us asc, id asc)
+      sorted.zipWithIndex.foreach { case ((_, us, id, c), i) =>
+        pre += c
+        val s = math.abs(n * pre - (i + 1) * t)
+        if (s > best._1 || (s == best._1 && (us < best._2 ||
+            (us == best._2 && id < best._3)))) best = (s, us, id)
+      }
+      tp -> best
+    }
+    val got = SparkEntry.queries("ev_cusum_changepoint")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (tp, (s, us, _)) =>
+      val (cpTs, sGot) = got(tp)
+      assert(sGot == s, s"$tp: s_scaled $sGot != $s")
+      val wantTs = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(cpTs == wantTs, s"$tp: cp_ts $cpTs != $wantTs")
+    }
+  }
+
   test("ev_scd2_lookup: temporal lookup is an equi hash join, and matches brute force") {
     val df = SparkEntry.queries("ev_scd2_lookup")(spark, sfDir)
     // the scale contract: user_id must be extracted as the equi key
