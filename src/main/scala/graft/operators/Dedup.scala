@@ -288,6 +288,40 @@ object Dedup extends QueryModule {
         .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
     }),
 
+    // ENTITY RESOLUTION capstone — the full record-linkage pipeline
+    // composed from this round's pieces: (1) candidate pairs from the
+    // (brand, head-noun) BLOCKED Jaro-Winkler join (the codegen
+    // kernel; never corpus²), (2) an ER-grade match threshold
+    // (jw_q ≥ 0.9, quantized — ulp-proof), (3) transitive closure via
+    // large-star/small-star connected components (O(log² n) rounds),
+    // (4) every record labeled with its resolved entity and the
+    // entity-size profile reported. The oracle restates the blocking,
+    // the kernel (DuckDB's jaro_winkler_similarity — classic Winkler,
+    // probed), and the closure (recursive CTE), so the END-TO-END
+    // pipeline hash-checks, not just its stages.
+    "er_entity_resolution" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_partkey").as("doc_a"), col("p_name").as("nm1"),
+        col("p_brand").as("br"), col("noun"))
+      val b = p.select(col("p_partkey").as("doc_b"), col("p_name").as("nm2"),
+        col("p_brand").as("br"), col("noun"))
+      val jw = graft.functions.JaroWinkler.jaro_winkler(col("nm1"), col("nm2"))
+      val pairs = a.join(b, Seq("br", "noun"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jw_q", round(jw * 1e6).cast("long"))
+        .where(col("jw_q") >= 900000L)
+        .select(col("doc_a"), col("doc_b"))
+      val cc = connectedComponents(pairs)
+      val labeled = p.select(col("p_partkey").as("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
+      labeled.groupBy(col("entity_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_entities"))
+    }),
+
     // CANONICAL SELECTION per duplicate cluster — production dedup
     // keeps the BEST member of each near-dup cluster (longest here;
     // quality score in a real pipeline), not the arbitrary smallest
@@ -718,6 +752,29 @@ object Dedup extends QueryModule {
              AS n_members,
            CAST(d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS INT) AS keep
          FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    // blocking + kernel + transitive closure all restated — the full
+    // ER pipeline hash-checks end-to-end
+    "er_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+           SELECT p_partkey AS k, p_name AS nm, p_brand AS br,
+                  string_split(p_name, ' ')[-1] AS noun
+           FROM part),
+         prs AS (SELECT a.k AS u, b.k AS v
+           FROM p a JOIN p b
+             ON a.br = b.br AND a.noun = b.noun AND a.k < b.k
+           WHERE CAST(round(jaro_winkler_similarity(a.nm, b.nm) * 1e6)
+                      AS BIGINT) >= 900000),
+         edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+         reach(u, v) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         comp AS (SELECT u AS k, least(u, MIN(v)) AS ent
+                  FROM reach GROUP BY u),
+         lab AS (SELECT p.k, COALESCE(c.ent, p.k) AS ent
+                 FROM p LEFT JOIN comp c ON c.k = p.k),
+         sizes AS (SELECT ent, count(*) AS sz FROM lab GROUP BY ent)
+         SELECT sz, count(*) AS n_entities FROM sizes GROUP BY sz""",
     // same recursive-CTE clustering; the canonical pick restated as a
     // window arg-max (longest, tie smallest doc_id)
     "dedup_canonical" ->

@@ -246,4 +246,18 @@ class DedupSpec extends SparkFunSuite {
     assert(got.columns.toSeq == Seq("doc_id", "cluster_id"))
     assert(got.count() == 0)
   }
+
+  test("er_entity_resolution: entity sizes partition the record set") {
+    import org.apache.spark.sql.functions._
+    val nParts = Tables.load(spark, sfDir, "part").count()
+    val got = SparkEntry.queries("er_entity_resolution")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // every record resolves to exactly one entity
+    assert(got.map { case (sz, n) => sz * n }.sum == nParts,
+      "entity sizes × counts must cover every record exactly once")
+    // singletons exist (unblocked or unmatched records) and at least
+    // one real merge happened at the 0.9 threshold on this fixture
+    assert(got.contains(1L) && got.keys.exists(_ > 1L))
+  }
 }
