@@ -120,6 +120,32 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // PER-PARTITION TABLE CHECKSUM (anti-entropy verification — how
+    // replicas, a source and its snapshot copy, or two ends of a
+    // migration prove byte-agreement without moving data): per
+    // logical partition, row count + an ORDER-FREE modular checksum
+    // (SUM of a restatable per-row hash, accumulated in DECIMAL(38)
+    // and reduced mod 2³¹−1 — overflow-proof at any partition size,
+    // and mergeable: partition checksums compare independently, so
+    // anti-entropy repairs ship only the disagreeing partitions).
+    // The row hash mixes the key, DECIMAL-exact cents, and the status
+    // codepoint — all integer ops both engines restate, so the
+    // checksums themselves hash-check.
+    "k6_partition_checksum" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(5L)).as("pk"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .withColumn("rowhash", expr(
+          """((o_orderkey % 2147483647) * 1048573
+              + CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                % 2147483647
+              + ascii(o_orderstatus) * 131) % 2147483647"""))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(rowhash AS DECIMAL(38,0))) % 2147483647 AS BIGINT)")
+            .as("checksum"))
+    }),
+
     // K2 with ADD-COLUMN SCHEMA EVOLUTION: v1 commits (key, price,
     // pk); v2 upserts a batch that carries a NEW o_orderpriority
     // column. The evolve is metadata-only — v1's files are never
@@ -576,6 +602,16 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // the same restatable row hash and modular sum; HUGEINT sum
+    // reduced before the BIGINT cast
+    "k6_partition_checksum" ->
+      """SELECT o_orderkey % 5 AS pk, count(*) AS n_rows,
+           CAST(sum(((o_orderkey % 2147483647) * 1048573
+              + CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                % 2147483647
+              + unicode(o_orderstatus) * 131) % 2147483647)
+             % 2147483647 AS BIGINT) AS checksum
+         FROM orders GROUP BY o_orderkey % 5""",
     // the union-widened merge restated: pre-evolution rows carry the
     // NONE-coalesced null in the evolved column
     "k2_upsert_evolve" ->

@@ -782,6 +782,32 @@ object Relational extends QueryModule {
         .select(col("l_returnflag"), col("p50"), col("p90"), col("price_p50"))
     }),
 
+    // WINSORIZATION (percentile clipping — the outlier-control pass
+    // feature pipelines run before normalization): clip each value to
+    // its group's exact [p1, p99], report clip counts and the clipped
+    // DECIMAL-quantized sum. The bounds come from the SCALE-SAFE
+    // exact-rank engine (no per-group member sort — the
+    // agg_percentile_scaled machinery, bit-identical to the bare
+    // percentile), broadcast back onto the fact scan, so the whole
+    // pass is two rank passes + one linear clip-and-aggregate. The
+    // boundary comparisons are against a bit-deterministic lerp, so
+    // the clip decision — and hence the hash — is engine-exact.
+    "a14_winsorize" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val shards = s.sessionState.conf.numShufflePartitions
+      val bounds = exactPercentilesScaled(li, "l_returnflag",
+        "l_extendedprice", Seq("lo" -> 0.01, "hi" -> 0.99), shards)
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_lo"),
+          sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_hi"),
+          sum(col("clipped").cast("decimal(38,6)")).cast("double")
+            .as("clipped_sum"))
+    }),
+
     // Exact EQUI-DEPTH histogram (the feature-binning / stats-sidecar
     // pass: decile edges with per-bucket counts and value bounds) —
     // one more consumer of the scale-safe rank engine: bucket =
@@ -1277,6 +1303,20 @@ object Relational extends QueryModule {
            quantile_cont(l_quantity, 0.9) AS p90,
            quantile_cont(l_extendedprice, 0.5) AS price_p50
          FROM lineitem GROUP BY l_returnflag""",
+    // same exact-percentile bounds (quantile_cont is bit-identical to
+    // the rank-engine lerp), clip + quantized sum restated
+    "a14_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice < b.lo AS BIGINT)) AS BIGINT) AS n_lo,
+           CAST(sum(CAST(l.l_extendedprice > b.hi AS BIGINT)) AS BIGINT) AS n_hi,
+           CAST(sum(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS clipped_sum
+         FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+         GROUP BY l.l_returnflag""",
     // per-distinct-value prefix counts via a window; bucket formula
     // identical to the Spark side (double division + floor)
     "agg_equidepth" ->

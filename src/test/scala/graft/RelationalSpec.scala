@@ -192,6 +192,46 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("a14_winsorize clips ~1% per tail; k6 checksums merge and detect a flip") {
+    val w = SparkEntry.queries("a14_winsorize")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w.nonEmpty)
+    w.foreach { case (flag, n, nLo, nHi) =>
+      // strictly-below-p1 (resp. above-p99) mass is ≤ ~1% + the
+      // interpolation slack of one distinct value
+      assert(nLo <= 0.011 * n + 2, s"$flag: $nLo low clips of $n")
+      assert(nHi <= 0.011 * n + 2, s"$flag: $nHi high clips of $n")
+      assert(nLo + nHi < n)
+    }
+
+    val cks = SparkEntry.queries("k6_partition_checksum")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cks.size == 5)
+    // mergeability: recompute each partition's checksum from two
+    // halves and combine mod p — anti-entropy repair needs checksums
+    // that compose
+    val p = 2147483647L
+    val rows = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .collect().map { r =>
+        val ok = r.getLong(0)
+        val cents = BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact
+        val h = ((ok % p) * 1048573L + cents % p +
+          r.getString(2).codePointAt(0) * 131L) % p
+        (ok % 5, h)
+      }
+    rows.groupBy(_._1).foreach { case (pk, hs) =>
+      val (a, b) = hs.splitAt(hs.length / 2)
+      val merged = ((a.map(_._2).sum % p) + (b.map(_._2).sum % p)) % p
+      assert(cks(pk)._2 == merged, s"pk=$pk checksum not mergeable")
+      assert(cks(pk)._1 == hs.length.toLong)
+      // sensitivity: a single-row perturbation moves the checksum
+      val flipped = (hs.head._2 + 1) % p +: hs.tail.map(_._2)
+      assert(flipped.map(identity).sum % p != cks(pk)._2)
+    }
+  }
+
   test("ev_cusum_changepoint: sharded prefix sums equal the serial CUSUM argmax") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
