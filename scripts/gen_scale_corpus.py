@@ -39,6 +39,17 @@ graph_partkey = "--graph-partkey" in sys.argv
 import os
 os.makedirs(out, exist_ok=True)
 
+# Never COPY through a symlink: out dirs written by the pre-r12 script
+# symlinked ride-along tables to the SOURCE testdata, so regenerating
+# into such a dir would truncate and overwrite the pristine src
+# part.parquet (the corpus golden hashes and correctness oracles are
+# derived from it). Unlink any symlinked destination first so the COPY
+# creates a fresh local file instead.
+for _t in ("documents", "embeddings", "events", "lineitem", "part"):
+    _dst = f"{out}/{_t}.parquet"
+    if os.path.islink(_dst):
+        os.unlink(_dst)
+
 con = duckdb.connect()
 reps = " UNION ALL ".join(
     f"""SELECT doc_id + {r * 10_000_000} AS doc_id,

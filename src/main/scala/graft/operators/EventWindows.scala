@@ -21,6 +21,13 @@ import graft.{QueryModule, Tables}
   */
 object EventWindows extends QueryModule {
 
+  /** Memory-sink names must be unique per `strm_tumbling` run — the
+    * sink registers a temp view, and a repeated run in one session
+    * (Verify then bench, or reps in a bench) must not collide with or
+    * silently read a previous drain's table.
+    */
+  private val strmRunIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_tumbling" -> ((s, dir) => {
@@ -30,6 +37,37 @@ object EventWindows extends QueryModule {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // STREAMING CATALOG ENTRY — a REAL Structured Streaming run the
+    // driver hash-checks every round (previously the batch/stream
+    // parity lived only in StreamingSpec): the events table is staged
+    // into a drop folder (file streams consume directories), read as
+    // a file-source STREAM, aggregated by the exact tumbling-window
+    // expressions of ev_tumbling above (EventStreams.tumblingCounts
+    // shares them), and DRAINED with Trigger.AvailableNow — the
+    // reference's cron-style "process what's new, then stop"
+    // semantics (reference modal/cron.py) — into an in-memory sink in
+    // Complete mode. Because AvailableNow processes every available
+    // file and Complete mode emits the full state, the drained result
+    // EQUALS the batch twin, so the SAME oracle SQL hash-checks a
+    // genuine streaming execution (watermark, state store, trigger
+    // and all). At scale the drop folder shards by file and window
+    // state lives in the state store keyed by (window, type) — the
+    // standing-pipeline twin of the batch query.
+    "strm_tumbling" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val drop =
+        if (java.nio.file.Files.isDirectory(src)) src.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("strm_tumbling")
+          java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+          d.toString
+        }
+      val out = s"strm_tumbling_out_${strmRunIds.incrementAndGet()}"
+      graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEvents(s, drop)), out)
     }),
 
     // Sliding 1-hour window every 30 minutes (each event lands in 2).
@@ -142,6 +180,17 @@ object EventWindows extends QueryModule {
     // free integer spelling: S'_k = n·prefix_k − k·total (cents) is
     // n× the classic CUSUM, so its argmax is the SAME point with
     // every intermediate exact in BIGINT — no float mean, no drift.
+    // OVERFLOW BOUND (the g5_frequent_pairs convention): the products
+    // n·(off_sum+run) and (off_cnt+rn)·t are each bounded by
+    // n·total_cents per event type, so the spelling is BIGINT-safe
+    // only while n·total_cents < 2⁶³ ≈ 9.2e18 — e.g. 1e9 events
+    // averaging 1e4 cents (1e13 total) saturates at n ≈ 9e5 more
+    // events. Past that bound non-ANSI Spark WRAPS silently (wrong
+    // argmax) while the DuckDB oracle errors; deployments in that
+    // regime must switch both sides to DECIMAL(38,0) accumulation
+    // (safe to n·total_cents < 1e38; same argmax, exact), which is
+    // kept out of the default spelling only because the comparator
+    // canonicalizes decimals and doubles differently across engines.
     // Scale factorization: the per-type prefix sum is SHARDED BY DAY
     // (in-day running sums over high-cardinality (type, day) windows
     // + broadcast per-day offsets — the text_curriculum_shards
@@ -668,6 +717,14 @@ object EventWindows extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "ev_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // the streaming drain (AvailableNow + Complete mode) provably
+    // equals the batch tumbling aggregation, so the batch oracle
+    // hash-checks a genuine streaming execution
+    "strm_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -7,16 +7,35 @@ import graft.{QueryModule, Tables}
 
 /** Graph analytics over relational co-occurrence (north-star §2.13).
   *
-  * The graph is derived, not stored: parts are nodes, an edge connects
-  * two parts that appear in the same order (the classic market-basket
-  * projection of the lineitem fact). The reference has no graph
-  * operators; these cover the "relationships inside the corpus"
-  * analyses a training-data pipeline runs (entity co-occurrence,
+  * Parts are nodes, an edge connects two parts that appear in the same
+  * order (the classic market-basket projection of the lineitem fact).
+  * The derived graph is MATERIALIZED ONCE per corpus through the
+  * snapshot store ([[cooccurrenceEdges]]) and every query reads the
+  * stored weighted pair table — the build-once/read-many amortization
+  * the reference gets from its Postgres occurrence fact table
+  * (`db/occurrence.py:25-49`). The reference has no graph operators;
+  * these cover the "relationships inside the corpus" analyses a
+  * training-data pipeline runs (entity co-occurrence,
   * duplicate-cluster structure — see also Dedup.connectedComponents).
   */
 object Graph extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DERIVED-TABLE BUILD + ROUND-TRIP CHECK — materializes the
+    // weighted co-occurrence edge table through the snapshot store
+    // ([[cooccurrenceEdges]]: staged batch + atomic pointer swap) and
+    // summarizes it FROM THE STORED READ-BACK, so the oracle's
+    // from-scratch restatement hash-checks the whole
+    // derive→store→read round trip. Every other graph query reads
+    // this table instead of re-running the lineitem self-join — the
+    // production amortization the reference gets from its Postgres
+    // occurrence fact table (db/occurrence.py:25-49).
+    "g0_edges" -> ((s, dir) => {
+      cooccurrenceEdges(s, dir)
+        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_total"),
+          max(col("w")).as("w_max"))
+    }),
+
     // Exact triangle counting with DEGREE-ORDERED ORIENTATION (the
     // MapReduce-era wedge-check algorithm: Schank's thesis /
     // Suri-Vassilvitskii WWW'11). Naive wedge enumeration explodes on
@@ -34,9 +53,8 @@ object Graph extends QueryModule {
     // and silently degrade the equi-join to a nested loop.
     "g1_triangles" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val (pairs, od, closing) = trianglePipeline(li)
+      val (pairs, od, closing) = trianglePipelineFromPairs(
+        cooccurrenceEdges(s, dir).select(col("u"), col("v")))
       val nTri = closing.count()
       val nEdges = pairs.count()
       Dedup.releaseCheckpoints(pairs)
@@ -61,10 +79,14 @@ object Graph extends QueryModule {
     // rule — ANSI-safe for any partkey).
     "g1_triangles_sampled" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val (est, nEdges) = sampledTriangles(li, salt = 0L)
-      Seq((est, nEdges)).toDF("n_triangles_est", "n_edges_sampled")
+      val (pairs, od, closing) = trianglePipelineFromPairs(
+        cooccurrenceEdges(s, dir).select(col("u"), col("v")),
+        Some(edgeCoin(0L)))
+      val nTri = closing.count()
+      val nEdges = pairs.count()
+      Dedup.releaseCheckpoints(pairs)
+      Dedup.releaseCheckpoints(od)
+      Seq((nTri * 8L, nEdges)).toDF("n_triangles_est", "n_edges_sampled")
     }),
 
     // PageRank over the same co-occurrence graph (both directions of
@@ -77,12 +99,10 @@ object Graph extends QueryModule {
     // driver's determinism sweep relies on.
     "g2_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
-        .localCheckpoint(false)
+      val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
+      // the iterative engine reads `edges` every round — checkpoint
+      // the bidirectional union once instead of re-scanning the
+      // stored pairs 2× per iteration
       val edges = pairs.union(pairs.select(col("v"), col("u")))
         .toDF("src", "dst").localCheckpoint(false)
       val ranks = pageRank(edges)
@@ -92,7 +112,6 @@ object Graph extends QueryModule {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       Dedup.releaseCheckpoints(ranks)
       Dedup.releaseCheckpoints(edges)
-      Dedup.releaseCheckpoints(pairs)
       top.toDF("node", "rank")
     }),
 
@@ -110,22 +129,14 @@ object Graph extends QueryModule {
     // (clique, path, triangle-with-tail).
     "g3_kcore" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
-        .localCheckpoint(false)
+      val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").localCheckpoint(false)
-      edges.count()
+        .toDF("src", "dst")
       val core = coreness(edges)
       val dist = core.groupBy(col("core"))
         .agg(count(lit(1)).as("n_nodes"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       Dedup.releaseCheckpoints(core)
-      Dedup.releaseCheckpoints(edges)
-      Dedup.releaseCheckpoints(pairs)
       dist.toDF("core", "n_nodes")
     }),
 
@@ -145,22 +156,14 @@ object Graph extends QueryModule {
     // golden-hashed.
     "g3_kcore_bounded" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
-        .localCheckpoint(false)
+      val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").localCheckpoint(false)
-      edges.count()
+        .toDF("src", "dst")
       val core = coreness(edges, maxRounds = 6, requireConverged = false)
       val dist = core.groupBy(col("core"))
         .agg(count(lit(1)).as("n_nodes"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       Dedup.releaseCheckpoints(core)
-      Dedup.releaseCheckpoints(edges)
-      Dedup.releaseCheckpoints(pairs)
       dist.toDF("core_bound", "n_nodes")
     }),
 
@@ -180,15 +183,10 @@ object Graph extends QueryModule {
     // break on (u, v) so the LIMIT selection is deterministic.
     "g4_node_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // checkpoint the edge set and (tiny) degree table once — the
-      // dataflow reads each 3×, and without the checkpoints the
-      // lineitem self-join replays per consumer (the g1 discipline)
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
-        .localCheckpoint(false)
+      // edges read straight from the stored pair table (each re-read
+      // is a pruned parquet scan, no self-join to replay); only the
+      // tiny degree table still checkpoints (3 consumers)
+      val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
         .toDF("src", "dst")
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -213,7 +211,6 @@ object Graph extends QueryModule {
         .collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
       Dedup.releaseCheckpoints(deg)
-      Dedup.releaseCheckpoints(pairs)
       top.toDF("u", "v", "common", "jaccard")
     }),
 
@@ -243,11 +240,13 @@ object Graph extends QueryModule {
       val nB = baskets.select(col("ok")).distinct().count()
       val itemSupp = baskets.groupBy(col("pk"))
         .agg(count(lit(1)).as("c_item"))
-      val pairSupp = baskets.toDF("ok", "u")
-        .join(baskets.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_ab"))
-        .where(col("c_ab") >= minPairSupport)
+      // the pair-support table IS the stored edge weight (w = number
+      // of co-baskets): the quadratic half reads from the
+      // materialized graph with the support filter pushed to the
+      // scan; only the linear item-support scan touches lineitem
+      val pairSupp = cooccurrenceEdges(s, dir)
+        .where(col("w") >= minPairSupport)
+        .select(col("u"), col("v"), col("w").as("c_ab"))
       val out = pairSupp
         .join(broadcast(itemSupp.toDF("u", "c_a")), "u")
         .join(broadcast(itemSupp.toDF("v", "c_b")), "v")
@@ -279,18 +278,14 @@ object Graph extends QueryModule {
     // stats-inheritance blowup documented on [[coreness]]).
     "g6_label_prop" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
       // community graph = co-occurrence pairs seen in ≥ 2 baskets
       // (minEdgeWeight): single-basket pairs are noise edges that fuse
       // the dense co-occurrence graph into one giant community; the
       // weight filter is part of the operator definition (restated in
       // the oracle) and also prunes the edge table ~30× before any
-      // round runs — the standard support-threshold lever.
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      // round runs — the standard support-threshold lever, now PUSHED
+      // INTO THE STORED TABLE'S SCAN (w is a parquet column).
+      val pairs = cooccurrenceEdges(s, dir)
         .where(col("w") >= minEdgeWeight)
         .select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
@@ -346,12 +341,7 @@ object Graph extends QueryModule {
     // hop (flat lineage, released before return).
     "g7_khop_reach" -> ((s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-        .where(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val pairs = cooccurrenceEdges(s, dir)
         .where(col("w") >= minEdgeWeight)
         .select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
@@ -394,6 +384,17 @@ object Graph extends QueryModule {
   /** Synchronous min-tie-break label propagation over a BIDIRECTIONAL
     * edge table; returns (node, lbl) after `rounds` rounds. Caller
     * releases the returned frame's checkpoint.
+    *
+    * The per-round neighbor-label gather BROADCASTS the |nodes|-row
+    * label table only while |nodes| ≤ [[maxBroadcastNodes]] — the
+    * zero-corpus-shuffle-per-round plan holds exactly when the node
+    * dimension is metadata-sized next to the edges. Above the
+    * threshold (a corpus-sized node set would OOM executors long
+    * before 100 TB) the gather falls back to a shuffled hash join:
+    * one edge-table shuffle per round, the honest linear-in-edges
+    * cost every distributed LPA pays at that scale (Raghavan 2007 on
+    * Pregel-likes). The threshold check is one count on round 0's
+    * label table — metadata next to the rounds themselves.
     */
   private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -404,14 +405,19 @@ object Graph extends QueryModule {
     var labelsCk = ep.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(false)
+    val smallNodeSet = labelsCk.count() <= maxBroadcastNodes
     var r = 0
     while (r < rounds) {
       r += 1
       val labels = rebase(labelsCk)
       // neighbor-label gather: broadcast join preserves ep's src
       // layout; both following aggs group by (a superset of) src, so
-      // their exchanges are elided against that layout
-      val next = ep.join(broadcast(labels.toDF("dst", "nlbl")), "dst")
+      // their exchanges are elided against that layout. Past the node
+      // threshold, a shuffled hash join (see scaladoc).
+      val gathered =
+        if (smallNodeSet) ep.join(broadcast(labels.toDF("dst", "nlbl")), "dst")
+        else ep.join(labels.toDF("dst", "nlbl"), "dst")
+      val next = gathered
         .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("cnt"))
         // arg-max with min tie-break: labels are non-negative ids, so
         // max(struct(cnt, -lbl)) picks highest count then lowest label
@@ -436,6 +442,96 @@ object Graph extends QueryModule {
     * graph — a plan constant shared with the oracle SQL.
     */
   private[graft] val minEdgeWeight = 2
+
+  /** Max node count for which [[labelProp]] broadcasts the per-round
+    * label table (8M nodes × ~16 B/row ≈ 128 MB — comfortably under
+    * executor broadcast budgets); larger node sets shuffle instead.
+    */
+  private[graft] val maxBroadcastNodes = 8L << 20
+
+  /** Schema of the stored co-occurrence edge table: weighted distinct
+    * pairs (u < v, w = number of baskets containing both), sharded by
+    * `pmod(u, 16)` so the store has a partitionable layout.
+    */
+  private[graft] val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType)))
+
+  /** Where `dir`'s materialized co-occurrence edge table lives. The
+    * key is a sha-256 of the corpus path PLUS the lineitem source's
+    * (length, mtime) fingerprint — a regenerated corpus at the same
+    * path gets a fresh artifact instead of silently serving stale
+    * edges (the staleness failure mode a path-only key would have);
+    * the fingerprint read is two filesystem metadata ops.
+    */
+  private[graft] def edgeArtifactRoot(s: SparkSession,
+      dir: String): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(s"$dir/lineitem.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val (len, mtime) =
+      if (st.isDirectory) {
+        val children = fs.listStatus(src)
+        (children.map(_.getLen).sum,
+          if (children.isEmpty) 0L else children.map(_.getModificationTime).max)
+      } else (st.getLen, st.getModificationTime)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$len|$mtime".getBytes("UTF-8"))
+      .take(16).map(b => f"$b%02x").mkString
+    new Path(new Path(System.getProperty("java.io.tmpdir"),
+      "graft_graph_edges"), s"${new java.io.File(dir).getName}_${digest}_v1")
+  }
+
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** BUILD-ONCE, READ-MANY derived co-occurrence graph — the
+    * amortization the reference gets by keeping its occurrence fact
+    * table in Postgres instead of recomputing it per query
+    * (reference `db/occurrence.py:25-49`): every graph query used to
+    * re-derive the same lineitem self-join + distinct in-query; now
+    * the weighted edge table (u < v, w = co-basket count) is written
+    * ONCE per corpus through the repo's own [[graft.sinks.SnapshotStore]]
+    * (replaceAll: staged batch + atomic pointer swap, fenced against
+    * concurrent builders) and every g1–g8 query READS it. The stored
+    * table is VALUE-TRANSPARENT — each consumer's oracle still
+    * restates the raw derivation and hash-checks — and the `w` column
+    * lets weight-filtered consumers (g5's support ≥ 3, g6/g7's
+    * w ≥ 2) push their filter into the parquet scan. Concurrent
+    * first-builders race through the store's commit fence: training
+    * is deterministic, so the loser's
+    * [[graft.sinks.SnapshotConcurrentWriteException]] is caught and
+    * the winner's identical commit is read. The per-(session, root)
+    * cache pins the resolved READ PLAN, not data — every query still
+    * scans the stored parquet (16 shards, partition-pruned layout).
+    */
+  private[graft] def cooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val root = edgeArtifactRoot(s, dir)
+    val store = new graft.sinks.SnapshotStore(s, root)
+    val cacheKey = s"${System.identityHashCode(s)}#$root"
+    if (store.currentVersion().isEmpty) {
+      edgeCache.remove(cacheKey)
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = baskets.toDF("ok", "u").join(baskets.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .withColumn("shard", pmod(col("u"), lit(16)).cast("int"))
+      try graft.sinks.SnapshotMerge.replaceAll(s, root.toString, pairs, Seq("shard"))
+      catch {
+        // a concurrent builder won the pointer swap; its content is
+        // identical by determinism — read the winner's commit
+        case _: graft.sinks.SnapshotConcurrentWriteException => ()
+      }
+    }
+    edgeCache.computeIfAbsent(cacheKey, _ =>
+      graft.sinks.SnapshotMerge.read(s, root.toString, edgeSchema)
+        .select(col("u"), col("v"), col("w")))
+  }
 
   /** Wedge-center degree cap for [[queries]]' `g4_node_jaccard` — a
     * plan constant shared with the oracle SQL.
@@ -660,10 +756,22 @@ object Graph extends QueryModule {
     */
   private[graft] def trianglePipeline(li: DataFrame,
       edgeKeep: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, DataFrame, DataFrame) =
+    trianglePipelineFromPairs(
+      li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct(),
+      edgeKeep)
+
+  /** [[trianglePipeline]] against an ALREADY-DERIVED distinct edge
+    * set (u < v) — the entry the catalog queries use now that the
+    * co-occurrence graph is materialized once ([[cooccurrenceEdges]]);
+    * the (ok, pk)-incidence overload above derives the pairs in-query
+    * (specs, ad-hoc graphs). Same checkpoint contract.
+    */
+  private[graft] def trianglePipelineFromPairs(allPairs: DataFrame,
+      edgeKeep: Option[org.apache.spark.sql.Column] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val allPairs = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
-      .where(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
     // optional edge sparsifier (DOULION) — applied AFTER distinct so
     // the coin decides each EDGE once, which the 1/p³ estimator needs
     val pairs = edgeKeep.map(allPairs.where(_)).getOrElse(allPairs)
@@ -697,6 +805,17 @@ object Graph extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // from-scratch restatement of the stored edge table's derivation;
+    // matching the Spark side's stored read-back proves the
+    // derive→store→read round trip is value-transparent
+    "g0_edges" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         p AS (SELECT x.pk AS u, y.pk AS v, count(*) AS w
+           FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2)
+         SELECT count(*) AS n_edges, CAST(sum(w) AS BIGINT) AS w_total,
+           max(w) AS w_max FROM p""",
     "g1_triangles" ->
       """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM lineitem a JOIN lineitem b

@@ -120,11 +120,18 @@ object SnapshotMerge {
             .map(_.copy(nullable = true)))
     }
     val widened = widenTo(incoming, union)
+    // The sidecar is written ONLY for the version THIS call committed
+    // ([[merge]] returns it; None = empty incoming, nothing committed,
+    // nothing to describe). Re-reading currentVersion() here instead
+    // would race a concurrent commit (attaching this evolve's schema
+    // to someone else's version) and an empty incoming would
+    // retroactively overwrite the CURRENT version's sidecar, changing
+    // schemaAt(v)/time-travel for an existing commit. Written AFTER
+    // the commit it describes; see the schemas/ note on SnapshotStore
+    // for why the crash window self-heals.
     merge(spark, rootDir, widened, partCols, retain, statsCols)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
-    // written AFTER the commit it describes; see the schemas/ note on
-    // SnapshotStore for why the crash window self-heals
-    store.currentVersion().foreach(v => store.writeSchemaFile(v, union))
+      .foreach(v => store.writeSchemaFile(v, union))
   }
 
   /** Read the committed snapshot under its PERSISTED (evolved)
@@ -286,11 +293,17 @@ object SnapshotMerge {
     * change-feed followers needs `retain` >= 1 + the deepest span a
     * follower may fall behind, or [[SnapshotStore.readChangesEach]]
     * will fail with the below-retention error once it lags.
+    *
+    * Returns the version THIS call committed (None when `incoming` is
+    * empty and nothing was committed) — callers attaching per-version
+    * metadata (e.g. [[upsertEvolve]]'s schema sidecar) must key it to
+    * this value, never to a re-read of currentVersion(), which a
+    * concurrent commit can have moved.
     */
   def merge(spark: SparkSession, rootDir: String, incoming0: DataFrame,
       partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil)(
-      mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
@@ -303,7 +316,7 @@ object SnapshotMerge {
     val incoming = incoming0.localCheckpoint(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
-    if (parts.isEmpty) return
+    if (parts.isEmpty) return None
     requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
@@ -350,5 +363,6 @@ object SnapshotMerge {
     // instead of silently dropping that writer's merge
     store.commitSized(newVersion, entries, cur.map(_._1))
     store.vacuum(retain)
+    Some(newVersion)
   }
 }

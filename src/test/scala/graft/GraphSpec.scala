@@ -415,6 +415,52 @@ class GraphSpec extends SparkFunSuite {
       s"only $full/${perPos.size} positives got both negatives")
   }
 
+  test("co-occurrence edge artifact builds once, re-reads, and " +
+      "invalidates on source change") {
+    import operators.Graph
+    // build-once/read-many on the real corpus: the first call commits
+    // v1 through the snapshot store, the second call must NOT commit
+    // again (same version), and the stored values must equal the
+    // direct derivation
+    val r1 = Graph.cooccurrenceEdges(spark, sfDir)
+    val store = new sinks.SnapshotStore(spark, Graph.edgeArtifactRoot(spark, sfDir))
+    val v1 = store.currentVersion()
+    assert(v1.isDefined, "first call must commit the edge table")
+    Graph.cooccurrenceEdges(spark, sfDir)
+    assert(store.currentVersion() == v1,
+      "second call must read the existing artifact, not rebuild")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val want = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = r1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"stored edges diverge: missing=${want.diff(got).size} " +
+      s"extra=${got.diff(want).size}")
+
+    // staleness defense: a REGENERATED corpus at the same path (new
+    // length/mtime) must key to a DIFFERENT artifact root — a
+    // path-only key would silently serve the old graph
+    val tmp = java.nio.file.Files.createTempDirectory("edge_fp").toString
+    Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val root1 = Graph.edgeArtifactRoot(spark, tmp)
+    val e1 = Graph.cooccurrenceEdges(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e1 == Set((1L, 2L, 1L)))
+    Thread.sleep(1100) // ensure a distinct mtime at 1s fs resolution
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val root2 = Graph.edgeArtifactRoot(spark, tmp)
+    assert(root1 != root2, "fingerprint must move with the source data")
+    val e2 = Graph.cooccurrenceEdges(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e2 == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)),
+      s"rebuilt edges wrong: $e2")
+  }
+
   test("labelProp resolves disjoint cliques to their min-id communities") {
     import spark.implicits._
     // two disjoint triangles {1,2,3} and {10,11,12}: synchronous

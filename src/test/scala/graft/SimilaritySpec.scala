@@ -261,6 +261,35 @@ class SimilaritySpec extends SparkFunSuite {
       "second serve call republished the artifact instead of reusing it")
   }
 
+  test("ann_ivf_serve: row-identical to ann_ivf_pq, both quantizers served") {
+    import graft.operators.Similarity
+    val root = Similarity.pqArtifactRoot(sfDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(root, true) // force a cold first call
+    val serve1 = SparkEntry.queries("ann_ivf_serve")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val inQuery = SparkEntry.queries("ann_ivf_pq")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    // both quantizers train deterministically -> serving from the
+    // stored coarse table + codes must reproduce the in-query
+    // capstone row for row
+    assert(serve1 == inQuery)
+    assert(serve1.nonEmpty)
+    // second call must REUSE the published artifacts (no Lloyd at
+    // serve time): neither the coarse dir nor the codebook dir may be
+    // republished (rename-swap would replace the directory entries)
+    val coDir = new org.apache.hadoop.fs.Path(root, "coarse")
+    val cbDir = new org.apache.hadoop.fs.Path(root, "codebook")
+    val m1 = (fs.getFileStatus(coDir).getModificationTime,
+      fs.getFileStatus(cbDir).getModificationTime)
+    val serve2 = SparkEntry.queries("ann_ivf_serve")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(serve2 == serve1)
+    assert((fs.getFileStatus(coDir).getModificationTime,
+      fs.getFileStatus(cbDir).getModificationTime) == m1,
+      "second serve call republished an artifact instead of reusing it")
+  }
+
   test("ann_ivf_pq: results lie in probed buckets and keep ADC-class signal") {
     import graft.operators.Similarity
     val out = SparkEntry.queries("ann_ivf_pq")(spark, sfDir).collect()

@@ -56,6 +56,20 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("strm_tumbling catalog entry equals batch twin and survives reruns") {
+    // the driver-checked streaming entry: stages the corpus file into
+    // a drop folder, drains with AvailableNow, and must (a) equal the
+    // batch twin row for row and (b) tolerate repeated invocation in
+    // one session (unique memory-sink names)
+    def run() = SparkEntry.queries("strm_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val s1 = run()
+    val want = SparkEntry.queries("ev_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(s1 == want)
+    assert(run() == want, "second invocation must not collide or drift")
+  }
+
   test("streaming session windows emit a correct subset of batch sessions") {
     import org.apache.spark.sql.streaming.OutputMode
     val stream = EventStreams.sessionCounts(
