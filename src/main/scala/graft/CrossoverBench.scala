@@ -16,9 +16,15 @@ object CrossoverBench {
   def main(args: Array[String]): Unit = {
     val Array(dir, names) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE: shuffle partition count, default = cpus.
+    // K-times probe corpora need partitions scaled with the data —
+    // the fixed-per-partition-size regime a real cluster holds (a
+    // 100x corpus on 32 local partitions packs ~7M rows of hash-agg
+    // state per task and OOMs where 100x executors never would).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,5 +1,6 @@
 package graft.api
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.FuzzyOccurrence
@@ -362,7 +363,7 @@ object Vcut {
       .withColumn("song_title", extractSongTitle(col("title")))
       .join(broadcast(profiles.select(col("id").as("vtuber_profile_id"),
         col("mid"))), "mid")
-      .localCheckpoint(true)
+      .ckpt(true)
 
     // by_title (db/song.py:30-57): (title, profile) -> vtuber_song_id
     val index = vtuberSongs.as("vs")

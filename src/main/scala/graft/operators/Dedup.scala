@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -419,7 +420,7 @@ object Dedup extends QueryModule {
     // long-lived session must not accumulate dead shingle tables.
     val d = docs.select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
-      .localCheckpoint()
+      .ckpt
     val byId = d.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
     // Global token order = ASCENDING document frequency (hash, then the
     // gram itself as total-order tiebreaks) — the AllPairs/PPJoin
@@ -530,7 +531,7 @@ object Dedup extends QueryModule {
     // (eager checkpoint + separate probe would cost two)
     var e = pairs.select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
+      .where(col("u") =!= col("v")).distinct().ckpt(false)
     var last = stat(e)
     // the probe materialized e's blocks; whatever the input plan had
     // checkpointed (shingle table) is now dead weight
@@ -553,7 +554,7 @@ object Dedup extends QueryModule {
       if (round > maxRounds)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = smallStar(largeStar(e)).ckpt(false)
       val s = stat(next)
       releaseCheckpoints(e)
       converged = s == last

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -104,7 +105,7 @@ object Graph extends QueryModule {
       // the bidirectional union once instead of re-scanning the
       // stored pairs 2× per iteration
       val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").localCheckpoint(false)
+        .toDF("src", "dst").ckpt(false)
       val ranks = pageRank(edges)
       val top = ranks
         .orderBy(col("rank").desc, col("node").asc).limit(20)
@@ -190,7 +191,7 @@ object Graph extends QueryModule {
       val edges = pairs.union(pairs.select(col("v"), col("u")))
         .toDF("src", "dst")
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .toDF("node", "d").localCheckpoint(false)
+        .toDF("node", "d").ckpt(false)
       // adjacency restricted to small-degree wedge centers; the deg
       // table is |nodes| rows and broadcasts
       val adj = edges
@@ -235,7 +236,7 @@ object Graph extends QueryModule {
       val baskets = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(false)
+        .ckpt(false)
       // one scalar action: basket universe size (metadata-bounded)
       val nB = baskets.select(col("ok")).distinct().count()
       val itemSupp = baskets.groupBy(col("pk"))
@@ -345,12 +346,12 @@ object Graph extends QueryModule {
         .where(col("w") >= minEdgeWeight)
         .select(col("u"), col("v"))
       val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").localCheckpoint(false)
+        .toDF("src", "dst").ckpt(false)
       val seeds = Tables.load(s, dir, "part")
         .where(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node"))
       val nodes = edges.select(col("src").as("node")).distinct()
-      var visited = nodes.join(seeds, "node").localCheckpoint(false)
+      var visited = nodes.join(seeds, "node").ckpt(false)
       var frontier = visited
       val hops = scala.collection.mutable.Buffer((0, frontier.count()))
       var h = 0
@@ -360,12 +361,12 @@ object Graph extends QueryModule {
           .join(frontier.toDF("src"), "src")
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint(false)
+          .ckpt(false)
         hops += ((h, next.count()))
         // materialize the new visited set BEFORE releasing the old
         // one — localCheckpoint(false) is lazy, and the union reads
         // the old checkpoint's blocks when it first evaluates
-        val nv = visited.union(next).localCheckpoint(false)
+        val nv = visited.union(next).ckpt(false)
         nv.count()
         val oldVisited = visited
         val oldFrontier = frontier
@@ -401,10 +402,10 @@ object Graph extends QueryModule {
     // see coreness: fresh-RDD rebase drops inherited Catalyst stats
     def rebase(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val ep = edges.repartition(col("src")).localCheckpoint(false)
+    val ep = edges.repartition(col("src")).ckpt(false)
     var labelsCk = ep.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(false)
+      .ckpt(false)
     val smallNodeSet = labelsCk.count() <= maxBroadcastNodes
     var r = 0
     while (r < rounds) {
@@ -424,7 +425,7 @@ object Graph extends QueryModule {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("nlbl")).as("neg"))).as("m"))
         .select(col("src").as("node"), (-col("m.neg")).as("lbl"))
-      val nextCk = next.localCheckpoint(false)
+      val nextCk = next.ckpt(false)
       nextCk.count()
       Dedup.releaseCheckpoints(labelsCk)
       labelsCk = nextCk
@@ -583,12 +584,12 @@ object Graph extends QueryModule {
     // every join in the loop is explicitly broadcast-hinted.
     def rebase(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val ep = edges.repartition(col("src")).localCheckpoint(false)
+    val ep = edges.repartition(col("src")).ckpt(false)
     var stateCk = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("int").as("c"))
       .toDF("node", "c")
       .withColumn("chg", lit(true))
-      .localCheckpoint(false)
+      .ckpt(false)
     var changed = stateCk.count()
     var first = true
     var round = 0
@@ -626,7 +627,7 @@ object Graph extends QueryModule {
         .select(col("node"),
           least(col("c0"), coalesce(col("h"), col("c0"))).cast("int").as("c"),
           (coalesce(col("h"), col("c0")) < col("c0")).as("chg"))
-        .localCheckpoint(false)
+        .ckpt(false)
       // ONE action per round: materializes the checkpoint and counts
       // the new frontier in the same job
       changed = next.where(col("chg")).count()
@@ -640,7 +641,7 @@ object Graph extends QueryModule {
     require(!requireConverged || changed == 0,
       s"coreness did not converge in $maxRounds rounds")
     val out = stateCk.select(col("node"), col("c").as("core"))
-      .localCheckpoint(false)
+      .ckpt(false)
     out.count()
     Dedup.releaseCheckpoints(stateCk)
     Dedup.releaseCheckpoints(ep)
@@ -682,7 +683,7 @@ object Graph extends QueryModule {
     val dec = "decimal(38,18)"
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("decimal(10,0)").as("deg"))
-      .localCheckpoint(false)
+      .ckpt(false)
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
@@ -692,7 +693,7 @@ object Graph extends QueryModule {
     val teleport = ((one - damp) / nLit).cast(dec)
     var rank = nodes
       .select(col("node"), col("deg"), (one / nLit).cast(dec).as("rank"))
-      .localCheckpoint(false)
+      .ckpt(false)
     rank.count()
     for (_ <- 1 to iters) {
       val shares = rank.select(col("node"),
@@ -703,7 +704,7 @@ object Graph extends QueryModule {
         .select(nodes("node"), nodes("deg"),
           (teleport + damp * coalesce(col("in_share"), lit(0).cast(dec)))
             .cast(dec).as("rank"))
-        .localCheckpoint(false)
+        .ckpt(false)
       next.count()
       Dedup.releaseCheckpoints(rank)
       rank = next
@@ -775,7 +776,7 @@ object Graph extends QueryModule {
     // optional edge sparsifier (DOULION) — applied AFTER distinct so
     // the coin decides each EDGE once, which the 1/p³ estimator needs
     val pairs = edgeKeep.map(allPairs.where(_)).getOrElse(allPairs)
-      .localCheckpoint(false)
+      .ckpt(false)
     val deg = pairs.select(col("u").as("node"))
       .union(pairs.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -787,7 +788,7 @@ object Graph extends QueryModule {
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
-      .localCheckpoint(false)
+      .ckpt(false)
     // wedges (v, w) from a common src, ordered by (deg, id) so each
     // candidate triangle is generated exactly once; a (v, w) pair
     // reached from DIFFERENT srcs is a different triangle, so the

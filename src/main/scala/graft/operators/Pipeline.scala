@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -80,7 +81,7 @@ object Pipeline extends QueryModule {
       // storage so the temp dir can be removed before the frame is used.
       val out = s.read.parquet(base).select(col("o_orderkey"), col("o_totalprice"),
         col("o_orderstatus"), col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -114,7 +115,7 @@ object Pipeline extends QueryModule {
       val out = graft.sinks.SnapshotMerge.read(s, base, target.schema)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"), col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -176,7 +177,7 @@ object Pipeline extends QueryModule {
         .select(col("o_orderkey"), col("o_totalprice"),
           coalesce(col("o_orderpriority"), lit("NONE")).as("prio"),
           col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -214,7 +215,7 @@ object Pipeline extends QueryModule {
       val out = store.readAt(v - 1, target.schema)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"), col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -256,7 +257,7 @@ object Pipeline extends QueryModule {
         .readRange(target.schema, "o_totalprice", 50000.0, 150000.0)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
           col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -298,7 +299,7 @@ object Pipeline extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           col("pk").cast("long").as("pk"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -334,7 +335,7 @@ object Pipeline extends QueryModule {
       val out = store.readChangesBetween(v - 1, v, target.schema, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
           col("pk").cast("long").as("pk"), col("_change"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -378,7 +379,7 @@ object Pipeline extends QueryModule {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
           col("pk").cast("long").as("pk"), col("_change"),
           (col("_commit_version") - (v - 3)).as("commit_step"))
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out
@@ -439,7 +440,7 @@ object Pipeline extends QueryModule {
             .cast("double").as("total"),
           (coalesce(col("n1"), lit(0L)) + coalesce(col("sn"), lit(0L))).as("n"))
         .where(col("n") > 0)
-        .localCheckpoint(true)
+        .ckpt(true)
       org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
       out

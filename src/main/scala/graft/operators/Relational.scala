@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -259,7 +260,7 @@ object Relational extends QueryModule {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
-        .localCheckpoint(true)
+        .ckpt(true)
       s.sql(s"DROP TABLE graft_bkt_o_$tag")
       s.sql(s"DROP TABLE graft_bkt_l_$tag")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

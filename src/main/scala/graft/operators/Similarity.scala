@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -97,7 +98,7 @@ object Similarity extends QueryModule {
         col("vec_id") === col("c_id"))
       .select(col("s"), col("c_id"), col("svd").as("c_vd"),
         col("snrm").as("c_nrm"))
-      .localCheckpoint(true)
+      .ckpt(true)
     for (_ <- 1 to PqIters) {
       val assigned = sliced.join(broadcast(codebook), Seq("s"))
         .withColumn("c_cos",
@@ -115,7 +116,7 @@ object Similarity extends QueryModule {
         .select(col("s"), col("c_id"),
           coalesce(col("new_vd"), col("c_vd")).as("c_vd"))
         .withColumn("c_nrm", subNorm(col("c_vd")))
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     codebook
   }
@@ -430,7 +431,7 @@ object Similarity extends QueryModule {
         // materialize the k-row codebook so each iteration's plan
         // doesn't nest the previous one (lineage would grow
         // exponentially across iterations)
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     cents
   }

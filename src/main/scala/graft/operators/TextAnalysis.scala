@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -873,8 +874,9 @@ object TextAnalysis extends QueryModule {
     * table (≪ corpus; the corpus itself is touched only by the
     * initial word count). At vocab 8 that is 16 jobs; at a realistic
     * 50 k-merge vocab it is ~100 k driver round-trips — the measured
-    * per-merge floor is ~0.17 s/merge on the sf0.1 word table
-    * (64-merge probe, NOTES_r13), i.e. hours at production vocab.
+    * per-merge floor is ~0.15 s/merge warm (0.18 cold) on the sf0.1
+    * word table (64-merge probe, NOTES_r13), i.e. hours at
+    * production vocab.
     * Production trainers cut this with pair-DELTA maintenance
     * (recount only pairs adjacent to the last merge) and by batching
     * provably non-overlapping merges per round — both change only
@@ -890,7 +892,7 @@ object TextAnalysis extends QueryModule {
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("sym"), col("cnt"))
-      .localCheckpoint()
+      .ckpt
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     for (it <- 1 to merges) {
       val best = words
@@ -916,7 +918,7 @@ object TextAnalysis extends QueryModule {
               when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
+          .ckpt
         graft.operators.Dedup.releaseCheckpoints(words)
         words = next
       }

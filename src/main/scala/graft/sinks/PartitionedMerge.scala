@@ -1,5 +1,6 @@
 package graft.sinks
 
+import graft.Ckpt.CkptOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,7 +66,7 @@ object PartitionedMerge {
 
     // one evaluation of the incoming plan across the distinct collect
     // and the staged write (see SnapshotMerge.merge)
-    val incoming = incoming0.localCheckpoint(true)
+    val incoming = incoming0.ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     if (parts.isEmpty) return

@@ -1,5 +1,6 @@
 package graft.sinks
 
+import graft.Ckpt.CkptOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -176,7 +177,7 @@ object SnapshotMerge {
     require(partCols.nonEmpty, "use AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val incoming = incoming0.localCheckpoint(true)
+    val incoming = incoming0.ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     requirePartitionValues(parts)
@@ -231,14 +232,14 @@ object SnapshotMerge {
     // guard silently vacuous (suffixes that never match => everything
     // "fresh"), which must be a loud error instead
     requirePartitionable(incoming.schema, partCols)
-    val inc = incoming.localCheckpoint(true)
+    val inc = incoming.ckpt(true)
     val store = new SnapshotStore(spark, new Path(rootDir))
     val parts = inc.select(partCols.map(col): _*).distinct().collect()
     requirePartitionValues(parts)
     val touched = parts.map(partitionSuffix(partCols, _)).toSet
     val existing = store.readPartitions(inc.schema, touched)
     inc.join(existing.select(joinKeys.map(col): _*), joinKeys, "left_anti")
-      .localCheckpoint(true)
+      .ckpt(true)
   }
 
   /** Hive-style partition path suffix for one tuple, e.g. "pk=0" or
@@ -313,7 +314,7 @@ object SnapshotMerge {
     // incoming twice) over it — an expensive or non-deterministic
     // upstream must not run per action. (A caller that already
     // checkpointed — freshOnly — pays one cheap extra copy.)
-    val incoming = incoming0.localCheckpoint(true)
+    val incoming = incoming0.ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     if (parts.isEmpty) return None
