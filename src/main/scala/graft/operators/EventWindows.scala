@@ -28,6 +28,21 @@ object EventWindows extends QueryModule {
     */
   private val strmRunIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Stage the events table as a drop FOLDER for the `strm_*` queries
+    * (file-source streams consume directories): the sf dir's
+    * single-file export is copied into a temp directory; a
+    * directory-shaped export streams in place.
+    */
+  private def stageEventsDrop(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else {
+      val d = java.nio.file.Files.createTempDirectory("strm_drop")
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+      d.toString
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_tumbling" -> ((s, dir) => {
@@ -56,18 +71,57 @@ object EventWindows extends QueryModule {
     // state lives in the state store keyed by (window, type) — the
     // standing-pipeline twin of the batch query.
     "strm_tumbling" -> ((s, dir) => {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val drop =
-        if (java.nio.file.Files.isDirectory(src)) src.toString
-        else {
-          val d = java.nio.file.Files.createTempDirectory("strm_tumbling")
-          java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-          d.toString
-        }
       val out = s"strm_tumbling_out_${strmRunIds.incrementAndGet()}"
       graft.streaming.EventStreams.drainToMemory(s,
         graft.streaming.EventStreams.tumblingCounts(
-          graft.streaming.EventStreams.readEvents(s, drop)), out)
+          graft.streaming.EventStreams.readEvents(s, stageEventsDrop(dir))),
+        out)
+    }),
+
+    // STREAMING CATALOG ENTRY #2 — stream-stream interval JOIN, the
+    // stateful-join face of the streaming surface: clicks joined to
+    // the same user's purchases in the preceding hour, watermarks on
+    // BOTH sides bounding join state (EventStreams.clickPurchaseJoin;
+    // the batch twin is the ev_interval_join family). Inner joins
+    // emit a match as soon as both rows have arrived — no withheld
+    // tail — so under Trigger.AvailableNow the Append-mode drain
+    // equals the batch self-join EXACTLY and the oracle restates it
+    // as plain SQL: the driver hash-checks a genuine two-sided
+    // stateful streaming join (state store, watermark eviction and
+    // all) every round. StreamingSpec pins the same parity in-suite.
+    "strm_join" -> ((s, dir) => {
+      val out = s"strm_join_out_${strmRunIds.incrementAndGet()}"
+      graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.clickPurchaseJoin(
+          graft.streaming.EventStreams.readEvents(s, stageEventsDrop(dir))),
+        out, org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
+    // STREAMING CATALOG ENTRY #3 — exactly-once ingest dedup: the
+    // events file is staged into the drop folder TWICE, so the stream
+    // sees every event duplicated across files, and
+    // dropDuplicatesWithinWatermark must emit each event_id exactly
+    // once while holding dedup state only within the 1-hour watermark
+    // delay (bounded state — the property that lets ingest dedup
+    // survive an unbounded 100 TB stream where a naive distinct's
+    // state grows forever). A second copy is eliminated on every
+    // arrival path: still-in-state duplicates dedup, older-than-
+    // watermark arrivals drop as late — so the drained output equals
+    // the batch table no matter how AvailableNow slices the files
+    // into micro-batches, and the oracle is a plain scan of events.
+    "strm_dedup" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("strm_dedup")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(src, d.resolve("a.parquet"))
+      java.nio.file.Files.copy(src, d.resolve("b.parquet"))
+      val out = s"strm_dedup_out_${strmRunIds.incrementAndGet()}"
+      graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.dedupEvents(
+          graft.streaming.EventStreams.readEvents(s, d.toString)),
+        out, org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
     }),
 
     // Sliding 1-hour window every 30 minutes (each event lands in 2).
@@ -729,6 +783,20 @@ object EventWindows extends QueryModule {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    // inner stream-stream joins emit eagerly (no withheld tail), so
+    // the Append-mode AvailableNow drain equals this batch self-join
+    "strm_join" ->
+      """SELECT c.event_id AS c_id, c.user_id AS user_id, p.event_id AS p_id,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    // the doubled drop folder dedups back to exactly the events table
+    "strm_dedup" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           user_id, event_type, value, props
+         FROM events""",
     // sliding(1h, 30m): the windows covering ts start at bucket30(ts)
     // and bucket30(ts) − 30min.
     "ev_sliding" ->

@@ -477,6 +477,72 @@ object Pipeline extends QueryModule {
       Merge.applyCdc(target, changes, Seq("o_orderkey"), "seq", "op")
     }),
 
+    // STREAMING CATALOG ENTRY — the CDC fold above run as a REAL
+    // checkpointed change STREAM (EventStreams.cdcStream): the same
+    // synthesized changes are split into two chronological change
+    // files (seq 1-3, then seq 4-7 — batch order aligned with seq
+    // order, so "later micro-batch wins" coincides with "higher seq
+    // wins" and one SQL fold restates both), dropped into a watched
+    // folder, and drained TWICE under Trigger.AvailableNow with a
+    // persistent checkpoint — the second drain processes ONLY the
+    // second file (exactly-once offsets), each drain folding its
+    // micro-batch into the partitioned snapshot table via
+    // SnapshotMerge.applyCdc. The driver hash-checks the full
+    // stage→stream→checkpoint→merge→read pipeline against the SAME
+    // oracle as cdc_apply: a key upserted in file 1 and deleted in
+    // file 2 must vanish, deleted-then-reinserted must survive, and
+    // the within-batch tie-break must match the batch twin exactly.
+    // At scale this is the standing MERGE-from-change-stream
+    // deployment: per-drain cost is O(|affected partitions|), not
+    // O(|target|), and offsets make re-drains no-ops.
+    "strm_cdc" -> ((s, dir) => {
+      val target = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("pk", pmod(col("o_orderkey"), lit(8L)))
+      val changes = Tables.load(s, dir, "lineitem")
+        .where(pmod(col("l_partkey"), lit(5)) === 0)
+        .select(
+          when(pmod(col("l_linenumber"), lit(5)) === 2,
+            col("l_orderkey") + 1000000000L)
+            .otherwise(col("l_orderkey")).as("o_orderkey"),
+          col("l_linenumber").as("seq"),
+          when(pmod(col("l_linenumber"), lit(4)) === 0, "delete")
+            .otherwise("upsert").as("op"),
+          col("l_returnflag").as("o_orderstatus"),
+          col("l_extendedprice").as("o_totalprice"))
+        .withColumn("pk", pmod(col("o_orderkey"), lit(8L)))
+      val root = java.nio.file.Files.createTempDirectory("strm_cdc")
+      val drop = root.resolve("changes")
+      java.nio.file.Files.createDirectories(drop)
+      val tableDir = root.resolve("table").toString
+      val ckptDir = root.resolve("ckpt").toString
+      // file streams list FILES, not nested dirs: stage each change
+      // batch as one parquet file inside the drop folder
+      def dropFile(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(part), drop.resolve(name))
+      }
+      def drain(): Unit = graft.streaming.EventStreams.cdcStream(s,
+        s.readStream.schema(changes.schema).parquet(drop.toString),
+        tableDir, Seq("o_orderkey"), "seq", "op", Seq("pk"), ckptDir)
+      // seed the snapshot with the target, then stream the changes in
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, tableDir, target, Seq("o_orderkey"), Seq("pk"))
+      dropFile(changes.where(col("seq") <= 3), "c1.parquet")
+      drain()
+      dropFile(changes.where(col("seq") >= 4), "c2.parquet")
+      drain()
+      val out = graft.sinks.SnapshotMerge.read(s, tableDir, target.schema)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .ckpt(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
+
     "k3_join_update" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val updates = Tables.load(s, dir, "customer")
@@ -726,6 +792,32 @@ object Pipeline extends QueryModule {
            (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) u
            ON o_custkey = u.c_custkey""",
     "cdc_apply" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         c AS (
+           SELECT CASE WHEN l_linenumber % 5 = 2 THEN l_orderkey + 1000000000
+                       ELSE l_orderkey END AS o_orderkey,
+             l_linenumber AS seq,
+             CASE WHEN l_linenumber % 4 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             l_returnflag AS o_orderstatus,
+             l_extendedprice AS o_totalprice
+           FROM lineitem WHERE l_partkey % 5 = 0),
+         last AS (
+           SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM (
+             SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC, op DESC, o_orderstatus DESC,
+                        o_totalprice DESC) AS rk FROM c) x
+           WHERE rk = 1)
+         SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+         FROM t LEFT JOIN last l USING (o_orderkey)
+         WHERE l.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM last
+         WHERE op != 'delete'""",
+    // the two chronological change files partition the changes by seq
+    // (1-3 then 4-7), so the checkpointed two-drain streaming fold
+    // equals ONE global last-writer fold — the same SQL as cdc_apply
+    "strm_cdc" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          c AS (
            SELECT CASE WHEN l_linenumber % 5 = 2 THEN l_orderkey + 1000000000
