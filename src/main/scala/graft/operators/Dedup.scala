@@ -554,7 +554,16 @@ object Dedup extends QueryModule {
       if (round > maxRounds)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")
-      val next = smallStar(largeStar(e)).ckpt(false)
+      // fresh-leaf rebase before the round's joins: the checkpoint
+      // inherits its origin plan's sizeInBytes, which either compounds
+      // round over round (largeStar references sym twice) or — off a
+      // small stored-artifact origin — underestimates a corpus-scale
+      // edge set into a broadcast side (the g2_pagerank class). Both
+      // star joins are honest node-keyed shuffles at scale; the fresh
+      // leaf's conservative default keeps them that way. Zero cost on
+      // the materialized checkpoint; `e` stays the release handle.
+      val next = smallStar(largeStar(
+        org.apache.spark.sql.GraftShims.rebase(e))).ckpt(false)
       val s = stat(next)
       releaseCheckpoints(e)
       converged = s == last

@@ -101,19 +101,44 @@ object Graph extends QueryModule {
     "g2_pagerank" -> ((s, dir) => {
       import s.implicits._
       val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
-      // the iterative engine reads `edges` every round — checkpoint
-      // the bidirectional union once instead of re-scanning the
-      // stored pairs 2× per iteration
+      // pageRank partitions + checkpoints the bidirectional union
+      // ONCE internally (the per-iteration read source), so no outer
+      // checkpoint here — the union is two pruned scans of the stored
+      // pair table, consumed exactly once by that repartition
       val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").ckpt(false)
+        .toDF("src", "dst")
       val ranks = pageRank(edges)
       val top = ranks
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node"), col("rank").cast("double").as("rank"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       Dedup.releaseCheckpoints(ranks)
-      Dedup.releaseCheckpoints(edges)
       top.toDF("node", "rank")
+    }),
+
+    // BOUNDED + QUANTIZED pagerank twin — the oracle-checkable face
+    // of g2 (the g3_kcore_bounded / g6 convention): 3 power rounds
+    // with every rank in INTEGER micro-mass units (1e12 total mass,
+    // floor division throughout), so the whole iteration UNROLLS into
+    // SQL and DuckDB restates every division bit-for-bit — the driver
+    // hash-checks the fixed plan of [[pageRankQ]] (edges partitioned
+    // once, |nodes|-row sides broadcast) end-to-end every round,
+    // pinning the g2 plan discipline to a driver-enforced hash. The
+    // bounded-round budget is the same anytime lever production pulls
+    // on huge graphs (rank bulk moves in the first rounds); the
+    // quantization floor (1e12 units ≫ |nodes|) keeps per-node mass
+    // resolution far above tie noise at any realistic node count.
+    "g2_pagerank_bounded" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = cooccurrenceEdges(s, dir).select(col("u"), col("v"))
+      val edges = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst")
+      val ranks = pageRankQ(edges, iters = 3)
+      val top = ranks
+        .orderBy(col("rank_q").desc, col("node").asc).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Dedup.releaseCheckpoints(ranks)
+      top.toDF("node", "rank_q")
     }),
 
     // K-CORE DECOMPOSITION — coreness of every node by the h-index
@@ -345,12 +370,24 @@ object Graph extends QueryModule {
       val pairs = cooccurrenceEdges(s, dir)
         .where(col("w") >= minEdgeWeight)
         .select(col("u"), col("v"))
-      val edges = pairs.union(pairs.select(col("v"), col("u")))
-        .toDF("src", "dst").ckpt(false)
+      // edges hash-partitioned by src ONCE; the per-hop gather then
+      // BROADCASTS the node-bounded frontier/visited sides (explicit
+      // hints under maxBroadcastNodes — the coreness discipline), so
+      // no hop re-shuffles or re-broadcasts the edge table whatever
+      // the stored artifact's few-MB stats claim (the g2_pagerank
+      // class). The rebase drops those inherited stats so even the
+      // frontier distinct's planning sees honest sizes.
+      val edgesCk = pairs.union(pairs.select(col("v"), col("u")))
+        .toDF("src", "dst").repartition(col("src")).ckpt(false)
+      // keep the checkpoint handle: releaseCheckpoints must see the
+      // LogicalRDD that owns the blocks, not the rebased wrapper
+      val edges = org.apache.spark.sql.GraftShims.rebase(edgesCk)
       val seeds = Tables.load(s, dir, "part")
         .where(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node"))
       val nodes = edges.select(col("src").as("node")).distinct()
+      val small = nodes.count() <= maxBroadcastNodes
+      def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       var visited = nodes.join(seeds, "node").ckpt(false)
       var frontier = visited
       val hops = scala.collection.mutable.Buffer((0, frontier.count()))
@@ -358,9 +395,9 @@ object Graph extends QueryModule {
       while (h < 3) {
         h += 1
         val next = edges
-          .join(frontier.toDF("src"), "src")
+          .join(hint(frontier.toDF("src")), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(hint(visited), Seq("node"), "left_anti")
           .ckpt(false)
         hops += ((h, next.count()))
         // materialize the new visited set BEFORE releasing the old
@@ -377,7 +414,7 @@ object Graph extends QueryModule {
       }
       Dedup.releaseCheckpoints(visited)
       Dedup.releaseCheckpoints(frontier)
-      Dedup.releaseCheckpoints(edges)
+      Dedup.releaseCheckpoints(edgesCk)
       hops.toSeq.toDF("hop", "n_nodes")
     })
   )
@@ -398,10 +435,9 @@ object Graph extends QueryModule {
     * label table — metadata next to the rounds themselves.
     */
   private[graft] def labelProp(edges: DataFrame, rounds: Int): DataFrame = {
-    val spark = edges.sparkSession
-    // see coreness: fresh-RDD rebase drops inherited Catalyst stats
+    // see coreness: fresh-leaf rebase drops inherited Catalyst stats
     def rebase(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+      org.apache.spark.sql.GraftShims.rebase(df)
     val ep = edges.repartition(col("src")).ckpt(false)
     var labelsCk = ep.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -470,15 +506,7 @@ object Graph extends QueryModule {
   private[graft] def edgeArtifactRoot(s: SparkSession,
       dir: String): org.apache.hadoop.fs.Path = {
     import org.apache.hadoop.fs.Path
-    val src = new Path(s"$dir/lineitem.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val (len, mtime) =
-      if (st.isDirectory) {
-        val children = fs.listStatus(src)
-        (children.map(_.getLen).sum,
-          if (children.isEmpty) 0L else children.map(_.getModificationTime).max)
-      } else (st.getLen, st.getModificationTime)
+    val (len, mtime) = Tables.sourceFingerprint(s, s"$dir/lineitem.parquet")
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s"$dir|$len|$mtime".getBytes("UTF-8"))
       .take(16).map(b => f"$b%02x").mkString
@@ -570,7 +598,6 @@ object Graph extends QueryModule {
     */
   private[graft] def coreness(edges: DataFrame, maxRounds: Int = 512,
       requireConverged: Boolean = true): DataFrame = {
-    val spark = edges.sparkSession
     // STATS-INHERITANCE TRAP (found live: 1 s rounds degrading to 51 s
     // by round 21 at sf0.1, driver pinned in BigInteger.multiply):
     // a checkpointed Dataset's LogicalRDD INHERITS the origin plan's
@@ -578,12 +605,13 @@ object Graph extends QueryModule {
     // estimate table twice (h side and keep side) — so the inherited
     // stat roughly SQUARES every round and the stats visitor ends up
     // doing ToomCook multiplications on million-bit integers. Rebasing
-    // the round state through a fresh RDD scan drops the inherited
+    // the round state through a fresh leaf (GraftShims.rebase — zero
+    // execution cost on a materialized checkpoint) drops the inherited
     // stat (fresh leaf = constant default), keeping every round's
     // stats work O(plan size). Join strategies don't regress because
     // every join in the loop is explicitly broadcast-hinted.
     def rebase(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+      org.apache.spark.sql.GraftShims.rebase(df)
     val ep = edges.repartition(col("src")).ckpt(false)
     var stateCk = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("int").as("c"))
@@ -673,6 +701,11 @@ object Graph extends QueryModule {
     */
   private[graft] def pageRank(edges: DataFrame, d: BigDecimal = BigDecimal("0.85"),
       iters: Int = 10): DataFrame = {
+    // see coreness: fresh-leaf rebase drops inherited Catalyst stats —
+    // without it the per-round checkpoint's inherited sizeInBytes
+    // compounds across iterations (the stats-inheritance trap)
+    def rebase(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftShims.rebase(df)
     // Decimal-typing care: Spark's precision-loss rules collapse the
     // scale of wide÷wide to 6 (s = max(6, 38 - intDigits)), which
     // would quantize ranks of a big graph to dust. Divisors and the
@@ -681,12 +714,32 @@ object Graph extends QueryModule {
     // the product at scale 16 — and every result is cast back to
     // (38,18) so the loop's type is a fixpoint.
     val dec = "decimal(38,18)"
-    val deg = edges.groupBy(col("src"))
+    // PLAN DISCIPLINE (the coreness/labelProp contract, applied here
+    // after a measured 5× regression): the materialized edge table is
+    // a few MB of compressed parquet, so Catalyst's size estimate of
+    // an edge frame derived from it can dip UNDER the broadcast
+    // threshold and flip the per-iteration join to broadcasting the
+    // CORPUS-scale edge side every round (observed live at sf0.1:
+    // 7.3 s → 37.2 s when g2 moved from the lineitem self-join, whose
+    // huge estimate kept the join a shuffle, to the stored artifact).
+    // A stats-dependent plan is not a plan — the join sides are
+    // therefore pinned explicitly: edges hash-partitioned by `src`
+    // ONCE up front, and the |nodes|-row shares/contrib tables
+    // broadcast-hinted (falling back to shuffled joins past
+    // [[maxBroadcastNodes]], the labelProp threshold), so every
+    // iteration runs zero corpus-side broadcasts and zero edge
+    // re-shuffles no matter what the artifact's on-disk size makes
+    // the estimator believe. PlanLintSpec walks the executed rounds
+    // and fails on any broadcast bigger than the node set.
+    val ep = edges.repartition(col("src")).ckpt(false)
+    val deg = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("decimal(10,0)").as("deg"))
       .ckpt(false)
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
+    val small = n <= maxBroadcastNodes
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val damp = lit(d.underlying()).cast("decimal(3,2)")
     val one = lit(1).cast("decimal(2,0)")
     val nLit = lit(n).cast("decimal(12,0)")
@@ -696,11 +749,12 @@ object Graph extends QueryModule {
       .ckpt(false)
     rank.count()
     for (_ <- 1 to iters) {
-      val shares = rank.select(col("node"),
+      val r0 = rebase(rank)
+      val shares = r0.select(col("node"),
         (col("rank") / col("deg")).cast(dec).as("share"))
-      val contrib = edges.join(shares, edges("src") === shares("node"))
+      val contrib = ep.join(hint(shares), ep("src") === shares("node"))
         .groupBy(col("dst")).agg(sum(col("share")).cast(dec).as("in_share"))
-      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      val next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"), nodes("deg"),
           (teleport + damp * coalesce(col("in_share"), lit(0).cast(dec)))
             .cast(dec).as("rank"))
@@ -710,7 +764,62 @@ object Graph extends QueryModule {
       rank = next
     }
     Dedup.releaseCheckpoints(deg)
+    Dedup.releaseCheckpoints(ep)
     rank.select(col("node"), col("rank"))
+  }
+
+  /** Bounded-round pagerank with all state in INTEGER micro-mass
+    * units: total mass 1e12, r₀ = mass div n, per round
+    * share = rank div deg, rank' = (15·mass) div (100·n)
+    * + (85·Σ in-shares) div 100 — floor division everywhere, so the
+    * whole computation is BIGINT-exact, engine-independent, and
+    * restatable in the SQL oracle (g5's staged-integer-lift
+    * convention applied to iterative state; every intermediate is
+    * ≤ 85·1e12, Long-safe). Same fixed plan as [[pageRank]]: edges
+    * partitioned by src once, |nodes|-row sides broadcast-hinted
+    * under [[maxBroadcastNodes]]. Floor-division mass leakage (≤ 1
+    * unit per node per division) biases all ranks uniformly down by
+    * < n/1e12 of total mass — ranking-irrelevant while n ≪ 1e12, and
+    * in any case part of the operator's definition, restated
+    * identically by the oracle. Returns (node, rank_q BIGINT);
+    * caller releases the returned frame's checkpoint.
+    */
+  private[graft] def pageRankQ(edges: DataFrame, iters: Int): DataFrame = {
+    def rebase(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftShims.rebase(df)
+    val ep = edges.repartition(col("src")).ckpt(false)
+    val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .ckpt(false)
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRankQ needs a non-empty graph")
+    val small = n <= maxBroadcastNodes
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val mass = 1000000000000L
+    val teleportQ = (15L * mass) / (100L * n)
+    var rank = nodes
+      .select(col("node"), col("deg"), lit(mass / n).as("rank_q"))
+      .ckpt(false)
+    rank.count()
+    for (_ <- 1 to iters) {
+      val r0 = rebase(rank)
+      val shares = r0.select(col("node"),
+        expr("rank_q div deg").as("share"))
+      val contrib = ep.join(hint(shares), ep("src") === shares("node"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
+      val next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"), nodes("deg"),
+          (lit(teleportQ) +
+            expr("(85 * coalesce(in_share, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_q"))
+        .ckpt(false)
+      next.count()
+      Dedup.releaseCheckpoints(rank)
+      rank = next
+    }
+    Dedup.releaseCheckpoints(deg)
+    Dedup.releaseCheckpoints(ep)
+    rank.select(col("node"), col("rank_q"))
   }
 
   /** The DOULION edge coin: deterministic uniform draw per (u, v)
@@ -777,30 +886,40 @@ object Graph extends QueryModule {
     // the coin decides each EDGE once, which the 1/p³ estimator needs
     val pairs = edgeKeep.map(allPairs.where(_)).getOrElse(allPairs)
       .ckpt(false)
-    val deg = pairs.select(col("u").as("node"))
-      .union(pairs.select(col("v").as("node")))
+    // EDGE-SCALE frames re-rooted on fresh leaves (zero-cost on the
+    // checkpoints): a stored-artifact origin's few-MB inherited stats
+    // must never nominate pairs/od as a BROADCAST side of the wedge
+    // or closing joins (the g2_pagerank class — at toy estimates the
+    // flip is fast, at corpus scale it's a 2.39M-row broadcast per
+    // consumer); the node-scale deg table broadcasts EXPLICITLY
+    // instead (|nodes| ≪ m on any co-occurrence graph — the g4/g5
+    // convention).
+    val pairsR = org.apache.spark.sql.GraftShims.rebase(pairs)
+    val deg = pairsR.select(col("u").as("node"))
+      .union(pairsR.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val uFirst = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val od = pairs
-      .join(deg.toDF("u", "du"), "u")
-      .join(deg.toDF("v", "dv"), "v")
+    val od = pairsR
+      .join(broadcast(deg.toDF("u", "du")), "u")
+      .join(broadcast(deg.toDF("v", "dv")), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
       .ckpt(false)
+    val odR = org.apache.spark.sql.GraftShims.rebase(od)
     // wedges (v, w) from a common src, ordered by (deg, id) so each
     // candidate triangle is generated exactly once; a (v, w) pair
     // reached from DIFFERENT srcs is a different triangle, so the
     // closing check is a LEFT SEMI join (keeps left multiplicity,
     // never multiplies on the right).
-    val wedges = od.toDF("src", "v", "dv2")
-      .join(od.toDF("src", "w", "dw2"), "src")
+    val wedges = odR.toDF("src", "v", "dv2")
+      .join(odR.toDF("src", "w", "dw2"), "src")
       .where(col("dv2") < col("dw2") ||
         (col("dv2") === col("dw2") && col("v") < col("w")))
       .select(col("v"), col("w"))
     val closing = wedges
-      .join(od.select(col("src").as("v"), col("dst").as("w")),
+      .join(odR.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"), "left_semi")
     (pairs, od, closing)
   }
@@ -865,6 +984,37 @@ object Graph extends QueryModule {
          SELECT count(*) * 8 AS n_triangles_est,
            (SELECT count(*) FROM pairs) AS n_edges_sampled
          FROM wed JOIN o ON wed.v = o.src AND wed.w2 = o.dst""",
+    // the round budget (3), the 1e12 integer mass, and floor division
+    // are all plan constants, so the bounded quantized power iteration
+    // UNROLLS into SQL (the g3_kcore_bounded convention) and the full
+    // top-20 ranking hash-checks — a driver-enforced pin on the fixed
+    // pagerank plan
+    "g2_pagerank_bounded" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""s$k AS (SELECT node, rank_q // deg AS share FROM r${k - 1}),
+         c$k AS (SELECT e.dst, CAST(sum(s.share) AS BIGINT) AS in_share
+           FROM edges e JOIN s$k s ON e.src = s.node GROUP BY e.dst),
+         r$k AS (SELECT d.node, d.deg,
+             CAST(tp.t + (85 * coalesce(c.in_share, 0)) // 100 AS BIGINT)
+               AS rank_q
+           FROM deg d LEFT JOIN c$k c ON d.node = c.dst CROSS JOIN tp)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         edges AS (SELECT u AS src, v AS dst FROM pairs
+                   UNION ALL SELECT v AS src, u AS dst FROM pairs),
+         deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         tp AS (SELECT (15 * 1000000000000) // (100 * n) AS t FROM nn),
+         r0 AS (SELECT node, deg,
+             CAST(1000000000000 // nn.n AS BIGINT) AS rank_q
+           FROM deg CROSS JOIN nn),
+         $rounds
+         SELECT node, rank_q FROM r3
+         ORDER BY rank_q DESC, node ASC LIMIT 20"""
+    },
+
     // the hub cap (deg <= 64) is part of the operator definition, so
     // the oracle restates it and the whole estimator hash-checks
     "g4_node_jaccard" ->
