@@ -29,18 +29,35 @@ object EventWindows extends QueryModule {
   private val strmRunIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Stage the events table as a drop FOLDER for the `strm_*` queries
-    * (file-source streams consume directories): the sf dir's
-    * single-file export is copied into a temp directory; a
-    * directory-shaped export streams in place.
+    * (file-source streams consume directories), repeating every data
+    * file `copies` times under distinct names (strm_dedup stages the
+    * corpus twice so the stream must eliminate genuine duplicates).
+    * Handles BOTH export shapes: a single-file export is copied
+    * directly; a directory-shaped export has each of its `.parquet`
+    * data files copied in (a naive `Files.copy` on the directory path
+    * would create an EMPTY directory and a silently zero-row stream).
+    * The caller deletes the returned temp dir after the drain —
+    * `drainToMemory` returns a materialized local frame, so nothing
+    * reads the staged files afterwards (r13 leaked one corpus-sized
+    * copy per bench rep).
     */
-  private def stageEventsDrop(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (java.nio.file.Files.isDirectory(src)) src.toString
-    else {
-      val d = java.nio.file.Files.createTempDirectory("strm_drop")
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-      d.toString
-    }
+  private def stageEventsDrop(dir: String, copies: Int = 1): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val d = Files.createTempDirectory("strm_drop")
+    val dataFiles: Seq[Path] =
+      if (Files.isDirectory(src)) {
+        val st = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        } finally st.close()
+      } else Seq(src)
+    require(dataFiles.nonEmpty, s"no parquet data files under $src")
+    for (c <- 1 to copies; (f, i) <- dataFiles.zipWithIndex)
+      Files.copy(f, d.resolve(s"c${c}_f$i.parquet"))
+    d
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -71,11 +88,14 @@ object EventWindows extends QueryModule {
     // state lives in the state store keyed by (window, type) — the
     // standing-pipeline twin of the batch query.
     "strm_tumbling" -> ((s, dir) => {
-      val out = s"strm_tumbling_out_${strmRunIds.incrementAndGet()}"
-      graft.streaming.EventStreams.drainToMemory(s,
-        graft.streaming.EventStreams.tumblingCounts(
-          graft.streaming.EventStreams.readEvents(s, stageEventsDrop(dir))),
-        out)
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_tumbling_out_${strmRunIds.incrementAndGet()}"
+        graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEvents(s, drop.toString)),
+          out)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
     // STREAMING CATALOG ENTRY #2 — stream-stream interval JOIN, the
@@ -90,11 +110,14 @@ object EventWindows extends QueryModule {
     // stateful streaming join (state store, watermark eviction and
     // all) every round. StreamingSpec pins the same parity in-suite.
     "strm_join" -> ((s, dir) => {
-      val out = s"strm_join_out_${strmRunIds.incrementAndGet()}"
-      graft.streaming.EventStreams.drainToMemory(s,
-        graft.streaming.EventStreams.clickPurchaseJoin(
-          graft.streaming.EventStreams.readEvents(s, stageEventsDrop(dir))),
-        out, org.apache.spark.sql.streaming.OutputMode.Append())
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_join_out_${strmRunIds.incrementAndGet()}"
+        graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.clickPurchaseJoin(
+            graft.streaming.EventStreams.readEvents(s, drop.toString)),
+          out, org.apache.spark.sql.streaming.OutputMode.Append())
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
     // STREAMING CATALOG ENTRY #3 — exactly-once ingest dedup: the
@@ -110,18 +133,20 @@ object EventWindows extends QueryModule {
     // the batch table no matter how AvailableNow slices the files
     // into micro-batches, and the oracle is a plain scan of events.
     "strm_dedup" -> ((s, dir) => {
-      val d = java.nio.file.Files.createTempDirectory("strm_dedup")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      java.nio.file.Files.copy(src, d.resolve("a.parquet"))
-      java.nio.file.Files.copy(src, d.resolve("b.parquet"))
-      val out = s"strm_dedup_out_${strmRunIds.incrementAndGet()}"
-      graft.streaming.EventStreams.drainToMemory(s,
-        graft.streaming.EventStreams.dedupEvents(
-          graft.streaming.EventStreams.readEvents(s, d.toString)),
-        out, org.apache.spark.sql.streaming.OutputMode.Append())
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
+      // every event staged TWICE (shared stager handles both export
+      // shapes — the bespoke Files.copy it replaced silently copied a
+      // directory-shaped export as an empty folder)
+      val drop = stageEventsDrop(dir, copies = 2)
+      try {
+        val out = s"strm_dedup_out_${strmRunIds.incrementAndGet()}"
+        graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.dedupEvents(
+            graft.streaming.EventStreams.readEvents(s, drop.toString)),
+          out, org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
     // Sliding 1-hour window every 30 minutes (each event lands in 2).

@@ -521,8 +521,14 @@ object Pipeline extends QueryModule {
       def dropFile(df: DataFrame, name: String): Unit = {
         val tmp = root.resolve(s"stage_$name")
         df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        // Files.list holds a directory handle until closed — close it
+        // before the move (one leaked fd per staged change file adds up
+        // in a long-running ingest loop)
+        val st = java.nio.file.Files.list(tmp)
+        val part =
+          try st.toArray.map(_.toString)
+            .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+          finally st.close()
         java.nio.file.Files.move(
           java.nio.file.Paths.get(part), drop.resolve(name))
       }

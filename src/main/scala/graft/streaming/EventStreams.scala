@@ -294,9 +294,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Drain a streaming frame into an in-memory table with
-    * AvailableNow semantics; returns the collected result. Used by
-    * tests and the local demo CLI — production would writeStream to
-    * parquet/foreachBatch instead.
+    * AvailableNow semantics; returns the collected result as a LOCAL
+    * frame. Used by tests and the local demo CLI — production would
+    * writeStream to parquet/foreachBatch instead.
+    *
+    * SESSION-STATE HYGIENE (measured r13: each drain left its
+    * memory-sink temp view registered — pinning the sink's driver-side
+    * row buffer — and its state-store providers resident, which
+    * inflated the unrelated queries that ran NEXT in a full-catalog
+    * bench 2–6×): the sink's rows are materialized once, the temp view
+    * is DROPPED so the buffer is unreachable, and the drained query's
+    * state-store providers are unloaded — its temp checkpoint is
+    * deleted with the query, so the resident maps can serve no future
+    * restart. `unloadAll` on a shared test session merely forces a
+    * concurrent stream's next batch to reload from ITS checkpoint —
+    * correctness-neutral by design.
     */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -307,6 +319,11 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val out = spark.table(name)
+    val rows = out.collect()
+    val schema = out.schema
+    spark.catalog.dropTempView(name)
+    org.apache.spark.sql.GraftShims.unloadStateStores()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 }
