@@ -24,8 +24,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
   private[graft] val level: StorageLevel =
-    sys.env.get("SPARK_GRAFT_CKPT_LEVEL").map(StorageLevel.fromString)
-      .getOrElse(StorageLevel.MEMORY_AND_DISK)
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL").map { name =>
+      val l = StorageLevel.fromString(name)
+      // NONE would truncate lineage while storing ZERO replicas — the
+      // Pipeline queries delete source files right after .ckpt(true),
+      // so the missing blocks only surface later, far from the
+      // misconfiguration. Reject it here with the env var named.
+      require(l.isValid,
+        s"SPARK_GRAFT_CKPT_LEVEL=$name stores no replicas: a local " +
+          "checkpoint at this level truncates lineage with nothing " +
+          "backing it. Use e.g. DISK_ONLY or MEMORY_AND_DISK.")
+      if (!l.useDisk)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"SPARK_GRAFT_CKPT_LEVEL=$name has no disk tier: memory " +
+            "pressure can evict checkpoint blocks whose lineage is " +
+            "gone, failing queries with missing-block errors.")
+      l
+    }.getOrElse(StorageLevel.MEMORY_AND_DISK)
 
   /** `df.localCheckpoint(eager)` at the engine-wide [[level]]. */
   def local[T](ds: Dataset[T], eager: Boolean): Dataset[T] =

@@ -49,6 +49,24 @@ object Tables {
       case _ => df
     }
 
+  /** (total length, max mtime) fingerprint of a source file or
+    * directory-shaped export — two filesystem metadata ops. Artifact
+    * cache keys ([[graft.operators.Graph.edgeArtifactRoot]],
+    * [[graft.operators.Similarity.pqArtifactRoot]]) fold this in so a
+    * REGENERATED corpus at the same path busts the key instead of
+    * silently serving the previous corpus's derived artifacts.
+    */
+  def sourceFingerprint(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val children = fs.listStatus(p)
+      (children.map(_.getLen).sum,
+        if (children.isEmpty) 0L else children.map(_.getModificationTime).max)
+    } else (st.getLen, st.getModificationTime)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))

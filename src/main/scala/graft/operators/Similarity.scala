@@ -197,11 +197,18 @@ object Similarity extends QueryModule {
     * version (bust on any training/geometry change) and a sha-256 of
     * the full corpus path — content-strength, so distinct corpora
     * never share an index (a 32-bit `String.hashCode` could collide
-    * two paths and silently serve one corpus's index for the other).
+    * two paths and silently serve one corpus's index for the other) —
+    * PLUS the embeddings source's (length, mtime) fingerprint (the
+    * edgeArtifactRoot convention): a REGENERATED corpus at the same
+    * path gets a fresh index instead of silently serving the previous
+    * corpus's codebook/codes/coarse table.
     */
-  private[graft] def pqArtifactRoot(dir: String): org.apache.hadoop.fs.Path = {
+  private[graft] def pqArtifactRoot(s: SparkSession,
+      dir: String): org.apache.hadoop.fs.Path = {
+    val (len, mtime) =
+      graft.Tables.sourceFingerprint(s, s"$dir/embeddings.parquet")
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8"))
+      .digest(s"$dir|$len|$mtime".getBytes("UTF-8"))
       .take(16).map(b => f"$b%02x").mkString
     val key = s"${new java.io.File(dir).getName}_${digest}_v2"
     new org.apache.hadoop.fs.Path(
@@ -235,7 +242,7 @@ object Similarity extends QueryModule {
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.hadoop.fs.Path
     import graft.sinks.AtomicDir
-    val root = pqArtifactRoot(dir)
+    val root = pqArtifactRoot(s, dir)
     val fs = AtomicDir.fileSystem(s, root)
     val cbDir = new Path(root, "codebook")
     val cdDir = new Path(root, "codes")

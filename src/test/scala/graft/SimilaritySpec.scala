@@ -238,7 +238,7 @@ class SimilaritySpec extends SparkFunSuite {
 
   test("ann_pq_serve: row-identical to ann_pq_search, artifact reused not retrained") {
     import graft.operators.Similarity
-    val root = Similarity.pqArtifactRoot(sfDir)
+    val root = Similarity.pqArtifactRoot(spark, sfDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(root, true) // force a cold first call
     val serve1 = SparkEntry.queries("ann_pq_serve")(spark, sfDir).collect()
@@ -263,7 +263,7 @@ class SimilaritySpec extends SparkFunSuite {
 
   test("ann_ivf_serve: row-identical to ann_ivf_pq, both quantizers served") {
     import graft.operators.Similarity
-    val root = Similarity.pqArtifactRoot(sfDir)
+    val root = Similarity.pqArtifactRoot(spark, sfDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(root, true) // force a cold first call
     val serve1 = SparkEntry.queries("ann_ivf_serve")(spark, sfDir).collect()
@@ -341,5 +341,24 @@ class SimilaritySpec extends SparkFunSuite {
     byId.foreach { case (id, (_, keep, _)) =>
       if (id < 1000000L) assert(keep == 1, s"false drop of natural $id")
     }
+  }
+
+  test("pqArtifactRoot folds the embeddings fingerprint (regenerated corpus busts the key)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // a REGENERATED corpus at the same path (new length/mtime) must
+    // key to a DIFFERENT artifact root — a path-only key would
+    // silently serve the previous corpus's codebook/codes/coarse
+    // table (the edgeArtifactRoot staleness defense, applied to the
+    // served-PQ index)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_fp").toString
+    Seq((1L, Seq(0.1f, 0.2f))).toDF("vec_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r1 = Similarity.pqArtifactRoot(spark, tmp)
+    Thread.sleep(1100) // ensure a distinct mtime at 1s fs resolution
+    Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f))).toDF("vec_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r2 = Similarity.pqArtifactRoot(spark, tmp)
+    assert(r1 != r2, "fingerprint must move with the source data")
   }
 }
