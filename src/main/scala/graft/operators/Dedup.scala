@@ -135,11 +135,87 @@ object Dedup extends QueryModule {
         .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
     }),
 
+    // FULL-ORACLE MinHash+LSH twin: the same pipeline shape as
+    // dedup_minhash_lsh (signature → band buckets → candidate
+    // equi-join → exact-Jaccard verify) but with every hash spelled
+    // as md5 over the seed-salted shingle, so DuckDB reproduces the
+    // ENTIRE run — signatures, band collisions, candidate set and
+    // verified pairs — bit-for-bit and the driver hash-checks it.
+    // k = 16 seeds, 4 bands × 4 rows. The production path stays the
+    // codegen'd xxhash64 kernel (one tokenize pass per row, 32
+    // hashes); this twin trades one md5 per (shingle, seed) for an
+    // engine-independent restatement, pinning the banding algebra
+    // the kernel implements to a driver-enforced hash every round.
+    // Scale shape is identical to the production query: the self-join
+    // keys on (band, key) — bounded by bucket occupancy, never
+    // all-pairs — and the verify join touches candidates only.
+    "dedup_minhash_md5" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      // 16 string minima per doc: min over shingles of md5("k:shingle").
+      // Lowercase-hex md5 compares identically under Spark's binary
+      // string ordering and DuckDB's default collation.
+      val sig = sh.select(col("doc_id"), col("sh"), expr(
+        """transform(sequence(0, 15),
+           k -> array_min(transform(sh, t -> md5(concat(cast(k as string), ':', t)))))""")
+        .as("sig"))
+      val bnd = sig.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('', slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "key")))
+      val cand = bnd.as("l").join(bnd.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(sh.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("jacc", shingleSetJaccard(col("da.sh"), col("db.sh")))
+        .where(col("jacc") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"))
+    }),
+
     // SimHash signatures + 16-bit banded bucket keys (the near-dup
     // index a 100 TB pipeline would persist; near-Hamming pairs share
     // a band bucket). Rows-only; semantics pinned in DedupSpec. The
     // query stage over this index is dedup_simhash_pairs below.
     "dedup_simhash" -> ((s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))),
+
+    // FULL-ORACLE SimHash twin: a 32-bit signature whose bit b is the
+    // majority vote over distinct tokens of bit b of md5(token) —
+    // integer arithmetic end-to-end (hex-digit lookup, shift, mask,
+    // signed vote sum, power-of-two reassembly), so DuckDB restates
+    // the whole computation and the driver hash-checks the signature
+    // AND its four 8-bit band keys. Pins the majority-vote/banding
+    // algebra of the production 64-bit codegen kernel (dedup_simhash
+    // above) to an engine-independent oracle. The ×32 bit explode is
+    // the price of SQL-expressibility — linear in tokens, one shuffle
+    // on (doc, bit); the production kernel does the same vote in one
+    // codegen pass per row.
+    "dedup_simhash_md5" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val bits = toks
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, 31), p ->
+             shiftright(instr('0123456789abcdef', substr(h, 1 + p div 4, 1)) - 1,
+                        3 - p % 4) & 1)"""))
+          .as(Seq("p", "bit")))
+      bits
+        .groupBy(col("doc_id"), col("p"))
+        .agg(sum(col("bit") * 2 - 1).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, p)")).otherwise(lit(0L)))
+          .as("sig32"))
+        .select(col("doc_id"), col("sig32"),
+          expr("shiftright(sig32,  0) & 255").as("band0"),
+          expr("shiftright(sig32,  8) & 255").as("band1"),
+          expr("shiftright(sig32, 16) & 255").as("band2"),
+          expr("shiftright(sig32, 24) & 255").as("band3"))
+    }),
 
     // The SimHash index exercised AS an index: band-bucket self-join
     // generates candidates (two signatures within Hamming distance 3
@@ -710,6 +786,56 @@ object Dedup extends QueryModule {
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
     "dedup_jaccard_prefix" -> jaccardBlockSql,
+    // the full MinHash+LSH pipeline restated: md5-based signatures,
+    // 4 band keys, bucket-collision candidates, exact-Jaccard verify
+    "dedup_minhash_md5" ->
+      """WITH dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM documents)),
+         sig AS (
+           SELECT doc_id, sh,
+             [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || t) for t in sh],
+                             'min') for k in range(0, 16)] AS sig
+           FROM dd),
+         bnd AS (
+           SELECT doc_id, b AS band,
+             array_to_string(sig[b*4+1:b*4+4], '') AS key
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bnd a JOIN bnd b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jacc
+         FROM cand c JOIN dd x ON x.doc_id = c.doc_a
+                     JOIN dd y ON y.doc_id = c.doc_b
+         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8""",
+    // the 32-bit majority-vote signature restated bit-for-bit
+    "dedup_simhash_md5" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)),
+         bits AS (
+           SELECT doc_id, p,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1 + p // 4, 1)) - 1)
+               >> (3 - p % 4)) & 1 AS bit
+           FROM toks, (SELECT unnest(range(0, 32)) AS p)),
+         maj AS (
+           SELECT doc_id, p, SUM(2 * bit - 1) AS s FROM bits GROUP BY doc_id, p),
+         sig AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig32
+           FROM maj GROUP BY doc_id)
+         SELECT doc_id, sig32,
+           (sig32 >>  0) & 255 AS band0,
+           (sig32 >>  8) & 255 AS band1,
+           (sig32 >> 16) & 255 AS band2,
+           (sig32 >> 24) & 255 AS band3
+         FROM sig""",
     // brute delta × corpus restatement: every qualifying pair whose
     // larger id clears the 0.9·max threshold
     "dedup_incremental" ->

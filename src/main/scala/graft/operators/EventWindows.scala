@@ -149,6 +149,33 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY #4 — SESSION windows as a stream: the
+    // variable-length, merge-on-arrival state shape (unlike fixed
+    // windows, a new event can FUSE two open sessions, so the state
+    // store must merge entries — the hardest windowed-state path).
+    // Same expressions as the batch ev_session below
+    // (EventStreams.sessionCounts shares them); drained with
+    // Trigger.AvailableNow in Complete mode, where every session —
+    // open or closed — is emitted from the full retained state, so
+    // the drain EQUALS the batch result regardless of how the files
+    // slice into micro-batches and the ev_session oracle hash-checks
+    // a genuine streaming session-window execution. Append mode (the
+    // unbounded-production shape, which withholds sessions until the
+    // watermark passes their close) is pinned separately in
+    // StreamingSpec; Complete here is what makes the bounded drain
+    // comparable. At scale session state is keyed by (user, session)
+    // in the state store and merges locally per key.
+    "strm_session" -> ((s, dir) => {
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_session_out_${strmRunIds.incrementAndGet()}"
+        graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.sessionCounts(
+            graft.streaming.EventStreams.readEvents(s, drop.toString)),
+          out)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // Sliding 1-hour window every 30 minutes (each event lands in 2).
     "ev_sliding" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -794,6 +821,28 @@ object EventWindows extends QueryModule {
     })
   )
 
+  /** Session windows restated as gaps-and-islands — shared by the
+    * batch ev_session row and its streaming Complete-mode drain twin.
+    */
+  private val sessionSql =
+    """WITH marked AS (
+           SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         islands AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM islands GROUP BY user_id, sid"""
+
   def oracle: Map[String, String] = Map(
     "ev_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -836,24 +885,10 @@ object EventWindows extends QueryModule {
     // session windows = gaps-and-islands with a 30-minute gap. Spark's
     // session interval is half-open [start, last+gap), so an event at
     // exactly last+gap starts a NEW session → new_session on diff >= gap.
-    "ev_session" ->
-      """WITH marked AS (
-           SELECT user_id, ts, value, event_id,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events),
-         islands AS (
-           SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-           FROM marked)
-         SELECT user_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM islands GROUP BY user_id, sid""",
+    "ev_session" -> sessionSql,
+    // the streaming Complete-mode drain emits the identical full
+    // session state (see the strm_session query comment)
+    "strm_session" -> sessionSql,
     "ev_gaps" ->
       """SELECT event_id, user_id,
            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -889,6 +889,46 @@ object Relational extends QueryModule {
       rows.toDF("set_name", "est_distinct")
     }),
 
+    // FULL-ORACLE KMV twin of a10 above: the k-minimum-values sketch
+    // spelled with md5 hex strings (engine-independent total order)
+    // instead of xxhash64, so DuckDB reproduces the kept sets exactly
+    // and the driver hash-checks the sketch ALGEBRA — per-set kth
+    // minimum (which alone determines the estimate), the union sketch
+    // (k smallest of the merged minima), and the intersection count
+    // (kept values present in BOTH sketches, Beyer et al. SIGMOD'07).
+    // The window top-k per group is the oracle-twin spelling; the
+    // production path is the bounded-state KmvSketch partial aggregate
+    // above, whose shuffle payload is ≤ k values per (group,
+    // partition) — this twin pins what that kernel must compute.
+    "a10_kmv_md5" -> ((s, dir) => {
+      val k = 64
+      val h = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          md5(col("l_orderkey").cast("string")).as("hv"))
+        .distinct()
+      val sk = h
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("hv"))))
+        .where(col("rn") <= k).select(col("g"), col("hv"))
+      val base = sk.groupBy(col("g").as("set_name"))
+        .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_kept"))
+      // union sketch: k smallest of the merged kept values (exact,
+      // because each input sketch kept its k smallest)
+      val usk = sk.where(col("g").isin("A", "R")).select(col("hv")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("hv"))))
+        .where(col("rn") <= k).select(col("hv"))
+      val un = usk
+        .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_kept"))
+        .select(lit("A_union_R").as("set_name"), col("kth_min"), col("n_kept"))
+      val ib = usk
+        .join(sk.where(col("g") === "A").select(col("hv")), "hv")
+        .join(sk.where(col("g") === "R").select(col("hv")), "hv")
+        .agg(count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(usk.agg(max(col("hv")).as("kth_min"))))
+        .select(lit("A_intersect_R").as("set_name"), col("kth_min"), col("n_kept"))
+      base.unionByName(un).unionByName(ib)
+    }),
+
     // Exact per-group COVARIANCE + CORRELATION of (quantity, price) —
     // built from the five DECIMAL(38,6)-exact moment sums instead of
     // covar_pop/corr builtins, whose streaming update order makes the
@@ -1042,6 +1082,35 @@ object Relational extends QueryModule {
     "s1_scan_filter" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0""",
+    // the KMV sketch algebra restated over md5 hex strings: kept-set
+    // kth minima, union sketch, intersection membership count
+    "a10_kmv_md5" ->
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag AS g,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hv
+           FROM lineitem),
+         rk AS (
+           SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+           FROM h),
+         sk AS (SELECT g, hv FROM rk WHERE rn <= 64),
+         base AS (
+           SELECT g AS set_name, MAX(hv) AS kth_min, COUNT(*) AS n_kept
+           FROM sk GROUP BY g),
+         uh AS (SELECT DISTINCT hv FROM sk WHERE g IN ('A', 'R')),
+         urk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM uh),
+         usk AS (SELECT hv FROM urk WHERE rn <= 64),
+         un AS (
+           SELECT 'A_union_R' AS set_name, MAX(hv) AS kth_min,
+                  COUNT(*) AS n_kept
+           FROM usk),
+         ib AS (
+           SELECT 'A_intersect_R' AS set_name,
+             (SELECT MAX(hv) FROM usk) AS kth_min, COUNT(*) AS n_kept
+           FROM usk
+           WHERE hv IN (SELECT hv FROM sk WHERE g = 'A')
+             AND hv IN (SELECT hv FROM sk WHERE g = 'R'))
+         SELECT * FROM base UNION ALL SELECT * FROM un
+         UNION ALL SELECT * FROM ib""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -28,6 +28,39 @@ object TextAnalysis extends QueryModule {
     "max_tokens" -> (size(split(col("text"), " ")) <= 90),
     "lang_known" -> col("lang").isin("en", "zh", "de", "fr", "es"))
 
+  /** Fixed retrieval query for the BM25 family. */
+  private val bm25Terms = Seq("scan", "hash", "window")
+
+  /** BM25 scores (doc_id, s DECIMAL(38,6)) for [[bm25Terms]] — the
+    * bit-reproducible operand tree shared by text_bm25_topk and the
+    * rag_* retrieval queries (raw Robertson odds idf, tf saturation
+    * k1 = 1.2 / b = 0.75, per-term scores quantized to DECIMAL(38,6)
+    * so the per-doc sum is order-independent; see text_bm25_topk's
+    * query comment for the cross-engine determinism argument).
+    */
+  private def bm25Scores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isin(bm25Terms: _*))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+          .cast("decimal(38,6)"))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: token stats + stopword ratio. Integer sums and
     // single divisions only → bit-identical to the oracle.
@@ -191,33 +224,83 @@ object TextAnalysis extends QueryModule {
     // key; the global top-20 is TakeOrdered (no full sort), and the
     // final row_number window ranks 20 rows.
     "text_bm25_topk" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val terms = Seq("scan", "hash", "window")
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-        .where(col("tok").isin(terms: _*))
-      val lens = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val byDoc = tf.join(broadcast(dfq), "tok")
-        .join(lens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("sc",
-          (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
-            .cast("decimal(38,6)"))
-        .groupBy(col("doc_id")).agg(sum(col("sc")).as("s"))
+      val byDoc = bm25Scores(Tables.load(s, dir, "documents"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("s").desc, col("doc_id").asc)
       byDoc.orderBy(col("s").desc, col("doc_id").asc).limit(20)
         .withColumn("rk", row_number().over(w))
         .select(col("doc_id"), col("rk"), col("s").cast("double").as("score"))
+    }),
+
+    // Two-stage RAG retrieval: BM25 candidate generation (the sparse
+    // stage above, top-50) RERANKED by exact embedding cosine against
+    // a fixed query vector (vec_id 0's embedding) — the classic
+    // retrieve-then-rerank pipeline every RAG/training-data stack
+    // runs. Fully oracle-checked: the BM25 stage is the bit-exact
+    // decimal operand tree of text_bm25_topk, the dense stage reuses
+    // the ann_cosine_topk cross-engine cosine spelling. Scale shape:
+    // stage 1 is postings-of-query-terms only + TakeOrdered (no full
+    // sort); stage 2 touches 50 rows joined to embeddings on the
+    // vector key with the 1-row query vector broadcast — rerank cost
+    // is O(candidates), never O(corpus), which is the whole point of
+    // the two-stage design at 100 TB.
+    "rag_retrieve_rerank" -> ((s, dir) => {
+      val cands = bm25Scores(Tables.load(s, dir, "documents"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(50)
+        .where(col("doc_id") =!= 0)
+      val e = Similarity.preparedEmbeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("vd").as("qv"), col("nrm").as("qn"))
+      val rer = cands.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          Similarity.dot(col("vd"), col("qv")) / (col("nrm") * col("qn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      rer.orderBy(col("cos").desc, col("doc_id").asc).limit(10)
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("rk"), col("s").cast("double").as("bm25"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    // SIGIR'09): fuse the BM25 ranking and the dense-cosine ranking
+    // with score = Σ 1/(60 + rank), the standard hybrid-search
+    // combiner. Rank lists are deterministic (exact-decimal BM25,
+    // fixed-tree cosine, doc_id tiebreak) and the fused score is a
+    // fixed tree of two correctly-rounded IEEE ops — bit-identical
+    // across engines, so the full fused top-20 is hash-checked.
+    // Missing modality contributes 0 (a doc without query terms still
+    // ranks by its dense similarity — the recall win hybrid exists
+    // for). Scale: both rank lists are global-top-k shapes
+    // (TakeOrdered at scale with a rank cutoff); the fuse join keys
+    // on doc id.
+    "rag_hybrid_rrf" -> ((s, dir) => {
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id").asc)
+      val bm = bm25Scores(Tables.load(s, dir, "documents"))
+        .withColumn("rk_bm", row_number().over(wB))
+        .select(col("doc_id"), col("rk_bm"))
+      val e = Similarity.preparedEmbeddings(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("vd").as("qv"), col("nrm").as("qn"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val dense = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          Similarity.dot(col("vd"), col("qv")) / (col("nrm") * col("qn")))
+        .withColumn("rk_cos", row_number().over(wC))
+        .select(col("vec_id").as("doc_id"), col("rk_cos"))
+      val fused = bm.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("rk_bm") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rk_cos") + 60), lit(0.0)))
+      val wF = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(20)
+        .withColumn("rk", row_number().over(wF))
+        .select(col("doc_id"), col("rk"), round(col("rrf"), 6).as("rrf_r"))
     }),
 
     // Document fingerprint: exact modular polynomial rolling hash over
@@ -927,6 +1010,31 @@ object TextAnalysis extends QueryModule {
     out.toSeq.toDF("it", "pair_a", "pair_b", "merged", "freq")
   }
 
+  /** The BM25 scoring CTEs (→ `byd(doc_id, s)`) shared by the
+    * text_bm25_topk / rag_* oracles — mirrors [[bm25Scores]].
+    */
+  private val bm25Sql =
+    """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         q AS (SELECT doc_id, tok FROM toks
+               WHERE tok IN ('scan', 'hash', 'window')),
+         lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+         stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM lens),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+         dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+         byd AS (
+           SELECT tf.doc_id, SUM(CAST(
+               ((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+               (tf.tf * 2.2 /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * (lens.dl / stats.avgdl))))
+             AS DECIMAL(38,6))) AS s
+           FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)"""
+
   def oracle: Map[String, String] = Map(
     "text_heavy_hitters" ->
       """SELECT tok, count(*) AS n
@@ -1221,32 +1329,69 @@ object TextAnalysis extends QueryModule {
          SELECT tok, est, c_exact FROM est JOIN exact USING (tok)""",
     // same operand tree as the Spark side: raw-odds idf × saturated
     // tf, per-term scores quantized to DECIMAL(38,6) before the sum
-    "text_bm25_topk" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         q AS (SELECT doc_id, tok FROM toks
-               WHERE tok IN ('scan', 'hash', 'window')),
-         lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                  FROM documents),
-         stats AS (SELECT COUNT(*) AS n_docs,
-                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-                   FROM lens),
-         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
-         dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
-         byd AS (
-           SELECT tf.doc_id, SUM(CAST(
-               ((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
-               (tf.tf * 2.2 /
-                 (tf.tf + 1.2 * (0.25 + 0.75 * (lens.dl / stats.avgdl))))
-             AS DECIMAL(38,6))) AS s
-           FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id)
-           CROSS JOIN stats
-           GROUP BY tf.doc_id)
+    "text_bm25_topk" -> (bm25Sql +
+      """
          SELECT doc_id, rk, CAST(s AS DOUBLE) AS score FROM (
            SELECT doc_id, s,
              ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk
            FROM byd) t
-         WHERE rk <= 20""",
+         WHERE rk <= 20"""),
+    // sparse candidates → dense rerank: the BM25 CTE tree above plus
+    // the ann_cosine_topk cosine spelling over the top-50
+    "rag_retrieve_rerank" -> (bm25Sql +
+      """,
+         cand AS (
+           SELECT doc_id, s FROM byd
+           ORDER BY s DESC, doc_id ASC LIMIT 50),
+         e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+               FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+               FROM e),
+         qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+         rer AS (
+           SELECT c.doc_id, c.s,
+             list_reduce([n.v[i] * qv.v[i] for i in range(1, len(n.v) + 1)],
+                         (a, b) -> a + b) / (n.nrm * qv.nrm) AS cos
+           FROM cand c JOIN n ON n.vec_id = c.doc_id, qv
+           WHERE c.doc_id <> 0)
+         SELECT doc_id, rk, CAST(s AS DOUBLE) AS bm25, round(cos, 6) AS cos_r
+         FROM (SELECT doc_id, s, cos,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rk
+               FROM rer) t
+         WHERE rk <= 10"""),
+    // reciprocal rank fusion of the two rankings; CAST(1 AS DOUBLE)
+    // forces IEEE double division (a bare 1.0 is DECIMAL in DuckDB)
+    "rag_hybrid_rrf" -> (bm25Sql +
+      """,
+         bm AS (
+           SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk_bm
+           FROM byd),
+         e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+               FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+               FROM e),
+         qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+         dense AS (
+           SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rk_cos
+           FROM (
+             SELECT n.vec_id,
+               list_reduce([n.v[i] * qv.v[i] for i in range(1, len(n.v) + 1)],
+                           (a, b) -> a + b) / (n.nrm * qv.nrm) AS cos
+             FROM n, qv WHERE n.vec_id <> 0) c),
+         fused AS (
+           SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / (bm.rk_bm + 60), 0.0) +
+               COALESCE(CAST(1 AS DOUBLE) / (dense.rk_cos + 60), 0.0) AS rrf
+           FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id)
+         SELECT doc_id, rk, round(rrf, 6) AS rrf_r
+         FROM (SELECT doc_id, rrf,
+                 ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rk
+               FROM fused) t
+         WHERE rk <= 20"""),
     "text_repetition" ->
       """WITH toks AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

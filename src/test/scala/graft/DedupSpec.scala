@@ -30,6 +30,52 @@ class DedupSpec extends SparkFunSuite {
       s"LSH recall too low: ${found.size}/${truth.size}")
   }
 
+  test("md5 minhash twin: exact precision, LSH-grade recall") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d = docs.select(col("doc_id"), col("text"))
+    val truth = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jacc", Dedup.shingleJaccard(col("a.text"), col("b.text")))
+      .where(col("jacc") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val found = SparkEntry.queries("dedup_minhash_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    // exact-Jaccard verify pass ⇒ zero false positives
+    assert(found.subsetOf(truth))
+    // recall: 4 bands × 4 rows at s ≥ 0.9 → ≥ 1-(1-0.9^4)^4 ≈ 0.986;
+    // the planted pairs sit near 0.9+, so 0.7 is a safe floor
+    assert(found.size.toDouble / truth.size >= 0.7,
+      s"md5-LSH recall too low: ${found.size}/${truth.size}")
+  }
+
+  test("md5 simhash twin: bands reassemble the signature; locality holds") {
+    val rows = SparkEntry.queries("dedup_simhash_md5")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sig = rows.map { r =>
+      val s = r.getLong(1)
+      assert(s >= 0L && s < (1L << 32), s"sig32 out of range: $s")
+      assert(((r.getLong(5) << 24) | (r.getLong(4) << 16) |
+        (r.getLong(3) << 8) | r.getLong(2)) == s,
+        "band keys must reassemble sig32")
+      r.getLong(0) -> s
+    }.toMap
+    // locality: true near-dups are closer in Hamming space than the
+    // population average
+    val nearDup = SparkEntry.queries("dedup_minhash_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDup.nonEmpty)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupAvg = nearDup.map { case (a, b) => ham(sig(a), sig(b)) }.sum.toDouble / nearDup.length
+    val ids = sig.keys.toArray.sorted
+    val rndPairs = ids.indices.flatMap(i => if (i + 7 < ids.length) Some((ids(i), ids(i + 7))) else None)
+    val rndAvg = rndPairs.map { case (a, b) => ham(sig(a), sig(b)) }.sum.toDouble / rndPairs.length
+    assert(dupAvg < rndAvg,
+      s"simhash should separate near-dups (dup $dupAvg vs random $rndAvg)")
+  }
+
   test("prefix-filtered jaccard equals the block ground truth, no cartesian") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getDouble(2))

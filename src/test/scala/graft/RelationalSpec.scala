@@ -830,4 +830,21 @@ class RelationalSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == direct, "pivot -> unpivot round trip drifted")
   }
+
+  test("a10_kmv_md5 twin: sketch-algebra invariants hold") {
+    val rows = SparkEntry.queries("a10_kmv_md5")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("A", "N", "R", "A_union_R", "A_intersect_R"))
+    // every sketch keeps at most k values
+    rows.values.foreach { case (_, n) => assert(n <= 64L && n >= 0L) }
+    // union sketch's kth minimum can only move DOWN vs either input
+    // (merging minima adds candidates below any fixed rank)
+    val (uKth, uN) = rows("A_union_R")
+    assert(uKth <= rows("A")._1 && uKth <= rows("R")._1)
+    // intersection membership is bounded by the union sketch size and
+    // shares the union's kth minimum by construction
+    val (iKth, iN) = rows("A_intersect_R")
+    assert(iKth == uKth)
+    assert(iN <= uN)
+  }
 }

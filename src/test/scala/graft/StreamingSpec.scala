@@ -91,6 +91,19 @@ class StreamingSpec extends SparkFunSuite {
       s"only ${got.size}/${want.size} sessions emitted")
   }
 
+  test("strm_session catalog entry (Complete drain) == batch ev_session, exactly") {
+    val got = SparkEntry.queries("strm_session")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = SparkEntry.queries("ev_session")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // Complete mode emits the FULL retained session state — open
+    // sessions included — so the drain equals batch key-for-key
+    assert(got == want,
+      s"complete-mode drain drifted from batch: ${got.size} vs ${want.size}")
+  }
+
   test("stream-stream interval join == batch join, exactly") {
     import org.apache.spark.sql.streaming.OutputMode
     val stream = EventStreams.clickPurchaseJoin(

@@ -542,4 +542,31 @@ class TextAnalysisSpec extends SparkFunSuite {
     // each row of counters conserves the total token mass
     assert(counters.forall(_.sum == toks.length.toLong))
   }
+
+  test("rag_retrieve_rerank: dense rerank stays inside the sparse candidates") {
+    val bmTop = SparkEntry.queries("text_bm25_topk")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("rag_retrieve_rerank")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to 10))
+    // cosine must be the rerank key: non-increasing down the list
+    val cos = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // every reranked doc carries a real BM25 score (came from stage 1)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0))
+    // stage-1 candidates are the BM25 top-50, so the BM25 top-20 and
+    // the reranked 10 overlap unless rerank inverted everything
+    assert(rows.map(_.getLong(0)).exists(bmTop.contains))
+  }
+
+  test("rag_hybrid_rrf: fusion score is monotone and bounded") {
+    val rows = SparkEntry.queries("rag_hybrid_rrf")(spark, sfDir).collect()
+      .sortBy(_.getInt(1))
+    assert(rows.length == 20)
+    val rrf = rows.map(_.getDouble(2))
+    assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    // max possible fused score is rank-1 in both lists: 2/61
+    assert(rrf.head <= 2.0 / 61 + 1e-9)
+    assert(rrf.forall(_ > 0.0))
+  }
 }
