@@ -153,15 +153,29 @@ object Dedup extends QueryModule {
       val docs = Tables.load(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
-      // 16 string minima per doc: min over shingles of md5("k:shingle").
-      // Lowercase-hex md5 compares identically under Spark's binary
-      // string ordering and DuckDB's default collation.
-      val sig = sh.select(col("doc_id"), col("sh"), expr(
-        """transform(sequence(0, 15),
-           k -> array_min(transform(sh, t -> md5(concat(cast(k as string), ':', t)))))""")
-        .as("sig"))
-      val bnd = sig.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> concat_ws('', slice(sig, b * 4 + 1, 4)))"))
+      // 16 string minima per doc, derived from FOUR md5s per shingle
+      // (seeds 0..3), each split into four 8-hex-char (32-bit) lanes —
+      // one hash invocation feeds four minhash lanes (a 32-bit lane's
+      // min over hundreds of shingles collides only ~2^-32 per
+      // unrelated pair). Spelled explode → 4 codegen'd md5 projections
+      // → ONE hash aggregate with 16 min()s, NOT array higher-order
+      // functions: HOF lambdas evaluate interpreted per element per
+      // lane (16 re-walks of the shingle array, measured 3× slower),
+      // while this shape is whole-stage codegen end-to-end with
+      // map-side partial mins, the same one-shuffle scale shape as any
+      // sketch build. Lowercase-hex substrings compare identically
+      // under Spark's binary ordering and DuckDB's default collation.
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+        .select(col("doc_id") +: (0 to 3).map(s0 =>
+          md5(concat(lit(s"$s0:"), col("t"))).as(s"h$s0")): _*)
+      val laneAggs = (0 to 15).map(k =>
+        min(expr(s"substr(h${k / 4}, ${1 + (k % 4) * 8}, 8)")).as(s"m$k"))
+      val mins = ex.groupBy(col("doc_id"))
+        .agg(laneAggs.head, laneAggs.tail: _*)
+      val bnd = mins.select(col("doc_id"), posexplode(array(
+        (0 to 3).map(b => concat(
+          col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
+          col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*))
         .as(Seq("band", "key")))
       val cand = bnd.as("l").join(bnd.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -786,18 +800,26 @@ object Dedup extends QueryModule {
     "dedup_jaccard_block" -> jaccardBlockSql,
     // identical result by construction — same brute-force oracle
     "dedup_jaccard_prefix" -> jaccardBlockSql,
-    // the full MinHash+LSH pipeline restated: md5-based signatures,
-    // 4 band keys, bucket-collision candidates, exact-Jaccard verify
+    // the full MinHash+LSH pipeline restated: md5-based signatures
+    // (4 md5s per shingle split into 16 8-hex lanes, mirroring the
+    // Spark side), 4 band keys, bucket-collision candidates,
+    // exact-Jaccard verify
     "dedup_minhash_md5" ->
       """WITH dd AS (
            SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
                           for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
            FROM (SELECT *, string_split(text, ' ') AS tk FROM documents)),
+         hh AS (
+           SELECT doc_id, sh,
+             [[md5('0:' || t), md5('1:' || t),
+               md5('2:' || t), md5('3:' || t)] for t in sh] AS hs
+           FROM dd),
          sig AS (
            SELECT doc_id, sh,
-             [list_aggregate([md5(CAST(k AS VARCHAR) || ':' || t) for t in sh],
-                             'min') for k in range(0, 16)] AS sig
-           FROM dd),
+             [list_aggregate([substr(h[k // 4 + 1], 1 + (k % 4) * 8, 8)
+                              for h in hs], 'min')
+              for k in range(0, 16)] AS sig
+           FROM hh),
          bnd AS (
            SELECT doc_id, b AS band,
              array_to_string(sig[b*4+1:b*4+4], '') AS key
