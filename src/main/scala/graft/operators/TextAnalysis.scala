@@ -263,35 +263,40 @@ object TextAnalysis extends QueryModule {
           round(col("cos"), 6).as("cos_r"))
     }),
 
-    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
-    // SIGIR'09): fuse the BM25 ranking and the dense-cosine ranking
-    // with score = Σ 1/(60 + rank), the standard hybrid-search
-    // combiner. Rank lists are deterministic (exact-decimal BM25,
-    // fixed-tree cosine, doc_id tiebreak) and the fused score is a
-    // fixed tree of two correctly-rounded IEEE ops — bit-identical
-    // across engines, so the full fused top-20 is hash-checked.
-    // Missing modality contributes 0 (a doc without query terms still
-    // ranks by its dense similarity — the recall win hybrid exists
-    // for). Scale: both rank lists are global-top-k shapes
-    // (TakeOrdered at scale with a rank cutoff); the fuse join keys
-    // on doc id.
+    // Hybrid retrieval via TRUNCATED Reciprocal Rank Fusion (Cormack
+    // et al. SIGIR'09): fuse the BM25 top-100 and the dense-cosine
+    // top-100 with score = Σ 1/(60 + rank), the standard hybrid-
+    // search combiner as production runs it — each modality
+    // contributes only its top-K, because ranking the ENTIRE corpus
+    // per modality would be a single-partition global sort at 100 TB
+    // while top-K is TakeOrdered (per-partition heaps + a K-row
+    // driver merge). Rank lists are deterministic (exact-decimal
+    // BM25, fixed-tree cosine, doc_id tiebreak) and the fused score
+    // is a fixed tree of two correctly-rounded IEEE ops —
+    // bit-identical across engines, so the fused top-20 is
+    // hash-checked. A doc in only one list contributes its one term
+    // (the recall win hybrid exists for); the final windows rank
+    // ≤ 100-row frames (metadata-bounded).
     "rag_hybrid_rrf" -> ((s, dir) => {
       val wB = org.apache.spark.sql.expressions.Window
         .orderBy(col("s").desc, col("doc_id").asc)
       val bm = bm25Scores(Tables.load(s, dir, "documents"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(100)
         .withColumn("rk_bm", row_number().over(wB))
         .select(col("doc_id"), col("rk_bm"))
       val e = Similarity.preparedEmbeddings(s, dir)
       val q = e.where(col("vec_id") === 0)
         .select(col("vd").as("qv"), col("nrm").as("qn"))
       val wC = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cos").desc, col("vec_id").asc)
+        .orderBy(col("cos").desc, col("doc_id").asc)
       val dense = e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cos",
           Similarity.dot(col("vd"), col("qv")) / (col("nrm") * col("qn")))
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(100)
         .withColumn("rk_cos", row_number().over(wC))
-        .select(col("vec_id").as("doc_id"), col("rk_cos"))
+        .select(col("doc_id"), col("rk_cos"))
       val fused = bm.join(dense, Seq("doc_id"), "full_outer")
         .withColumn("rrf",
           coalesce(lit(1.0) / (col("rk_bm") + 60), lit(0.0)) +
@@ -1360,14 +1365,17 @@ object TextAnalysis extends QueryModule {
                  ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rk
                FROM rer) t
          WHERE rk <= 10"""),
-    // reciprocal rank fusion of the two rankings; CAST(1 AS DOUBLE)
-    // forces IEEE double division (a bare 1.0 is DECIMAL in DuckDB)
+    // truncated reciprocal rank fusion (top-100 per modality — the
+    // scale-honest shape); CAST(1 AS DOUBLE) forces IEEE double
+    // division (a bare 1.0 is DECIMAL in DuckDB)
     "rag_hybrid_rrf" -> (bm25Sql +
       """,
          bm AS (
-           SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk_bm
-           FROM byd),
+           SELECT doc_id, rk_bm FROM (
+             SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk_bm
+             FROM byd) t
+           WHERE rk_bm <= 100),
          e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                FROM embeddings),
          n AS (SELECT vec_id, v,
@@ -1375,13 +1383,15 @@ object TextAnalysis extends QueryModule {
                FROM e),
          qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
          dense AS (
-           SELECT vec_id AS doc_id,
-             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rk_cos
-           FROM (
-             SELECT n.vec_id,
-               list_reduce([n.v[i] * qv.v[i] for i in range(1, len(n.v) + 1)],
-                           (a, b) -> a + b) / (n.nrm * qv.nrm) AS cos
-             FROM n, qv WHERE n.vec_id <> 0) c),
+           SELECT doc_id, rk_cos FROM (
+             SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rk_cos
+             FROM (
+               SELECT n.vec_id,
+                 list_reduce([n.v[i] * qv.v[i] for i in range(1, len(n.v) + 1)],
+                             (a, b) -> a + b) / (n.nrm * qv.nrm) AS cos
+               FROM n, qv WHERE n.vec_id <> 0) c) r
+           WHERE rk_cos <= 100),
          fused AS (
            SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
              COALESCE(CAST(1 AS DOUBLE) / (bm.rk_bm + 60), 0.0) +
