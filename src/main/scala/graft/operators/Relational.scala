@@ -901,32 +901,34 @@ object Relational extends QueryModule {
     // above, whose shuffle payload is ≤ k values per (group,
     // partition) — this twin pins what that kernel must compute.
     "a10_kmv_md5" -> ((s, dir) => {
+      import s.implicits._
       val k = 64
-      val h = Tables.load(s, dir, "lineitem")
+      // ONE distributed pass: distinct hashes → per-group window
+      // top-k. The kept sketch is ≤ 3k rows of METADATA (that's what
+      // a sketch is), so the set algebra below runs on collected
+      // local rows — re-deriving the windowed frame per consumer
+      // would replan the corpus scan five times (measured: 16
+      // shuffles in the uncached spelling vs 2 here).
+      val sk = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"),
           md5(col("l_orderkey").cast("string")).as("hv"))
         .distinct()
-      val sk = h
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("hv"))))
         .where(col("rn") <= k).select(col("g"), col("hv"))
-      val base = sk.groupBy(col("g").as("set_name"))
-        .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_kept"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val byG = sk.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val base = byG.toSeq.sortBy(_._1)
+        .map { case (g, hs) => (g, hs.last, hs.length.toLong) }
       // union sketch: k smallest of the merged kept values (exact,
       // because each input sketch kept its k smallest)
-      val usk = sk.where(col("g").isin("A", "R")).select(col("hv")).distinct()
-        .withColumn("rn", row_number().over(Window.orderBy(col("hv"))))
-        .where(col("rn") <= k).select(col("hv"))
-      val un = usk
-        .agg(max(col("hv")).as("kth_min"), count(lit(1)).as("n_kept"))
-        .select(lit("A_union_R").as("set_name"), col("kth_min"), col("n_kept"))
-      val ib = usk
-        .join(sk.where(col("g") === "A").select(col("hv")), "hv")
-        .join(sk.where(col("g") === "R").select(col("hv")), "hv")
-        .agg(count(lit(1)).as("n_kept"))
-        .crossJoin(broadcast(usk.agg(max(col("hv")).as("kth_min"))))
-        .select(lit("A_intersect_R").as("set_name"), col("kth_min"), col("n_kept"))
-      base.unionByName(un).unionByName(ib)
+      val usk = (byG("A") ++ byG("R")).distinct.sorted.take(k)
+      val aSet = byG("A").toSet; val rSet = byG("R").toSet
+      val nBoth = usk.count(h => aSet(h) && rSet(h)).toLong
+      val rows = base ++ Seq(
+        ("A_union_R", usk.last, usk.length.toLong),
+        ("A_intersect_R", usk.last, nBoth))
+      rows.toDF("set_name", "kth_min", "n_kept")
     }),
 
     // Exact per-group COVARIANCE + CORRELATION of (quantity, price) —
