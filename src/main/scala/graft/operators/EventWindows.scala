@@ -176,6 +176,36 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY #5 — CUSTOM KEYED STATE through the
+    // mapGroupsWithState API (the escape hatch for state shapes no
+    // built-in aggregation expresses; the reference's mutable
+    // LiveRecordingArchive row is exactly this class): per-user EWMA
+    // carried as (count, ewma) across micro-batches
+    // (EventStreams.userEwma). Update mode emits one running row per
+    // (user, micro-batch); the FINAL emission per user — max by
+    // count — is the complete fold, which with in-order file arrival
+    // (the staged drop folder is one event-time-ordered file) is
+    // BIT-identical to the batch ev_ewma sorted fold, so the same
+    // oracle hash-checks a genuine custom-state streaming execution.
+    // StreamingSpec pins the same parity in-suite. State is two
+    // numbers per key — the O(1)-per-key class that survives an
+    // unbounded stream.
+    "strm_ewma" -> ((s, dir) => {
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_ewma_out_${strmRunIds.incrementAndGet()}"
+        val drained = graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.userEwma(s,
+            graft.streaming.EventStreams.readEvents(s, drop.toString))
+            .toDF("user_id", "n", "ewma"),
+          out, org.apache.spark.sql.streaming.OutputMode.Update())
+        drained.groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("ewma"))).as("f"))
+          .select(col("user_id"), col("f.n").cast("int").as("n_events"),
+            col("f.ewma").as("ewma"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // Sliding 1-hour window every 30 minutes (each event lands in 2).
     "ev_sliding" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -821,6 +851,15 @@ object EventWindows extends QueryModule {
     })
   )
 
+  /** The per-user EWMA left fold — shared by the batch ev_ewma row
+    * and its mapGroupsWithState streaming drain twin.
+    */
+  private val ewmaSql =
+    """SELECT user_id, CAST(len(l) AS INTEGER) AS n_events,
+           list_reduce(l, (s, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * s) AS ewma
+         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+               FROM events GROUP BY user_id) t"""
+
   /** Session windows restated as gaps-and-islands — shared by the
     * batch ev_session row and its streaming Complete-mode drain twin.
     */
@@ -1177,11 +1216,10 @@ object EventWindows extends QueryModule {
     // list() with ORDER BY gives the same (ts, event_id)-sorted series;
     // list_reduce seeds with the first element exactly like the Spark
     // side's element_at(a, 1) init
-    "ev_ewma" ->
-      """SELECT user_id, CAST(len(l) AS INTEGER) AS n_events,
-           list_reduce(l, (s, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * s) AS ewma
-         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
-               FROM events GROUP BY user_id) t""",
+    "ev_ewma" -> ewmaSql,
+    // the custom-state streaming drain's final per-user emission is
+    // the identical fold (see the strm_ewma query comment)
+    "strm_ewma" -> ewmaSql,
 
     "ev_anomaly" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
