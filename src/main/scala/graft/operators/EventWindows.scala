@@ -60,6 +60,58 @@ object EventWindows extends QueryModule {
     d
   }
 
+  /** Stage the late-arrival fixture for strm_late_drop as THREE
+    * single-file waves with staggered mtimes, so `maxFilesPerTrigger
+    * = 1` yields exactly three micro-batches:
+    *
+    *   1. the full events table (all accepted — the watermark starts
+    *      at epoch), advancing the watermark to max(ts) − 1h;
+    *   2. an EMPTY parquet spacer. Spark runs TWO watermarks
+    *      (SPARK-24634): state EVICTION uses the current value, but
+    *      the LATE-RECORD FILTER uses the previous batch's — one
+    *      batch behind. The spacer batch is what promotes wave 1's
+    *      watermark into the late filter; without it the stale wave
+    *      would be admitted (measured: dropped=0, every old window
+    *      double-counted);
+    *   3. duplicate copies of every event older than max(ts) − 3h —
+    *      each row's WINDOW END (floor(ts)+1h ≤ max−2h) is strictly
+    *      below the now-armed late filter, so the aggregation MUST
+    *      drop them all.
+    *
+    * All three waves are written through batch Spark (coalesce(1)) so
+    * each is exactly one file regardless of the export's file layout.
+    * Returns the drop directory.
+    */
+  private[graft] def stageLateDrop(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val drop = Files.createTempDirectory("strm_late_drop")
+    val t0 = System.currentTimeMillis()
+    val ev = Tables.load(s, dir, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val stage = Files.createTempDirectory("strm_late_stage")
+    def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(stage.resolve(name).toString)
+      val st = Files.list(stage.resolve(name))
+      val part = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      } finally st.close()
+      val dst = drop.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    writeWave(ev, "w1_ontime", t0 - 120000)
+    writeWave(ev.limit(0), "w2_spacer", t0 - 60000)
+    writeWave(ev.where(
+      unix_micros(col("ts")) < maxUs - 3L * 3600L * 1000000L),
+      "w3_late", t0)
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    drop
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_tumbling" -> ((s, dir) => {
@@ -173,6 +225,39 @@ object EventWindows extends QueryModule {
           graft.streaming.EventStreams.sessionCounts(
             graft.streaming.EventStreams.readEvents(s, drop.toString)),
           out)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
+    // STREAMING CATALOG ENTRY #6 — WATERMARK LATE-DATA DROP,
+    // driver-enforced: the one streaming semantic the other strm_*
+    // rows don't pin (Complete-mode drains retain all state, eager
+    // joins have no withheld tail, dedup keys drop as duplicates
+    // before they can drop as late). Three mtime-staggered waves
+    // (stageLateDrop: on-time corpus → empty spacer → stale
+    // duplicates) paced one file per micro-batch, so the stale wave
+    // meets an ARMED late filter — Spark's late-record filter runs
+    // one batch behind eviction (SPARK-24634 dual watermark; the
+    // spacer batch is what promotes the watermark into the filter,
+    // measured dropped=0 without it). Every stale row's window
+    // closed below the watermark, so the aggregation MUST drop all
+    // of them — if the engine admitted them, the old windows would
+    // double-count and the hash would break. Update mode (the late
+    // filter is inert in Complete); the final emission per window —
+    // max by n, counts only grow — is compared against the plain
+    // batch tumbling oracle over the events table.
+    "strm_late_drop" -> ((s, dir) => {
+      val drop = stageLateDrop(s, dir)
+      try {
+        val out = s"strm_late_out_${strmRunIds.incrementAndGet()}"
+        val drained = graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEventsPaced(
+              s, drop.toString, Some(1))),
+          out, org.apache.spark.sql.streaming.OutputMode.Update())
+        drained.groupBy(col("win_start"), col("event_type"))
+          .agg(max(struct(col("n"), col("total_value"))).as("f"))
+          .select(col("win_start"), col("event_type"),
+            col("f.n").as("n"), col("f.total_value").as("total_value"))
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
@@ -892,6 +977,13 @@ object EventWindows extends QueryModule {
     // equals the batch tumbling aggregation, so the batch oracle
     // hash-checks a genuine streaming execution
     "strm_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // duplicate stale events staged after the watermark advanced must
+    // ALL drop as late, leaving exactly the batch aggregation
+    "strm_late_drop" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -647,6 +647,77 @@ object Similarity extends QueryModule {
               - (col("sx") / col("n")) * (col("sx") / col("n")))).as("z"))
     }),
 
+    // EMBEDDING-SPACE OUTLIER MINING (data pruning / mislabel
+    // detection): distance of every vector to its LABEL CENTROID, keep
+    // the farthest 5% per label — the curation pass that surfaces
+    // mislabeled or off-distribution examples before training. Numeric
+    // discipline = the vec_standardize contract: per-(label,pos) sums
+    // through order-free DECIMAL(38,12), centroid as one double
+    // division, per-element squared deviation cast back to decimal so
+    // the 64-term per-vector sum is order-independent and the
+    // top-5% rank is EXACT decimal ordering (ties broken by vec_id).
+    // Shape at 100 TB: posexplode → (label,pos) partial agg (≤ 10·64
+    // groups = metadata) → broadcast centroids back → one more
+    // map-side-combinable agg per vector → per-label rank. The rank
+    // window shuffles by label; with few labels and huge corpora the
+    // scale path is the range-sharded rank of agg_percentile_scaled —
+    // documented, not needed at probe sizes.
+    "emb_centroid_outlier" -> ((s, dir) => {
+      val u = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("label"),
+          col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+      val cent = u.groupBy(col("label"), col("pos")).agg(
+        sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+      val d2 = u.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("dd", col("x") - col("sx") / col("n"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum((col("dd") * col("dd")).cast("decimal(38,12)")).as("d2"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+      d2.withColumn("rk", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy(col("label"))))
+        .where(col("rk") <= ceil(col("nl") * 0.05))
+        .select(col("label"), col("vec_id"), col("rk"),
+          round(sqrt(col("d2").cast("double")), 9).as("dist"))
+    }),
+
+    // k-NN LABEL CLASSIFICATION over the embedding column (embedding
+    // quality eval / label-propagation seed): for a deterministic
+    // probe subset (vec_id ≡ 0 mod 10), take the 5 nearest OTHER
+    // vectors by exact cosine and majority-vote their labels (ties →
+    // smallest label). The per-probe hit flag against the true label
+    // is the standard "does the embedding space respect the labels"
+    // probe run before committing to an ANN-based curation step.
+    // Brute-force exact baseline by design — same broadcast-probe
+    // shape as ann_cosine_topk (corpus streams ONCE past the
+    // broadcast probe set; rank state is per-probe top-5, never
+    // corpus-sized); the documented sub-linear twin is the IVF route
+    // (ann_ivf_serve) when the probe set itself becomes corpus-scale.
+    "emb_knn_classify" -> ((s, dir) => {
+      val el = embeddings(s, dir)
+      val q = el.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("vd").as("q_vd"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val nn = el.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("vd"), col("q_vd")) / (col("nrm") * col("q_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+      nn.groupBy(col("q_id"), col("q_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("label").asc)))
+        .where(col("vr") === 1)
+        .select(col("q_id"), col("q_label").as("true_label"),
+          col("label").as("pred_label"),
+          (col("label") === col("q_label")).cast("int").as("hit"))
+    }),
+
     // Embedding-cosine NEAR-DUP via SRP-LSH — the sublinear scale path
     // beside the exact twins (sim_top_pairs_blocked): candidate pairs
     // come from band-signature collisions (an equi-join on
@@ -1068,6 +1139,65 @@ object Similarity extends QueryModule {
            (d.x - s.sx / s.n) /
              sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS z
          FROM d JOIN s USING (pos)""",
+    // same decimal-moment discipline as vec_standardize: centroid from
+    // order-free decimal sums, per-element squared deviation back to
+    // decimal so the 64-term sum and the top-5% rank are exact
+    "emb_centroid_outlier" ->
+      """WITH u AS (
+           SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         c AS (
+           SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             COUNT(*) AS n
+           FROM u GROUP BY 1, 2),
+         d AS (
+           SELECT u.vec_id, u.label,
+             SUM(CAST((u.x - c.sx / c.n) * (u.x - c.sx / c.n)
+                 AS DECIMAL(38,12))) AS d2
+           FROM u JOIN c USING (label, pos) GROUP BY 1, 2),
+         r AS (
+           SELECT label, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY d2 DESC, vec_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY label) AS nl
+           FROM d)
+         SELECT label, vec_id, rk,
+           round(sqrt(CAST(d2 AS DOUBLE)), 9) AS dist
+         FROM r WHERE rk <= CAST(ceil(nl * 0.05) AS BIGINT)""",
+    // cosine spelled as the same sequential list_reduce fold the Spark
+    // dot uses (the ann_cosine_topk contract), so ranks agree exactly
+    "emb_knn_classify" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             [CAST(x AS DOUBLE) for x in embedding] AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+             sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+           FROM e),
+         nn AS (
+           SELECT q.vec_id AS q_id, q.label AS q_label,
+             d.vec_id AS vec_id, d.label AS label,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce([q.v[i] * d.v[i] for i in range(1, len(q.v) + 1)],
+                           (a, b) -> a + b) / (q.nrm * d.nrm) DESC,
+               d.vec_id ASC) AS rk
+           FROM n q JOIN n d
+             ON q.vec_id % 10 = 0 AND d.vec_id <> q.vec_id),
+         votes AS (
+           SELECT q_id, q_label, label, COUNT(*) AS votes
+           FROM nn WHERE rk <= 5 GROUP BY 1, 2, 3),
+         best AS (
+           SELECT q_id, q_label, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY votes DESC, label ASC) AS vr
+           FROM votes)
+         SELECT q_id, q_label AS true_label, label AS pred_label,
+           CAST(label = q_label AS INT) AS hit
+         FROM best WHERE vr = 1""",
     "ann_range_search" -> (duckCosine +
       """
          SELECT q_id, vec_id, round(c, 6) AS cos_r FROM (

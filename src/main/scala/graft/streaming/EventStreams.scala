@@ -61,12 +61,24 @@ object EventStreams {
     * non-empty batch so a mismatch surfaces as a clear error at the
     * earliest possible point instead of a downstream misread.
     */
-  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+  def readEvents(spark: SparkSession, eventsDir: String): DataFrame =
+    readEventsPaced(spark, eventsDir, maxFilesPerTrigger = None)
+
+  /** [[readEvents]] with a per-micro-batch file budget. The file
+    * source takes the `maxFilesPerTrigger` OLDEST files (by
+    * modification time) per batch, so a caller that stages files with
+    * staggered mtimes controls exactly which files share a
+    * micro-batch — the lever the late-arrival pin (strm_late_drop)
+    * uses to place stale files AFTER the watermark has advanced.
+    */
+  def readEventsPaced(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema =
       try spark.read.parquet(eventsDir).schema
       catch { case _: org.apache.spark.sql.AnalysisException => fallbackSchema }
-    graft.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(eventsDir))
+    val r0 = spark.readStream.schema(schema)
+    val r = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
+    graft.Tables.normalizeEventTs(r.parquet(eventsDir))
   }
 
   /** Fail fast when the files now present under `eventsDir` disagree
@@ -319,6 +331,11 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Observability for the late-arrival pin (StreamingSpec): total
+    // input rows the drain's stateful operators REJECTED as late.
+    // Read before teardown — progress objects die with the query.
+    lastDrainDroppedByWatermark = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     val out = spark.table(name)
     val rows = out.collect()
     val schema = out.schema
@@ -326,4 +343,13 @@ object EventStreams {
     org.apache.spark.sql.GraftShims.unloadStateStores()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** Watermark-dropped-row count of the most recent [[drainToMemory]]
+    * call (sum of `numRowsDroppedByWatermark` across the drained
+    * query's stateful operators). Test observability only — lets
+    * StreamingSpec prove the strm_late_drop fixture's stale wave was
+    * actually REJECTED by an armed late filter rather than the oracle
+    * passing vacuously (e.g. because the wave staged empty).
+    */
+  @volatile var lastDrainDroppedByWatermark: Long = -1L
 }

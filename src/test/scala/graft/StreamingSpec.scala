@@ -283,6 +283,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("strm_late_drop: stale wave non-empty and fully dropped by the armed late filter") {
+    // the oracle alone can't prove the late filter fired — if the
+    // stale wave staged empty, or the spacer batch failed to promote
+    // the watermark AND the duplicates happened to be dropped some
+    // other way, the row-hash could still match. Pin the mechanism:
+    // (a) the fixture stages a NON-EMPTY stale wave, (b) the drain's
+    // stateful operators report exactly that many rows dropped by
+    // watermark, (c) the surviving aggregation equals batch tumbling.
+    val ev = Tables.load(spark, sfDir, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val stale = ev.where(
+      unix_micros(col("ts")) < maxUs - 3L * 3600L * 1000000L)
+    val staleRows = stale.count()
+    // the state store's late filter runs AFTER map-side partial
+    // aggregation, so it counts dropped PARTIAL rows: at least one per
+    // distinct (window, event_type) group, at most one per input row
+    val staleGroups = stale.select(
+      window(col("ts"), "1 hour")("start"), col("event_type"))
+      .distinct().count()
+    assert(staleRows > 0, "fixture vacuous: no events older than max(ts)-3h")
+    val got = SparkEntry.queries("strm_late_drop")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val dropped = EventStreams.lastDrainDroppedByWatermark
+    assert(dropped >= staleGroups && dropped <= staleRows,
+      s"late filter dropped $dropped partial rows; expected in " +
+        s"[$staleGroups, $staleRows]")
+    val want = SparkEntry.queries("ev_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
