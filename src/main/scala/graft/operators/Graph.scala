@@ -416,6 +416,40 @@ object Graph extends QueryModule {
       Dedup.releaseCheckpoints(frontier)
       Dedup.releaseCheckpoints(edgesCk)
       hops.toSeq.toDF("hop", "n_nodes")
+    }),
+
+    // ENGINE-ITERATED reachability through Spark 4's RECURSIVE CTE
+    // (Catalyst UnionLoop): the same BFS semantics as g7's
+    // driver-loop, but the iteration lives INSIDE one logical plan —
+    // the recursion the reference writes as a Python loop over SQL
+    // statements, expressed as a single declarative statement. The
+    // stored co-occurrence edges are oriented u < v, so the forward
+    // walk is a DAG walk and the recursion terminates structurally;
+    // the depth guard is a second, explicit bound. Spark's recursive
+    // UNION ALL keeps only the PREVIOUS level in the working table, so
+    // each level is DISTINCT-ed (level width ≤ |nodes|, never path
+    // counts — on a dense co-occurrence graph path multiplicity is
+    // exponential, node width is not) and min-depth is taken at the
+    // end. The /*+ BROADCAST(r) */ hint pins the per-iteration join to
+    // broadcasting the NODE-BOUNDED recursion side — without it the
+    // 5 MB on-disk edge artifact's stats can nominate the corpus-scale
+    // edge table as build side (the g2_pagerank class, here guarded in
+    // the statement itself). DuckDB runs the identical statement over
+    // the from-scratch edge derivation — full oracle row, so the
+    // UnionLoop execution path is hash-checked every round.
+    "g9_reach_recursive" -> ((s, dir) => {
+      cooccurrenceEdges(s, dir).select(col("u"), col("v"))
+        .createOrReplaceTempView("g9_co_edges")
+      s.sql("""
+        WITH RECURSIVE r(node, depth) AS (
+          SELECT u AS node, 0 AS depth
+          FROM (SELECT DISTINCT u FROM g9_co_edges ORDER BY u LIMIT 25)
+          UNION ALL
+          SELECT /*+ BROADCAST(r) */ DISTINCT e.v, r.depth + 1
+          FROM r JOIN g9_co_edges e ON e.u = r.node
+          WHERE r.depth < 3
+        )
+        SELECT node, MIN(depth) AS d FROM r GROUP BY node""")
     })
   )
 
@@ -1169,6 +1203,25 @@ object Graph extends QueryModule {
          SELECT 0 AS hop, count(*) AS n_nodes FROM f0
          UNION ALL SELECT 1 AS hop, count(*) AS n_nodes FROM f1
          UNION ALL SELECT 2 AS hop, count(*) AS n_nodes FROM f2
-         UNION ALL SELECT 3 AS hop, count(*) AS n_nodes FROM f3"""
+         UNION ALL SELECT 3 AS hop, count(*) AS n_nodes FROM f3""",
+    // the IDENTICAL recursive statement (DuckDB's recursive UNION ALL
+    // has the same previous-level working-table semantics Spark's
+    // UnionLoop implements) over the from-scratch edge derivation
+    "g9_reach_recursive" ->
+      """WITH RECURSIVE b AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (SELECT a.pk AS u, bb.pk AS v
+           FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+           GROUP BY 1, 2),
+         r(node, depth) AS (
+           SELECT u AS node, 0 AS depth
+           FROM (SELECT DISTINCT u FROM e ORDER BY u LIMIT 25)
+           UNION ALL
+           SELECT DISTINCT e.v, r.depth + 1
+           FROM r JOIN e ON e.u = r.node
+           WHERE r.depth < 3
+         )
+         SELECT node, MIN(depth) AS d FROM r GROUP BY node"""
   )
 }
