@@ -443,6 +443,90 @@ object TextAnalysis extends QueryModule {
           expr("(cum_tokens - n_tokens) div 512").as("bin"))
     }),
 
+    // END-TO-END CORPUS CURATION CAPSTONE — the whole training-data
+    // funnel as ONE query, every stage an operand tree the catalog
+    // already hash-checks in isolation: quality gates (token count,
+    // stopword ratio) → language ID keep-en → exact dedup (md5, keep
+    // min doc_id) → near-dup removal (md5-MinHash LSH banding →
+    // exact-Jaccard verify ≥ 0.8 → greedy drop of the larger id) →
+    // shard-local greedy packing into 2048-token bins. The synthetic
+    // corpus has no natural duplicates, so the funnel PLANTS them
+    // deterministically (the dedup_embedding_lsh convention): every
+    // doc_id ≡ 0 (mod 50) gains an exact copy at id+1e6 (must fall to
+    // the exact stage) and every doc_id ≡ 3 (mod 97) a 4-token-padded
+    // copy at id+2e6 (shingle Jaccard n/(n+4) ≥ 0.8 at the ≥20-token
+    // gate — must fall to the near-dup stage); a planted survivor in
+    // the output is an oracle hash break, so the driver checks each
+    // stage actually FIRED, not just that the pipeline ran. Scale
+    // shape: the corpus streams ONCE into the gates (no shuffle until
+    // the dedup hash agg); exact dedup is one hash-partitioned
+    // window; the LSH stage inherits dedup_minhash_md5's
+    // explode → codegen md5 → one 16-min hash-agg shape (band
+    // equi-join, never all-pairs); packing is shard-local prefix
+    // sums. Greedy pair-drop (not connected components) is the
+    // deliberate SQL-expressible choice — dedup_cluster holds the
+    // transitive variant.
+    "text_curation_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.where(pmod(col("doc_id"), lit(50L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.where(pmod(col("doc_id"), lit(97L)) === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" near dup probe pad")).as("text")))
+      val feat = corpus
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+      val gated = feat.where(
+          col("n_tokens") >= 20 &&
+          size(filter(col("toks"),
+            t => t.isin("the", "a", "of", "and", "in"))).cast("double")
+            / col("n_tokens") >= 0.03 &&
+          !col("text").rlike("[\\x{4e00}-\\x{9fff}]") &&
+          size(filter(col("toks"),
+            t => t.isin("the", "a", "of", "and", "in", "is", "to"))) * 20
+            > col("n_tokens"))
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      val exact = gated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val sh = exact.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("sh"))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+        .select(col("doc_id") +: (0 to 3).map(s0 =>
+          md5(concat(lit(s"$s0:"), col("t"))).as(s"h$s0")): _*)
+      val laneAggs = (0 to 15).map(k =>
+        min(expr(s"substr(h${k / 4}, ${1 + (k % 4) * 8}, 8)")).as(s"m$k"))
+      val bnd = ex.groupBy(col("doc_id"))
+        .agg(laneAggs.head, laneAggs.tail: _*)
+        .select(col("doc_id"), posexplode(array(
+          (0 to 3).map(b => concat(
+            col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
+            col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*))
+          .as(Seq("band", "key")))
+      val cand = bnd.as("l").join(bnd.as("r"),
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val dropIds = cand
+        .join(sh.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(sh.as("db"), col("doc_b") === col("db.doc_id"))
+        .where(Dedup.shingleSetJaccard(col("da.sh"), col("db.sh")) >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept.select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          col("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr("(cum_tokens - n_tokens) div 2048").as("bin"))
+    }),
+
     // Source-balanced (temperature) sampling by language: keep rate
     // per lang ∝ sqrt(share) — the standard T=2 multilingual rebalance
     // (low-resource languages upsampled) with a DETERMINISTIC per-doc
@@ -1158,6 +1242,78 @@ object TextAnalysis extends QueryModule {
                AS cum_tokens
            FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                  FROM documents))""",
+    // the full funnel restated stage for stage: planted dups, gates,
+    // md5 exact dedup, md5-minhash LSH + Jaccard verify, greedy drop,
+    // shard-local 2048-token packing
+    "text_curation_e2e" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         corpus AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM base WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' near dup probe pad'
+           FROM base WHERE doc_id % 97 = 3),
+         feat AS (
+           SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM corpus),
+         gated AS (
+           SELECT doc_id, text, n_tokens FROM feat
+           WHERE n_tokens >= 20
+             AND CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','in'))) AS DOUBLE)
+                 / n_tokens >= 0.03
+             AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+             AND len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','in','is','to'))) * 20
+                 > n_tokens),
+         exact AS (
+           SELECT doc_id, text, n_tokens FROM (
+             SELECT doc_id, text, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                 ORDER BY doc_id) AS rn
+             FROM gated) WHERE rn = 1),
+         dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM exact)),
+         hh AS (
+           SELECT doc_id, sh,
+             [[md5('0:' || t), md5('1:' || t),
+               md5('2:' || t), md5('3:' || t)] for t in sh] AS hs
+           FROM dd),
+         sig AS (
+           SELECT doc_id,
+             [list_aggregate([substr(h[k // 4 + 1], 1 + (k % 4) * 8, 8)
+                              for h in hs], 'min')
+              for k in range(0, 16)] AS sig
+           FROM hh),
+         bnd AS (
+           SELECT doc_id, b AS band,
+             array_to_string(sig[b*4+1:b*4+4], '') AS key
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bnd a JOIN bnd b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         dropids AS (
+           SELECT DISTINCT c.doc_b AS doc_id
+           FROM cand c JOIN dd x ON x.doc_id = c.doc_a
+                       JOIN dd y ON y.doc_id = c.doc_b
+           WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+         kept AS (
+           SELECT e.doc_id, e.n_tokens FROM exact e
+           WHERE e.doc_id NOT IN (SELECT doc_id FROM dropids))
+         SELECT doc_id, shard, n_tokens,
+           (cum_tokens - n_tokens) // 2048 AS bin
+         FROM (
+           SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM kept)""",
     "text_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          t AS (SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,9)))

@@ -324,12 +324,31 @@ object EventStreams {
     */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // STATE-PARTITION SIZING: a stateful micro-batch pays a FIXED
+    // per-partition cost per trigger (state-store provider init, delta
+    // file, commit) regardless of rows — at the session's batch-tuned
+    // 32 shuffle partitions the drains here spend more wall-clock on
+    // empty-partition state plumbing than on data (measured: see
+    // NOTES_r14). Stateful-key cardinality in these drains is O(10³)
+    // (users / windows / sessions), so 8 partitions keep every
+    // partition far below spill while quartering the fixed cost. The
+    // partition count binds at FIRST start from the session conf and
+    // lives in the checkpoint thereafter; drains here use fresh temp
+    // checkpoints, so scoping the conf around start() is exact. A
+    // production deployment sizes this to executor count ×
+    // state-key mass — override via SPARK_GRAFT_STREAM_SHUFFLE.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    val q = try {
+      df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally prev.foreach(conf.set("spark.sql.shuffle.partitions", _))
     q.awaitTermination()
     // Observability for the late-arrival pin (StreamingSpec): total
     // input rows the drain's stateful operators REJECTED as late.

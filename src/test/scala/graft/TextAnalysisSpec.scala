@@ -569,4 +569,30 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rrf.head <= 2.0 / 61 + 1e-9)
     assert(rrf.forall(_ > 0.0))
   }
+
+  test("text_curation_e2e: planted duplicates fall to their stages; packing is greedy") {
+    val out = SparkEntry.queries("text_curation_e2e")(spark, sfDir)
+      .select("doc_id", "shard", "n_tokens", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // at this sf, 6 planted exact copies (id ≥ 1e6) and 6 planted
+    // near-dup copies (id ≥ 2e6) PASS the quality/lang gates — their
+    // absence from the output proves the exact-dedup and LSH stages
+    // fired, not that the plants were filtered upstream (which would
+    // make the funnel's dedup stages vacuously green)
+    assert(!out.exists(_._1 >= 1000000L), "a planted duplicate survived curation")
+    // the survivors are a strict subset of the original corpus that
+    // passed the gates — the near-dup stage must have dropped the
+    // larger side of every verified pair, never an original canonical
+    assert(out.forall(_._1 >= 0L))
+    // packing: within each shard, bin = (running-sum − n) / 2048 over
+    // doc_id order — recompute and compare exactly
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, bin) =>
+        assert(bin == cum / 2048, s"greedy bin drifted: $bin vs ${cum / 2048}")
+        cum += n
+      }
+    }
+  }
 }
