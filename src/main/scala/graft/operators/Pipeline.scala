@@ -20,6 +20,29 @@ import graft.sinks.Merge
 object Pipeline extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S7: distributed BYTE-RANGE reads (the reference's HTTP Range-GET
+    // audio streaming, re-expressed as seek+readFully over a shared
+    // object — graft.sources.RangeReads). The 256 KiB fixture is
+    // GENERATIVE (block i = zero-padded i, eight times), so DuckDB
+    // reconstructs every byte window from the formula and the driver
+    // hash-checks each chunk's md5: a misaligned seek, short read, or
+    // off-by-one in any of the 64 block-crossing windows breaks the
+    // row hash. Ranges deliberately cross block boundaries
+    // (offset = id·4093, len = 997 — coprime to the 64-byte block).
+    "s7_range_read" -> ((s, dir) => {
+      val content = (0 until 4096).map(i => "%08d".format(i) * 8).mkString
+      val f = java.nio.file.Files.createTempFile("graft_ranges", ".bin")
+      java.nio.file.Files.write(f, content.getBytes("US-ASCII"))
+      val ranges = s.range(0, 64).select(
+        col("id").as("range_id"),
+        (col("id") * 4093L).as("offset"),
+        lit(997).as("len")).repartition(8)
+      val out = graft.sources.RangeReads
+        .readRanges(f.toString, ranges).ckpt(true)
+      java.nio.file.Files.deleteIfExists(f)
+      out
+    }),
+
     // K1: upsert-ignore — existing keys keep their row, new keys append.
     "k1_upsert_ignore" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -619,6 +642,21 @@ object Pipeline extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // the fixture is GENERATIVE (block i = lpad(i,8,'0') ×8), so the
+    // oracle reconstructs every byte window from the same formula and
+    // md5-checks each distributed seek+readFully chunk exactly
+    "s7_range_read" ->
+      """WITH blocks AS (
+           SELECT i, repeat(lpad(CAST(i AS VARCHAR), 8, '0'), 8) AS b
+           FROM range(0, 4096) t(i)),
+         f AS (SELECT string_agg(b, '' ORDER BY i) AS s FROM blocks),
+         r AS (SELECT CAST(x AS BIGINT) AS range_id,
+                      CAST(x * 4093 AS BIGINT) AS "offset",
+                      997 AS len
+               FROM range(0, 64) t(x))
+         SELECT range_id, "offset", len,
+           md5(substr(f.s, CAST("offset" AS INT) + 1, len)) AS chunk_md5
+         FROM r, f""",
     "k1_upsert_ignore" ->
       """WITH target AS (
            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders

@@ -45,6 +45,29 @@ class SourcesSpec extends SparkFunSuite {
     assert(got.forall(r => r.getAs[Array[Byte]]("content").length == r.getLong(1)))
   }
 
+  test("S7: distributed byte-range reads return exact windows and fail on short reads") {
+    val f = Files.createTempFile("range_probe", ".bin")
+    val content = (0 until 100).map(i => f"$i%04d").mkString // 400 ascii bytes
+    Files.write(f, content.getBytes("US-ASCII"))
+    import spark.implicits._
+    val ranges = Seq((0L, 0L, 7), (1L, 13L, 10), (2L, 390L, 10))
+      .toDF("range_id", "offset", "len")
+    val got = graft.sources.RangeReads.readRanges(f.toString, ranges)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    assert(got == Map(
+      0L -> md5(content.substring(0, 7)),
+      1L -> md5(content.substring(13, 23)),
+      2L -> md5(content.substring(390, 400))))
+    // a range past EOF must fail loudly (readFully), never truncate
+    val bad = Seq((9L, 395L, 10)).toDF("range_id", "offset", "len")
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.RangeReads.readRanges(f.toString, bad).collect()
+    }
+    Files.deleteIfExists(f)
+  }
+
   test("K5: nested JSON document sink round-trips through files") {
     val dir = Files.createTempDirectory("transcripts_sink").toString
     Files.writeString(Paths.get(s"$dir/BVw.json"),
