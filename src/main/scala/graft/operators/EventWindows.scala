@@ -150,6 +150,32 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY #1b — the SAME tumbling drain on the
+    // RocksDB state store, the backend an unbounded-state production
+    // stream actually runs (off-heap state, incremental snapshot
+    // checkpoints — the default HDFSBacked provider keeps every
+    // version's map ON-HEAP in the executor, which at 100 TB keyed
+    // state is an OOM, not a config choice). The provider binds from
+    // the cloned session conf at stream start, scoped exactly like the
+    // state-partition count; results are backend-independent by
+    // contract, so the SAME batch oracle hash-checks the RocksDB
+    // execution path (provider init, native column families, commit)
+    // every round — if the backend swap changed any row, the driver
+    // would see it.
+    "strm_rocksdb" -> ((s, dir) => {
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_rocksdb_out_${strmRunIds.incrementAndGet()}"
+        graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEvents(s, drop.toString)),
+          out, org.apache.spark.sql.streaming.OutputMode.Complete(),
+          Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // STREAMING CATALOG ENTRY #2 — stream-stream interval JOIN, the
     // stateful-join face of the streaming surface: clicks joined to
     // the same user's purchases in the preceding hour, watermarks on
@@ -977,6 +1003,13 @@ object EventWindows extends QueryModule {
     // equals the batch tumbling aggregation, so the batch oracle
     // hash-checks a genuine streaming execution
     "strm_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // backend-independence contract: the RocksDB provider drain must
+    // equal the exact same batch aggregation
+    "strm_rocksdb" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

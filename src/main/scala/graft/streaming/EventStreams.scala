@@ -323,7 +323,8 @@ object EventStreams {
     * correctness-neutral by design.
     */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete(),
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     // STATE-PARTITION SIZING: a stateful micro-batch pays a FIXED
     // per-partition cost per trigger (state-store provider init, delta
     // file, commit) regardless of rows — at the session's batch-tuned
@@ -338,9 +339,10 @@ object EventStreams {
     // production deployment sizes this to executor count ×
     // state-key mass — override via SPARK_GRAFT_STREAM_SHUFFLE.
     val conf = spark.conf
-    val prev = conf.getOption("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    val scoped = Map("spark.sql.shuffle.partitions" ->
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")) ++ extraConfs
+    val prev = scoped.keys.map(k => k -> conf.getOption(k)).toMap
+    scoped.foreach { case (k, v) => conf.set(k, v) }
     val q = try {
       df.writeStream
         .outputMode(mode)
@@ -348,13 +350,17 @@ object EventStreams {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally prev.foreach(conf.set("spark.sql.shuffle.partitions", _))
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
     q.awaitTermination()
     // Observability for the late-arrival pin (StreamingSpec): total
     // input rows the drain's stateful operators REJECTED as late.
     // Read before teardown — progress objects die with the query.
     lastDrainDroppedByWatermark = q.recentProgress
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    lastDrainProgressJson = q.recentProgress.map(_.json).mkString("[", ",", "]")
     val out = spark.table(name)
     val rows = out.collect()
     val schema = out.schema
@@ -371,4 +377,12 @@ object EventStreams {
     * passing vacuously (e.g. because the wave staged empty).
     */
   @volatile var lastDrainDroppedByWatermark: Long = -1L
+
+  /** Raw progress JSON of the most recent [[drainToMemory]] — lets
+    * StreamingSpec prove a scoped state-backend conf actually BOUND
+    * (the RocksDB provider reports rocksdb* custom metrics; a silently
+    * ignored providerClass would still match the oracle, since results
+    * are backend-independent by contract).
+    */
+  @volatile var lastDrainProgressJson: String = ""
 }

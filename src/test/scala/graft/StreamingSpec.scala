@@ -314,6 +314,23 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("strm_rocksdb: RocksDB provider actually binds and equals the batch twin") {
+    val got = SparkEntry.queries("strm_rocksdb")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // mechanism pin: the provider swap must be REAL — RocksDB reports
+    // rocksdb* custom metrics in the progress; the default provider
+    // reports none (a silently ignored conf would still pass the
+    // oracle, results being backend-independent by contract)
+    assert(EventStreams.lastDrainProgressJson.contains("rocksdb"),
+      "drain progress shows no rocksdb metrics — provider conf did not bind")
+    val want = SparkEntry.queries("ev_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // the scoped conf must not leak into the session after the drain
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("mapGroupsWithState running counts == batch groupBy count") {
     import org.apache.spark.sql.streaming.OutputMode
     val counts = EventStreams.userRunningCounts(
