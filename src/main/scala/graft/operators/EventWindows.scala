@@ -80,12 +80,32 @@ object EventWindows extends QueryModule {
     *
     * All three waves are written through batch Spark (coalesce(1)) so
     * each is exactly one file regardless of the export's file layout.
-    * Returns the drop directory.
+    *
+    * CACHED per (sf-dir, events fingerprint) — the edgeArtifactRoot
+    * convention: the fixture is pure function of the source, three
+    * Spark writes cost ~1–2 s at sf0.1, and re-staging per invocation
+    * would put FIXTURE cost inside the measured catalog row. The
+    * cached dir is never deleted by callers (unlike the per-call
+    * stageEventsDrop temp dirs); a regenerated export moves the
+    * (length, mtime) fingerprint and so the key. Concurrent builders
+    * race benignly: each builds into its own temp dir and the loser's
+    * atomic-move fails onto the winner's identical artifact. Wave
+    * mtime ORDER (w1 < w2 < w3) is what maxFilesPerTrigger=1 paces
+    * on; it is preserved by the directory move.
     */
   private[graft] def stageLateDrop(s: SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
-    val drop = Files.createTempDirectory("strm_late_drop")
+    val (len, mtime0) = Tables.sourceFingerprint(s, s"$dir/events.parquet")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$len|$mtime0".getBytes("UTF-8"))
+      .take(16).map(b => f"$b%02x").mkString
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_strm_fixtures")
+    Files.createDirectories(root)
+    val cached = root.resolve(s"late_${digest}_v1")
+    if (Files.isDirectory(cached)) return cached
+    val drop = Files.createTempDirectory(root, "late_build_")
     val t0 = System.currentTimeMillis()
     val ev = Tables.load(s, dir, "events")
     val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
@@ -109,7 +129,11 @@ object EventWindows extends QueryModule {
       unix_micros(col("ts")) < maxUs - 3L * 3600L * 1000000L),
       "w3_late", t0)
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
-    drop
+    try Files.move(drop, cached, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException =>
+      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    cached
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,19 +296,21 @@ object EventWindows extends QueryModule {
     // max by n, counts only grow — is compared against the plain
     // batch tumbling oracle over the events table.
     "strm_late_drop" -> ((s, dir) => {
+      // fingerprint-cached fixture (stageLateDrop) — NOT deleted here:
+      // one artifact per (sf, export) amortizes the three fixture
+      // writes out of the measured drain, the stageEventsDrop hygiene
+      // concern (unbounded per-call copies) doesn't apply
       val drop = stageLateDrop(s, dir)
-      try {
-        val out = s"strm_late_out_${strmRunIds.incrementAndGet()}"
-        val drained = graft.streaming.EventStreams.drainToMemory(s,
-          graft.streaming.EventStreams.tumblingCounts(
-            graft.streaming.EventStreams.readEventsPaced(
-              s, drop.toString, Some(1))),
-          out, org.apache.spark.sql.streaming.OutputMode.Update())
-        drained.groupBy(col("win_start"), col("event_type"))
-          .agg(max(struct(col("n"), col("total_value"))).as("f"))
-          .select(col("win_start"), col("event_type"),
-            col("f.n").as("n"), col("f.total_value").as("total_value"))
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      val out = s"strm_late_out_${strmRunIds.incrementAndGet()}"
+      val drained = graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEventsPaced(
+            s, drop.toString, Some(1))),
+        out, org.apache.spark.sql.streaming.OutputMode.Update())
+      drained.groupBy(col("win_start"), col("event_type"))
+        .agg(max(struct(col("n"), col("total_value"))).as("f"))
+        .select(col("win_start"), col("event_type"),
+          col("f.n").as("n"), col("f.total_value").as("total_value"))
     }),
 
     // STREAMING CATALOG ENTRY #5 — CUSTOM KEYED STATE through the
