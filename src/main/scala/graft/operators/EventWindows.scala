@@ -136,6 +136,64 @@ object EventWindows extends QueryModule {
     cached
   }
 
+  /** Stage the outer-join fixture: wave 1 = the full events table,
+    * wave 2 = two SENTINEL rows at max(ts)+3h — one click (user −1)
+    * and one purchase (user −2), so BOTH input watermarks (the global
+    * join watermark is their min) advance past every real click's
+    * join window. The outer join's null-match rows are watermark-
+    * GATED (emitted only when state evicts); with the sentinels, the
+    * drain's final no-data batch evicts everything and the Append
+    * output equals the batch LEFT join exactly — without them, every
+    * unmatched click in the last hour would be silently withheld.
+    * Cached per source fingerprint (the stageLateDrop convention).
+    */
+  private[graft] def stageOuterJoin(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val (len, mtime0) = Tables.sourceFingerprint(s, s"$dir/events.parquet")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$len|$mtime0".getBytes("UTF-8"))
+      .take(16).map(b => f"$b%02x").mkString
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_strm_fixtures")
+    Files.createDirectories(root)
+    val cached = root.resolve(s"outer_${digest}_v1")
+    if (Files.isDirectory(cached)) return cached
+    val drop = Files.createTempDirectory(root, "outer_build_")
+    val t0 = System.currentTimeMillis()
+    val ev = Tables.load(s, dir, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val sentinels = s.range(1, 3).select(
+      (col("id") * -1L).as("event_id"),
+      timestamp_micros(lit(maxUs + 3L * 3600L * 1000000L)).as("ts"),
+      (col("id") * -1L).as("user_id"),
+      when(col("id") === 1, "click").otherwise("purchase").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+    val stage = Files.createTempDirectory("strm_outer_stage")
+    def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(stage.resolve(name).toString)
+      val st = Files.list(stage.resolve(name))
+      val part = try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      } finally st.close()
+      val dst = drop.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    writeWave(ev, "w1_events", t0 - 120000)
+    writeWave(sentinels, "w2_sentinels", t0 - 60000)
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    try Files.move(drop, cached, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException =>
+      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    cached
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_tumbling" -> ((s, dir) => {
@@ -220,6 +278,33 @@ object EventWindows extends QueryModule {
             graft.streaming.EventStreams.readEvents(s, drop.toString)),
           out, org.apache.spark.sql.streaming.OutputMode.Append())
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
+    // STREAMING CATALOG ENTRY #2b — LEFT OUTER stream-stream join:
+    // the watermark-GATED face of streaming joins. Matched rows emit
+    // eagerly like the inner join, but a NULL-MATCH row (click with no
+    // purchase in its preceding hour) can only be produced by STATE
+    // EVICTION — it exists exactly when the global join watermark
+    // (min over both inputs) has passed the click's window with no
+    // match arrived. The fixture's second wave plants one sentinel
+    // per side at max(ts)+3h (advancing BOTH input watermarks past
+    // every real window), paced one file per micro-batch so the
+    // corpus batch completes first; the drain's closing no-data batch
+    // then evicts all remaining click state, emitting every withheld
+    // null row — and the Append output equals the batch LEFT join
+    // exactly. Sentinels are filtered out (c_id ≥ 0); the oracle is
+    // the plain batch left join, so the driver hash-checks the
+    // eviction machinery: a single withheld or duplicated null row
+    // breaks the hash.
+    "strm_outer_join" -> ((s, dir) => {
+      val drop = stageOuterJoin(s, dir)
+      val out = s"strm_outer_out_${strmRunIds.incrementAndGet()}"
+      graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.clickPurchaseLeftJoin(
+          graft.streaming.EventStreams.readEventsPaced(
+            s, drop.toString, Some(1))),
+        out, org.apache.spark.sql.streaming.OutputMode.Append())
+        .where(col("c_id") >= 0)
     }),
 
     // STREAMING CATALOG ENTRY #3 — exactly-once ingest dedup: the
@@ -1056,6 +1141,15 @@ object EventWindows extends QueryModule {
            ON p.user_id = c.user_id
           AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    // null-match rows only exist via state eviction — the plain batch
+    // LEFT join is what the sentinel-flushed drain must equal
+    "strm_outer_join" ->
+      """SELECT c.event_id AS c_id, c.user_id AS user_id, p.event_id AS p_id,
+           epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts""",
     // the doubled drop folder dedups back to exactly the events table
     "strm_dedup" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,

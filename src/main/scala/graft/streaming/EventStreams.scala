@@ -293,6 +293,35 @@ object EventStreams {
         (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream join: every click, matched purchases
+    * within the preceding hour, UNMATCHED clicks emitted with a null
+    * purchase side — the semantics Spark can only produce by EVICTING
+    * join state: a null-match row for click c exists exactly when the
+    * global join watermark (min over both inputs) has passed c's join
+    * window and no purchase arrived. Unlike the inner join (eager
+    * emission, no withheld tail), the outer join's null rows are
+    * watermark-GATED, so an AvailableNow drain equals the batch left
+    * join only if the final watermark passed every click — the
+    * sentinel-wave fixture (strm_outer_join query) arranges exactly
+    * that, pinning the eviction/emission machinery end-to-end.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"),
+      "left_outer")
+      .select(col("c_id"), col("user_id"), col("p_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+  }
+
   /** Streaming exactly-once dedup: drop duplicate `event_id`s arriving
     * within the watermark delay (`dropDuplicatesWithinWatermark` keeps
     * dedup state only until the watermark passes, so state is bounded —

@@ -314,6 +314,43 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("strm_outer_join: eviction emits null matches; without sentinels the tail is withheld") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"), "left_outer")
+      .select(col("c_id"), col("user_id"), col("p_id")).collect()
+    val batchNulls = batch.count(_.isNullAt(2))
+    assert(batchNulls > 0, "fixture vacuous: every click has a purchase match")
+    // the catalog entry (sentinel-flushed) must equal batch EXACTLY,
+    // null matches included
+    val got = SparkEntry.queries("strm_outer_join")(spark, sfDir)
+      .select(col("c_id"), col("user_id"), col("p_id")).collect()
+    assert(got.count(_.isNullAt(2)) == batchNulls)
+    assert(got.map(_.toSeq).toSet == batch.map(_.toSeq).toSet)
+    // NEGATIVE CONTROL — the same drain WITHOUT sentinels: the final
+    // watermark stops 1h short of max(ts), so unmatched clicks in the
+    // tail stay in state and their null rows are WITHHELD. This is
+    // what proves the sentinel fixture tests eviction rather than the
+    // outer join degenerating to eager batch semantics.
+    val noSent = EventStreams.drainToMemory(spark,
+      EventStreams.clickPurchaseLeftJoin(
+        EventStreams.readEvents(spark, eventsDir)),
+      "oj_nosent", OutputMode.Append())
+      .select(col("c_id"), col("user_id"), col("p_id")).collect()
+    assert(noSent.count(_.isNullAt(2)) < batchNulls,
+      "no withheld tail without sentinels — eviction pin is vacuous")
+    // and what it does emit is always a correct subset
+    assert(noSent.map(_.toSeq).toSet.subsetOf(batch.map(_.toSeq).toSet))
+  }
+
   test("strm_rocksdb: RocksDB provider actually binds and equals the batch twin") {
     val got = SparkEntry.queries("strm_rocksdb")(spark, sfDir)
       .collect().map(_.toSeq).toSet
