@@ -461,6 +461,23 @@ class GraphSpec extends SparkFunSuite {
       s"rebuilt edges wrong: $e2")
   }
 
+  test("g9 recursion keeps its broadcast hint on the recursion side") {
+    // the scaladoc claims /*+ BROADCAST(r) */ pins the per-iteration
+    // join against the stored artifact's small-stats flip (the
+    // g2_pagerank class). Hints on recursive refs are NOT obviously
+    // supported — pin that the resolved hint survives into the
+    // UnionLoop's inner join plan, attached to the UnionLoopRef side,
+    // so a Spark upgrade or query edit that silently drops it fails
+    // here instead of regressing at scale.
+    val df = operators.Graph.queries("g9_reach_recursive")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), "recursion no longer plans a UnionLoop")
+    val joinLine = plan.split("\n").find(l =>
+      l.contains("Join Inner") && l.contains("node#"))
+    assert(joinLine.exists(_.contains("leftHint=(strategy=broadcast)")),
+      s"recursion-side broadcast hint dropped: ${joinLine.getOrElse("<no join>")}")
+  }
+
   test("labelProp resolves disjoint cliques to their min-id communities") {
     import spark.implicits._
     // two disjoint triangles {1,2,3} and {10,11,12}: synchronous
