@@ -520,6 +520,19 @@ object Graph extends QueryModule {
     */
   private[graft] val maxBroadcastNodes = 8L << 20
 
+  /** Fixed-iteration engines ([[pageRank]], [[pageRankQ]]) checkpoint
+    * state every this-many fused rounds instead of every round. Each
+    * blocking materialization is a straggler barrier — on a shared
+    * host every barrier waits on the slowest task, so 10 barriers
+    * amplify intermittent neighbor load ~10× (the BENCH_r14 g2
+    * bimodality: 5 s plan, 43–65 s reps under load). 3 keeps the
+    * inter-checkpoint lineage at ≤3 join/agg layers — shallow enough
+    * for replay-on-failure and codegen — while cutting 10 barriers
+    * to 4. Convergence-probed engines (coreness, CC) cannot fuse:
+    * they need each round's changed-count to decide termination.
+    */
+  private[graft] val ckptEvery = 3
+
   /** Schema of the stored co-occurrence edge table: weighted distinct
     * pairs (u < v, w = number of baskets containing both), sharded by
     * `pmod(u, 16)` so the store has a partitionable layout.
@@ -720,10 +733,18 @@ object Graph extends QueryModule {
     * (rank ⋈ degree), one shuffle join (edges ⋈ shares, on src), one
     * hash agg (sum of in-shares on dst), one left join back to the
     * node set (dangling-free here: every node of an undirected edge
-    * has degree ≥ 1). Each round's result is a lazy localCheckpoint
-    * materialized by a count probe, and the previous round's blocks
-    * release immediately — the connectedComponents loop discipline,
-    * so lineage stays flat at any iteration count.
+    * has degree ≥ 1). BARRIER DISCIPLINE (r14 driver-box lesson): the
+    * iteration count is FIXED, so there is no convergence probe to
+    * run — rounds are FUSED, checkpointing (and blocking on) state
+    * only every [[ckptEvery]] iterations instead of every round.
+    * Each blocking materialization is a full straggler barrier: on a
+    * busy host every barrier waits on the slowest task, and 10
+    * barriers amplified intermittent neighbor load into 43–65 s reps
+    * of a 5 s plan (BENCH_r14 bimodality). With fusing the lineage
+    * between checkpoints stays ≤3 join/agg layers deep (shallow
+    * enough for codegen and replay), inherited-stats discipline is
+    * preserved because every fused segment still starts from a
+    * rebased fresh leaf, and the barrier count drops 10 → 4.
     *
     * Returns the FULL rank table (node, rank DECIMAL(38,18));
     * [[queries]] takes the top 20. Caller must release `edges` via
@@ -782,19 +803,29 @@ object Graph extends QueryModule {
       .select(col("node"), col("deg"), (one / nLit).cast(dec).as("rank"))
       .ckpt(false)
     rank.count()
-    for (_ <- 1 to iters) {
-      val r0 = rebase(rank)
+    // lastCk tracks the live checkpoint whose blocks back the current
+    // (possibly fused, un-materialized) `rank` lineage; released only
+    // after the NEXT checkpoint has materialized
+    var lastCk = rank
+    for (i <- 1 to iters) {
+      // rebase only at segment starts: on a materialized checkpoint it
+      // is free and drops inherited stats; mid-segment frames inherit
+      // the fresh leaf's conservative estimate, so joins stay shuffled
+      val r0 = if (rank eq lastCk) rebase(rank) else rank
       val shares = r0.select(col("node"),
         (col("rank") / col("deg")).cast(dec).as("share"))
       val contrib = ep.join(hint(shares), ep("src") === shares("node"))
         .groupBy(col("dst")).agg(sum(col("share")).cast(dec).as("in_share"))
-      val next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
+      var next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"), nodes("deg"),
           (teleport + damp * coalesce(col("in_share"), lit(0).cast(dec)))
             .cast(dec).as("rank"))
-        .ckpt(false)
-      next.count()
-      Dedup.releaseCheckpoints(rank)
+      if (i % ckptEvery == 0 || i == iters) {
+        next = next.ckpt(false)
+        next.count()
+        Dedup.releaseCheckpoints(lastCk)
+        lastCk = next
+      }
       rank = next
     }
     Dedup.releaseCheckpoints(deg)
@@ -835,20 +866,25 @@ object Graph extends QueryModule {
       .select(col("node"), col("deg"), lit(mass / n).as("rank_q"))
       .ckpt(false)
     rank.count()
-    for (_ <- 1 to iters) {
-      val r0 = rebase(rank)
+    // fused-barrier discipline: see [[pageRank]] / [[ckptEvery]]
+    var lastCk = rank
+    for (i <- 1 to iters) {
+      val r0 = if (rank eq lastCk) rebase(rank) else rank
       val shares = r0.select(col("node"),
         expr("rank_q div deg").as("share"))
       val contrib = ep.join(hint(shares), ep("src") === shares("node"))
         .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
-      val next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
+      var next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"), nodes("deg"),
           (lit(teleportQ) +
             expr("(85 * coalesce(in_share, CAST(0 AS BIGINT))) div 100"))
             .as("rank_q"))
-        .ckpt(false)
-      next.count()
-      Dedup.releaseCheckpoints(rank)
+      if (i % ckptEvery == 0 || i == iters) {
+        next = next.ckpt(false)
+        next.count()
+        Dedup.releaseCheckpoints(lastCk)
+        lastCk = next
+      }
       rank = next
     }
     Dedup.releaseCheckpoints(deg)
