@@ -59,12 +59,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and the judge.
   */
 object Bench {
-  /** One query's measured record. `runs`/`cpu` hold only SUCCESSFUL
-    * reps, in execution order (head = cold run when it succeeded).
+  /** One query's measured record. `runs`/`cpu`/`steal` hold only
+    * SUCCESSFUL reps, in execution order (head = cold run when it
+    * succeeded). `steal` is the per-rep delta of hypervisor steal
+    * jiffies — the r14 close adjudicated a bimodal g2_pagerank
+    * ([5,64] s reps) from run-LEVEL steal plus prose; the per-rep
+    * delta makes the artifact self-adjudicating: a 60 s rep with a
+    * four-digit steal delta is box noise, the same rep at ~0 steal
+    * is a plan cost. -1 per rep when /proc/stat is unreadable.
     */
   final case class Timing(
       runs: Vector[Double],
       cpu: Vector[Double],
+      steal: Vector[Long],
       reruns: Int,
       err: Option[String]) {
     def median: Double = Bench.median(runs)
@@ -126,14 +133,18 @@ object Bench {
                 maxExtra: Int = 3): Timing = {
     val walls = Vector.newBuilder[Double]
     val cpus = Vector.newBuilder[Double]
+    val steals = Vector.newBuilder[Long]
     var err: Option[String] = None
     def rep(): Unit = {
       val c0 = processCpuSec()
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       try {
         run()
         walls += (System.nanoTime() - t0) / 1e9
         cpus += (processCpuSec() - c0)
+        val s1 = stealJiffies()
+        steals += (if (s0 < 0 || s1 < 0) -1L else s1 - s0)
       } catch {
         case t: Throwable =>
           if (err.isEmpty)
@@ -147,7 +158,7 @@ object Bench {
       ws.size >= 2 && median(ws) > spikeFactor * ws.min
     }
     while (spiked && extra < maxExtra) { rep(); extra += 1 }
-    Timing(walls.result(), cpus.result(), extra, err)
+    Timing(walls.result(), cpus.result(), steals.result(), extra, err)
   }
 
   private def jsonEscape(s: String): String =
@@ -192,7 +203,9 @@ object Bench {
       s""","first":${jmap(ok.map { case (n, t) => n -> num(t.runs.head) })}""" +
       s""","cpu":${jmap(ok.map { case (n, t) => n -> f2(t.cpuMedian) })}""" +
       s""","runs":${jmap(timed.map { case (n, t) =>
-            n -> t.runs.map(ms).mkString("[", ",", "]") })}""" + suffix(num)
+            n -> t.runs.map(ms).mkString("[", ",", "]") })}""" +
+      s""","steal_q":${jmap(timed.map { case (n, t) =>
+            n -> t.steal.map(_.toString).mkString("[", ",", "]") })}""" + suffix(num)
     (stdoutLine, fullLine)
   }
 
@@ -236,7 +249,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
-      } ++ warmErr.map(e => "_warmup" -> Timing(Vector.empty, Vector.empty, 0, Some(e)))
+      } ++ warmErr.map(e =>
+        "_warmup" -> Timing(Vector.empty, Vector.empty, Vector.empty, 0, Some(e)))
     val (stdoutLine, fullLine) =
       artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg(),
         stealStart, stealJiffies())

@@ -42,8 +42,9 @@ class BenchSpec extends SparkFunSuite {
 
   test("artifact lines: err map, omitted failed query, tail-safe ordering") {
     val timed = Seq(
-      "ok" -> Timing(Vector(0.5, 0.6, 0.7), Vector(1.0, 1.1, 1.2), 0, None),
-      "boom" -> Timing(Vector.empty, Vector.empty, 0,
+      "ok" -> Timing(Vector(0.5, 0.6, 0.7), Vector(1.0, 1.1, 1.2),
+        Vector(12L, 0L, 3L), 0, None),
+      "boom" -> Timing(Vector.empty, Vector.empty, Vector.empty, 0,
         Some("IllegalStateException: \"quoted\" \n msg")))
     val (stdoutLine, fullLine) = Bench.artifactLines(
       timed, reps = 3, cpus = 4, sfDir = "/tmp/sf", loadStart = 1.23, loadEnd = 31.9)
@@ -61,13 +62,23 @@ class BenchSpec extends SparkFunSuite {
       assert(line.indexOf("\"queries\"") < line.indexOf("\"err\""))
       assert(line.trim.matches(""".*"metric":"total","unit":"sec","value":[0-9.]+}$"""))
     }
-    // Full line additionally carries cold runs, cpu and raw reps.
+    // Full line additionally carries cold runs, cpu, raw reps, and the
+    // per-rep steal deltas that make a noisy rep self-adjudicating.
     assert(fullLine.contains(""""first":{"ok":0.5}"""))
     assert(fullLine.contains(""""runs":{"ok":[0.500,0.600,0.700],"boom":[]}"""))
+    assert(fullLine.contains(""""steal_q":{"ok":[12,0,3],"boom":[]}"""))
+  }
+
+  test("real timeQuery captures one steal delta per successful rep") {
+    val t = Bench.timeQuery(() => Thread.sleep(5), reps = 3, maxExtra = 0)
+    assert(t.steal.size == t.runs.size)
+    // deltas are non-negative on a live /proc/stat, or the -1 sentinel
+    assert(t.steal.forall(s => s >= 0L || s == -1L))
   }
 
   test("all-green artifact has empty err and reruns maps") {
-    val timed = Seq("q" -> Timing(Vector(0.1, 0.1, 0.1), Vector(0.2, 0.2, 0.2), 0, None))
+    val timed = Seq("q" -> Timing(Vector(0.1, 0.1, 0.1), Vector(0.2, 0.2, 0.2),
+      Vector(0L, 0L, 0L), 0, None))
     val (stdoutLine, _) = Bench.artifactLines(timed, 3, 4, "/tmp/sf", 0.5, 0.5)
     assert(stdoutLine.contains(""""err":{}"""))
     assert(stdoutLine.contains(""""reruns":{}"""))
