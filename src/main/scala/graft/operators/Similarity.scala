@@ -311,6 +311,27 @@ object Similarity extends QueryModule {
     e.unionByName(planted)
   }
 
+  /** Embeddings quantized to BIGINT micro-units: q[i] =
+    * floor(double(x)·1e6 + 0.5). Float→double widening is exact and
+    * floor/multiply are the same IEEE ops in Spark and DuckDB, so
+    * both engines derive bit-identical integer vectors — the
+    * foundation that lets the ann_*_q twins hash-pin centroid
+    * assignment and ADC ranking (integer argmins have no ulp
+    * ambiguity for an oracle to disagree on).
+    */
+  private def quantizedEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))).as("q"))
+
+  /** Exact squared-L2 between two BIGINT-array columns — codegen'd
+    * HOF fold, all arithmetic in Long.
+    */
+  private def l2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Deterministic seed codebook: the `k` smallest vec_ids, RANK
     * based (TakeOrdered on the id, k rows to the driver) — a sparse
     * or non-contiguous id space still yields exactly k centroids,
@@ -477,6 +498,89 @@ object Similarity extends QueryModule {
     "ann_ivf_multiprobe" -> ((s, dir) => {
       val e = embeddings(s, dir)
       ivfSearch(e, seedCodebook(e, 16), nprobe = 4)
+    }),
+
+    // Integer-quantized IVF twin — the full-oracle pin for the IVF
+    // family (the md5-sketch-twin technique applied to ANN): every
+    // embedding element is quantized to BIGINT micro-units
+    // (floor(x·1e6 + 0.5)) and BOTH stages of the search — the
+    // argmin-L2 centroid assignment AND the in-bucket ranking — run
+    // in exact integer arithmetic that the DuckDB oracle re-executes
+    // verbatim, so bucket membership, candidate sets, and the final
+    // top-5 per probe are hash-pinned every round (no float-ulp
+    // ranking ambiguity anywhere). Same plan shape as ann_ivf: one
+    // broadcast of the 16-row codebook, a partial-agg argmin over the
+    // corpus, and a bucket equi-join — linear in the corpus, never
+    // all-pairs. L2 in micro-units is Long-safe with huge margin:
+    // |x| < 0.6 ⇒ per-element diff² ≤ 1.5e12, ×64 dims ≤ 1e14 ≪ 2⁶³.
+    "ann_ivf_q" -> ((s, dir) => {
+      val v = quantizedEmb(s, dir)
+      val cents = v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"))
+      // argmin via min(struct): (d2, c_id) lexicographic min IS the
+      // tie-break (closest centroid, then smallest id) as a partial
+      // hash agg — no per-vector sort window over the n×16 frame
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("cd2", l2q(col("q"), col("cq")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("cd2"), col("c_id"), col("q"))).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.q").as("q"))
+      val probes = assigned.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("q").as("pq"), col("c_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      assigned.join(broadcast(probes), "c_id")
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("d2", l2q(col("q"), col("pq")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"), col("d2"))
+    }),
+
+    // Integer-quantized PQ + ADC twin — the full-oracle pin for the
+    // product-quantization family. 64 dims split into M=8 subspaces
+    // of 8; per subspace the 16 seed codewords are the smallest
+    // vec_ids' sub-vectors (code = rank by vec_id). Encoding (argmin
+    // integer L2 per (vector, subspace)) and the probe-side ADC scan
+    // (distance TABLE of probe↔codeword sub-distances, candidate
+    // distance = Σ_m table[m][code_m]) are both exact BIGINT algebra
+    // the oracle restates, hash-pinning codes, tables, and the ADC
+    // top-5. The plan is the real serve shape: codes are a narrow
+    // (vec_id, m, code) frame (the inverted file payload), the
+    // 8-probe × 8×16-cell distance table broadcasts, and the scan is
+    // one equi-join + hash agg — per-probe work is O(corpus·M) table
+    // lookups, never a d-dim float op per candidate.
+    "ann_pq_adc_q" -> ((s, dir) => {
+      val v = quantizedEmb(s, dir)
+      val sub = v.select(col("vec_id"), col("q"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .select(col("vec_id"), col("m"),
+          slice(col("q"), col("m") * 8 + 1, lit(8)).as("s"))
+      val wCode = Window.partitionBy(col("m")).orderBy(col("vec_id"))
+      val cb = v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id"), col("q"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .select(col("vec_id"), col("m"),
+          slice(col("q"), col("m") * 8 + 1, lit(8)).as("cw"))
+        .withColumn("code", row_number().over(wCode) - 1)
+        .select(col("m"), col("code"), col("cw"))
+      val enc = sub.join(broadcast(cb), "m")
+        .withColumn("cd2", l2q(col("s"), col("cw")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("cd2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+      val dt = sub.where(col("vec_id") < 8).join(broadcast(cb), "m")
+        .select(col("vec_id").as("q_id"), col("m"), col("code"),
+          l2q(col("s"), col("cw")).as("d"))
+      val adc = enc.join(broadcast(dt), Seq("m", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_d2"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_d2").asc, col("vec_id").asc)
+      adc.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"), col("adc_d2"))
     }),
 
     // IVF with a TRAINED codebook: 3 Lloyd iterations of spherical
@@ -1218,6 +1322,74 @@ object Similarity extends QueryModule {
                v.vec_id ASC) AS rk
            FROM n q JOIN n v ON q.vec_id < 8 AND v.vec_id <> q.vec_id) t
          WHERE rk <= 5"""),
+    // exact-integer restatement of the quantized IVF search: DuckDB
+    // re-executes quantization, argmin-L2 assignment, and in-bucket
+    // ranking — bucket membership and top-5 are hash-pinned
+    "ann_ivf_q" ->
+      """WITH v AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              for x in embedding] AS q
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, q AS cq FROM v ORDER BY vec_id LIMIT 16),
+         a AS (
+           SELECT vec_id, q, c_id FROM (
+             SELECT v.vec_id, v.q, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[i]-c.cq[i])*(v.q[i]-c.cq[i])
+                              for i in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS rk
+             FROM v CROSS JOIN c) t WHERE rk = 1)
+         SELECT q_id, vec_id, rk, d2 FROM (
+           SELECT p.vec_id AS q_id, d.vec_id,
+             list_reduce([(p.q[i]-d.q[i])*(p.q[i]-d.q[i])
+                          for i in range(1, len(p.q)+1)], (x,y)->x+y) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_reduce([(p.q[i]-d.q[i])*(p.q[i]-d.q[i])
+                            for i in range(1, len(p.q)+1)], (x,y)->x+y) ASC,
+               d.vec_id ASC) AS rk
+           FROM a p JOIN a d
+             ON p.vec_id < 8 AND d.c_id = p.c_id AND d.vec_id <> p.vec_id) t
+         WHERE rk <= 5""",
+    // exact-integer restatement of PQ encode + ADC scan: codes,
+    // distance tables, and the ADC top-5 all re-derived by the oracle
+    "ann_pq_adc_q" ->
+      """WITH v AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              for x in embedding] AS q
+           FROM embeddings),
+         ms AS (SELECT unnest(range(0, 8)) AS m),
+         sub AS (
+           SELECT vec_id, m, q[(m*8+1):(m*8+8)] AS s
+           FROM v CROSS JOIN ms),
+         cb AS (
+           SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+             s AS cw
+           FROM sub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+         enc AS (
+           SELECT vec_id, m, code FROM (
+             SELECT sub.vec_id, sub.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                 ORDER BY list_reduce([(sub.s[i]-cb.cw[i])*(sub.s[i]-cb.cw[i])
+                                       for i in range(1, 9)], (x,y)->x+y) ASC,
+                          cb.code ASC) AS rk
+             FROM sub JOIN cb USING (m)) t WHERE rk = 1),
+         dt AS (
+           SELECT sub.vec_id AS q_id, sub.m, cb.code,
+             list_reduce([(sub.s[i]-cb.cw[i])*(sub.s[i]-cb.cw[i])
+                          for i in range(1, 9)], (x,y)->x+y) AS d
+           FROM sub JOIN cb USING (m) WHERE sub.vec_id < 8),
+         adc AS (
+           SELECT dt.q_id, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_d2
+           FROM enc JOIN dt USING (m, code)
+           WHERE enc.vec_id <> dt.q_id
+           GROUP BY 1, 2)
+         SELECT q_id, vec_id, rk, adc_d2 FROM (
+           SELECT q_id, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+           FROM adc) t WHERE rk <= 5""",
     "sim_top_pairs" -> (duckCosine + topPairsSql),
     // identical result by construction — same brute-force oracle
     "sim_top_pairs_blocked" -> (duckCosine + topPairsSql)

@@ -343,6 +343,67 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("ann_ivf_q / ann_pq_adc_q match an independent in-memory integer reimplementation") {
+    // The quantized twins' whole value is exactness: every stage is
+    // BIGINT algebra with deterministic tie-breaks, so a sequential
+    // Scala reimplementation must reproduce the distributed result
+    // TUPLE-FOR-TUPLE (ids, ranks, AND distances) — no tolerance.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cents = emb.take(16)
+
+    // --- IVF: argmin-L2 assignment, in-bucket exact ranking ---
+    val bucket = emb.map { case (id, q) =>
+      id -> cents.map { case (cid, cq) => (l2(q, cq), cid) }.min._2
+    }.toMap
+    val qmap = emb.toMap
+    val wantIvf = (for {
+      (qid, _) <- emb.filter(_._1 < 8)
+      cands = emb.filter { case (id, _) => id != qid && bucket(id) == bucket(qid) }
+      ranked = cands.map { case (id, q) => (l2(q, qmap(qid)), id) }.sorted.take(5)
+      ((d2, id), i) <- ranked.zipWithIndex
+    } yield (qid, id, i + 1, d2)).toSet
+    val gotIvf = SparkEntry.queries("ann_ivf_q")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotIvf == wantIvf,
+      s"ann_ivf_q diverged: extra=${gotIvf -- wantIvf} missing=${wantIvf -- gotIvf}")
+
+    // --- PQ/ADC: encode per subspace, ADC table scan ---
+    def sub(q: Array[Long], m: Int): Array[Long] = q.slice(m * 8, m * 8 + 8)
+    val cw = (0 until 8).map(m =>
+      m -> cents.zipWithIndex.map { case ((_, q), code) => code -> sub(q, m) }).toMap
+    val codes = emb.map { case (id, q) =>
+      id -> (0 until 8).map(m =>
+        cw(m).map { case (code, w) => (l2(sub(q, m), w), code) }.min._2).toArray
+    }.toMap
+    val wantAdc = (for {
+      (qid, qv) <- emb.filter(_._1 < 8)
+      dt = (0 until 8).map(m => cw(m).map { case (code, w) =>
+        code -> l2(sub(qv, m), w) }.toMap)
+      cands = emb.filter(_._1 != qid).map { case (id, _) =>
+        ((0 until 8).map(m => dt(m)(codes(id)(m))).sum, id) }
+      ((d, id), i) <- cands.sorted.take(5).zipWithIndex
+    } yield (qid, id, i + 1, d)).toSet
+    val gotAdc = SparkEntry.queries("ann_pq_adc_q")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotAdc == wantAdc,
+      s"ann_pq_adc_q diverged: extra=${gotAdc -- wantAdc} missing=${wantAdc -- gotAdc}")
+
+    // Mechanism pin: the quantized buckets carry real geometry — the
+    // IVF twin's neighbors overlap the float-cosine brute-force
+    // top-5 (they are different metrics, but on this corpus a bucket
+    // search that found nothing in common would mean dead plumbing).
+    val brute = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ov = gotIvf.map(t => (t._1, t._2)).intersect(brute).size.toDouble / brute.size
+    assert(ov > 0.0, "quantized IVF shares nothing with brute force — dead plumbing?")
+  }
+
   test("pqArtifactRoot folds the embeddings fingerprint (regenerated corpus busts the key)") {
     import spark.implicits._
     import graft.operators.Similarity
