@@ -626,6 +626,70 @@ object EventWindows extends QueryModule {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // RFM SEGMENTATION, SHARDED: identical output to ev_rfm_segments
+    // (same oracle SQL) with every user-dimension window FACTORED —
+    // the shipped form of the scale spelling the base query's
+    // scaladoc documents. ntile(4) over a TOTAL order is a pure
+    // function of (global 0-based rank i, row count n): the first
+    // n%4 buckets take ⌈n/4⌉ rows, the rest ⌊n/4⌋ — so each metric
+    // needs only every row's exact global rank, which the
+    // sharded-prefix-sum engine computes with no data-sized
+    // partition: range-partition by (metric, user_id) so the shard
+    // id is monotone in sort order, rank = row_number within the
+    // shard (window bounded by |users|/P) + earlier-shard row counts
+    // (a P-row broadcast offset table; the only unpartitioned window
+    // orders those P rows). Three metrics = three such passes over
+    // the |users|-row aggregate, each a shuffle of the narrow
+    // per-user frame. n is exact from the offsets table itself, and
+    // the closed-form bucket is integer arithmetic, so the segment
+    // counts hash-check against the ntile oracle.
+    "ev_rfm_scaled" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("recency_us"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).as("monetary"))
+      val W = org.apache.spark.sql.expressions.Window
+      def quartile(df: DataFrame, metric: String, out: String): DataFrame = {
+        val sharded = df
+          .repartitionByRange(32, col(metric).asc, col("user_id").asc)
+          .withColumn("pid", spark_partition_id())
+        val partCounts = sharded.groupBy(col("pid"))
+          .agg(count(lit(1)).as("pc"))
+        val acrossShards = W.orderBy(col("pid"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val offsets = partCounts
+          .withColumn("off", coalesce(sum(col("pc")).over(acrossShards), lit(0L)))
+          .select(col("pid"), col("off"))
+        val n_total = partCounts.agg(sum(col("pc")).as("n")).select(col("n"))
+        val inShard = W.partitionBy(col("pid"))
+          .orderBy(col(metric).asc, col("user_id").asc)
+        sharded
+          .withColumn("i", row_number().over(inShard).cast("long") - 1)
+          .join(broadcast(offsets), Seq("pid"))
+          .withColumn("i", col("i") + col("off"))
+          .crossJoin(broadcast(n_total))
+          // ntile(4) closed form: first n%4 buckets of ⌈n/4⌉ rows,
+          // then ⌊n/4⌋-row buckets (greatest guards n<4, where the
+          // ELSE branch is unreachable but still type-checked)
+          .withColumn(out, expr(
+            """CAST(CASE WHEN i < (n % 4) * ((n div 4) + 1)
+                    THEN i div ((n div 4) + 1)
+                    ELSE (n % 4) + (i - (n % 4) * ((n div 4) + 1))
+                         div greatest(n div 4, 1)
+               END + 1 AS INT)"""))
+          .drop("pid", "i", "off", "n")
+      }
+      val scored = quartile(quartile(quartile(p,
+        "recency_us", "r"), "frequency", "f"), "monetary", "m")
+      scored
+        .select(concat_ws("-", col("r"), col("f"), col("m")).as("segment"),
+          col("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // SCD2 BUILD + TEMPORAL LOOKUP (the slowly-changing-dimension
     // pattern, Kimball type 2): purchases define each user's "tier"
     // history as validity intervals — valid_from = purchase ts,
@@ -1104,6 +1168,26 @@ object EventWindows extends QueryModule {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM islands GROUP BY user_id, sid"""
 
+  /** Shared by `ev_rfm_segments` and its sharded twin — ntile(4) over
+    * a total order is a pure function of global rank and count, so
+    * the factored spelling reproduces the same quartiles exactly.
+    */
+  private val rfmSegmentsSql =
+    """WITH p AS (SELECT user_id,
+           max(epoch_us(ts)) AS recency_us,
+           count(*) AS frequency,
+           sum(CAST(value AS DECIMAL(18,2))) AS monetary
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       scored AS (SELECT user_id,
+           ntile(4) OVER (ORDER BY recency_us ASC, user_id ASC) AS r,
+           ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+           ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m
+         FROM p)
+       SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+              || '-' || CAST(m AS VARCHAR) AS segment,
+         count(*) AS n_users
+       FROM scored GROUP BY 1"""
+
   def oracle: Map[String, String] = Map(
     "ev_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -1242,22 +1326,11 @@ object EventWindows extends QueryModule {
            ORDER BY abs(n * pre - k * t) DESC, ts ASC, event_id ASC) = 1""",
     // ntile semantics match (equal buckets, remainder to the first);
     // the user_id tie-break makes the quartile assignment a total
-    // order, so segment counts hash-check
-    "ev_rfm_segments" ->
-      """WITH p AS (SELECT user_id,
-             max(epoch_us(ts)) AS recency_us,
-             count(*) AS frequency,
-             sum(CAST(value AS DECIMAL(18,2))) AS monetary
-           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-         scored AS (SELECT user_id,
-             ntile(4) OVER (ORDER BY recency_us ASC, user_id ASC) AS r,
-             ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
-             ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m
-           FROM p)
-         SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR)
-                || '-' || CAST(m AS VARCHAR) AS segment,
-           count(*) AS n_users
-         FROM scored GROUP BY 1""",
+    // order, so segment counts hash-check. The sharded twin computes
+    // the same quartiles from global ranks (ntile over a total order
+    // is a pure function of rank and count), so one oracle pins both.
+    "ev_rfm_segments" -> rfmSegmentsSql,
+    "ev_rfm_scaled" -> rfmSegmentsSql,
     // SCD2 build (lead window) + validity-range lookup restated
     // directly; the tie-broken ORDER BY (ts, event_id) makes lead()
     // deterministic in both engines

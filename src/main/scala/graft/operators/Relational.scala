@@ -367,6 +367,55 @@ object Relational extends QueryModule {
           sum(col("rev")).cast("double").as("class_rev"))
     }),
 
+    // ABC ANALYSIS, SHARDED: identical output to a13_abc_analysis
+    // (same oracle SQL) with the dimension-global cumulative-revenue
+    // window FACTORED so no partition ever holds the whole part
+    // dimension — the spelling a13_abc_analysis's scaladoc documents,
+    // now shipped (at 100 TB the part/user dimensions ARE
+    // corpus-scale; an unpartitioned Window is one reducer holding
+    // 10⁸–10⁹ rows). The factorization is the sharded-prefix-sum
+    // engine (rankedValueCounts / text_curriculum_shards): range-
+    // partition the per-part revenue by the SAME total order the
+    // window needs (rev desc, key asc) — so the shard id is monotone
+    // in sort order — then cum = (sum of earlier shards' revenue,
+    // from a P-row broadcast offset table) + (running sum INSIDE the
+    // shard, a window bounded by |parts|/P rows). The only
+    // unpartitioned window orders the P-row per-shard totals —
+    // partition-count-sized, not data-sized. AQE can only MERGE
+    // adjacent range shards, which keeps pid monotone, so the
+    // factorization survives runtime re-planning.
+    "a13_abc_scaled" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      val sharded = rev
+        .repartitionByRange(32, col("rev").desc, col("l_partkey").asc)
+        .withColumn("pid", spark_partition_id())
+      val partSums = sharded.groupBy(col("pid")).agg(sum(col("rev")).as("psum"))
+      val acrossShards = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = partSums
+        .withColumn("off",
+          coalesce(sum(col("psum")).over(acrossShards), lit(0).cast("decimal(38,2)")))
+        .select(col("pid"), col("off"))
+      val inShard = Window.partitionBy(col("pid"))
+        .orderBy(col("rev").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = rev.agg(sum(col("rev")).as("total"))
+      sharded
+        .withColumn("cum_in", sum(col("rev")).over(inShard))
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("cum_in") + col("off"))
+        .crossJoin(broadcast(total))
+        .withColumn("cls",
+          when(col("cum") * 5 <= col("total") * 4, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).cast("double").as("class_rev"))
+    }),
+
     // A7: distinct / dedup by key (reference set((song,archive)),
     // cmdline.py:291-296).
     "a7_distinct" -> ((s, dir) => {
@@ -1080,6 +1129,27 @@ object Relational extends QueryModule {
     })
   )
 
+  /** Shared by `a13_abc_analysis` and its sharded twin: the prefix
+    * sum is associative, so the factored spelling produces the same
+    * cumulative values and one oracle pins both.
+    */
+  private val abcAnalysisSql =
+    """WITH rev AS (SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+         FROM lineitem GROUP BY l_partkey),
+       t AS (SELECT sum(rev) AS total FROM rev),
+       c AS (SELECT l_partkey, rev,
+           sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM rev)
+       SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                   WHEN cum * 20 <= total * 19 THEN 'B'
+                   ELSE 'C' END AS cls,
+         count(*) AS n_parts,
+         CAST(sum(rev) AS DOUBLE) AS class_rev
+       FROM c CROSS JOIN t
+       GROUP BY 1"""
+
   def oracle: Map[String, String] = Map(
     "s1_scan_filter" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -1166,23 +1236,11 @@ object Relational extends QueryModule {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
     // decimal cross-multiplication thresholds restated exactly; the
-    // (rev desc, key) order makes the cumulative sum a total order
-    "a13_abc_analysis" ->
-      """WITH rev AS (SELECT l_partkey,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
-           FROM lineitem GROUP BY l_partkey),
-         t AS (SELECT sum(rev) AS total FROM rev),
-         c AS (SELECT l_partkey, rev,
-             sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM rev)
-         SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
-                     WHEN cum * 20 <= total * 19 THEN 'B'
-                     ELSE 'C' END AS cls,
-           count(*) AS n_parts,
-           CAST(sum(rev) AS DOUBLE) AS class_rev
-         FROM c CROSS JOIN t
-         GROUP BY 1""",
+    // (rev desc, key) order makes the cumulative sum a total order.
+    // The sharded twin computes the SAME cumulative sum (prefix sums
+    // are associative), so one oracle serves both spellings.
+    "a13_abc_scaled" -> abcAnalysisSql,
+    "a13_abc_analysis" -> abcAnalysisSql,
     // the same wide aggregate melted by UNION ALL; DECIMAL(18,2) for
     // the double column so min/max strings render identically
     "profile_summary" ->

@@ -192,6 +192,28 @@ class RelationalSpec extends SparkFunSuite {
     }
   }
 
+  test("ev_rfm_scaled: row-identical to the ntile spelling, every window sharded") {
+    // the closed-form quartile from sharded global ranks must agree
+    // with ntile(4) segment-for-segment, count-for-count
+    val base = SparkEntry.queries("ev_rfm_segments")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scaled = SparkEntry.queries("ev_rfm_scaled")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(scaled == base)
+    // no window over the whole user dimension: every physical Window
+    // partitions by the shard id or runs the P-row offset pass, and
+    // no ntile survives in the plan (the base query's scale-killer)
+    val plan = SparkEntry.queries("ev_rfm_scaled")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile("), s"ntile leaked into the scaled twin:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("pid") || w.contains("pc"),
+        s"window neither sharded nor the offset pass: $w")
+    }
+  }
+
   test("a14_winsorize clips ~1% per tail; k6 checksums merge and detect a flip") {
     val w = SparkEntry.queries("a14_winsorize")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -437,6 +459,28 @@ class RelationalSpec extends SparkFunSuite {
     windows.foreach { w =>
       assert(w.contains("pid") || w.contains("psum"),
         s"window not sharded or not the offset pass: $w")
+    }
+  }
+
+  test("a13_abc_scaled: row-identical to the window spelling, every window sharded") {
+    // identical output — prefix sums are associative, so the factored
+    // cumulative revenue classifies every part the same way
+    val base = SparkEntry.queries("a13_abc_analysis")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val scaled = SparkEntry.queries("a13_abc_scaled")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scaled == base)
+    // the point of the twin: no window over the whole part dimension.
+    // Every physical Window either partitions by the shard id or runs
+    // the P-row cross-shard offset pass (psum) — and the base query's
+    // unpartitioned data-sized window shape must be absent.
+    val plan = SparkEntry.queries("a13_abc_scaled")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("pid") || w.contains("psum"),
+        s"window neither sharded nor the offset pass: $w")
     }
   }
 
