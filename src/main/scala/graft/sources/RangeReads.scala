@@ -35,23 +35,32 @@ object RangeReads {
     * and return its md5 (hex). Ranges must lie within the file; a
     * short read fails loudly (readFully) rather than returning a
     * truncated chunk — the reference's bounded-GET contract.
+    *
+    * The SESSION's Hadoop conf (captured at plan time on the driver,
+    * shipped in the task closure via `SerializableConfiguration`) is
+    * what opens the file on the executor — a `new Configuration()`
+    * there would drop every session-scoped filesystem setting (S3A
+    * credentials/endpoints, HDFS nameservices, kerberos), so the open
+    * would fail or resolve the wrong FS on any cluster whose storage
+    * needs non-default conf. SourcesSpec pins the propagation with a
+    * custom key set only on the session conf and read back inside the
+    * task.
     */
   def readRanges(file: String, ranges: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(outSchema)
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      ranges.sparkSession.sessionState.newHadoopConf())
     ranges.select("range_id", "offset", "len")
       .mapPartitions { it =>
         // one handle per partition, NOT per range: open lazily so
         // empty partitions touch nothing; closed on task completion
         // (covers early termination — e.g. a LIMIT above this map —
-        // where the iterator is never exhausted). A cluster deployment
-        // passes the session's hadoopConf via SerializableConfiguration;
-        // the default Configuration resolves local and HDFS URIs alike.
+        // where the iterator is never exhausted).
         var opened: org.apache.hadoop.fs.FSDataInputStream = null
         def in = {
           if (opened == null) {
             val p = new org.apache.hadoop.fs.Path(file)
-            opened = p.getFileSystem(
-              new org.apache.hadoop.conf.Configuration()).open(p)
+            opened = p.getFileSystem(hadoopConf.value).open(p)
           }
           opened
         }

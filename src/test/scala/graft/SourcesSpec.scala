@@ -68,6 +68,35 @@ class SourcesSpec extends SparkFunSuite {
     Files.deleteIfExists(f)
   }
 
+  test("S7: range reads open files through the SESSION Hadoop conf, not a fresh default") {
+    // The cluster-credentials pin: register a filesystem scheme that
+    // exists ONLY in the session's Hadoop conf. readRanges can open a
+    // graftfs:// path only if the conf captured on the driver reaches
+    // the executor-side FileSystem.get — a task-side
+    // `new Configuration()` (the r14 bug) knows no such scheme and
+    // throws UnsupportedFileSystemException. Same mechanism that
+    // carries S3A keys/endpoints or HDFS nameservices on a real
+    // cluster.
+    val f = Files.createTempFile("range_conf", ".bin")
+    val content = "0123456789abcdef" * 8
+    Files.write(f, content.getBytes("US-ASCII"))
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    try {
+      import spark.implicits._
+      val ranges = Seq((0L, 16L, 16)).toDF("range_id", "offset", "len")
+      val got = graft.sources.RangeReads
+        .readRanges("graftfs://" + f.toString, ranges)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+      assert(got == Map(0L -> md5(content.substring(16, 32))))
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl")
+      Files.deleteIfExists(f)
+    }
+  }
+
   test("K5: nested JSON document sink round-trips through files") {
     val dir = Files.createTempDirectory("transcripts_sink").toString
     Files.writeString(Paths.get(s"$dir/BVw.json"),
@@ -87,4 +116,14 @@ class SourcesSpec extends SparkFunSuite {
     assert(pages(0).map(_.getString(1)) == Seq("a", "b"))
     assert(pages(1).map(_.getDouble(0)) == Seq(0.5))
   }
+}
+
+/** Test-only filesystem for the session-conf propagation pin: local
+  * files behind a scheme (`graftfs://`) that no default Hadoop
+  * Configuration knows — resolvable only through the conf the session
+  * captured, exactly like a production object-store binding.
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+  override def getScheme: String = "graftfs"
 }
