@@ -129,10 +129,24 @@ object EventWindows extends QueryModule {
       unix_micros(col("ts")) < maxUs - 3L * 3600L * 1000000L),
       "w3_late", t0)
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    // Publish-or-adopt: a FileSystemException here is EITHER a lost
+    // publish race (another builder landed `cached` first — adopt
+    // theirs, drop ours) or an environmental atomic-move failure
+    // (e.g. ATOMIC_MOVE across devices when java.io.tmpdir is
+    // remapped). Only the first leaves a usable artifact; swallowing
+    // the second used to return a nonexistent path and fail the drain
+    // later with a confusing missing-path error (r14 advice). So:
+    // verify the winner's artifact actually exists, fall back to a
+    // plain move when it doesn't, and stay loud if even that fails.
     try Files.move(drop, cached, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
-      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    catch { case _: java.nio.file.FileSystemException =>
+      if (Files.isDirectory(cached))
+        org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      else
+        try Files.move(drop, cached)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    }
     cached
   }
 
@@ -187,10 +201,24 @@ object EventWindows extends QueryModule {
     writeWave(ev, "w1_events", t0 - 120000)
     writeWave(sentinels, "w2_sentinels", t0 - 60000)
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    // Publish-or-adopt: a FileSystemException here is EITHER a lost
+    // publish race (another builder landed `cached` first — adopt
+    // theirs, drop ours) or an environmental atomic-move failure
+    // (e.g. ATOMIC_MOVE across devices when java.io.tmpdir is
+    // remapped). Only the first leaves a usable artifact; swallowing
+    // the second used to return a nonexistent path and fail the drain
+    // later with a confusing missing-path error (r14 advice). So:
+    // verify the winner's artifact actually exists, fall back to a
+    // plain move when it doesn't, and stay loud if even that fails.
     try Files.move(drop, cached, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
-      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    catch { case _: java.nio.file.FileSystemException =>
+      if (Files.isDirectory(cached))
+        org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      else
+        try Files.move(drop, cached)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile) }
+    }
     cached
   }
 

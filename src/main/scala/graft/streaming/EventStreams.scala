@@ -353,7 +353,23 @@ object EventStreams {
     */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete(),
-      extraConfs: Map[String, String] = Map.empty): DataFrame = {
+      extraConfs: Map[String, String] = Map.empty): DataFrame =
+    // Drains SERIALIZE on this lock: the scoped conf below mutates
+    // session-global settings around start(), and the lastDrain*
+    // observability fields are last-writer-wins — two concurrent
+    // drains on the shared session could plan with each other's
+    // scoped values or restore a stale one. All in-repo callers are
+    // single-threaded; the lock makes the contract structural instead
+    // of conventional. (A concurrent BATCH query on the same session
+    // can still observe the scoped value for the microseconds around
+    // start(); callers needing full isolation should drain on
+    // `spark.newSession()` — same SparkContext, private conf.)
+    drainLock.synchronized { drainLocked(spark, df, name, mode, extraConfs) }
+
+  private val drainLock = new Object
+
+  private def drainLocked(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode, extraConfs: Map[String, String]): DataFrame = {
     // STATE-PARTITION SIZING: a stateful micro-batch pays a FIXED
     // per-partition cost per trigger (state-store provider init, delta
     // file, commit) regardless of rows — at the session's batch-tuned
@@ -383,19 +399,28 @@ object EventStreams {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
     }
-    q.awaitTermination()
-    // Observability for the late-arrival pin (StreamingSpec): total
-    // input rows the drain's stateful operators REJECTED as late.
-    // Read before teardown — progress objects die with the query.
-    lastDrainDroppedByWatermark = q.recentProgress
-      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-    lastDrainProgressJson = q.recentProgress.map(_.json).mkString("[", ",", "]")
-    val out = spark.table(name)
-    val rows = out.collect()
-    val schema = out.schema
-    spark.catalog.dropTempView(name)
-    org.apache.spark.sql.GraftShims.unloadStateStores()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // Teardown runs in finally: a FAILED drain must still drop the
+    // memory-sink temp view (its driver-side row buffer) and unload
+    // resident state-store providers — exactly the leaks the r13
+    // hygiene fix exists to remove; an awaitTermination throw must
+    // not resurrect them (r14 advice).
+    try {
+      q.awaitTermination()
+      // Observability for the late-arrival pin (StreamingSpec): total
+      // input rows the drain's stateful operators REJECTED as late.
+      // Read before teardown — progress objects die with the query.
+      lastDrainDroppedByWatermark = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      lastDrainProgressJson = q.recentProgress.map(_.json).mkString("[", ",", "]")
+      val out = spark.table(name)
+      val rows = out.collect()
+      val schema = out.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () } // view never registered if start failed mid-flight
+      org.apache.spark.sql.GraftShims.unloadStateStores()
+    }
   }
 
   /** Watermark-dropped-row count of the most recent [[drainToMemory]]
