@@ -456,6 +456,37 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY #5b — the SAME per-user EWMA through
+    // Spark 4's transformWithState (EventStreams.userEwmaTws), the
+    // successor API to mapGroupsWithState: declared ValueState
+    // handles laid out as RocksDB virtual column families (the
+    // operator REQUIRES the RocksDB provider, so this row also
+    // exercises the production backend end-to-end). Identical fold,
+    // identical state shape, so the drained final emission per user
+    // hash-checks against the same batch ev_ewma oracle as strm_ewma
+    // — if the new engine's state plumbing dropped or reordered a
+    // row, the driver would see it. StreamingSpec additionally pins
+    // tws-vs-mapGroups drain parity and that the tws operator
+    // actually ran on RocksDB (provider metrics in the progress).
+    "strm_ewma_tws" -> ((s, dir) => {
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_ewma_tws_out_${strmRunIds.incrementAndGet()}"
+        val drained = graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.userEwmaTws(s,
+            graft.streaming.EventStreams.readEvents(s, drop.toString))
+            .toDF("user_id", "n", "ewma"),
+          out, org.apache.spark.sql.streaming.OutputMode.Update(),
+          Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")))
+        drained.groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("ewma"))).as("f"))
+          .select(col("user_id"), col("f.n").cast("int").as("n_events"),
+            col("f.ewma").as("ewma"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // Sliding 1-hour window every 30 minutes (each event lands in 2).
     "ev_sliding" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -1566,6 +1597,8 @@ object EventWindows extends QueryModule {
     // the custom-state streaming drain's final per-user emission is
     // the identical fold (see the strm_ewma query comment)
     "strm_ewma" -> ewmaSql,
+    // the transformWithState engine must reproduce the identical fold
+    "strm_ewma_tws" -> ewmaSql,
 
     "ev_anomaly" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,

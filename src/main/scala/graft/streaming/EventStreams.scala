@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.11 + §7.2 step 7).
@@ -180,6 +181,56 @@ object EventStreams {
           state.update((n0 + xs.length, e))
           (user, n0 + xs.length, e)
       }
+  }
+
+  /** [[userEwma]] ported to Spark 4's `transformWithState` — the
+    * successor API the production state engine is moving to
+    * (SPARK-46815; typed ValueState/ListState/MapState handles, TTL,
+    * timers, initial state — replacing the single-blob GroupState of
+    * mapGroupsWithState). Same fold, same state shape ((count, ewma)
+    * in one ValueState), same per-batch (us, event_id) ordering, so
+    * with in-order arrival the final emission per user is
+    * BIT-IDENTICAL to both the mapGroupsWithState twin and the batch
+    * ev_ewma sorted fold — one oracle hash-checks all three engines.
+    * transformWithState requires the RocksDB state store provider
+    * (the operator's state layout uses virtual column families);
+    * callers scope it via drainToMemory's extraConfs, which also
+    * makes every strm_ewma_tws run exercise the production backend.
+    */
+  def userEwmaTws(spark: SparkSession, events: DataFrame): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The EWMA fold as a [[StatefulProcessor]] (see [[userEwmaTws]]).
+    * State is fetched by name from the handle in `init` — the
+    * API's declared-state model (names + encoders up front is what
+    * lets the engine lay out one column family per state variable).
+    */
+  private class EwmaProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val xs = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+      val (n0, e0) = if (st.exists()) st.get() else (0L, 0.0)
+      var e = e0
+      var i = 0
+      if (n0 == 0L && xs.nonEmpty) { e = xs(0); i = 1 }
+      while (i < xs.length) { e = 0.25d * xs(i) + 0.75d * e; i += 1 }
+      st.update((n0 + xs.length, e))
+      Iterator.single((user, n0 + xs.length, e))
+    }
   }
 
   /** Streaming MERGE: drain a stream into a parquet "table" with

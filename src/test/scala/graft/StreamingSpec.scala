@@ -283,6 +283,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("transformWithState EWMA == mapGroupsWithState EWMA == batch, on RocksDB") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the successor state API must be a drop-in for the fold: same
+    // final (count, ewma) per user as both the mapGroupsWithState
+    // drain and the batch sorted fold (bit-identical doubles)
+    val got = SparkEntry.queries("strm_ewma_tws")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    // mechanism pin: transformWithState runs on the RocksDB provider
+    // (it REQUIRES it — but assert the progress shows it so a future
+    // silent fallback can't pass vacuously)
+    assert(EventStreams.lastDrainProgressJson.contains("rocksdb"),
+      "tws drain progress shows no rocksdb metrics")
+    assert(EventStreams.lastDrainProgressJson.contains("transformWithState") ||
+      EventStreams.lastDrainProgressJson.contains("TransformWithState"),
+      "drain progress does not name the transformWithState operator")
+    val batch = SparkEntry.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    assert(got == batch)
+    val mgws = SparkEntry.queries("strm_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    assert(got == mgws)
+    // the scoped provider conf must not leak into the session
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("strm_late_drop: stale wave non-empty and fully dropped by the armed late filter") {
     // the oracle alone can't prove the late filter fired — if the
     // stale wave staged empty, or the spacer batch failed to promote
