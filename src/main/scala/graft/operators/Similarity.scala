@@ -332,6 +332,31 @@ object Similarity extends QueryModule {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Quantized IVF search against a given BIGINT codebook: exact
+    * argmin-L2 assignment (min(struct) — the (d2, c_id) lexicographic
+    * min IS the tie-break, as a partial hash agg, no per-vector sort
+    * window over the n×k frame), then probes (vec_id < 8) search
+    * their bucket and rank by exact integer L2. Shared by the
+    * ann_ivf_q / ann_ivf_trained_q oracle twins.
+    */
+  private def ivfSearchQ(v: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("cd2", l2q(col("q"), col("cq")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd2"), col("c_id"), col("q"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.q").as("q"))
+    val probes = assigned.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("q").as("pq"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "c_id")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", l2q(col("q"), col("pq")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("d2"))
+  }
+
   /** Deterministic seed codebook: the `k` smallest vec_ids, RANK
     * based (TakeOrdered on the id, k rows to the driver) — a sparse
     * or non-contiguous id space still yields exactly k centroids,
@@ -515,26 +540,47 @@ object Similarity extends QueryModule {
     // |x| < 0.6 ⇒ per-element diff² ≤ 1.5e12, ×64 dims ≤ 1e14 ≪ 2⁶³.
     "ann_ivf_q" -> ((s, dir) => {
       val v = quantizedEmb(s, dir)
-      val cents = v.orderBy(col("vec_id")).limit(16)
+      ivfSearchQ(v, v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("q").as("cq")))
+    }),
+
+    // Integer-quantized TRAINED IVF twin — the full-oracle pin for
+    // the Lloyd TRAINING loop itself (ann_ivf_trained's k-means runs
+    // in floats, so only goldens could pin it; this twin runs 2 Lloyd
+    // iterations in arithmetic BOTH engines reproduce bit-for-bit and
+    // DuckDB re-executes the whole loop as unrolled CTEs). Assignment
+    // is exact BIGINT argmin-L2; the centroid update is
+    // floor(Σq[i] / count) — the sums are integer-valued doubles
+    // < 2⁵³, so the distributed partial-agg addition (VectorSum) is
+    // EXACT in any order, and floor-of-quotient is one correctly-
+    // rounded IEEE division in both engines: the updated codebook is
+    // identical integers on both sides, every round. Plan per
+    // iteration = one broadcast of the k-row codebook + one corpus
+    // hash agg (the ivfTrain shape); DuckDB's restatement pins seed,
+    // both updates (empty-centroid carry included), final bucket
+    // assignment, and the in-bucket top-5.
+    "ann_ivf_trained_q" -> ((s, dir) => {
+      val v = quantizedEmb(s, dir)
+      var cents = v.orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").as("c_id"), col("q").as("cq"))
-      // argmin via min(struct): (d2, c_id) lexicographic min IS the
-      // tie-break (closest centroid, then smallest id) as a partial
-      // hash agg — no per-vector sort window over the n×16 frame
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("cd2", l2q(col("q"), col("cq")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("cd2"), col("c_id"), col("q"))).as("best"))
-        .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.q").as("q"))
-      val probes = assigned.where(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("q").as("pq"), col("c_id"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("d2").asc, col("vec_id").asc)
-      assigned.join(broadcast(probes), "c_id")
-        .where(col("vec_id") =!= col("q_id"))
-        .withColumn("d2", l2q(col("q"), col("pq")))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"), col("d2"))
+      for (_ <- 1 to 2) {
+        val assigned = v.crossJoin(broadcast(cents))
+          .withColumn("cd2", l2q(col("q"), col("cq")))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("cd2"), col("c_id"), col("q"))).as("best"))
+          .select(col("best.c_id").as("c_id"), col("best.q").as("q"))
+        val means = assigned.groupBy(col("c_id"))
+          .agg(graft.functions.VectorSum.vec_sum(
+              transform(col("q"), _.cast("double"))).as("sum_q"),
+            count(lit(1)).as("cnt"))
+          .select(col("c_id"),
+            transform(col("sum_q"),
+              x => floor(x / col("cnt")).cast("long")).as("new_cq"))
+        cents = cents.join(means, Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("new_cq"), col("cq")).as("cq"))
+          .ckpt(true) // k-row codebook: keep iteration plans flat
+      }
+      ivfSearchQ(v, cents)
     }),
 
     // Integer-quantized PQ + ADC twin — the full-oracle pin for the
@@ -1351,6 +1397,37 @@ object Similarity extends QueryModule {
            FROM a p JOIN a d
              ON p.vec_id < 8 AND d.c_id = p.c_id AND d.vec_id <> p.vec_id) t
          WHERE rk <= 5""",
+    // the full Lloyd loop re-executed by the oracle: quantization,
+    // seed codebook, two argmin/update iterations (empty-centroid
+    // carry via LEFT JOIN + coalesce), final assignment, bucket top-5
+    "ann_ivf_trained_q" ->
+      (s"""WITH v AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              for x in embedding] AS q
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS c_id, q AS cq FROM v ORDER BY vec_id LIMIT 16),
+         ${trainedIterSql(1, 0)},
+         ${trainedIterSql(2, 1)},
+         af AS (
+           SELECT vec_id, q, c_id FROM (
+             SELECT v.vec_id, v.q, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[k]-c.cq[k])*(v.q[k]-c.cq[k])
+                              for k in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS rk
+             FROM v CROSS JOIN c2 c) t WHERE rk = 1)
+         SELECT q_id, vec_id, rk, d2 FROM (
+           SELECT p.vec_id AS q_id, d.vec_id,
+             list_reduce([(p.q[k]-d.q[k])*(p.q[k]-d.q[k])
+                          for k in range(1, len(p.q)+1)], (x,y)->x+y) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_reduce([(p.q[k]-d.q[k])*(p.q[k]-d.q[k])
+                            for k in range(1, len(p.q)+1)], (x,y)->x+y) ASC,
+               d.vec_id ASC) AS rk
+           FROM af p JOIN af d
+             ON p.vec_id < 8 AND d.c_id = p.c_id AND d.vec_id <> p.vec_id) t
+         WHERE rk <= 5"""),
     // exact-integer restatement of PQ encode + ADC scan: codes,
     // distance tables, and the ADC top-5 all re-derived by the oracle
     "ann_pq_adc_q" ->
@@ -1394,6 +1471,32 @@ object Similarity extends QueryModule {
     // identical result by construction — same brute-force oracle
     "sim_top_pairs_blocked" -> (duckCosine + topPairsSql)
   )
+
+  /** One unrolled Lloyd iteration of the `ann_ivf_trained_q` oracle:
+    * assign (a{i}) against codebook c{j}, per-(centroid, dim) update
+    * u{i} as floor(sum/count) — the same integer-valued-double
+    * arithmetic the Spark side uses — and next codebook c{i} with
+    * empty centroids carrying their previous position.
+    */
+  private def trainedIterSql(i: Int, j: Int): String =
+    s"""a$i AS (
+           SELECT vec_id, q, c_id FROM (
+             SELECT v.vec_id, v.q, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[k]-c.cq[k])*(v.q[k]-c.cq[k])
+                              for k in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS rk
+             FROM v CROSS JOIN c$j c) t WHERE rk = 1),
+         u$i AS (
+           SELECT c_id, pos,
+             CAST(floor(CAST(SUM(q[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM a$i, (SELECT unnest(range(1, 65)) AS pos) ps
+           GROUP BY c_id, pos),
+         c$i AS (
+           SELECT c.c_id, coalesce(n.cq, c.cq) AS cq
+           FROM c$j c LEFT JOIN (
+             SELECT c_id, list(cv ORDER BY pos) AS cq FROM u$i GROUP BY c_id) n
+           USING (c_id))"""
 
   private def topPairsSql: String =
     """

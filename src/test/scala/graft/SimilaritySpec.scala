@@ -373,6 +373,40 @@ class SimilaritySpec extends SparkFunSuite {
     assert(gotIvf == wantIvf,
       s"ann_ivf_q diverged: extra=${gotIvf -- wantIvf} missing=${wantIvf -- gotIvf}")
 
+    // --- trained IVF: 2 sequential Lloyd iterations, then search ---
+    def assign(cs: Seq[(Long, Array[Long])]): Map[Long, Long] =
+      emb.map { case (id, q) =>
+        id -> cs.map { case (cid, cq) => (l2(q, cq), cid) }.min._2
+      }.toMap
+    var cs: Seq[(Long, Array[Long])] = cents.toSeq
+    for (_ <- 1 to 2) {
+      val asg = assign(cs)
+      val byC = emb.groupBy { case (id, _) => asg(id) }
+      cs = cs.map { case (cid, cq) =>
+        cid -> byC.get(cid).map { members =>
+          val dim = cq.length
+          Array.tabulate(dim) { d =>
+            val sum = members.map(_._2(d).toDouble).sum
+            math.floor(sum / members.length).toLong
+          }
+        }.getOrElse(cq)
+      }
+    }
+    val asgF = assign(cs)
+    val wantTr = (for {
+      (qid, _) <- emb.filter(_._1 < 8)
+      cands = emb.filter { case (id, _) => id != qid && asgF(id) == asgF(qid) }
+      ranked = cands.map { case (id, q) => (l2(q, qmap(qid)), id) }.sorted.take(5)
+      ((d2, id), i) <- ranked.zipWithIndex
+    } yield (qid, id, i + 1, d2)).toSet
+    val gotTr = SparkEntry.queries("ann_ivf_trained_q")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotTr == wantTr,
+      s"ann_ivf_trained_q diverged: extra=${gotTr -- wantTr} missing=${wantTr -- gotTr}")
+    // training must actually move the search result on this corpus —
+    // identical output would mean the Lloyd loop silently no-opped
+    assert(gotTr != gotIvf, "trained twin returned the untrained result")
+
     // --- PQ/ADC: encode per subspace, ADC table scan ---
     def sub(q: Array[Long], m: Int): Array[Long] = q.slice(m * 8, m * 8 + 8)
     val cw = (0 until 8).map(m =>
