@@ -629,6 +629,58 @@ object Similarity extends QueryModule {
         .select(col("q_id"), col("vec_id"), col("rk"), col("adc_d2"))
     }),
 
+    // Integer-quantized IVF-PQ composition twin — the full-oracle pin
+    // for the coarse-quantizer + product-quantizer-on-RESIDUALS stack
+    // (the FAISS IVFPQ layout ann_ivf_pq implements in floats):
+    // coarse argmin-L2 assignment, residual r = q − centroid (exact
+    // BIGINT subtraction), PQ codes on residual subspaces, and the
+    // probe-side ADC scan restricted to the probe's bucket with the
+    // distance table built against the probe's OWN-bucket residual.
+    // Every stage is integer algebra DuckDB re-executes, so the
+    // composition — not just its parts — is hash-pinned. The toy
+    // codebook (16 coarse / 16 PQ codes over 500 vectors) makes ADC
+    // ties at distance 0 common; the (adc, vec_id) tie-break keeps
+    // the result total-ordered, which is exactly why the twin can be
+    // an oracle row while the float original cannot.
+    "ann_ivf_pq_q" -> ((s, dir) => {
+      val v = quantizedEmb(s, dir)
+      val coarse = v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("q").as("cq"))
+      val a = v.crossJoin(broadcast(coarse))
+        .withColumn("cd2", l2q(col("q"), col("cq")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("cd2"), col("c_id"), col("q"), col("cq"))).as("best"))
+        .select(col("vec_id"), col("best.c_id").as("c_id"),
+          zip_with(col("best.q"), col("best.cq"), (x, y) => x - y).as("res"))
+      val sub = a.select(col("vec_id"), col("c_id"), col("res"),
+          explode(sequence(lit(0), lit(7))).as("m"))
+        .select(col("vec_id"), col("c_id"), col("m"),
+          slice(col("res"), col("m") * 8 + 1, lit(8)).as("s"))
+      val wCode = Window.partitionBy(col("m")).orderBy(col("vec_id"))
+      val seedIds = v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("seed_id"))
+      val cb = sub.join(broadcast(seedIds), col("vec_id") === col("seed_id"))
+        .withColumn("code", row_number().over(wCode) - 1)
+        .select(col("m"), col("code"), col("s").as("cw"))
+      val enc = sub.join(broadcast(cb), "m")
+        .withColumn("cd2", l2q(col("s"), col("cw")))
+        .groupBy(col("vec_id"), col("c_id"), col("m"))
+        .agg(min(struct(col("cd2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("c_id"), col("m"), col("best.code").as("code"))
+      val dt = sub.where(col("vec_id") < 8).join(broadcast(cb), "m")
+        .select(col("vec_id").as("q_id"), col("c_id"), col("m"), col("code"),
+          l2q(col("s"), col("cw")).as("d"))
+      val adc = enc.join(broadcast(dt), Seq("c_id", "m", "code"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_d2"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_d2").asc, col("vec_id").asc)
+      adc.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"), col("adc_d2"))
+    }),
+
     // IVF with a TRAINED codebook: 3 Lloyd iterations of spherical
     // k-means run as DataFrame ops — assignment is a broadcast
     // argmax-cosine (the data side never moves), the centroid update
@@ -1428,6 +1480,56 @@ object Similarity extends QueryModule {
            FROM af p JOIN af d
              ON p.vec_id < 8 AND d.c_id = p.c_id AND d.vec_id <> p.vec_id) t
          WHERE rk <= 5"""),
+    // the IVFPQ composition re-executed by the oracle: coarse
+    // assignment, exact residuals, residual PQ codes, own-bucket ADC
+    "ann_ivf_pq_q" ->
+      """WITH v AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              for x in embedding] AS q
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, q AS cq FROM v ORDER BY vec_id LIMIT 16),
+         a AS (
+           SELECT vec_id, c_id,
+             [q[k] - cq[k] for k in range(1, len(q)+1)] AS res
+           FROM (
+             SELECT v.vec_id, v.q, c.c_id, c.cq,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[k]-c.cq[k])*(v.q[k]-c.cq[k])
+                              for k in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS rk
+             FROM v CROSS JOIN c c) t WHERE rk = 1),
+         ms AS (SELECT unnest(range(0, 8)) AS m),
+         sub AS (SELECT vec_id, c_id, m, res[(m*8+1):(m*8+8)] AS s
+                 FROM a CROSS JOIN ms),
+         cb AS (
+           SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+             s AS cw
+           FROM sub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+         enc AS (
+           SELECT vec_id, c_id, m, code FROM (
+             SELECT sub.vec_id, sub.c_id, sub.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                 ORDER BY list_reduce([(sub.s[i]-cb.cw[i])*(sub.s[i]-cb.cw[i])
+                                       for i in range(1, 9)], (x,y)->x+y) ASC,
+                          cb.code ASC) AS rk
+             FROM sub JOIN cb USING (m)) t WHERE rk = 1),
+         dt AS (
+           SELECT sub.vec_id AS q_id, sub.c_id, sub.m, cb.code,
+             list_reduce([(sub.s[i]-cb.cw[i])*(sub.s[i]-cb.cw[i])
+                          for i in range(1, 9)], (x,y)->x+y) AS d
+           FROM sub JOIN cb USING (m) WHERE sub.vec_id < 8),
+         adc AS (
+           SELECT dt.q_id, enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_d2
+           FROM enc JOIN dt
+             ON enc.m = dt.m AND enc.code = dt.code AND enc.c_id = dt.c_id
+           WHERE enc.vec_id <> dt.q_id
+           GROUP BY 1, 2)
+         SELECT q_id, vec_id, rk, adc_d2 FROM (
+           SELECT q_id, vec_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+           FROM adc) t WHERE rk <= 5""",
     // exact-integer restatement of PQ encode + ADC scan: codes,
     // distance tables, and the ADC top-5 all re-derived by the oracle
     "ann_pq_adc_q" ->

@@ -428,6 +428,32 @@ class SimilaritySpec extends SparkFunSuite {
     assert(gotAdc == wantAdc,
       s"ann_pq_adc_q diverged: extra=${gotAdc -- wantAdc} missing=${wantAdc -- gotAdc}")
 
+    // --- IVF-PQ: residuals vs coarse centroid, own-bucket ADC ---
+    val cmap = cents.toMap
+    val resMap = emb.map { case (id, q) =>
+      val cq = cmap(bucket(id))
+      id -> q.indices.map(i => q(i) - cq(i)).toArray
+    }.toMap
+    def rsub(id: Long, m: Int): Array[Long] = resMap(id).slice(m * 8, m * 8 + 8)
+    val rcw = (0 until 8).map(m =>
+      m -> cents.zipWithIndex.map { case ((sid, _), code) => code -> rsub(sid, m) }).toMap
+    val rcodes = emb.map { case (id, _) =>
+      id -> (0 until 8).map(m =>
+        rcw(m).map { case (code, w) => (l2(rsub(id, m), w), code) }.min._2).toArray
+    }.toMap
+    val wantIvfPq = (for {
+      (qid, _) <- emb.filter(_._1 < 8)
+      dtq = (0 until 8).map(m => rcw(m).map { case (code, w) =>
+        code -> l2(rsub(qid, m), w) }.toMap)
+      cands = emb.filter { case (id, _) => id != qid && bucket(id) == bucket(qid) }
+        .map { case (id, _) => ((0 until 8).map(m => dtq(m)(rcodes(id)(m))).sum, id) }
+      ((d, id), i) <- cands.sorted.take(5).zipWithIndex
+    } yield (qid, id, i + 1, d)).toSet
+    val gotIvfPq = SparkEntry.queries("ann_ivf_pq_q")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotIvfPq == wantIvfPq,
+      s"ann_ivf_pq_q diverged: extra=${gotIvfPq -- wantIvfPq} missing=${wantIvfPq -- gotIvfPq}")
+
     // Mechanism pin: the quantized buckets carry real geometry — the
     // IVF twin's neighbors overlap the float-cosine brute-force
     // top-5 (they are different metrics, but on this corpus a bucket
