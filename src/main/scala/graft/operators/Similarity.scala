@@ -339,14 +339,25 @@ object Similarity extends QueryModule {
     * their bucket and rank by exact integer L2. Shared by the
     * ann_ivf_q / ann_ivf_trained_q oracle twins.
     */
-  private def ivfSearchQ(v: DataFrame, cents: DataFrame): DataFrame = {
+  private def ivfSearchQ(v: DataFrame, cents: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val assigned = v.crossJoin(broadcast(cents))
       .withColumn("cd2", l2q(col("q"), col("cq")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("cd2"), col("c_id"), col("q"))).as("best"))
       .select(col("vec_id"), col("best.c_id").as("c_id"), col("best.q").as("q"))
-    val probes = assigned.where(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("q").as("pq"), col("c_id"))
+    val probes0 = v.where(col("vec_id") < 8)
+    // nprobe > 1: the probe side (tiny) ranks its centroids and
+    // searches its nprobe nearest buckets; each corpus vector still
+    // lives in exactly one bucket, so no result duplicates
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("pd2").asc, col("c_id").asc)
+    val probes = probes0.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("q").as("pq"), col("c_id"),
+        l2q(col("q"), col("cq")).as("pd2"))
+      .withColumn("prk", row_number().over(wp))
+      .where(col("prk") <= nprobe)
+      .select(col("q_id"), col("pq"), col("c_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("vec_id").asc)
     assigned.join(broadcast(probes), "c_id")
@@ -542,6 +553,20 @@ object Similarity extends QueryModule {
       val v = quantizedEmb(s, dir)
       ivfSearchQ(v, v.orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").as("c_id"), col("q").as("cq")))
+    }),
+
+    // Integer-quantized MULTIPROBE twin — the recall/latency knob of
+    // the IVF family as a full oracle row: probes rank all k
+    // centroids by exact integer L2 and search their 4 nearest
+    // buckets (per-query work = nprobe/k of the corpus, still never
+    // all of it; corpus vectors live in exactly one bucket so the
+    // union has no duplicates). DuckDB re-executes the probe ranking
+    // and the widened bucket scan, hash-pinning exactly where recall
+    // comes from as nprobe grows.
+    "ann_ivf_mp_q" -> ((s, dir) => {
+      val v = quantizedEmb(s, dir)
+      ivfSearchQ(v, v.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("q").as("cq")), nprobe = 4)
     }),
 
     // Integer-quantized TRAINED IVF twin — the full-oracle pin for
@@ -1448,6 +1473,40 @@ object Similarity extends QueryModule {
                d.vec_id ASC) AS rk
            FROM a p JOIN a d
              ON p.vec_id < 8 AND d.c_id = p.c_id AND d.vec_id <> p.vec_id) t
+         WHERE rk <= 5""",
+    // probe-side centroid ranking + 4-bucket union re-executed
+    "ann_ivf_mp_q" ->
+      """WITH v AS (
+           SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              for x in embedding] AS q
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, q AS cq FROM v ORDER BY vec_id LIMIT 16),
+         a AS (
+           SELECT vec_id, q, c_id FROM (
+             SELECT v.vec_id, v.q, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[k]-c.cq[k])*(v.q[k]-c.cq[k])
+                              for k in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS rk
+             FROM v CROSS JOIN c) t WHERE rk = 1),
+         p AS (
+           SELECT q_id, pq, c_id FROM (
+             SELECT v.vec_id AS q_id, v.q AS pq, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce([(v.q[k]-c.cq[k])*(v.q[k]-c.cq[k])
+                              for k in range(1, len(v.q)+1)], (x,y)->x+y) ASC,
+                 c.c_id ASC) AS prk
+             FROM v CROSS JOIN c WHERE v.vec_id < 8) t WHERE prk <= 4)
+         SELECT q_id, vec_id, rk, d2 FROM (
+           SELECT p.q_id, d.vec_id,
+             list_reduce([(p.pq[k]-d.q[k])*(p.pq[k]-d.q[k])
+                          for k in range(1, len(p.pq)+1)], (x,y)->x+y) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+               list_reduce([(p.pq[k]-d.q[k])*(p.pq[k]-d.q[k])
+                            for k in range(1, len(p.pq)+1)], (x,y)->x+y) ASC,
+               d.vec_id ASC) AS rk
+           FROM p JOIN a d ON d.c_id = p.c_id AND d.vec_id <> p.q_id) t
          WHERE rk <= 5""",
     // the full Lloyd loop re-executed by the oracle: quantization,
     // seed codebook, two argmin/update iterations (empty-centroid

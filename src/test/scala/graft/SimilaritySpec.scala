@@ -373,6 +373,27 @@ class SimilaritySpec extends SparkFunSuite {
     assert(gotIvf == wantIvf,
       s"ann_ivf_q diverged: extra=${gotIvf -- wantIvf} missing=${wantIvf -- gotIvf}")
 
+    // --- multiprobe IVF: 4-bucket union per probe ---
+    val wantMp = (for {
+      (qid, qv) <- emb.filter(_._1 < 8)
+      buckets = cents.map { case (cid, cq) => (l2(qv, cq), cid) }
+        .sorted.take(4).map(_._2).toSet
+      cands = emb.filter { case (id, _) => id != qid && buckets(bucket(id)) }
+      ranked = cands.map { case (id, q) => (l2(q, qv), id) }.sorted.take(5)
+      ((d2, id), i) <- ranked.zipWithIndex
+    } yield (qid, id, i + 1, d2)).toSet
+    val gotMp = SparkEntry.queries("ann_ivf_mp_q")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(gotMp == wantMp,
+      s"ann_ivf_mp_q diverged: extra=${gotMp -- wantMp} missing=${wantMp -- gotMp}")
+    // widening candidates can only improve the top-5: per probe, the
+    // multiprobe worst kept distance never exceeds single-probe's
+    val worst = (s: Set[(Long, Long, Int, Long)]) =>
+      s.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val (wMp, wIvf) = (worst(gotMp), worst(gotIvf))
+    wIvf.foreach { case (q, d) => assert(wMp(q) <= d,
+      s"probe $q: multiprobe worst ${wMp(q)} > single-probe worst $d") }
+
     // --- trained IVF: 2 sequential Lloyd iterations, then search ---
     def assign(cs: Seq[(Long, Array[Long])]): Map[Long, Long] =
       emb.map { case (id, q) =>
