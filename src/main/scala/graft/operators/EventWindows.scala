@@ -391,6 +391,40 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY #4b — SESSIONS through transformWithState
+    // EVENT-TIME TIMERS (EventStreams.userSessionsTws): emission is
+    // driven by registerTimer/handleExpiredTimer on watermark passage
+    // — the push-based half of the new state API that strm_ewma_tws's
+    // input-driven fold doesn't touch — with a ListState holding
+    // supersession-closed sessions until their timer. Sessions only
+    // leave state when the watermark passes last+gap, so the
+    // sentinel-wave fixture (stageOuterJoin: every real session's
+    // close lies below the final watermark; the sentinels' own
+    // sessions never ripen and are filtered by user_id) makes the
+    // Append drain equal the batch gaps-and-islands result EXACTLY —
+    // the same sessionSql oracle hash-checks timer registration,
+    // firing, and state eviction end-to-end. Runs on RocksDB (the
+    // operator requires it). Money folds in exact integer cents; the
+    // /100.0 at the edge reproduces the decimal-sum→double cast
+    // bit-for-bit.
+    "strm_session_timers" -> ((s, dir) => {
+      val drop = stageOuterJoin(s, dir)
+      val out = s"strm_session_timers_out_${strmRunIds.incrementAndGet()}"
+      graft.streaming.EventStreams.drainToMemory(s,
+        graft.streaming.EventStreams.userSessionsTws(s,
+          graft.streaming.EventStreams.readEventsPaced(s, drop.toString, Some(1)))
+          .toDF("user_id", "start_us", "n_events", "cents"),
+        out, org.apache.spark.sql.streaming.OutputMode.Append(),
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")))
+        .where(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), (col("cents") / 100.0).as("total_value"))
+    }),
+
     // STREAMING CATALOG ENTRY #6 — WATERMARK LATE-DATA DROP,
     // driver-enforced: the one streaming semantic the other strm_*
     // rows don't pin (Complete-mode drains retain all state, eager
@@ -1313,6 +1347,8 @@ object EventWindows extends QueryModule {
     // session interval is half-open [start, last+gap), so an event at
     // exactly last+gap starts a NEW session → new_session on diff >= gap.
     "ev_session" -> sessionSql,
+    // timer-driven eviction must reproduce the batch islands exactly
+    "strm_session_timers" -> sessionSql,
     // the streaming Complete-mode drain emits the identical full
     // session state (see the strm_session query comment)
     "strm_session" -> sessionSql,

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.11 + §7.2 step 7).
@@ -230,6 +231,95 @@ object EventStreams {
       while (i < xs.length) { e = 0.25d * xs(i) + 0.75d * e; i += 1 }
       st.update((n0 + xs.length, e))
       Iterator.single((user, n0 + xs.length, e))
+    }
+  }
+
+  /** Per-user 30-minute-gap SESSIONS through `transformWithState`
+    * EVENT-TIME TIMERS — the API surface [[userEwmaTws]] doesn't
+    * touch: `registerTimer` + `handleExpiredTimer` (emission driven
+    * by watermark passage, not input arrival) and a second state
+    * variable (`ListState` of supersession-closed sessions awaiting
+    * their timer). Semantics match the batch gaps-and-islands
+    * sessionization exactly: events < 30 min apart merge; a session
+    * emits once the watermark passes last + gap — open sessions (the
+    * withheld tail) are emitted only when later data advances the
+    * watermark far enough, which is what the sentinel fixture
+    * provides in the catalog row. Money folds in exact integer CENTS
+    * (each value rounded HALF_UP to 2 dp exactly as Spark's
+    * double→decimal(18,2) cast does), so the emitted totals equal the
+    * batch decimal sums bit-for-bit after the /100 at the edge.
+    * Timer expiry is floor'd to ms (the timer API's resolution); a
+    * timer can thus fire ≤ 1 ms before the exact micro-second close,
+    * which can never mis-group a drain (all admissible rows are
+    * already folded before any timer fires) and in a live stream
+    * would only delay a boundary row to its own next session — the
+    * documented trade of a ms-resolution timer service.
+    */
+  def userSessionsTws(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The session fold + timer emission (see [[userSessionsTws]]).
+    * Output rows are (user_id, start_us, n_events, cents).
+    */
+  private class SessionTimerProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), (Long, Long, Long, Long)] {
+    private val gapUs = 30L * 60L * 1000000L
+    @transient private var cur: ValueState[(Long, Long, Long, Long)] = _
+    @transient private var closed: ListState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)]
+      cur = getHandle.getValueState("cur", enc, TTLConfig.NONE)
+      closed = getHandle.getListState("closed", enc, TTLConfig.NONE)
+    }
+
+    private def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val xs = rows.toArray.sortBy(r => (r._2, r._3))
+      var c = if (cur.exists()) cur.get() else null
+      xs.foreach { case (_, us, _, v) =>
+        if (c == null) c = (us, us, 1L, cents(v))
+        else if (us - c._2 < gapUs) c = (c._1, us, c._3 + 1L, c._4 + cents(v))
+        else { closed.appendValue(c); c = (us, us, 1L, cents(v)) }
+      }
+      if (c != null) {
+        cur.update(c)
+        getHandle.registerTimer(c._2 / 1000L + gapUs / 1000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val ripe = Vector.newBuilder[(Long, Long, Long, Long)]
+      if (closed.exists()) {
+        closed.get().foreach(s => ripe += ((user, s._1, s._3, s._4)))
+        closed.clear()
+      }
+      if (cur.exists()) {
+        val c = cur.get()
+        if (timerValues.getCurrentWatermarkInMs() >= c._2 / 1000L + gapUs / 1000L) {
+          ripe += ((user, c._1, c._3, c._4))
+          cur.clear()
+        }
+      }
+      ripe.result().iterator
     }
   }
 

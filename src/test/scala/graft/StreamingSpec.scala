@@ -309,6 +309,36 @@ class StreamingSpec extends SparkFunSuite {
       .exists(_.contains("RocksDB")))
   }
 
+  test("timer-driven sessions equal batch islands; without sentinels the tail is withheld") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the catalog row: full parity with the batch sessionization.
+    // Every output row here was emitted by handleExpiredTimer —
+    // handleInputRows returns Iterator.empty by construction — so a
+    // non-empty equal result proves timers registered, fired on
+    // watermark passage, and evicted state exactly once per session.
+    val got = SparkEntry.queries("strm_session_timers")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val want = SparkEntry.queries("ev_session")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // negative control: WITHOUT the sentinel wave the watermark ends
+    // 1 h below max(ts), so sessions closing in that last hour have
+    // unexpired timers and must be WITHHELD — if this drain also
+    // equaled the batch result, the sentinel machinery (and the
+    // timer gating it exists to prove) would be vacuous
+    val bare = EventStreams.drainToMemory(spark,
+      EventStreams.userSessionsTws(spark,
+        EventStreams.readEvents(spark, eventsDir))
+        .toDF("user_id", "start_us", "n_events", "cents"),
+      "sess_tws_bare", OutputMode.Append(),
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")))
+    assert(bare.count() < want.size,
+      "bare drain emitted every session — watermark gating is not real")
+  }
+
   test("strm_late_drop: stale wave non-empty and fully dropped by the armed late filter") {
     // the oracle alone can't prove the late filter fired — if the
     // stale wave staged empty, or the spacer batch failed to promote
