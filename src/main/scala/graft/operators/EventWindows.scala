@@ -425,6 +425,30 @@ object EventWindows extends QueryModule {
           col("n_events"), (col("cents") / 100.0).as("total_value"))
     }),
 
+    // STREAMING CATALOG ENTRY #5c — MAP state through
+    // transformWithState (EventStreams.userTypeCountsTws): per-user
+    // MapState[event_type → count], point-read/point-write per type
+    // per batch — the composite-key state shape the new API adds over
+    // GroupState's single blob. The drained final emission per
+    // (user, type) is the complete tally, so a plain GROUP BY oracle
+    // hash-checks the MapState read/modify/write path every round.
+    "strm_type_counts_tws" -> ((s, dir) => {
+      val drop = stageEventsDrop(dir)
+      try {
+        val out = s"strm_tcnt_out_${strmRunIds.incrementAndGet()}"
+        val drained = graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.userTypeCountsTws(s,
+            graft.streaming.EventStreams.readEvents(s, drop.toString))
+            .toDF("user_id", "event_type", "n"),
+          out, org.apache.spark.sql.streaming.OutputMode.Update(),
+          Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")))
+        drained.groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("n")).as("n_events"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // STREAMING CATALOG ENTRY #6 — WATERMARK LATE-DATA DROP,
     // driver-enforced: the one streaming semantic the other strm_*
     // rows don't pin (Complete-mode drains retain all state, eager
@@ -1349,6 +1373,10 @@ object EventWindows extends QueryModule {
     "ev_session" -> sessionSql,
     // timer-driven eviction must reproduce the batch islands exactly
     "strm_session_timers" -> sessionSql,
+    // the MapState tally's final emissions are plain per-key counts
+    "strm_type_counts_tws" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2""",
     // the streaming Complete-mode drain emits the identical full
     // session state (see the strm_session query comment)
     "strm_session" -> sessionSql,

@@ -323,6 +323,52 @@ object EventStreams {
     }
   }
 
+  /** Per-user per-event-type running counts through
+    * `transformWithState` MAP state — the third state shape of the
+    * new API ([[userEwmaTws]] covers ValueState,
+    * [[userSessionsTws]] ListState + timers): one `MapState[String,
+    * Long]` per user, keyed by event type, each micro-batch bumping
+    * only the types it saw (point lookups + point writes against the
+    * state store's composite key — the access pattern MapState exists
+    * for; a ValueState holding a whole Map would rewrite every type
+    * on any update). Emits the user's updated (type, count) pairs per
+    * batch; the drain's final emission per (user, type) — max count —
+    * is the complete tally, hash-checked against a plain batch
+    * GROUP BY oracle.
+    */
+  def userTypeCountsTws(spark: SparkSession,
+      events: DataFrame): Dataset[(Long, String, Long)] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** MapState tally (see [[userTypeCountsTws]]). */
+  private class TypeCountsProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { case (m, (_, t)) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      batch.toSeq.sortBy(_._1).map { case (t, d) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, n)
+        (user, t, n)
+      }.iterator
+    }
+  }
+
   /** Streaming MERGE: drain a stream into a parquet "table" with
     * idempotent upsert-update semantics per micro-batch (foreachBatch
     * + [[graft.sinks.Merge.upsertUpdate]] — the reference's ON

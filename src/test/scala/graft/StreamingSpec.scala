@@ -339,6 +339,58 @@ class StreamingSpec extends SparkFunSuite {
       "bare drain emitted every session — watermark gating is not real")
   }
 
+  test("MapState tally carries across micro-batches and equals batch GROUP BY") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // split events into two waves with staggered mtimes, paced one
+    // file per micro-batch, so the SAME user hits the MapState in two
+    // separate batches — the final count is right only if the second
+    // batch's point-read saw the first batch's point-write
+    val ev = Tables.load(spark, sfDir, "events")
+    val drop = Files.createTempDirectory("tcnt_waves")
+    val stage = Files.createTempDirectory("tcnt_stage")
+    def wave(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
+      val part = Files.list(Paths.get(s"$stage/$name")).iterator()
+      var p: java.nio.file.Path = null
+      while (part.hasNext) { val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f }
+      Files.copy(p, drop.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(drop.resolve(s"$name.parquet"),
+        FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    wave(ev.where(col("event_id") % 2 === 0), "w1", t0 - 60000)
+    wave(ev.where(col("event_id") % 2 =!= 0), "w2", t0)
+    try {
+      val drained = EventStreams.drainToMemory(spark,
+        EventStreams.userTypeCountsTws(spark,
+          EventStreams.readEventsPaced(spark, drop.toString, Some(1)))
+          .toDF("user_id", "event_type", "n"),
+        "tcnt_waves_out", OutputMode.Update(),
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")))
+      val got = drained.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = ev.groupBy(col("user_id"), col("event_type")).count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want)
+      // the carry was real: at least one (user, type) got rows in
+      // BOTH waves (guaranteed by the parity split on this corpus),
+      // and its drained emissions show a strictly increasing tally
+      val twoBatch = drained.groupBy(col("user_id"), col("event_type"))
+        .agg(countDistinct(col("n")).as("emissions"))
+        .where(col("emissions") >= 2).count()
+      assert(twoBatch > 0, "no key was updated in two separate micro-batches")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    }
+  }
+
   test("strm_late_drop: stale wave non-empty and fully dropped by the armed late filter") {
     // the oracle alone can't prove the late filter fired — if the
     // stale wave staged empty, or the spacer batch failed to promote
