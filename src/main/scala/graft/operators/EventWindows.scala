@@ -425,6 +425,59 @@ object EventWindows extends QueryModule {
           col("n_events"), (col("cents") / 100.0).as("total_value"))
     }),
 
+    // STREAMING CATALOG ENTRY #5d — BATCH-BOOTSTRAPPED state through
+    // StatefulProcessorWithInitialState (EventStreams.
+    // userEwmaBootstrap): the warm-start migration pattern — per-user
+    // (count, ewma) folded ONCE in batch over the historical 80% of
+    // the timeline (deterministic integer cutoff at min + 4/5 of the
+    // span), handed to the stream via handleInitialState, and the
+    // stream processes ONLY the tail 20%. History is a strict
+    // event-time prefix per user, so batch-fold ∘ stream-fold is
+    // exactly the full-sequence fold and the SAME ev_ewma oracle
+    // hash-checks the composition — seeding, carry, and continuation.
+    // Users whose events all predate the cutoff never enter the
+    // stream; their rows come from the initial state itself (the
+    // union below; max-by-count picks the later of seed/emission).
+    "strm_ewma_bootstrap" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).collect()(0)
+      val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 4L / 5L
+      val hist = ev.where(unix_micros(col("ts")) <= cutoff)
+      val tailEv = ev.where(unix_micros(col("ts")) > cutoff)
+      // initial state = the batch ev_ewma fold, restricted to history
+      val init = hist.select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("value")))).as("a"))
+        .select(col("user_id"), size(col("a")).cast("long").as("n"),
+          expr("""aggregate(slice(a, 2, size(a) - 1),
+                            element_at(a, 1).value,
+                            (s, x) -> 0.25D * x.value + 0.75D * s)""")
+            .as("ewma"))
+      val drop = java.nio.file.Files.createTempDirectory("ewma_boot")
+      try {
+        tailEv.write.mode("overwrite").parquet(s"$drop/tail")
+        import s.implicits._
+        val out = s"strm_ewma_boot_out_${strmRunIds.incrementAndGet()}"
+        val drained = graft.streaming.EventStreams.drainToMemory(s,
+          graft.streaming.EventStreams.userEwmaBootstrap(s,
+            graft.streaming.EventStreams.readEvents(s, s"$drop/tail"),
+            init.as[(Long, Long, Double)])
+            .toDF("user_id", "n", "ewma"),
+          out, org.apache.spark.sql.streaming.OutputMode.Update(),
+          Map("spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")))
+        drained.unionByName(init.toDF("user_id", "n", "ewma"))
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("ewma"))).as("f"))
+          .select(col("user_id"), col("f.n").cast("int").as("n_events"),
+            col("f.ewma").as("ewma"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+    }),
+
     // STREAMING CATALOG ENTRY #5c — MAP state through
     // transformWithState (EventStreams.userTypeCountsTws): per-user
     // MapState[event_type → count], point-read/point-write per type
@@ -1663,6 +1716,9 @@ object EventWindows extends QueryModule {
     "strm_ewma" -> ewmaSql,
     // the transformWithState engine must reproduce the identical fold
     "strm_ewma_tws" -> ewmaSql,
+    // batch-fold ∘ stream-fold over a time-prefix split composes to
+    // the full-sequence fold — same oracle as every EWMA engine
+    "strm_ewma_bootstrap" -> ewmaSql,
 
     "ev_anomaly" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,

@@ -207,6 +207,23 @@ object EventStreams {
       .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** The EWMA fold shared by [[EwmaProcessor]] and
+    * [[EwmaBootstrapProcessor]]: sort the batch's rows in (us,
+    * event_id) order, continue the carried (count, ewma), emit the
+    * updated running pair.
+    */
+  private def foldEwma(user: Long, st: ValueState[(Long, Double)],
+      rows: Iterator[(Long, Long, Long, Double)]): Iterator[(Long, Long, Double)] = {
+    val xs = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4)
+    val (n0, e0) = if (st.exists()) st.get() else (0L, 0.0)
+    var e = e0
+    var i = 0
+    if (n0 == 0L && xs.nonEmpty) { e = xs(0); i = 1 }
+    while (i < xs.length) { e = 0.25d * xs(i) + 0.75d * e; i += 1 }
+    st.update((n0 + xs.length, e))
+    Iterator.single((user, n0 + xs.length, e))
+  }
+
   /** The EWMA fold as a [[StatefulProcessor]] (see [[userEwmaTws]]).
     * State is fetched by name from the handle in `init` — the
     * API's declared-state model (names + encoders up front is what
@@ -222,16 +239,52 @@ object EventStreams {
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, Long, Double)],
-        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
-      val xs = rows.toArray.sortBy(r => (r._2, r._3)).map(_._4)
-      val (n0, e0) = if (st.exists()) st.get() else (0L, 0.0)
-      var e = e0
-      var i = 0
-      if (n0 == 0L && xs.nonEmpty) { e = xs(0); i = 1 }
-      while (i < xs.length) { e = 0.25d * xs(i) + 0.75d * e; i += 1 }
-      st.update((n0 + xs.length, e))
-      Iterator.single((user, n0 + xs.length, e))
-    }
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] =
+      foldEwma(user, st, rows)
+  }
+
+  /** [[userEwmaTws]] with BATCH-BOOTSTRAPPED state
+    * (`StatefulProcessorWithInitialState`, the last variant of the
+    * new API): per-user (count, ewma) seeded from a batch fold over
+    * the historical prefix via `handleInitialState`, then the stream
+    * continues the fold over the tail only — the warm-start pattern
+    * a production migration actually runs (fold history once in
+    * batch, stream increments forever after) instead of replaying
+    * the whole corpus through the stream. Because the history is a
+    * strict event-time prefix per user, batch-fold-then-stream-fold
+    * composes to exactly the full-sequence fold, so the catalog row
+    * hash-checks against the SAME ev_ewma oracle as the other two
+    * streaming engines.
+    */
+  def userEwmaBootstrap(spark: SparkSession, tail: DataFrame,
+      init: Dataset[(Long, Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    tail.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaBootstrapProcessor, TimeMode.None(),
+        OutputMode.Update(), init.groupByKey(_._1))
+  }
+
+  /** Warm-started EWMA fold (see [[userEwmaBootstrap]]). */
+  private class EwmaBootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long, Long, Double), (Long, Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, s0: (Long, Long, Double),
+        timerValues: TimerValues): Unit =
+      st.update((s0._2, s0._3))
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] =
+      foldEwma(user, st, rows)
   }
 
   /** Per-user 30-minute-gap SESSIONS through `transformWithState`

@@ -391,6 +391,38 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("bootstrap EWMA seeds from batch state and streams only the tail") {
+    // the catalog row equals the batch fold (same oracle as every
+    // EWMA engine) — and the split is REAL: the streamed side must
+    // cover exactly the users with tail events (a strict subset), so
+    // cross-cutoff users' correct finals prove handleInitialState
+    // actually seeded the carried (count, ewma)
+    val got = SparkEntry.queries("strm_ewma_bootstrap")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    val want = SparkEntry.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getDouble(2)))).toMap
+    assert(got == want)
+    val ev = Tables.load(spark, sfDir, "events")
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 4L / 5L
+    val histUsers = ev.where(unix_micros(col("ts")) <= cutoff)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val tailUsers = ev.where(unix_micros(col("ts")) > cutoff)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val spanning = histUsers.intersect(tailUsers)
+    // the fixture must exercise both paths: users the stream never
+    // sees (history-only — their rows come from the seed union) and
+    // users whose seeded state the stream CONTINUES
+    assert(spanning.nonEmpty, "no user spans the cutoff — seeding unexercised")
+    val histCounts = ev.where(unix_micros(col("ts")) <= cutoff)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spanning.foreach { u =>
+      assert(got(u)._1 > histCounts(u),
+        s"user $u: final count ${got(u)._1} not beyond seeded ${histCounts(u)}")
+    }
+  }
+
   test("strm_late_drop: stale wave non-empty and fully dropped by the armed late filter") {
     // the oracle alone can't prove the late filter fired — if the
     // stale wave staged empty, or the spacer batch failed to promote
