@@ -418,6 +418,62 @@ object Graph extends QueryModule {
       hops.toSeq.toDF("hop", "n_nodes")
     }),
 
+    // BOUNDED WEIGHTED SHORTEST PATHS (min-plus relaxation — the
+    // Bellman-Ford round, the other iterative semiring beside g2's
+    // sum-product): edge length = 1,000,000 div w in exact integer
+    // units (stronger co-occurrence = shorter distance), 3 relaxation
+    // rounds from the Brand#1 seed set, dist'(v) = min(dist(v),
+    // min_{(u,v)∈E} dist(u) + cost(u,v)). Everything is BIGINT
+    // min-plus algebra, so the WHOLE iteration unrolls into the
+    // DuckDB oracle (the g2_pagerank_bounded convention) and the
+    // driver hash-checks the relaxation engine end-to-end — seeds,
+    // three rounds, tie-broken 20 nearest non-seed nodes. Plan per
+    // round: edges (hash-partitioned by src ONCE, checkpointed) join
+    // the broadcast ball-bounded distance frame + one hash agg min —
+    // zero corpus shuffles per round, the coreness/pageRank
+    // discipline; PlanLint class rules apply (|dist| ≤ |nodes|). A
+    // bounded round budget is the production lever on huge graphs:
+    // the k-hop neighborhood's distances are EXACT (any ≤k-edge path
+    // is relaxed), and k rounds of one-scan-plus-broadcast is the
+    // shape that survives a 100 TB edge table.
+    "g10_sssp_bounded" -> ((s, dir) => {
+      import s.implicits._
+      val weighted = cooccurrenceEdges(s, dir)
+        .where(col("w") >= minEdgeWeight)
+        .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
+      val edgesCk = weighted.select(col("u").as("src"), col("v").as("dst"), col("cost"))
+        .union(weighted.select(col("v").as("src"), col("u").as("dst"), col("cost")))
+        .repartition(col("src")).ckpt(false)
+      val edges = org.apache.spark.sql.GraftShims.rebase(edgesCk)
+      val seeds = Tables.load(s, dir, "part")
+        .where(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("node"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val small = nodes.count() <= maxBroadcastNodes
+      def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      var dist = nodes.join(seeds, "node")
+        .select(col("node"), lit(0L).as("dist")).ckpt(false)
+      dist.count()
+      for (_ <- 1 to 3) {
+        val d0 = org.apache.spark.sql.GraftShims.rebase(dist)
+        val relaxed = edges
+          .join(hint(d0.select(col("node").as("src"), col("dist").as("d"))), "src")
+          .select(col("dst").as("node"), (col("d") + col("cost")).as("dist"))
+          .unionByName(d0)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .ckpt(false)
+        relaxed.count()
+        Dedup.releaseCheckpoints(dist)
+        dist = relaxed
+      }
+      val top = dist.where(col("dist") > 0)
+        .orderBy(col("dist").asc, col("node").asc).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Dedup.releaseCheckpoints(dist)
+      Dedup.releaseCheckpoints(edgesCk)
+      top.toDF("node", "dist")
+    }),
+
     // ENGINE-ITERATED reachability through Spark 4's RECURSIVE CTE
     // (Catalyst UnionLoop): the same BFS semantics as g7's
     // driver-loop, but the iteration lives INSIDE one logical plan —
@@ -1240,6 +1296,34 @@ object Graph extends QueryModule {
          UNION ALL SELECT 1 AS hop, count(*) AS n_nodes FROM f1
          UNION ALL SELECT 2 AS hop, count(*) AS n_nodes FROM f2
          UNION ALL SELECT 3 AS hop, count(*) AS n_nodes FROM f3""",
+    // the min-plus relaxation unrolled: integer costs, three rounds,
+    // 20 nearest non-seed nodes — the whole engine re-executed
+    "g10_sssp_bounded" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+             SELECT node, dist FROM d${k - 1}
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.cost AS dist
+             FROM edges e JOIN d${k - 1} d ON e.src = d.node) t
+           GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         wp AS (SELECT a.pk AS u, bb.pk AS v,
+             CAST(1000000 // count(*) AS BIGINT) AS cost
+           FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+           GROUP BY a.pk, bb.pk HAVING count(*) >= 2),
+         edges AS (SELECT u AS src, v AS dst, cost FROM wp
+                   UNION ALL SELECT v AS src, u AS dst, cost FROM wp),
+         d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM edges
+           WHERE src IN (SELECT p_partkey FROM part
+                         WHERE p_brand = 'Brand#1')),
+         $rounds
+         SELECT node, dist FROM d3
+         WHERE dist > 0 ORDER BY dist ASC, node ASC LIMIT 20"""
+    },
+
     // the IDENTICAL recursive statement (DuckDB's recursive UNION ALL
     // has the same previous-level working-table semantics Spark's
     // UnionLoop implements) over the from-scratch edge derivation

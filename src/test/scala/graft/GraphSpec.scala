@@ -391,6 +391,40 @@ class GraphSpec extends SparkFunSuite {
     assert(visited.subsetOf(adj.keySet))
   }
 
+  test("g10_sssp_bounded: 3-round min-plus relaxation matches brute Bellman-Ford") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val weighted = li.toDF("ok", "u").join(li.toDF("ok", "v"), "ok")
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= operators.Graph.minEdgeWeight)
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+    val edges = weighted.flatMap { case (u, v, c) => Seq((u, v, c), (v, u, c)) }
+    val graphNodes = edges.map(_._1).toSet
+    val seeds = Tables.load(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet & graphNodes
+    // synchronous rounds: every relaxation reads the PREVIOUS round's
+    // distances — the exact semantics the distributed join implements
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val nd = scala.collection.mutable.Map(dist.toSeq: _*)
+      edges.foreach { case (s, d, c) =>
+        dist.get(s).foreach { ds =>
+          if (!nd.contains(d) || ds + c < nd(d)) nd(d) = ds + c
+        }
+      }
+      dist = nd.toMap
+    }
+    val want = dist.toSeq.filter(_._2 > 0L)
+      .sortBy { case (n, d) => (d, n) }.take(20)
+    val got = SparkEntry.queries("g10_sssp_bounded")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"sssp: got $got want $want")
+    assert(got.nonEmpty, "no non-seed node reached — relaxation unexercised")
+  }
+
   test("g8_negative_samples: negatives are never same-basket positives; <=2 each") {
     val pos = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
