@@ -441,36 +441,14 @@ object Graph extends QueryModule {
       val weighted = cooccurrenceEdges(s, dir)
         .where(col("w") >= minEdgeWeight)
         .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
-      val edgesCk = weighted.select(col("u").as("src"), col("v").as("dst"), col("cost"))
-        .union(weighted.select(col("v").as("src"), col("u").as("dst"), col("cost")))
-        .repartition(col("src")).ckpt(false)
-      val edges = org.apache.spark.sql.GraftShims.rebase(edgesCk)
       val seeds = Tables.load(s, dir, "part")
         .where(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("node"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val small = nodes.count() <= maxBroadcastNodes
-      def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-      var dist = nodes.join(seeds, "node")
-        .select(col("node"), lit(0L).as("dist")).ckpt(false)
-      dist.count()
-      for (_ <- 1 to 3) {
-        val d0 = org.apache.spark.sql.GraftShims.rebase(dist)
-        val relaxed = edges
-          .join(hint(d0.select(col("node").as("src"), col("dist").as("d"))), "src")
-          .select(col("dst").as("node"), (col("d") + col("cost")).as("dist"))
-          .unionByName(d0)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .ckpt(false)
-        relaxed.count()
-        Dedup.releaseCheckpoints(dist)
-        dist = relaxed
-      }
+      val dist = ssspBounded(weighted, seeds, rounds = 3)
       val top = dist.where(col("dist") > 0)
         .orderBy(col("dist").asc, col("node").asc).limit(20)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       Dedup.releaseCheckpoints(dist)
-      Dedup.releaseCheckpoints(edgesCk)
       top.toDF("node", "dist")
     }),
 
@@ -575,6 +553,47 @@ object Graph extends QueryModule {
     * executor broadcast budgets); larger node sets shuffle instead.
     */
   private[graft] val maxBroadcastNodes = 8L << 20
+
+  /** Bounded min-plus relaxation over a WEIGHTED undirected edge set
+    * (u, v, cost BIGINT): `rounds` synchronous Bellman-Ford rounds
+    * from `seeds` (restricted to graph nodes, dist 0), each round
+    * dist'(v) = min(dist(v), min_{(u,v)} dist(u) + cost). Plan
+    * discipline of the iterative class: the bidirectional edge table
+    * is hash-partitioned by src ONCE and checkpointed; the per-round
+    * distance frame (ball-bounded ≤ |nodes|) is rebased (inherited
+    * stats dropped) and broadcast-hinted under [[maxBroadcastNodes]]
+    * — zero corpus shuffles or edge re-broadcasts per round, walked
+    * by PlanLintSpec with the other engines. Returns the (node, dist)
+    * table after `rounds`; caller releases its checkpoint.
+    */
+  private[graft] def ssspBounded(weighted: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val edgesCk = weighted
+      .select(col("u").as("src"), col("v").as("dst"), col("cost"))
+      .union(weighted.select(col("v").as("src"), col("u").as("dst"), col("cost")))
+      .repartition(col("src")).ckpt(false)
+    val edges = org.apache.spark.sql.GraftShims.rebase(edgesCk)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val small = nodes.count() <= maxBroadcastNodes
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var dist = nodes.join(seeds, "node")
+      .select(col("node"), lit(0L).as("dist")).ckpt(false)
+    dist.count()
+    for (_ <- 1 to rounds) {
+      val d0 = org.apache.spark.sql.GraftShims.rebase(dist)
+      val relaxed = edges
+        .join(hint(d0.select(col("node").as("src"), col("dist").as("d"))), "src")
+        .select(col("dst").as("node"), (col("d") + col("cost")).as("dist"))
+        .unionByName(d0)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .ckpt(false)
+      relaxed.count()
+      Dedup.releaseCheckpoints(dist)
+      dist = relaxed
+    }
+    Dedup.releaseCheckpoints(edgesCk)
+    dist
+  }
 
   /** Fixed-iteration engines ([[pageRank]], [[pageRankQ]]) checkpoint
     * state every this-many fused rounds instead of every round. Each

@@ -128,6 +128,17 @@ class PlanLintSpec extends SparkFunSuite {
       core.count(); Dedup.releaseCheckpoints(core)
       val lp = Graph.labelProp(e, rounds = 2)
       lp.count(); Dedup.releaseCheckpoints(lp)
+      // min-plus relaxation engine: same class rules (edges
+      // partitioned once, ball-bounded distance side broadcast)
+      val sseeds = e.select(col("src").as("node")).distinct().limit(3)
+        .localCheckpoint(true)
+      val sp = Graph.ssspBounded(
+        e.where(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("v"),
+            org.apache.spark.sql.functions.lit(7L).as("cost")),
+        sseeds, rounds = 2)
+      sp.count(); Dedup.releaseCheckpoints(sp)
+      Dedup.releaseCheckpoints(sseeds)
       // the non-loop edge-scale pipelines of the same class: the
       // triangle wedge/closing joins and the CC star-contraction
       // rounds must not broadcast an edge-scale side either
