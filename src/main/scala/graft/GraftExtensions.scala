@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import graft.functions.{DotProduct, IndelRatio, KmvSketch, MinHashSig, SimHashSig, WordShingles}
+import graft.functions.{DotProduct, IndelRatio, KmvSketch, L2Quant, MinHashSig, SimHashSig, WordShingles}
 
 /** Registers the engine's custom Catalyst expressions as SQL
   * functions, so `spark.sql("SELECT indel_ratio(a, b) …")` works the
@@ -38,6 +38,7 @@ object GraftExtensions {
     "simhash_sig" -> (exprs => SimHashSig(exprs(0))),
     "word_shingles" -> (exprs => WordShingles(exprs(0), intLit(exprs(1)))),
     "dot_d" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "l2_q" -> (exprs => L2Quant(exprs(0), exprs(1))),
     "kmv_sketch" -> (exprs =>
       KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression()))
 

