@@ -81,6 +81,33 @@ class EdgeCaseSpec extends SparkFunSuite {
     assert(r.getDouble(0) == 50.0)
   }
 
+  test("l2_q kernel equals the HOF fold on random long arrays, and via SQL") {
+    import graft.functions.L2Quant.l2_q
+    // the kernel's contract: value-identical to the interpreted
+    // aggregate(zip_with(...)) spelling it replaced — integer
+    // arithmetic, so strict equality on pseudo-random micro-unit
+    // ranges (the quantized-ANN value domain, ±6e5, plus negatives)
+    val rnd = new scala.util.Random(20260815L)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextLong(1200001L) - 600000L),
+      Seq.fill(64)(rnd.nextLong(1200001L) - 600000L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      l2_q(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("h")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // mismatched lengths: shorter wins (the dot_d contract)
+    val short = Seq((Seq(3L, 4L, 5L), Seq(1L, 1L)))
+      .toDF("a", "b").select(l2_q(col("a"), col("b"))).collect()(0)
+    assert(short.getLong(0) == 13L)
+    // registered as a SQL function through GraftExtensions
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT l2_q(array(1L, 2L), array(4L, 6L)) AS d").collect()(0)
+    assert(sql.getLong(0) == 25L)
+  }
+
   test("empty documents produce no windows, not a crash") {
     val segments = Seq.empty[(String, Int, Int, Double, String)]
       .toDF("recording_id", "page", "seg_idx", "start", "text")
