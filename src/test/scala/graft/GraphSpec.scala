@@ -391,6 +391,44 @@ class GraphSpec extends SparkFunSuite {
     assert(visited.subsetOf(adj.keySet))
   }
 
+  test("pageRankQ fused checkpoints are iteration-count-exact across boundaries") {
+    // The r15 barrier fusion checkpoints every ckptEvery (3) rounds
+    // plus the final round. iters = 4 exercises the boundary cases a
+    // divisible count hides: a mid-segment checkpoint (i=3), a fused
+    // continuation off a fresh checkpoint (i=4 == iters), and the
+    // old-checkpoint release between them. pageRankQ is BIGINT-exact,
+    // so the distributed result must equal a sequential in-memory
+    // reimplementation unit-for-unit at every iters in 1..4 — any
+    // off-by-one in the fusion (skipped round, double-applied round,
+    // stale state) shifts integer mass and fails strict equality.
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+    val edges = und.toDF("u", "v")
+      .select(col("u").as("src"), col("v").as("dst"))
+      .union(und.toDF("u", "v").select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    val mass = 1000000000000L
+    val teleport = (15L * mass) / (100L * n)
+    for (iters <- 1 to 4) {
+      var rank: Map[Long, Long] = adj.keys.map(_ -> mass / n).toMap
+      for (_ <- 1 to iters) {
+        val shares = rank.map { case (u, r) => u -> r / adj(u).size }
+        val in = adj.keys.map { v =>
+          v -> adj(v).map(shares).sum
+        }.toMap
+        rank = adj.keys.map(v => v -> (teleport + (85L * in(v)) / 100L)).toMap
+      }
+      val got = operators.Graph.pageRankQ(edges, iters = iters)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      operators.Dedup.releaseCheckpoints(got)
+      assert(gotMap == rank, s"iters=$iters: $gotMap vs $rank")
+    }
+    operators.Dedup.releaseCheckpoints(edges)
+  }
+
   test("g10_sssp_bounded: 3-round min-plus relaxation matches brute Bellman-Ford") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
