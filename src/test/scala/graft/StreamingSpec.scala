@@ -339,6 +339,49 @@ class StreamingSpec extends SparkFunSuite {
       "bare drain emitted every session — watermark gating is not real")
   }
 
+  test("a FAILED drain still drops its memory-sink view and surfaces the error") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // the r15 finally-teardown pin: the drain's stream fails mid-batch
+    // (raise_error on every row), awaitTermination throws — and the
+    // memory-sink temp view (the driver-side row buffer the r13
+    // hygiene fix exists to unpin) must STILL be gone afterwards
+    val boom = EventStreams.readEvents(spark, eventsDir)
+      .selectExpr("raise_error('drain must fail') AS x")
+    val name = "drain_fail_pin"
+    intercept[Exception] {
+      EventStreams.drainToMemory(spark, boom, name,
+        OutputMode.Append())
+    }
+    assert(!spark.catalog.tableExists(name),
+      "failed drain left its memory-sink temp view registered")
+    // and the scoped shuffle conf was restored despite the failure
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "8" ||
+      sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").contains(
+        spark.conf.get("spark.sql.shuffle.partitions")))
+  }
+
+  test("concurrent drains serialize and both produce correct results") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the r15 drain lock: two threads draining on the shared session
+    // must not race the scoped session-global conf or each other's
+    // lastDrain* fields — both finish, both equal their batch twins
+    val want = SparkEntry.queries("ev_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fs = (1 to 2).map { i =>
+      Future {
+        EventStreams.drainToMemory(spark,
+          EventStreams.tumblingCounts(
+            EventStreams.readEvents(spark, eventsDir)),
+          s"conc_drain_$i").collect().map(_.toSeq).toSet
+      }
+    }
+    val got = Await.result(Future.sequence(fs), 5.minutes)
+    got.foreach(g => assert(g == want))
+  }
+
   test("MapState tally carries across micro-batches and equals batch GROUP BY") {
     import org.apache.spark.sql.streaming.OutputMode
     import java.nio.file.{Files, Paths}
