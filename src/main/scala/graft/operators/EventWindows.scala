@@ -775,8 +775,10 @@ object EventWindows extends QueryModule {
     // given a total order), segment = "r-f-m". The ntile windows run
     // over the AGGREGATED per-user table (|users| rows, not events) —
     // at a scale where the user dimension itself is corpus-sized, the
-    // sharded-prefix-sum factorization (text_curriculum_shards /
-    // w3_percent_rank_scaled) is the documented spelling.
+    // sharded-prefix-sum factorization is SHIPPED as the oracle twin
+    // `ev_rfm_scaled` below (closed-form ntile from sharded global
+    // ranks, zero user-dimension windows) — this spelling stays as
+    // the small-dimension fast path.
     "ev_rfm_segments" -> ((s, dir) => {
       val p = Tables.load(s, dir, "events")
         .where(col("event_type") === "purchase")

@@ -345,8 +345,9 @@ object Relational extends QueryModule {
     // window runs over the AGGREGATED part dimension (|parts| rows,
     // not lineitem) with a (rev, key) total order; for a dimension
     // that is itself corpus-scale, the sharded-prefix-sum
-    // factorization is the documented spelling (the
-    // w3_percent_rank_scaled convention).
+    // factorization is SHIPPED as the oracle twin `a13_abc_scaled`
+    // below (same results, no part-dimension window) — this spelling
+    // stays as the small-dimension fast path.
     "a13_abc_analysis" -> ((s, dir) => {
       val rev = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
