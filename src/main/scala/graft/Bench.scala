@@ -67,11 +67,19 @@ object Bench {
     * delta makes the artifact self-adjudicating: a 60 s rep with a
     * four-digit steal delta is box noise, the same rep at ~0 steal
     * is a plan cost. -1 per rep when /proc/stat is unreadable.
+    * `cal`/`load` (r16) are the per-rep fixed-work calibration spin
+    * (ms) and 1-min loadavg taken immediately before each rep — the
+    * GUEST-side interference reading steal cannot carry (the r15
+    * driver run inflated 3–7× at near-zero steal under co-tenant
+    * load): a slow rep whose spin reads ≥2–3× the artifact's `cal0`
+    * is a degraded-box rep from the JSON alone.
     */
   final case class Timing(
       runs: Vector[Double],
       cpu: Vector[Double],
       steal: Vector[Long],
+      cal: Vector[Double],
+      load: Vector[Double],
       reruns: Int,
       err: Option[String]) {
     def median: Double = Bench.median(runs)
@@ -122,6 +130,40 @@ object Bench {
       .linesIterator.next().trim.split("\\s+")(8).toLong
     catch { case _: Throwable => -1L }
 
+  /** Fixed-work single-thread CALIBRATION spin (~100 ms healthy): the
+    * r15 driver run proved steal_q alone cannot adjudicate a degraded
+    * box — 3–7× wall inflation in run-order-contiguous query bands at
+    * near-zero steal, because the contention was GUEST-side co-tenant
+    * load, which /proc/stat's steal field never sees. A constant
+    * amount of integer work timed immediately before each rep carries
+    * the box-health reading the steal delta misses: the spin has no
+    * I/O, no allocation, no shared state, so its wall time moves ONLY
+    * when the box denies this thread cycles. A rep whose spin reads
+    * ≥2–3× the run's warm baseline (`cal0` in the artifact) is a
+    * degraded-box rep, whatever steal says; a slow rep at a ~baseline
+    * spin is a plan cost. The LCG+xorshift body defeats loop
+    * elimination (result escapes via a volatile sink) and is
+    * constant-work by construction — no data dependence, no branch
+    * variance. Warmed 3× lazily so the first recorded spin is JIT-hot.
+    */
+  final val CalIters = 50000000L
+  @volatile private var calSink = 0L
+  private def spinOnce(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < CalIters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33)
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    calSink = x
+    ms
+  }
+  private lazy val calWarm: Unit = { (1 to 3).foreach(_ => spinOnce()) }
+  def calSpinMs(): Double = { calWarm; spinOnce() }
+
   /** Time one query: `reps` reps, per-rep error capture, then the
     * spike guard — if the median of successful runs exceeds
     * `spikeFactor`× their min, run up to `maxExtra` extra reps and
@@ -134,8 +176,16 @@ object Bench {
     val walls = Vector.newBuilder[Double]
     val cpus = Vector.newBuilder[Double]
     val steals = Vector.newBuilder[Long]
+    val cals = Vector.newBuilder[Double]
+    val loads = Vector.newBuilder[Double]
     var err: Option[String] = None
     def rep(): Unit = {
+      // Box-health probe IMMEDIATELY before the rep so a slow rep
+      // carries its own degraded-box reading (cal spin + 1-min load);
+      // recorded only for successful reps to stay index-aligned with
+      // runs/cpu/steal.
+      val calMs = calSpinMs()
+      val ld = loadAvg()
       val c0 = processCpuSec()
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
@@ -145,6 +195,8 @@ object Bench {
         cpus += (processCpuSec() - c0)
         val s1 = stealJiffies()
         steals += (if (s0 < 0 || s1 < 0) -1L else s1 - s0)
+        cals += calMs
+        loads += ld
       } catch {
         case t: Throwable =>
           if (err.isEmpty)
@@ -158,7 +210,8 @@ object Bench {
       ws.size >= 2 && median(ws) > spikeFactor * ws.min
     }
     while (spiked && extra < maxExtra) { rep(); extra += 1 }
-    Timing(walls.result(), cpus.result(), steals.result(), extra, err)
+    Timing(walls.result(), cpus.result(), steals.result(), cals.result(),
+      loads.result(), extra, err)
   }
 
   private def jsonEscape(s: String): String =
@@ -176,7 +229,8 @@ object Bench {
     */
   def artifactLines(timed: Seq[(String, Timing)], reps: Int, cpus: Int,
                     sfDir: String, loadStart: Double, loadEnd: Double,
-                    stealStart: Long = -1L, stealEnd: Long = -1L)
+                    stealStart: Long = -1L, stealEnd: Long = -1L,
+                    cal0: Double = -1.0)
       : (String, String) = {
     val ok = timed.filter(_._2.runs.nonEmpty)
     def jmap(m: Seq[(String, String)]): String =
@@ -193,7 +247,7 @@ object Bench {
     val suffix = (fmt: Double => String) =>
       s""","first_total":${fmt(firstTotal)},"reps":$reps,"cpus":$cpus,"sf":"$sfDir"""" +
       s""","load":[${f2(loadStart)},${f2(loadEnd)}],"cpu_total":${f2(cpuTotal)}""" +
-      s""","steal":[$stealStart,$stealEnd]""" +
+      s""","steal":[$stealStart,$stealEnd],"cal0":${ms(cal0)}""" +
       s""","err":${jmap(errs)},"reruns":${jmap(reruns)}""" +
       s""","metric":"total","unit":"sec","value":${fmt(total)}}"""
     val stdoutLine =
@@ -205,7 +259,12 @@ object Bench {
       s""","runs":${jmap(timed.map { case (n, t) =>
             n -> t.runs.map(ms).mkString("[", ",", "]") })}""" +
       s""","steal_q":${jmap(timed.map { case (n, t) =>
-            n -> t.steal.map(_.toString).mkString("[", ",", "]") })}""" + suffix(num)
+            n -> t.steal.map(_.toString).mkString("[", ",", "]") })}""" +
+      s""","cal_q":${jmap(timed.map { case (n, t) =>
+            n -> t.cal.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+              .mkString("[", ",", "]") })}""" +
+      s""","load_q":${jmap(timed.map { case (n, t) =>
+            n -> t.load.map(f2).mkString("[", ",", "]") })}""" + suffix(num)
     (stdoutLine, fullLine)
   }
 
@@ -229,6 +288,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
     val stealStart = stealJiffies()
+    // Warm, quiet-as-we'll-get baseline for the per-rep calibration
+    // spins (taken before Spark warmup saturates the cores): readers
+    // adjudicate a rep as degraded when cal_q[rep] >> cal0.
+    val cal0 = median(Vector.fill(3)(calSpinMs()))
     // Warm the JVM/codegen/scan machinery so the first timed query
     // doesn't absorb session startup (~4s), and prime file listings +
     // parquet footers for the benched SF. A warmup failure is recorded
@@ -250,10 +313,11 @@ object Bench {
       .map { case (name, fn) =>
         name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
       } ++ warmErr.map(e =>
-        "_warmup" -> Timing(Vector.empty, Vector.empty, Vector.empty, 0, Some(e)))
+        "_warmup" -> Timing(Vector.empty, Vector.empty, Vector.empty,
+          Vector.empty, Vector.empty, 0, Some(e)))
     val (stdoutLine, fullLine) =
       artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg(),
-        stealStart, stealJiffies())
+        stealStart, stealJiffies(), cal0)
     println(stdoutLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")

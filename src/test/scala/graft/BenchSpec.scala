@@ -43,11 +43,13 @@ class BenchSpec extends SparkFunSuite {
   test("artifact lines: err map, omitted failed query, tail-safe ordering") {
     val timed = Seq(
       "ok" -> Timing(Vector(0.5, 0.6, 0.7), Vector(1.0, 1.1, 1.2),
-        Vector(12L, 0L, 3L), 0, None),
-      "boom" -> Timing(Vector.empty, Vector.empty, Vector.empty, 0,
-        Some("IllegalStateException: \"quoted\" \n msg")))
+        Vector(12L, 0L, 3L), Vector(101.2, 99.8, 310.5), Vector(2.1, 2.0, 28.4),
+        0, None),
+      "boom" -> Timing(Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+        Vector.empty, 0, Some("IllegalStateException: \"quoted\" \n msg")))
     val (stdoutLine, fullLine) = Bench.artifactLines(
-      timed, reps = 3, cpus = 4, sfDir = "/tmp/sf", loadStart = 1.23, loadEnd = 31.9)
+      timed, reps = 3, cpus = 4, sfDir = "/tmp/sf", loadStart = 1.23, loadEnd = 31.9,
+      cal0 = 100.4)
     for (line <- Seq(stdoutLine, fullLine)) {
       // Valid single-line JSON despite quotes/newline in the message.
       assert(!line.contains("\n"))
@@ -62,11 +64,19 @@ class BenchSpec extends SparkFunSuite {
       assert(line.indexOf("\"queries\"") < line.indexOf("\"err\""))
       assert(line.trim.matches(""".*"metric":"total","unit":"sec","value":[0-9.]+}$"""))
     }
-    // Full line additionally carries cold runs, cpu, raw reps, and the
-    // per-rep steal deltas that make a noisy rep self-adjudicating.
+    // Full line additionally carries cold runs, cpu, raw reps, the
+    // per-rep steal deltas, and (r16) the per-rep fixed-work
+    // calibration spins + loadavg that adjudicate GUEST-side
+    // interference steal cannot see: rep 3 here reads 3.1x cal0 at
+    // load 28.4 — a degraded-box rep, decidable from the JSON alone.
     assert(fullLine.contains(""""first":{"ok":0.5}"""))
     assert(fullLine.contains(""""runs":{"ok":[0.500,0.600,0.700],"boom":[]}"""))
     assert(fullLine.contains(""""steal_q":{"ok":[12,0,3],"boom":[]}"""))
+    assert(fullLine.contains(""""cal_q":{"ok":[101.2,99.8,310.5],"boom":[]}"""))
+    assert(fullLine.contains(""""load_q":{"ok":[2.10,2.00,28.40],"boom":[]}"""))
+    // The warm baseline the cal_q readings normalize against rides the
+    // shared suffix of BOTH lines (tail-safe for the stdout artifact).
+    for (line <- Seq(stdoutLine, fullLine)) assert(line.contains(""""cal0":100.400"""))
   }
 
   test("real timeQuery captures one steal delta per successful rep") {
@@ -76,9 +86,25 @@ class BenchSpec extends SparkFunSuite {
     assert(t.steal.forall(s => s >= 0L || s == -1L))
   }
 
+  test("real timeQuery captures one calibration spin and loadavg per rep") {
+    val t = Bench.timeQuery(() => Thread.sleep(5), reps = 3, maxExtra = 0)
+    assert(t.cal.size == t.runs.size)
+    assert(t.load.size == t.runs.size)
+    // The spin does fixed work: every reading is a real positive wall
+    // time, and on any box it lands far above scheduler noise (>1 ms)
+    // and below pathological (>60 s would mean the box gave us ~nothing).
+    assert(t.cal.forall(c => c > 1.0 && c < 60000.0))
+    // JIT-warmed: consecutive warm readings on one box should agree
+    // within an order of magnitude (a 10x spread inside 3 back-to-back
+    // spins would mean the probe itself is noise).
+    assert(t.cal.max / t.cal.min < 10.0)
+    assert(t.load.forall(_ >= 0.0))
+  }
+
   test("all-green artifact has empty err and reruns maps") {
     val timed = Seq("q" -> Timing(Vector(0.1, 0.1, 0.1), Vector(0.2, 0.2, 0.2),
-      Vector(0L, 0L, 0L), 0, None))
+      Vector(0L, 0L, 0L), Vector(100.0, 100.0, 100.0), Vector(1.0, 1.0, 1.0),
+      0, None))
     val (stdoutLine, _) = Bench.artifactLines(timed, 3, 4, "/tmp/sf", 0.5, 0.5)
     assert(stdoutLine.contains(""""err":{}"""))
     assert(stdoutLine.contains(""""reruns":{}"""))
