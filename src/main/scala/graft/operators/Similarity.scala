@@ -684,8 +684,18 @@ object Similarity extends QueryModule {
           explode(sequence(lit(0), lit(7))).as("m"))
         .select(col("vec_id"), col("c_id"), col("m"),
           slice(col("res"), col("m") * 8 + 1, lit(8)).as("s"))
+      // PQ codewords come from the 16 smallest vec_ids NOT in the
+      // coarse codebook (ranks 17..32): a coarse seed's nearest
+      // centroid is itself, so its residual is exactly zero — seeding
+      // the residual codebook from coarse seeds would make every
+      // codeword the zero vector and the whole residual-PQ stage
+      // vacuous (all codes 0, constant ADC). Non-coarse seeds carry
+      // real nonzero residuals, so codes and ADC distances genuinely
+      // exercise the composition (SimilaritySpec pins non-degeneracy).
       val wCode = Window.partitionBy(col("m")).orderBy(col("vec_id"))
-      val seedIds = v.orderBy(col("vec_id")).limit(16)
+      val seedIds = v.orderBy(col("vec_id")).limit(32)
+        .join(broadcast(coarse.select(col("c_id"))),
+          col("vec_id") === col("c_id"), "left_anti")
         .select(col("vec_id").as("seed_id"))
       val cb = sub.join(broadcast(seedIds), col("vec_id") === col("seed_id"))
         .withColumn("code", row_number().over(wCode) - 1)
@@ -1565,9 +1575,13 @@ object Similarity extends QueryModule {
          sub AS (SELECT vec_id, c_id, m, res[(m*8+1):(m*8+8)] AS s
                  FROM a CROSS JOIN ms),
          cb AS (
+           -- residual-PQ codewords from NON-coarse seeds (ranks 17..32
+           -- by vec_id): coarse seeds have zero residuals, which would
+           -- degenerate every codeword to the zero vector
            SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
              s AS cw
-           FROM sub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+           FROM sub
+           WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16 OFFSET 16)),
          enc AS (
            SELECT vec_id, c_id, m, code FROM (
              SELECT sub.vec_id, sub.c_id, sub.m, cb.code,

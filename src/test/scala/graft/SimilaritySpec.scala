@@ -456,8 +456,12 @@ class SimilaritySpec extends SparkFunSuite {
       id -> q.indices.map(i => q(i) - cq(i)).toArray
     }.toMap
     def rsub(id: Long, m: Int): Array[Long] = resMap(id).slice(m * 8, m * 8 + 8)
+    // residual codewords seed from the 16 smallest NON-coarse ids
+    // (ranks 17..32): coarse seeds are their own nearest centroid, so
+    // their residuals are all-zero and would degenerate the codebook
+    val pqSeeds = emb.slice(16, 32)
     val rcw = (0 until 8).map(m =>
-      m -> cents.zipWithIndex.map { case ((sid, _), code) => code -> rsub(sid, m) }).toMap
+      m -> pqSeeds.zipWithIndex.map { case ((sid, _), code) => code -> rsub(sid, m) }).toMap
     val rcodes = emb.map { case (id, _) =>
       id -> (0 until 8).map(m =>
         rcw(m).map { case (code, w) => (l2(rsub(id, m), w), code) }.min._2).toArray
@@ -474,6 +478,20 @@ class SimilaritySpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     assert(gotIvfPq == wantIvfPq,
       s"ann_ivf_pq_q diverged: extra=${gotIvfPq -- wantIvfPq} missing=${wantIvfPq -- gotIvfPq}")
+    // Non-degeneracy pins (ADVICE r15): with coarse-seed codewords
+    // every residual codeword was the zero vector, all codes
+    // tie-broke to 0, and the ADC distance was constant per probe —
+    // the composition hashed green while exercising nothing. The
+    // non-coarse seeding must yield (a) nonzero codewords, (b) more
+    // than one distinct code in use, and (c) more than one distinct
+    // ADC distance among the results, with at least one nonzero.
+    assert(rcw.values.flatten.exists(_._2.exists(_ != 0L)),
+      "residual PQ codewords are all zero — codebook degenerate")
+    assert(rcodes.values.flatMap(_.toSeq).toSet.size > 1,
+      "all residual PQ codes identical — encoding unexercised")
+    val adcDists = gotIvfPq.map(_._4)
+    assert(adcDists.size > 1 && adcDists.exists(_ > 0L),
+      s"ADC distances degenerate: $adcDists")
 
     // Mechanism pin: the quantized buckets carry real geometry — the
     // IVF twin's neighbors overlap the float-cosine brute-force
