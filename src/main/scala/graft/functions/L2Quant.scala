@@ -10,10 +10,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** `l2_q(a, b)` — exact squared Euclidean distance between two
   * array<bigint> columns as one codegen'd expression.
   *
-  * Semantically identical to
+  * Contract: for two NON-NULL arrays of EQUAL length with non-null
+  * elements, the result equals
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, (acc,x) -> acc+x)`
   * — integer arithmetic, so the sum is order-independent and exactly
-  * the DuckDB oracle's `list_reduce` restatement — but the HOF
+  * the DuckDB oracle's `list_reduce` restatement. Edge cases follow
+  * the [[DotProductKernel]] `dot_d` convention, NOT the HOF's: on
+  * mismatched lengths the kernel sums over the SHORTER array (the
+  * HOF spelling null-pads via zip_with, and acc+NULL makes the whole
+  * result NULL), and a NULL element reads as 0 rather than
+  * propagating NULL. Both behaviors are pinned in EdgeCaseSpec; the
+  * engine's callers only ever pass equal-length non-null quantized
+  * vectors, where the two spellings agree bit-for-bit.
+  *
+  * Why a kernel at all: the HOF
   * version interprets its lambdas per element and allocates an
   * intermediate 64-element array per evaluated PAIR, which dominates
   * the quantized-ANN twins' assignment stage (corpus × k codebook

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 import graft.{QueryModule, Tables}
 
 /** Event-time windowing over the `events` table (SURVEY.md §2.11).
@@ -824,9 +825,15 @@ object EventWindows extends QueryModule {
           sum(col("value").cast("decimal(18,2)")).as("monetary"))
       val W = org.apache.spark.sql.expressions.Window
       def quartile(df: DataFrame, metric: String, out: String): DataFrame = {
+        // Materialized once (lazy local checkpoint): the frame feeds
+        // both the offsets branch and the ranking branch, and
+        // i = off + row_number is only correct if both see identical
+        // range boundaries behind spark_partition_id() — a guarantee
+        // exchange reuse provides only as an optimizer option.
         val sharded = df
           .repartitionByRange(32, col(metric).asc, col("user_id").asc)
           .withColumn("pid", spark_partition_id())
+          .ckpt(false)
         val partCounts = sharded.groupBy(col("pid"))
           .agg(count(lit(1)).as("pc"))
         val acrossShards = W.orderBy(col("pid"))

@@ -389,9 +389,18 @@ object Relational extends QueryModule {
       val rev = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      // The sharded frame feeds TWO plan branches (the P-row offset
+      // table and the in-shard running sums), and cum = off + cum_in
+      // is only correct if both see the SAME range boundaries behind
+      // spark_partition_id(). Exchange reuse happens to guarantee that
+      // today, but it is an optimizer option, not a contract — so the
+      // frame is materialized ONCE (lazy local checkpoint): both
+      // branches provably read the same physical partitioning, with
+      // or without spark.sql.exchange.reuse.
       val sharded = rev
         .repartitionByRange(32, col("rev").desc, col("l_partkey").asc)
         .withColumn("pid", spark_partition_id())
+        .ckpt(false)
       val partSums = sharded.groupBy(col("pid")).agg(sum(col("rev")).as("psum"))
       val acrossShards = Window.orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -341,11 +341,21 @@ object EventStreams {
         .setScale(2, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
 
+    private def expiryMs(c: (Long, Long, Long, Long)): Long =
+      c._2 / 1000L + gapUs / 1000L
+
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, Long, Double)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
       val xs = rows.toArray.sortBy(r => (r._2, r._3))
       var c = if (cur.exists()) cur.get() else null
+      // The expiry registered for the carried session, if any: it is
+      // derivable from `cur` itself (last + gap), so superseding it
+      // needs no extra state variable. If this key reached
+      // handleInputRows with cur set, that timer has NOT fired yet
+      // (timers run after input rows in a micro-batch, and a fired
+      // timer would have cleared cur), so it is safe to delete.
+      val prevExpiry = if (c == null) -1L else expiryMs(c)
       xs.foreach { case (_, us, _, v) =>
         if (c == null) c = (us, us, 1L, cents(v))
         else if (us - c._2 < gapUs) c = (c._1, us, c._3 + 1L, c._4 + cents(v))
@@ -353,7 +363,15 @@ object EventStreams {
       }
       if (c != null) {
         cur.update(c)
-        getHandle.registerTimer(c._2 / 1000L + gapUs / 1000L)
+        val newExpiry = expiryMs(c)
+        // Delete the superseded timer before registering the new one:
+        // without this a long-lived key accumulates one stale timer
+        // per batch, each stale expiry triggering a spurious (empty)
+        // handleExpiredTimer pass — state/CPU noise, though output
+        // stays correct under the watermark guard (ADVICE r15).
+        if (prevExpiry >= 0L && prevExpiry != newExpiry)
+          getHandle.deleteTimer(prevExpiry)
+        getHandle.registerTimer(newExpiry)
       }
       Iterator.empty
     }
