@@ -117,6 +117,40 @@ object Scalars extends QueryModule {
         .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
     }),
 
+    // F11/VARIANT: Spark 4's semi-structured ingestion path — the
+    // modern spelling of the reference's schema-on-read JSON
+    // (cmdline.py:545 json.loads of heterogeneous props payloads).
+    // Where f11_json_extract needs a declared struct schema up front,
+    // a 100 TB ingest of heterogeneous payloads parses ONCE to the
+    // VARIANT binary encoding (`parse_json`) and every downstream
+    // query extracts typed fields lazily (`variant_get` with a target
+    // type and a path, nested objects and array indexing included) —
+    // no schema migration when payloads grow fields. The payload here
+    // is CONSTRUCTED from table columns (int, string, array, nested
+    // object) so the DuckDB oracle can restate the build + every
+    // extraction with its JSON functions, hash-pinning that the
+    // variant round-trip preserves values AND types end-to-end.
+    // EdgeCaseSpec pins the type surface: bigint/string extraction
+    // types, missing-path null, and JSON-null vs missing via
+    // is_variant_null.
+    "f11_variant" -> ((s, dir) => {
+      val payload = concat(
+        lit("{\"id\":"), col("event_id"),
+        lit(",\"type\":\""), col("event_type"),
+        lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+        lit(",\"tags\":[\"t\","), col("event_id") % 7,
+        lit("],\"meta\":{\"d\":"), col("user_id") % 5, lit("}}"))
+      Tables.load(s, dir, "events")
+        .where(col("event_id") % 97 === 0)
+        .withColumn("v", parse_json(payload))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.id", "bigint").as("vid"),
+          variant_get(col("v"), "$.type", "string").as("vtype"),
+          variant_get(col("v"), "$.k", "bigint").as("vk"),
+          variant_get(col("v"), "$.tags[1]", "bigint").as("vtag"),
+          variant_get(col("v"), "$.meta.d", "bigint").as("vmeta"))
+    }),
+
     // F12 + F13: md5 digest and char-class strip
     // (reference wbi.py:26-32).
     "f12_md5_translate" -> ((s, dir) => {
@@ -183,6 +217,20 @@ object Scalars extends QueryModule {
            COUNT(*) AS n,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY 1""",
+    "f11_variant" ->
+      """WITH j AS (
+           SELECT event_id,
+             '{"id":' || event_id || ',"type":"' || event_type || '","k":' ||
+             json_extract_string(props, '$.k') || ',"tags":["t",' ||
+             (event_id % 7) || '],"meta":{"d":' || (user_id % 5) || '}}' AS payload
+           FROM events WHERE event_id % 97 = 0)
+         SELECT event_id,
+           CAST(json_extract(payload, '$.id') AS BIGINT) AS vid,
+           json_extract_string(payload, '$.type') AS vtype,
+           CAST(json_extract(payload, '$.k') AS BIGINT) AS vk,
+           CAST(json_extract(payload, '$.tags[1]') AS BIGINT) AS vtag,
+           CAST(json_extract(payload, '$.meta.d') AS BIGINT) AS vmeta
+         FROM j""",
     "f12_md5_translate" ->
       """SELECT c_custkey, md5(c_name) AS digest,
            translate(c_name, '#0', '') AS stripped

@@ -166,6 +166,45 @@ class EdgeCaseSpec extends SparkFunSuite {
       3L -> ((5L, 1L, 5L)), 4L -> ((5L, 1L, 5L))))
   }
 
+  test("variant extraction preserves types, missing paths, and JSON null vs absent") {
+    // The f11_variant oracle row hash-pins VALUES; this pins the TYPE
+    // surface a user of the variant ingestion path relies on:
+    // variant_get's target type becomes the column type, a missing
+    // path is SQL NULL, and a JSON null is a present-but-null variant
+    // (is_variant_null true) — distinct from an absent field.
+    val df = Seq(
+      """{"i": 42, "s": "hi", "arr": [10, 20, 30], "o": {"x": 7}, "z": null}""",
+      """{"i": -1, "s": "", "arr": [], "o": {}}"""
+    ).toDF("js").select(parse_json(col("js")).as("v"))
+    val out = df.select(
+      variant_get(col("v"), "$.i", "bigint").as("i"),
+      variant_get(col("v"), "$.s", "string").as("s"),
+      variant_get(col("v"), "$.arr[2]", "bigint").as("a2"),
+      variant_get(col("v"), "$.o.x", "bigint").as("ox"),
+      variant_get(col("v"), "$.missing", "bigint").as("gone"),
+      is_variant_null(variant_get(col("v"), "$.z", "variant")).as("z_is_null"),
+      variant_get(col("v"), "$.z", "variant").isNull.as("z_absent"))
+    // target types drive the schema — bigint -> LongType, string -> StringType
+    val sch = out.schema
+    assert(sch("i").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("s").dataType == org.apache.spark.sql.types.StringType)
+    val rows = out.collect().sortBy(r => r.getLong(0))
+    val (r1, r2) = (rows(1), rows(0)) // i=42 and i=-1
+    assert(r1.getLong(0) == 42L && r1.getString(1) == "hi")
+    assert(r1.getLong(2) == 30L && r1.getLong(3) == 7L)
+    assert(r1.isNullAt(4), "missing path must extract as SQL NULL")
+    // JSON null: present (not absent) but variant-null
+    assert(r1.getBoolean(5) && !r1.getBoolean(6))
+    // absent field z on row 2: extraction is SQL NULL, and
+    // is_variant_null(NULL) is FALSE (it asks "does this variant
+    // encode JSON null", and there is no variant) — so the pair
+    // (z_absent=true, z_is_null=false) is how absent distinguishes
+    // itself from JSON null's (false, true)
+    assert(!r2.getBoolean(5) && r2.getBoolean(6))
+    // out-of-bounds array index on the empty array is SQL NULL
+    assert(r2.isNullAt(2))
+  }
+
   test("labelProp on an empty edge set returns empty, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val labels = graft.operators.Graph.labelProp(empty, rounds = 3)
