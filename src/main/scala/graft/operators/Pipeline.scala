@@ -144,6 +144,54 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // K2 under MULTI-WRITER CONCURRENCY: two upserts race on the same
+    // base version of a snapshot table from two real threads. The
+    // winner's pointer swap advances CURRENT; the loser's fenced
+    // commit detects the advance (SnapshotConcurrentWriteException —
+    // never a silent lost update) and upsertUpdateRetry REBASES it:
+    // re-resolve the new base, re-prune, re-merge, commit. The two
+    // batches touch DISJOINT key sets (%4==0 vs %4==2), so sequential
+    // application commutes and the final table is deterministic no
+    // matter which writer wins the race — which is exactly what lets
+    // a genuinely racy execution be a hash-checked oracle row. The
+    // deterministic FORCED race (loser provably conflicts and
+    // retries) is pinned in SnapshotLockSpec with a latched mergeFn.
+    "k2_concurrent_upsert" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      def batch(rem: Int, bump: Int, st: String) =
+        o.where(col("o_orderkey") % 4 === rem)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") + lit(bump).cast("decimal(18,2)"))
+              .cast("double").as("o_totalprice"),
+            lit(st).as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2c_").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(
+        s, base, target, Seq("o_orderkey"), Seq("pk"))
+      val incs = Seq(batch(0, 1000, "A"), batch(2, 2000, "B"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = incs.map { inc =>
+        new Thread(() =>
+          try {
+            gate.await()
+            graft.sinks.SnapshotMerge.upsertUpdateRetry(
+              s, base, inc, Seq("o_orderkey"), Seq("pk"))
+          } catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val out = graft.sinks.SnapshotMerge.read(s, base, target.schema)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("pk").cast("long").as("pk"))
+        .ckpt(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+      out
+    }),
+
     // PER-PARTITION TABLE CHECKSUM (anti-entropy verification — how
     // replicas, a source and its snapshot copy, or two ends of a
     // migration prove byte-agreement without moving data): per
@@ -713,6 +761,32 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // sequential application of the two commuting racers: disjoint
+    // key sets (%4==0 / %4==2), so either commit order yields this
+    "k2_concurrent_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         a AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'A' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 0),
+         b AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2000 AS DOUBLE) AS o_totalprice,
+             'B' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 2)
+         SELECT * FROM a
+         UNION ALL
+         SELECT * FROM b
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+           AND o_orderkey NOT IN (SELECT o_orderkey FROM b)""",
     // the same restatable row hash and modular sum; HUGEINT sum
     // reduced before the BIGINT cast
     "k6_partition_checksum" ->

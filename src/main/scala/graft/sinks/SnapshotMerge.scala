@@ -43,6 +43,53 @@ object SnapshotMerge {
     merge(spark, rootDir, incoming, partCols, retain, statsCols)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
 
+  /** [[upsertUpdate]] with OPTIMISTIC-CONCURRENCY RETRY — the
+    * multi-writer contract a real warehouse deployment exercises
+    * first (Delta/Iceberg commit-conflict semantics): two writers
+    * race on the same base version; the loser's fenced commit throws
+    * [[SnapshotConcurrentWriteException]] instead of silently
+    * dropping the winner's merge, and THIS wrapper turns that abort
+    * into a REBASE — each retry of [[merge]] re-resolves
+    * `currentSized()` (the new base), re-prunes, and re-runs the
+    * merge function against the winner's committed state, so the
+    * final table equals sequential application in commit order.
+    * The incoming frame is checkpointed inside merge, so a retry
+    * re-runs the merge join, never the expensive upstream.
+    * Returns (committed version, conflicts retried). Livelock is
+    * bounded: after `maxAttempts` fenced aborts the last exception
+    * propagates — at that contention level the caller needs a queue,
+    * not more retries.
+    */
+  def upsertUpdateRetry(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int = 2, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5): (Option[Long], Int) =
+    mergeRetry(spark, rootDir, incoming, partCols, retain, statsCols,
+      maxAttempts)((target, inc) => Merge.upsertUpdate(target, inc, keys))
+
+  /** Generic retry wrapper over [[merge]] (see [[upsertUpdateRetry]]).
+    * `mergeFn` is re-invoked per attempt against the freshly-resolved
+    * base — it must be a pure function of (target, incoming).
+    */
+  def mergeRetry(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      partCols: Seq[String], retain: Int = 2, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): (Option[Long], Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var conflicts = 0
+    while (true) {
+      try {
+        return (merge(spark, rootDir, incoming, partCols, retain,
+          statsCols)(mergeFn), conflicts)
+      } catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** CDC apply on a snapshot table ([[Merge.applyCdc]] semantics:
     * last-writer-wins per key by `seqCol`, `delete` ops REMOVE the
     * key). `changes` carries keys ++ seq ++ op ++ the table's payload

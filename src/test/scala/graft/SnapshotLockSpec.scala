@@ -76,6 +76,61 @@ class SnapshotLockSpec extends SparkFunSuite {
     assert(!store.fs.exists(new Path(dir, "LOCK")))
   }
 
+  test("merge race: the fenced loser rebases and retries to the sequential state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.sinks.{Merge, SnapshotMerge}
+    // Deterministic forced race on a real DATA merge (the lock-hammer
+    // tests above race pure-metadata commits): writer B resolves its
+    // base version, then BLOCKS inside its merge function while
+    // writer A commits — so B's first commit is GUARANTEED to hit the
+    // fence. The mergeFn latch works because merge() resolves
+    // currentSized() before invoking mergeFn and commits after: the
+    // pause sits exactly inside the read→commit conflict window.
+    def pk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pk", pmod(col("k"), lit(2L)))
+    val dir = tmp("sconf")
+    SnapshotMerge.upsertUpdate(spark, dir,
+      pk(Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("k", "v")),
+      Seq("k"), Seq("pk"))
+    val incA = pk(Seq((2L, 20L), (6L, 60L)).toDF("k", "v")) // pk=0 only
+    val incB = pk(Seq((3L, 30L), (5L, 50L)).toDF("k", "v")) // pk=1 only
+    val aCommitted = new CountDownLatch(1)
+    val bEntered = new CountDownLatch(1)
+    val bAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var bResult: (Option[Long], Int) = null
+    @volatile var bErr: Throwable = null
+    val b = new Thread(() =>
+      try {
+        bResult = SnapshotMerge.mergeRetry(spark, dir, incB, Seq("pk")) {
+          (t, i) =>
+            if (bAttempts.incrementAndGet() == 1) {
+              bEntered.countDown()
+              assert(aCommitted.await(60, TimeUnit.SECONDS), "A never committed")
+            }
+            Merge.upsertUpdate(t, i, Seq("k"))
+        }
+      } catch { case t: Throwable => bErr = t })
+    b.start()
+    assert(bEntered.await(60, TimeUnit.SECONDS), "B never reached its mergeFn")
+    SnapshotMerge.upsertUpdate(spark, dir, incA, Seq("k"), Seq("pk"))
+    aCommitted.countDown()
+    b.join(TimeUnit.MINUTES.toMillis(3))
+    assert(bErr == null, s"loser must retry to success, got $bErr")
+    // exactly one fenced conflict, one rebase: attempts 2, conflicts 1
+    assert(bAttempts.get() == 2, s"expected 2 attempts, got ${bAttempts.get()}")
+    assert(bResult._2 == 1, s"expected 1 recorded conflict, got ${bResult._2}")
+    // B committed on top of A: versions seed=1, A=2, B=3
+    assert(bResult._1.contains(3L), s"expected B at v3, got ${bResult._1}")
+    // Final table = sequential application — including A's pk=0 rows,
+    // which B's rebase must carry forward by reference even though B
+    // only rewrites pk=1.
+    val got = SnapshotMerge.read(spark, dir, incA.schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 20L, 3L -> 30L, 4L -> 0L,
+      5L -> 50L, 6L -> 60L), s"merged state wrong: $got")
+  }
+
   test("a crashed holder's stale lock is taken over by age") {
     val dir = tmp("slockstale")
     val store = new SnapshotStore(spark, new Path(dir),
