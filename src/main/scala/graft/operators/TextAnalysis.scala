@@ -114,8 +114,17 @@ object TextAnalysis extends QueryModule {
     // corpus; production trainers run thousands of merges with
     // pair-DELTA maintenance instead of a full recount — 8 full
     // recounts here keep the query honest and the plan inspectable.
-    // Rows-only (iterative argmax is not SQL); TextAnalysisSpec pins
-    // the merge table against an in-memory reference trainer.
+    // FULL ORACLE (r16): every stage is integer counting + string
+    // concatenation with a deterministic (count desc, pair asc)
+    // tie-break, so DuckDB re-executes the whole training loop as 8
+    // unrolled CTE rounds (the ann_ivf_trained_q technique) — pair
+    // counting via list_zip, the argmax, and the greedy left-to-right
+    // non-overlapping rewrite restated POSITIONALLY: a candidate
+    // position merges iff it is at an even offset within its run of
+    // consecutive candidates (runs only interact when a == b, where
+    // greedy takes every other position — provably the fold's
+    // semantics; [[bpeIterSql]]). TextAnalysisSpec still pins the
+    // merge table against an in-memory reference trainer.
     // SPARK_GRAFT_BPE_MERGES overrides the merge count for SCALE
     // PROBES ONLY (the per-merge driver-loop cost measured in
     // NOTES_r13); the default 8 is the pinned catalog definition the
@@ -131,9 +140,14 @@ object TextAnalysis extends QueryModule {
     // [[graft.functions.BpeEncode]] kernel — the per-doc encode is a
     // ZERO-SHUFFLE codegen'd projection, flat in plan size no matter
     // the vocab (a HOF-fold spelling would nest one `aggregate` per
-    // merge and collapse the optimizer at real vocab sizes). Rows-only:
-    // the iterative trainer has no SQL oracle; TextAnalysisSpec pins
-    // the kernel against a brute-force reimplementation, the
+    // merge and collapse the optimizer at real vocab sizes).
+    // FULL ORACLE (r16): encoding a word with the merge list applied
+    // in training order equals the trained word table's final symbol
+    // array for that word — so the oracle re-derives w8 with the same
+    // unrolled CTE chain as text_bpe_train and re-encodes every
+    // document by joining its words to w8, hash-pinning the kernel's
+    // output per document. TextAnalysisSpec additionally pins the
+    // kernel against a brute-force reimplementation, the
     // concat-roundtrip invariant, and the trainer's own word table.
     "text_bpe_apply" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1099,6 +1113,63 @@ object TextAnalysis extends QueryModule {
     out.toSeq.toDF("it", "pair_a", "pair_b", "merged", "freq")
   }
 
+  /** One unrolled BPE training round for the DuckDB oracle
+    * (`w{k-1}` → `best{k}` + `w{k}`): pair counts over adjacent
+    * symbols (list_zip of the two shifted slices), the deterministic
+    * argmax, then the greedy left-to-right non-overlapping rewrite
+    * restated POSITIONALLY. The fold ("merge when the accumulator's
+    * tail is `a` and the next symbol is `b`") is equivalent to:
+    * candidate position i (sym[i]=a ∧ sym[i+1]=b) merges iff an even
+    * number of consecutive candidates immediately precede it —
+    * adjacent candidates require sym[i]=b ∧ sym[i]=a, i.e. runs only
+    * exist when a = b, where greedy provably takes every other
+    * position ("aaaa"+(a,a) → [aa,aa]); a merged token can never
+    * chain (a+b = a needs b empty). `mrg` rows emit a||b, the row
+    * after a merge is consumed via LAG. Per-round tables are
+    * MATERIALIZED: default CTE inlining would re-expand the
+    * 8-round chain exponentially (observed as thousands of re-opened
+    * parquet scans).
+    */
+  private def bpeIterSql(k: Int): String = {
+    val p = s"w${k - 1}"
+    s"""p$k AS (
+       SELECT struct_extract(z, 1) AS a, struct_extract(z, 2) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS n
+       FROM (SELECT unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS z, cnt
+             FROM $p WHERE len(sym) > 1) t
+       GROUP BY 1, 2),
+     best$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+     pos$k AS (
+       SELECT wid, cnt, i, sym[i] AS s,
+         (i < len(sym) AND sym[i] = (SELECT a FROM best$k)
+            AND sym[i+1] = (SELECT b FROM best$k)) AS cand
+       FROM $p, UNNEST(range(1, len(sym) + 1)) AS t(i)),
+     mrk$k AS (
+       SELECT wid, cnt, i, s, cand,
+         cand AND (ROW_NUMBER() OVER (PARTITION BY wid, cand, grp ORDER BY i) % 2 = 1) AS mrg
+       FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY wid, cand ORDER BY i) AS grp
+             FROM pos$k) g),
+     w$k AS MATERIALIZED (
+       SELECT wid, cnt,
+         list(CASE WHEN mrg THEN s || (SELECT b FROM best$k) ELSE s END ORDER BY i) AS sym
+       FROM (SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY wid ORDER BY i), FALSE) AS consumed
+             FROM mrk$k) m
+       WHERE NOT consumed
+       GROUP BY wid, cnt)"""
+  }
+
+  /** The full 8-round training chain (word count → chars → 8×
+    * [[bpeIterSql]]) shared by the text_bpe_train / text_bpe_apply
+    * oracles.
+    */
+  private def bpeChainSql: String =
+    s"""wrd AS MATERIALIZED (
+       SELECT tok AS wid, COUNT(*) AS cnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+       WHERE len(tok) > 0 GROUP BY tok),
+     w0 AS MATERIALIZED (SELECT wid, string_split(wid, '') AS sym, cnt FROM wrd),
+     ${(1 to 8).map(bpeIterSql).mkString(",\n     ")}"""
+
   /** The BM25 scoring CTEs (→ `byd(doc_id, s)`) shared by the
     * text_bm25_topk / rag_* oracles — mirrors [[bm25Scores]].
     */
@@ -1125,6 +1196,35 @@ object TextAnalysis extends QueryModule {
            GROUP BY tf.doc_id)"""
 
   def oracle: Map[String, String] = Map(
+    // the whole training loop re-executed as 8 unrolled CTE rounds
+    "text_bpe_train" ->
+      (s"""WITH $bpeChainSql
+         """ + (1 to 8).map(k =>
+           s"""SELECT CAST($k AS INT) AS it, a AS pair_a, b AS pair_b,
+              a || b AS merged, n AS freq FROM best$k""")
+           .mkString(" UNION ALL ")),
+    // re-encode every document by joining its words to the re-derived
+    // trained word table w8 (encode-with-ordered-merges ≡ the
+    // training rewrite of that word)
+    "text_bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         tk AS MATERIALIZED (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+           FROM documents),
+         docw AS (
+           SELECT doc_id, struct_extract(z, 1) AS w, struct_extract(z, 2) AS wi
+           FROM (SELECT doc_id, unnest(list_zip(tk, range(1, len(tk) + 1))) AS z
+                 FROM tk WHERE len(tk) > 0) t),
+         per AS (
+           SELECT d.doc_id,
+             CAST(SUM(len(e.sym)) AS INT) AS n_sym,
+             array_to_string(flatten(list(e.sym ORDER BY d.wi)
+               FILTER (WHERE d.wi <= 3)), '|') AS head_sym
+           FROM docw d JOIN w8 e ON d.w = e.wid
+           GROUP BY d.doc_id)
+         SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_words,
+           COALESCE(p.n_sym, 0) AS n_sym, COALESCE(p.head_sym, '') AS head_sym
+         FROM tk t LEFT JOIN per p USING (doc_id)""",
     "text_heavy_hitters" ->
       """SELECT tok, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
