@@ -60,4 +60,20 @@ object BloomFilterOps {
     val row = df.agg(bloom_agg(col(column), expectedItems, numBits)).head()
     if (row.isNullAt(0)) lit(null).cast("binary") else lit(row.getAs[Array[Byte]](0))
   }
+
+  /** LAZY sketch build — the sketch aggregate embeds in the caller's
+    * plan as a SCALAR SUBQUERY (exactly how Spark's own
+    * InjectRuntimeFilter injects its bloom filters;
+    * [[BloomFilterMightContain]] accepts a scalar subquery operand as
+    * an alternative to a constant). Unlike [[buildBloom]] no job runs
+    * at query-construction time: the build executes inside the
+    * measured/planned region when the caller's plan does, and a
+    * re-executed query rebuilds it inside its own execution rather
+    * than re-scanning the dim at construction. Empty build side
+    * behaves identically (the subquery yields a NULL sketch, the
+    * probe yields NULL, a WHERE drops every row).
+    */
+  def buildBloomLazy(df: DataFrame, column: String,
+      expectedItems: Long, numBits: Long): Column =
+    df.agg(bloom_agg(col(column), expectedItems, numBits)).scalar()
 }

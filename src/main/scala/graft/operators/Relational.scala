@@ -277,12 +277,16 @@ object Relational extends QueryModule {
     // is exactly what the oracle hash-checks. At 100 TB this is the
     // difference between shuffling the whole fact table and shuffling
     // the ~1/5 of it that can join; the sketch build is one scalar
-    // aggregate over the dim ([[graft.functions.BloomFilterOps]]).
+    // aggregate over the dim, injected LAZILY as a scalar subquery
+    // (r16, the InjectRuntimeFilter spelling) so the build job runs
+    // inside the measured plan at execution, not at query
+    // construction ([[graft.functions.BloomFilterOps.buildBloomLazy]];
+    // RelationalSpec pins the subquery in the plan).
     "j12_bloom_prune" -> ((s, dir) => {
       val dim = Tables.load(s, dir, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
-      val sketch = graft.functions.BloomFilterOps.buildBloom(
+      val sketch = graft.functions.BloomFilterOps.buildBloomLazy(
         dim, "o_orderkey", expectedItems = 1000000L, numBits = 1L << 23)
       Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))

@@ -35,6 +35,21 @@ class RelationalSpec extends SparkFunSuite {
     assert(df.where(col("n_cust") === 0).count() >= 0)
   }
 
+  test("j12 bloom sketch builds lazily as a scalar subquery in the plan") {
+    // The eager spelling embedded the sketch as a binary literal —
+    // built by a job at query CONSTRUCTION, outside the measured
+    // plan, and re-scanning the dim on every reconstruction. The
+    // lazy spelling must carry the build as a scalar subquery (the
+    // InjectRuntimeFilter shape), so the plan itself proves the job
+    // runs at execution.
+    val df = SparkEntry.queries("j12_bloom_prune")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("scalar-subquery"), s"no scalar subquery in:\n$plan")
+    assert(plan.toLowerCase.contains("bloom"), "no bloom aggregate in the plan")
+    // and it still computes the exact join's answer
+    assert(df.count() == 3)
+  }
+
   test("o1 top-k is ordered and deterministic") {
     val rows = SparkEntry.queries("o1_topk")(spark, sfDir)
       .collect().map(_.getDouble(1))
