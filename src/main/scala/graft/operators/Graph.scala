@@ -734,6 +734,23 @@ object Graph extends QueryModule {
     // every join in the loop is explicitly broadcast-hinted.
     def rebase(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftShims.rebase(df)
+    // CONVERGENCE-PROBE BATCHING (r16): the per-round breakdown at
+    // sf0.1 showed ~0.57 s/round FLAT whether the frontier was 19k
+    // nodes or 34 — the cost is per-round fixed overhead (broadcast
+    // builds + the changed-count ACTION each round), not data. The
+    // r15 "convergence-probed loops can't fuse" claim is beatable:
+    // the h-index update is monotone and IDEMPOTENT at the fixpoint,
+    // so probing `changed` only every [[probeEvery]] rounds stays
+    // EXACT — the loop stops when a full pass changes nothing, it
+    // just may run up to probeEvery−1 no-op passes past the true
+    // fixpoint (each nearly free: the frontier is empty, so gathered
+    // is empty and the pass degenerates to a state identity).
+    // Between probes the per-round states stay LAZY checkpoints;
+    // the probe's single action materializes the whole segment
+    // (each round's blocks compute once and serve that round's
+    // multiple downstream consumers from cache), and superseded
+    // states release only after the probe materializes the newest.
+    val probeEvery = 4
     val ep = edges.repartition(col("src")).ckpt(false)
     var stateCk = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("int").as("c"))
@@ -741,20 +758,22 @@ object Graph extends QueryModule {
       .withColumn("chg", lit(true))
       .ckpt(false)
     var changed = stateCk.count()
-    var first = true
     var round = 0
+    var pending: List[DataFrame] = Nil
     while (changed > 0 && round < maxRounds) {
       round += 1
       val state = rebase(stateCk)
       // nodes that must re-score: those with a changed neighbor
-      // (everyone, round 1)
-      val gathered = if (first) ep else {
-        val touched = ep
-          .join(broadcast(state.where(col("chg")).select(col("node").as("dst"))),
-            "dst")
-          .select(col("src")).distinct()
-        ep.join(broadcast(touched), "src")
-      }
+      // (everyone, round 1 — state starts all-chg, so no special
+      // case: touched is then every src). A shared-full-state
+      // broadcast variant (one exchange probed by all three joins)
+      // was measured WORSE here — 2× process-CPU, +10% wall — so the
+      // chg-pruned build sides stand.
+      val touched = ep
+        .join(broadcast(state.where(col("chg")).select(col("node").as("dst"))),
+          "dst")
+        .select(col("src")).distinct()
+      val gathered = ep.join(broadcast(touched), "src")
       val nbr = gathered
         .join(broadcast(state.select(col("node").as("dst"),
           col("c").as("cn"))), "dst")
@@ -771,28 +790,37 @@ object Graph extends QueryModule {
         .agg(max(least(col("cn"), col("rn"))).cast("int").as("h"))
         .toDF("node", "h")
       // untouched nodes keep their value (left join + coalesce); the
-      // monotone least() guards the theorem's non-increasing path
+      // monotone least() guards the theorem's non-increasing path.
+      // h is frontier-bounded (≤ |nodes| rows of (node, int) — the
+      // same node-scale class this loop already broadcasts twice per
+      // round); unhinted, the default-stat LogicalRDD leaves pushed
+      // this to a sort-merge join that shuffled BOTH node-scale
+      // sides every round.
       val next = state.select(col("node"), col("c").as("c0"))
-        .join(h, Seq("node"), "left")
+        .join(broadcast(h), Seq("node"), "left")
         .select(col("node"),
           least(col("c0"), coalesce(col("h"), col("c0"))).cast("int").as("c"),
           (coalesce(col("h"), col("c0")) < col("c0")).as("chg"))
         .ckpt(false)
-      // ONE action per round: materializes the checkpoint and counts
-      // the new frontier in the same job
-      changed = next.where(col("chg")).count()
-      Dedup.releaseCheckpoints(stateCk)
+      pending ::= stateCk
       stateCk = next
-      first = false
-      if (sys.env.contains("GRAFT_KCORE_LOG"))
-        println(s"[kcore] round $round changed=$changed " +
-          s"t=${System.nanoTime() / 1000000}")
+      // ONE action per SEGMENT: materializes every pending round's
+      // checkpoint and counts the newest frontier in the same job.
+      if (round % probeEvery == 0 || round == maxRounds) {
+        changed = next.where(col("chg")).count()
+        pending.foreach(Dedup.releaseCheckpoints)
+        pending = Nil
+        if (sys.env.contains("GRAFT_KCORE_LOG"))
+          println(s"[kcore] probe round $round changed=$changed " +
+            s"t=${System.nanoTime() / 1000000}")
+      }
     }
     require(!requireConverged || changed == 0,
       s"coreness did not converge in $maxRounds rounds")
     val out = stateCk.select(col("node"), col("c").as("core"))
       .ckpt(false)
     out.count()
+    pending.foreach(Dedup.releaseCheckpoints)
     Dedup.releaseCheckpoints(stateCk)
     Dedup.releaseCheckpoints(ep)
     out
