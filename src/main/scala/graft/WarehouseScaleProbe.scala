@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 100×-file-count probe for the warehouse READ paths (VERDICT r15
+  * #7): proves the metadata pruning behind `k2_snapshot_skip` /
+  * `k2_snapshot_zorder` still prunes — and still costs metadata, not
+  * data — when the stats sidecar itself is large. Not part of the
+  * driver contract; results land in NOTES_r16.
+  *
+  * Two axes, mirroring the two catalog rows:
+  *   - PARTITION-BAND pruning (`readRange`): the same orders-derived
+  *     table built at `pk % N` for N = 8 vs 512 partitions (64× the
+  *     manifest/stats rows), reading one narrow price band. Reported:
+  *     build s, read s, scan-input files vs total files, rows.
+  *   - FILE-BAND pruning (`readBoxFiles` after `compactZOrder`): the
+  *     lineitem-derived table Z-ordered at maxRecordsPerFile tuned to
+  *     produce ~60 vs ~6000 files, reading one 2-D box. Same report.
+  *
+  * The claim under test is NOT that more files read faster — it is
+  * that (a) the SELECTED-file fraction tracks band selectivity at any
+  * file count (pruning never degrades to list-the-world), and (b) the
+  * prune decision stays a sidecar-sized driver computation, so read
+  * wall grows with data actually read, not with table file count.
+  *
+  * Usage: `runMain graft.WarehouseScaleProbe <sfDir> <parts1,parts2,…>`
+  */
+object WarehouseScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val partCounts = args(1).split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // --- partition-band pruning at growing partition counts ---
+    // pk is PRICE-BUCKETED (ingest-clustered data — the regime
+    // stats-skipping exists for; a key-hash pk leaves every
+    // partition's price band spanning the whole domain, where NO
+    // sidecar can prune and the probe would only measure full-scan
+    // cost). The read is still BY VALUE through the sidecar — the
+    // reader never sees the bucketing rule.
+    partCounts.foreach { n =>
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          least(floor(col("o_totalprice") / (600000.0 / n)), lit(n - 1L))
+            .cast("long").as("pk"))
+      val base = java.nio.file.Files.createTempDirectory(s"graft_wsp_$n").toString + "/t"
+      val (_, buildS) = timed {
+        graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
+          Seq("o_orderkey"), Seq("pk"), statsCols = Seq("o_totalprice"))
+      }
+      val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+      val all = store.readPartitions(o.schema, null).inputFiles.length
+      val (got, readS) = timed {
+        val df = store.readRange(o.schema, "o_totalprice", 50000.0, 60000.0)
+        (df.inputFiles.length, df.count())
+      }
+      out += s"""{"probe":"range","parts":$n,"build_s":${f(buildS)},""" +
+        s""""read_s":${f(readS)},"files_total":$all,"files_read":${got._1},""" +
+        s""""rows":${got._2}}"""
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }
+
+    // --- file-band pruning (Z-order) at growing file counts ---
+    Seq(4000L, 40L).foreach { maxRec =>
+      val li = Tables.load(spark, dir, "lineitem")
+        .where(col("l_orderkey") % 3 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          pmod(col("l_orderkey"), lit(4L)).as("pk"))
+        .distinct()
+      val base = java.nio.file.Files.createTempDirectory(s"graft_wspz_$maxRec")
+        .toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(spark, base, li,
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), Seq("pk"))
+      val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+      val (_, zS) = timed {
+        store.compactZOrder(li.schema, Seq("pk"),
+          Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = maxRec)
+      }
+      val all = store.readPartitions(li.schema, null).inputFiles.length
+      val (got, readS) = timed {
+        val df = store.readBoxFiles(li.schema,
+          Seq(("l_partkey", 500.0, 700.0), ("l_suppkey", 50.0, 80.0)))
+        (df.inputFiles.length, df.count())
+      }
+      out += s"""{"probe":"zorder_box","max_rec":$maxRec,"zorder_s":${f(zS)},""" +
+        s""""read_s":${f(readS)},"files_total":$all,"files_read":${got._1},""" +
+        s""""rows":${got._2}}"""
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }
+
+    println(out.mkString("[", ",", "]"))
+    spark.stop()
+  }
+
+  private def f(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+}
