@@ -503,6 +503,74 @@ object EventWindows extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
     }),
 
+    // STREAMING CATALOG ENTRY — CHECKPOINT-RESTART RECOVERY (VERDICT
+    // r16 #2: the operational meaning of "exactly-once"). Three
+    // mtime-staggered single-file waves paced one per micro-batch
+    // into a checkpointed partitioned streaming MERGE. Run 1 CRASHES
+    // mid-drain: batch 0 (wave 1) merges and commits, then the
+    // injected failure kills the query at batch 1 with its offsets in
+    // the WAL but no commit — the state an executor/driver loss
+    // leaves. Run 2 restarts from the SAME checkpointLocation and
+    // must RESUME: replay exactly the failed batch 1 (its merge never
+    // ran; per-batch upsert is idempotent anyway) and continue to
+    // batch 2, never reprocessing batch 0 (StreamingSpec pins the
+    // resumed run's batch ids via lastUpsertBatches). Wave 2 UPDATES
+    // keys wave 1 inserted (every event_id % 6 == 0 bumped +1000 and
+    // retyped 'R'), so a lost update (batch 0 replayed after batch 1)
+    // or a skipped batch changes VALUES, not just counts — the final
+    // table only hashes against the batch restatement if the resumed
+    // run applied each wave exactly once, in order. At scale this is
+    // the recovery path a 1000-executor deployment leans on: restart
+    // cost is O(failed batch), never O(history).
+    "strm_restart_resume" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), pmod(col("event_id"), lit(8L)).as("pk"))
+      val upd = ev.where(col("event_id") % 6 === 0)
+        .withColumn("event_type", lit("R"))
+        .withColumn("value",
+          (col("value").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double"))
+      val root = Files.createTempDirectory("strm_restart")
+      try {
+        val drop = root.resolve("drop"); Files.createDirectories(drop)
+        def wave(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = root.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val st = Files.list(tmp)
+          val part =
+            try st.toArray.map(_.toString)
+              .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+            finally st.close()
+          Files.move(Paths.get(part), drop.resolve(name))
+          Files.setLastModifiedTime(drop.resolve(name), FileTime.fromMillis(mtime))
+        }
+        val t0 = System.currentTimeMillis()
+        wave(ev.where(col("event_id") % 3 === 0), "w1.parquet", t0 - 120000)
+        wave(ev.where(col("event_id") % 3 === 1).unionAll(upd), "w2.parquet",
+          t0 - 60000)
+        wave(ev.where(col("event_id") % 3 === 2), "w3.parquet", t0)
+        val tableDir = root.resolve("table").toString
+        val ckpt = root.resolve("ckpt").toString
+        def stream(failAt: Long): Unit =
+          graft.streaming.EventStreams.upsertStream(s,
+            s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+              .parquet(drop.toString),
+            tableDir, Seq("event_id"), Seq("pk"), ckpt, failAt)
+        val crashed =
+          try { stream(failAt = 1L); false }
+          catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+        require(crashed, "injected mid-drain crash did not surface")
+        stream(failAt = -1L) // restart from the same checkpoint
+        s.read.parquet(tableDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }),
+
     // STREAMING CATALOG ENTRY #6 — WATERMARK LATE-DATA DROP,
     // driver-enforced: the one streaming semantic the other strm_*
     // rows don't pin (Complete-mode drains retain all state, eager
@@ -1439,6 +1507,17 @@ object EventWindows extends QueryModule {
     "strm_type_counts_tws" ->
       """SELECT user_id, event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2""",
+    // crash-at-batch-1 + restart-from-checkpoint must end exactly
+    // like a never-crashed run: every key once, wave-2's updates
+    // (event_id % 6 = 0: +1000, type 'R') winning over wave 1
+    "strm_restart_resume" ->
+      """SELECT event_id, user_id,
+           CASE WHEN event_id % 6 = 0 THEN 'R' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 6 = 0
+                THEN CAST(CAST(value AS DECIMAL(18,2)) + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE)
+                ELSE value END AS value,
+           event_id % 8 AS pk
+         FROM events""",
     // the streaming Complete-mode drain emits the identical full
     // session state (see the strm_session query comment)
     "strm_session" -> sessionSql,

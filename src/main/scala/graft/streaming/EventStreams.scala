@@ -356,21 +356,44 @@ object EventStreams {
       // (timers run after input rows in a micro-batch, and a fired
       // timer would have cleared cur), so it is safe to delete.
       val prevExpiry = if (c == null) -1L else expiryMs(c)
+      // Expiry of the FIRST session this batch appends to `closed`,
+      // or -1 if none closed. A timer must survive at (or be
+      // registered for) this instant: it is the earliest point the
+      // watermark can drain the closed list, and for a continuously-
+      // active key it is the ONLY timer that ever fires — the current
+      // session's expiry keeps being superseded batch after batch.
+      var firstClosedExpiry = -1L
       xs.foreach { case (_, us, _, v) =>
         if (c == null) c = (us, us, 1L, cents(v))
         else if (us - c._2 < gapUs) c = (c._1, us, c._3 + 1L, c._4 + cents(v))
-        else { closed.appendValue(c); c = (us, us, 1L, cents(v)) }
+        else {
+          if (firstClosedExpiry < 0L) firstClosedExpiry = expiryMs(c)
+          closed.appendValue(c); c = (us, us, 1L, cents(v))
+        }
       }
       if (c != null) {
         cur.update(c)
         val newExpiry = expiryMs(c)
-        // Delete the superseded timer before registering the new one:
-        // without this a long-lived key accumulates one stale timer
-        // per batch, each stale expiry triggering a spurious (empty)
-        // handleExpiredTimer pass — state/CPU noise, though output
-        // stays correct under the watermark guard (ADVICE r15).
-        if (prevExpiry >= 0L && prevExpiry != newExpiry)
+        // Timer hygiene vs drain liveness (ADVICE r15 + r16): when
+        // the carried session merely EXTENDED, its old timer is
+        // superseded — delete it so a long-lived key doesn't
+        // accumulate one stale (empty-firing) timer per batch. But
+        // when this batch CLOSED a session into `closed`, the timer
+        // at that session's expiry is the one that will drain it once
+        // the watermark passes — deleting it would withhold completed
+        // sessions of a continuously-active key until quiesce
+        // (ADVICE r16). If a carried session existed, its timer at
+        // prevExpiry <= firstClosedExpiry is already registered and
+        // suffices (handleExpiredTimer drains the whole closed list
+        // whenever any timer fires) — keep it and register nothing
+        // extra; only a batch that opened AND closed sessions from a
+        // cold key (prevExpiry < 0) needs a fresh drain timer.
+        if (firstClosedExpiry >= 0L) {
+          if (prevExpiry < 0L)
+            getHandle.registerTimer(firstClosedExpiry)
+        } else if (prevExpiry >= 0L && prevExpiry != newExpiry) {
           getHandle.deleteTimer(prevExpiry)
+        }
         getHandle.registerTimer(newExpiry)
       }
       Iterator.empty
@@ -466,16 +489,30 @@ object EventStreams {
     * just what arrived since the last drain. Always set it for the
     * cron-style repeated-drain deployment (every repeated-drain spec
     * and sibling entry point does).
+    *
+    * `failAtBatch` >= 0 injects a CRASH: the foreachBatch for that
+    * micro-batch id throws BEFORE touching the target, killing the
+    * query mid-drain with that batch's offsets written to the WAL but
+    * not the commit log — exactly the state a production executor
+    * loss leaves behind. The recovery row (`strm_restart_resume`)
+    * restarts from the same `checkpointDir` and must resume at the
+    * failed batch (earlier batches' state carried, not recomputed),
+    * ending bit-identical to a one-shot drain.
     */
   def upsertStream(spark: SparkSession, incoming: DataFrame,
       targetDir: String, keys: Seq[String],
       partitionCols: Seq[String] = Nil,
-      checkpointDir: String = null): Unit = {
+      checkpointDir: String = null,
+      failAtBatch: Long = -1L): Unit = {
     import graft.sinks.{AtomicDir, Merge, PartitionedMerge}
+    lastUpsertBatches = Vector.empty
     val w0 = incoming.writeStream.outputMode(OutputMode.Append())
     val q = (if (checkpointDir != null)
       w0.option("checkpointLocation", checkpointDir) else w0)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == failAtBatch)
+          throw new IllegalStateException(
+            s"injected crash at micro-batch $batchId (recovery pin)")
         if (batch.isEmpty) {
           // an empty micro-batch must not read+rewrite the target
         } else if (partitionCols.nonEmpty) {
@@ -489,12 +526,22 @@ object EventStreams {
           val dst = new org.apache.hadoop.fs.Path(targetDir)
           AtomicDir.commit(AtomicDir.fileSystem(spark, dst), dst)
         }
+        lastUpsertBatches :+= batchId
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
+
+  /** Micro-batch ids the most recent [[upsertStream]] call COMPLETED
+    * (foreachBatch ran to the end), in order. Test observability for
+    * the checkpoint-restart pin: after a crash at batch k and a
+    * restart from the same checkpoint, the restarted run's ids must
+    * start at k — batch ids below k appearing here again would mean
+    * offsets were reprocessed instead of resumed.
+    */
+  @volatile var lastUpsertBatches: Vector[Long] = Vector.empty
 
   /** Streaming CDC: drain a change stream (upserts + deletes, stamped
     * with sequence numbers) into a bucketed snapshot table —

@@ -192,6 +192,71 @@ class StreamingSpec extends SparkFunSuite {
     assert(files == before, "untouched partition pk=99 was rewritten")
   }
 
+  test("checkpoint restart resumes at the failed batch, never reprocessing batch 0") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // three single-file waves, one per micro-batch; run 1 commits
+    // batch 0 then crashes at batch 1 (injected); run 2 restarts from
+    // the same checkpoint. The pin the oracle row cannot carry: the
+    // resumed run's COMPLETED batch ids start at the failed batch —
+    // id 0 reappearing would mean offsets were reprocessed (recompute,
+    // not recovery), even though the idempotent merge would hide it.
+    val root = Files.createTempDirectory("restart_pin")
+    def wave(rows: Seq[(Long, Double, Long)], name: String, mtime: Long): Unit = {
+      val tmp = root.resolve(s"stage_$name")
+      rows.toDF("event_id", "value", "pk").coalesce(1)
+        .write.parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+        finally st.close()
+      Files.createDirectories(root.resolve("drop"))
+      Files.move(Paths.get(part), root.resolve("drop").resolve(name))
+      Files.setLastModifiedTime(root.resolve("drop").resolve(name),
+        FileTime.fromMillis(mtime))
+    }
+    try {
+      val t0 = System.currentTimeMillis()
+      wave(Seq((1L, 1.0, 1L), (2L, 2.0, 0L)), "w1.parquet", t0 - 120000)
+      wave(Seq((2L, 102.0, 0L), (3L, 3.0, 1L)), "w2.parquet", t0 - 60000)
+      wave(Seq((4L, 4.0, 0L)), "w3.parquet", t0)
+      val drop = root.resolve("drop").toString
+      val schema = spark.read.parquet(drop).schema
+      def stream(target: String, ckpt: String, failAt: Long): Unit =
+        EventStreams.upsertStream(spark,
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(drop),
+          target, Seq("event_id"), Seq("pk"), ckpt, failAt)
+      val target = root.resolve("t").toString
+      val ckpt = root.resolve("ckpt").toString
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        stream(target, ckpt, failAt = 1L)
+      }
+      // run 1 completed exactly batch 0 before dying
+      assert(EventStreams.lastUpsertBatches == Vector(0L),
+        s"crashed run completed ${EventStreams.lastUpsertBatches}")
+      // batch 0's merge really committed pre-crash
+      assert(spark.read.parquet(target).count() == 2)
+      stream(target, ckpt, failAt = -1L)
+      val resumed = EventStreams.lastUpsertBatches
+      assert(!resumed.contains(0L),
+        s"restart reprocessed batch 0: $resumed")
+      assert(resumed.headOption.contains(1L),
+        s"restart did not resume at the failed batch: $resumed")
+      assert(resumed.contains(2L), s"restart never reached batch 2: $resumed")
+      val got = spark.read.parquet(target)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+      // one-shot control: fresh checkpoint + fresh target, no crash
+      val target2 = root.resolve("t2").toString
+      stream(target2, root.resolve("ckpt2").toString, failAt = -1L)
+      val oneShot = spark.read.parquet(target2)
+        .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+      assert(got == oneShot)
+      assert(got == Set((1L, 1.0), (2L, 102.0), (3L, 3.0), (4L, 4.0)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   test("streaming dedup within watermark == batch distinct on event_id") {
     // stage the same events file TWICE: the stream sees every event
     // duplicated; dropDuplicatesWithinWatermark must emit each once
@@ -337,6 +402,67 @@ class StreamingSpec extends SparkFunSuite {
           "RocksDBStateStoreProvider")))
     assert(bare.count() < want.size,
       "bare drain emitted every session — watermark gating is not real")
+  }
+
+  test("a continuously-active key's CLOSED sessions drain mid-stream, not at quiesce") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // ADVICE r16 regression pin: one user stays active in EVERY
+    // micro-batch, so the current session's expiry timer is superseded
+    // batch after batch. The first session gap-closes in wave 2; the
+    // ONLY timer that can ever drain it is the one registered for that
+    // session's own expiry — the pre-fix code deleted it as
+    // "superseded" and the completed session was withheld until
+    // quiesce. Three single-file micro-batches (mtime-paced), no
+    // sentinel wave, no quiesce help:
+    //   w1: session A = 2 events at T, T+60s        (expiry T+31m)
+    //   w2: event at T+2h  → closes A, opens B      (wm after: T+1h)
+    //   w3: event at T+2h5m → EXTENDS B (key active); the surviving
+    //       timer at T+31m <= wm fires here and must emit A while B
+    //       is live. B's expiry T+2h35m stays above the final wm
+    //       (T+1h5m), so B must remain withheld — pinning that the
+    //       fix did not weaken watermark gating.
+    val base = 1700000000000000L // micros
+    val drop = Files.createTempDirectory("sess_active_waves")
+    val stage = Files.createTempDirectory("sess_active_stage")
+    def wave(rows: Seq[(Long, Long, Long, Double)], name: String, mtime: Long): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("user_id", "us", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("value"))
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
+      val part = Files.list(Paths.get(s"$stage/$name")).iterator()
+      var p: java.nio.file.Path = null
+      while (part.hasNext) { val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f }
+      Files.copy(p, drop.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(drop.resolve(s"$name.parquet"),
+        FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    val h = 3600L * 1000000L
+    wave(Seq((1L, base, 1L, 10.0), (1L, base + 60000000L, 2L, 5.5)),
+      "w1", t0 - 120000)
+    wave(Seq((1L, base + 2L * h, 3L, 1.0)), "w2", t0 - 60000)
+    wave(Seq((1L, base + 2L * h + 300000000L, 4L, 2.0)), "w3", t0)
+    try {
+      val got = EventStreams.drainToMemory(spark,
+        EventStreams.userSessionsTws(spark,
+          EventStreams.readEventsPaced(spark, drop.toString, Some(1)))
+          .toDF("user_id", "start_us", "n_events", "cents"),
+        "sess_active_out", OutputMode.Append(),
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == Set((1L, base, 2L, 1550L)),
+        s"closed session withheld or wrong for a continuously-active key: $got")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    }
   }
 
   test("a FAILED drain still drops its memory-sink view and surfaces the error") {
