@@ -168,28 +168,86 @@ object Pipeline extends QueryModule {
               .cast("double").as("o_totalprice"),
             lit(st).as("o_orderstatus"), pk)
       val base = java.nio.file.Files.createTempDirectory("graft_k2c_").toString + "/t"
-      graft.sinks.SnapshotMerge.upsertUpdate(
-        s, base, target, Seq("o_orderkey"), Seq("pk"))
-      val incs = Seq(batch(0, 1000, "A"), batch(2, 2000, "B"))
-      val gate = new java.util.concurrent.CountDownLatch(1)
-      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val threads = incs.map { inc =>
-        new Thread(() =>
+      // try/finally: a thread failure must not strand the temp
+      // snapshot dir (the driver re-runs this query every round).
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        val incs = Seq(batch(0, 1000, "A"), batch(2, 2000, "B"))
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = incs.map { inc =>
+          new Thread(() =>
+            try {
+              gate.await()
+              graft.sinks.SnapshotMerge.upsertUpdateRetry(
+                s, base, inc, Seq("o_orderkey"), Seq("pk"))
+            } catch { case t: Throwable => errs.add(t) })
+        }
+        threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // WRITER vs COMPACTION concurrency (VERDICT r16 #4 — the OTHER
+    // classic warehouse conflict class): a row-level upsert races an
+    // OPTIMIZE (clustered compaction) on the same base version from
+    // two real threads. Whoever loses the pointer-swap race gets a
+    // fenced SnapshotConcurrentWriteException — the compactor because
+    // the upserter invalidated the file set it was rewriting, or the
+    // upserter because its base manifests were superseded — and the
+    // retry wrapper REBASES it against the winner's committed state
+    // (compactClusteredRetry re-reads current() whole; upsert-
+    // UpdateRetry re-prunes and re-merges). Compaction only
+    // rearranges rows, so the final CONTENT equals a sequential
+    // upsert no matter which order the race resolves — which is what
+    // makes a genuinely racy execution hash-checkable. The
+    // deterministic FORCED version of both conflict directions is
+    // pinned in SnapshotLockSpec. maxRecordsPerFile=500 makes the
+    // compaction a real multi-file clustered rewrite, not a rename.
+    "k2_compact_conflict" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc = o.where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("A").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2cc_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val writer = new Thread(() =>
           try {
             gate.await()
             graft.sinks.SnapshotMerge.upsertUpdateRetry(
               s, base, inc, Seq("o_orderkey"), Seq("pk"))
           } catch { case t: Throwable => errs.add(t) })
-      }
-      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
-      val out = graft.sinks.SnapshotMerge.read(s, base, target.schema)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus"), col("pk").cast("long").as("pk"))
-        .ckpt(true)
-      org.apache.commons.io.FileUtils.deleteQuietly(
+        val compactor = new Thread(() =>
+          try {
+            gate.await()
+            graft.sinks.SnapshotMerge.compactClusteredRetry(
+              s, base, target.schema, Seq("pk"), "o_totalprice",
+              maxRecordsPerFile = 500L)
+          } catch { case t: Throwable => errs.add(t) })
+        writer.start(); compactor.start(); gate.countDown()
+        writer.join(); compactor.join()
+        if (!errs.isEmpty) throw errs.peek()
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
-      out
     }),
 
     // PER-PARTITION TABLE CHECKSUM (anti-entropy verification — how
@@ -787,6 +845,23 @@ object Pipeline extends QueryModule {
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
            AND o_orderkey NOT IN (SELECT o_orderkey FROM b)""",
+    // compaction only rearranges rows: whatever order the race
+    // resolved, the content equals the sequential upsert of batch A
+    "k2_compact_conflict" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         a AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'A' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT * FROM a
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)""",
     // the same restatable row hash and modular sum; HUGEINT sum
     // reduced before the BIGINT cast
     "k6_partition_checksum" ->

@@ -53,8 +53,11 @@ object SnapshotMerge {
     * `currentSized()` (the new base), re-prunes, and re-runs the
     * merge function against the winner's committed state, so the
     * final table equals sequential application in commit order.
-    * The incoming frame is checkpointed inside merge, so a retry
-    * re-runs the merge join, never the expensive upstream.
+    * The incoming frame is eagerly checkpointed ONCE, before the
+    * first attempt, so every retry re-runs only the merge join
+    * against the cached blocks — never the expensive upstream plan —
+    * and a non-deterministic upstream cannot yield different
+    * incoming data across attempts (ADVICE r16).
     * Returns (committed version, conflicts retried). Livelock is
     * bounded: after `maxAttempts` fenced aborts the last exception
     * propagates — at that contention level the caller needs a queue,
@@ -76,11 +79,50 @@ object SnapshotMerge {
       maxAttempts: Int = 5)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): (Option[Long], Int) = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    // Pin incoming ONCE before the loop: merge() re-checkpoints per
+    // attempt, and without this pin each conflict retry would re-run
+    // the full upstream plan (and a non-deterministic upstream could
+    // change the incoming rows between attempts). merge's internal
+    // ckpt of an already-checkpointed frame only copies cached
+    // blocks, never re-executes upstream.
+    val inc = incoming.ckpt(true)
     var conflicts = 0
     while (true) {
       try {
-        return (merge(spark, rootDir, incoming, partCols, retain,
+        return (merge(spark, rootDir, inc, partCols, retain,
           statsCols)(mergeFn), conflicts)
+      } catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** OPTIMIZE-vs-writer concurrency: [[SnapshotStore.compactClustered]]
+    * with the same optimistic rebase loop as [[mergeRetry]] — the
+    * OTHER classic warehouse conflict class (a maintenance rewrite
+    * racing a row-level upsert on the same base; Delta/Iceberg's
+    * compaction-conflict semantics). compactClustered re-resolves
+    * `current()` afresh on every call and its fenced commit aborts
+    * with [[SnapshotConcurrentWriteException]] when a writer advanced
+    * CURRENT in between, so a retry IS the rebase: re-read the
+    * winner's committed rows, re-cluster, re-commit. Content is
+    * writer-win-order-independent (compaction only rearranges rows),
+    * which is what lets a genuinely racy execution be a hash-checked
+    * oracle row (`k2_compact_conflict`). Returns conflicts retried.
+    */
+  def compactClusteredRetry(spark: SparkSession, rootDir: String,
+      schema: StructType, partCols: Seq[String], clusterCol: String,
+      maxRecordsPerFile: Long, maxAttempts: Int = 5): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    var conflicts = 0
+    while (true) {
+      try {
+        store.compactClustered(schema, partCols, clusterCol, maxRecordsPerFile)
+        return conflicts
       } catch {
         case e: SnapshotConcurrentWriteException =>
           conflicts += 1

@@ -158,6 +158,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeSwapHook: () => Unit = () => ()
 
+  /** Test seam: runs in [[compactClustered]] after the clustered
+    * rewrite is fully staged and immediately before its fenced
+    * commit — the window where a racing row-level writer invalidates
+    * the file set the compactor just rewrote. Lets specs force the
+    * compactor-loses direction of the writer-vs-OPTIMIZE conflict
+    * deterministically. No-op in production.
+    */
+  private[graft] var beforeCompactCommitHook: () => Unit = () => ()
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
@@ -847,6 +856,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(written.keySet == entries.keySet,
       s"clustered compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
     writeBatchStats(batch, schema, partCols, Seq(clusterCol), fileStats = true)
+    beforeCompactCommitHook()
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)

@@ -131,6 +131,112 @@ class SnapshotLockSpec extends SparkFunSuite {
       5L -> 50L, 6L -> 60L), s"merged state wrong: $got")
   }
 
+  test("compaction race, compactor loses: fenced OPTIMIZE rebases over the writer's commit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.sinks.SnapshotMerge
+    // Forced writer-vs-OPTIMIZE conflict, compactor-loses direction:
+    // the compactor stages its full clustered rewrite, then BLOCKS
+    // (beforeCompactCommitHook) while a row-level upsert commits —
+    // the staged rewrite no longer covers the table, the fenced
+    // commit MUST abort, and the retry must re-cluster the winner's
+    // rows (not resurrect the stale rewrite, which would silently
+    // drop the upsert).
+    def pk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pk", pmod(col("k"), lit(2L)))
+    val dir = tmp("scompact")
+    val seed = pk((1L to 8L).map(k => (k, k * 10L)).toDF("k", "v"))
+    SnapshotMerge.upsertUpdate(spark, dir, seed, Seq("k"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val staged = new CountDownLatch(1)
+    val writerDone = new CountDownLatch(1)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    store.beforeCompactCommitHook = () => {
+      if (stages.incrementAndGet() == 1) {
+        staged.countDown()
+        assert(writerDone.await(60, TimeUnit.SECONDS), "writer never committed")
+      }
+    }
+    @volatile var conflicts = -1
+    @volatile var cErr: Throwable = null
+    val compactor = new Thread(() =>
+      try {
+        // route through the SAME store instance so the hook applies
+        conflicts = {
+          var n = 0
+          var done = false
+          while (!done) {
+            try { store.compactClustered(seed.schema, Seq("pk"), "v", 2L); done = true }
+            catch { case _: graft.sinks.SnapshotConcurrentWriteException => n += 1 }
+          }
+          n
+        }
+      } catch { case t: Throwable => cErr = t })
+    compactor.start()
+    assert(staged.await(60, TimeUnit.SECONDS), "compactor never staged its rewrite")
+    SnapshotMerge.upsertUpdate(spark, dir,
+      pk(Seq((2L, 999L), (9L, 90L)).toDF("k", "v")), Seq("k"), Seq("pk"))
+    writerDone.countDown()
+    compactor.join(TimeUnit.MINUTES.toMillis(3))
+    assert(cErr == null, s"compactor died instead of rebasing: $cErr")
+    assert(conflicts == 1, s"expected exactly 1 fenced conflict, got $conflicts")
+    assert(stages.get() == 2, s"expected 2 staged rewrites, got ${stages.get()}")
+    // versions: seed=1, writer=2, compaction=3 — and the content is
+    // the sequential state (compaction rearranges, never drops)
+    assert(store.currentVersion().contains(3L))
+    val got = SnapshotMerge.read(spark, dir, seed.schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((1L to 8L).map(k => k -> k * 10L).toMap + (2L -> 999L)) + (9L -> 90L)
+    assert(got == want, s"post-rebase content wrong: $got")
+  }
+
+  test("compaction race, writer loses: fenced upsert rebases onto the compacted layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.sinks.{Merge, SnapshotMerge}
+    // The other direction: the upserter resolves its base, BLOCKS
+    // inside its merge function while an OPTIMIZE commits (rewriting
+    // the upserter's base file set), then must fence, rebase, and
+    // re-merge against the compacted table.
+    def pk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pk", pmod(col("k"), lit(2L)))
+    val dir = tmp("scompactw")
+    val seed = pk((1L to 8L).map(k => (k, k * 10L)).toDF("k", "v"))
+    SnapshotMerge.upsertUpdate(spark, dir, seed, Seq("k"), Seq("pk"))
+    val entered = new CountDownLatch(1)
+    val compacted = new CountDownLatch(1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var res: (Option[Long], Int) = null
+    @volatile var wErr: Throwable = null
+    val writer = new Thread(() =>
+      try {
+        res = SnapshotMerge.mergeRetry(spark, dir,
+          pk(Seq((3L, 333L), (10L, 100L)).toDF("k", "v")), Seq("pk")) {
+          (t, i) =>
+            if (attempts.incrementAndGet() == 1) {
+              entered.countDown()
+              assert(compacted.await(60, TimeUnit.SECONDS), "OPTIMIZE never committed")
+            }
+            Merge.upsertUpdate(t, i, Seq("k"))
+        }
+      } catch { case t: Throwable => wErr = t })
+    writer.start()
+    assert(entered.await(60, TimeUnit.SECONDS), "writer never reached its mergeFn")
+    val n = SnapshotMerge.compactClusteredRetry(
+      spark, dir, seed.schema, Seq("pk"), "v", maxRecordsPerFile = 2L)
+    assert(n == 0, "unopposed OPTIMIZE must commit first try")
+    compacted.countDown()
+    writer.join(TimeUnit.MINUTES.toMillis(3))
+    assert(wErr == null, s"writer died instead of rebasing: $wErr")
+    assert(attempts.get() == 2, s"expected 2 merge attempts, got ${attempts.get()}")
+    assert(res._2 == 1, s"expected 1 recorded conflict, got ${res._2}")
+    assert(res._1.contains(3L), s"writer must land at v3, got ${res._1}")
+    val got = SnapshotMerge.read(spark, dir, seed.schema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((1L to 8L).map(k => k -> k * 10L).toMap + (3L -> 333L)) + (10L -> 100L)
+    assert(got == want, s"post-rebase content wrong: $got")
+  }
+
   test("a crashed holder's stale lock is taken over by age") {
     val dir = tmp("slockstale")
     val store = new SnapshotStore(spark, new Path(dir),
