@@ -73,6 +73,12 @@ object Bench {
     * driver run inflated 3–7× at near-zero steal under co-tenant
     * load): a slow rep whose spin reads ≥2–3× the artifact's `cal0`
     * is a degraded-box rep from the JSON alone.
+    * `badRuns`/`badCal` (r17) hold reps the cal gate DISCARDED from
+    * the record (wall + the spin reading that condemned them): the
+    * r16 close proved annotation alone is not enough — j9_cross_join
+    * carried a 5× record because all three reps hit a degraded
+    * window the artifact could prove but not prevent. Discards are
+    * never silent: they stay in the artifact beside the replacements.
     */
   final case class Timing(
       runs: Vector[Double],
@@ -81,9 +87,19 @@ object Bench {
       cal: Vector[Double],
       load: Vector[Double],
       reruns: Int,
-      err: Option[String]) {
+      err: Option[String],
+      badRuns: Vector[Double] = Vector.empty,
+      badCal: Vector[Double] = Vector.empty) {
     def median: Double = Bench.median(runs)
     def cpuMedian: Double = Bench.median(cpu)
+    /** Median excluding the cold first rep — the steady-state number
+      * cross-round diffs should read for JIT-heavy engines (the
+      * g1_triangles record oscillated every round on cold-codegen
+      * reps until this field existed). Falls back to the full median
+      * when only one rep succeeded.
+      */
+    def warmMedian: Double =
+      if (runs.size >= 2) Bench.median(runs.tail) else Bench.median(runs)
   }
 
   private def consume(df: DataFrame): Unit =
@@ -164,54 +180,83 @@ object Bench {
   private lazy val calWarm: Unit = { (1 to 3).foreach(_ => spinOnce()) }
   def calSpinMs(): Double = { calWarm; spinOnce() }
 
-  /** Time one query: `reps` reps, per-rep error capture, then the
-    * spike guard — if the median of successful runs exceeds
+  /** Time one query: `reps` reps, per-rep error capture, a
+    * CALIBRATION GATE, then the spike guard.
+    *
+    * Calibration gate (r17, closes the r16 "record hygiene" item): a
+    * rep whose pre-rep spin read ≥ `calFactor`× `cal0` ran on a
+    * provably degraded box — its wall time measures the co-tenant,
+    * not the plan. Such a rep is DISCARDED from the record (kept in
+    * `badRuns`/`badCal` so nothing is silent) and re-run, funded by
+    * the shared `maxExtra` budget. When the budget runs out the
+    * degraded rep is recorded anyway — an annotated refusal: its
+    * cal_q entry still reads ≥ calFactor×cal0 in the artifact, so a
+    * reader sees exactly which recorded reps survived on a sick box.
+    * cal0 ≤ 0 (unknown baseline) disables the gate entirely.
+    *
+    * Spike guard: if the median of successful runs exceeds
     * `spikeFactor`× their min, run up to `maxExtra` extra reps and
     * re-median over everything. A genuinely expensive plan has
     * min ≈ median and never triggers; only a plan whose own best rep
     * proves it can run 3× faster gets damped.
     */
   def timeQuery(run: () => Unit, reps: Int, spikeFactor: Double = 3.0,
-                maxExtra: Int = 3): Timing = {
+                maxExtra: Int = 3, cal0: Double = -1.0,
+                calFactor: Double = 2.0): Timing = {
     val walls = Vector.newBuilder[Double]
     val cpus = Vector.newBuilder[Double]
     val steals = Vector.newBuilder[Long]
     val cals = Vector.newBuilder[Double]
     val loads = Vector.newBuilder[Double]
+    val badWalls = Vector.newBuilder[Double]
+    val badCals = Vector.newBuilder[Double]
     var err: Option[String] = None
+    var extra = 0
+    // One counted rep: attempts whose pre-rep spin condemns the box
+    // are diverted to badRuns/badCal and retried while budget lasts.
+    // Probe readings are recorded only for successful reps to stay
+    // index-aligned with runs/cpu/steal.
     def rep(): Unit = {
-      // Box-health probe IMMEDIATELY before the rep so a slow rep
-      // carries its own degraded-box reading (cal spin + 1-min load);
-      // recorded only for successful reps to stay index-aligned with
-      // runs/cpu/steal.
-      val calMs = calSpinMs()
-      val ld = loadAvg()
-      val c0 = processCpuSec()
-      val s0 = stealJiffies()
-      val t0 = System.nanoTime()
-      try {
-        run()
-        walls += (System.nanoTime() - t0) / 1e9
-        cpus += (processCpuSec() - c0)
-        val s1 = stealJiffies()
-        steals += (if (s0 < 0 || s1 < 0) -1L else s1 - s0)
-        cals += calMs
-        loads += ld
-      } catch {
-        case t: Throwable =>
-          if (err.isEmpty)
-            err = Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(160)}")
+      var done = false
+      while (!done) {
+        val calMs = calSpinMs()
+        val ld = loadAvg()
+        val c0 = processCpuSec()
+        val s0 = stealJiffies()
+        val t0 = System.nanoTime()
+        try {
+          run()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val degraded = cal0 > 0.0 && calMs >= calFactor * cal0
+          if (degraded && extra < maxExtra) {
+            extra += 1
+            badWalls += wall
+            badCals += calMs
+          } else {
+            walls += wall
+            cpus += (processCpuSec() - c0)
+            val s1 = stealJiffies()
+            steals += (if (s0 < 0 || s1 < 0) -1L else s1 - s0)
+            cals += calMs
+            loads += ld
+            done = true
+          }
+        } catch {
+          case t: Throwable =>
+            if (err.isEmpty)
+              err = Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(160)}")
+            done = true
+        }
       }
     }
     (1 to reps).foreach(_ => rep())
-    var extra = 0
     def spiked: Boolean = {
       val ws = walls.result()
       ws.size >= 2 && median(ws) > spikeFactor * ws.min
     }
-    while (spiked && extra < maxExtra) { rep(); extra += 1 }
+    while (spiked && extra < maxExtra) { extra += 1; rep() }
     Timing(walls.result(), cpus.result(), steals.result(), cals.result(),
-      loads.result(), extra, err)
+      loads.result(), extra, err, badWalls.result(), badCals.result())
   }
 
   private def jsonEscape(s: String): String =
@@ -252,8 +297,16 @@ object Bench {
       s""","metric":"total","unit":"sec","value":${fmt(total)}}"""
     val stdoutLine =
       s"""{"queries":${jmap(ok.map { case (n, t) => n -> ms(t.median) })}""" + suffix(ms)
+    // `warm` = per-query median excluding the cold first rep (r17):
+    // cross-round diffs of JIT-heavy engines read this instead of
+    // re-litigating cold-codegen wobble every round. `bad_runs`/
+    // `bad_cal` carry the reps the calibration gate discarded (wall +
+    // condemning spin) for exactly the queries that had any — the
+    // discard is part of the record, never silent.
+    val bad = timed.filter(_._2.badRuns.nonEmpty)
     val fullLine =
       s"""{"queries":${jmap(ok.map { case (n, t) => n -> num(t.median) })}""" +
+      s""","warm":${jmap(ok.map { case (n, t) => n -> num(t.warmMedian) })}""" +
       s""","first":${jmap(ok.map { case (n, t) => n -> num(t.runs.head) })}""" +
       s""","cpu":${jmap(ok.map { case (n, t) => n -> f2(t.cpuMedian) })}""" +
       s""","runs":${jmap(timed.map { case (n, t) =>
@@ -264,7 +317,12 @@ object Bench {
             n -> t.cal.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
               .mkString("[", ",", "]") })}""" +
       s""","load_q":${jmap(timed.map { case (n, t) =>
-            n -> t.load.map(f2).mkString("[", ",", "]") })}""" + suffix(num)
+            n -> t.load.map(f2).mkString("[", ",", "]") })}""" +
+      s""","bad_runs":${jmap(bad.map { case (n, t) =>
+            n -> t.badRuns.map(ms).mkString("[", ",", "]") })}""" +
+      s""","bad_cal":${jmap(bad.map { case (n, t) =>
+            n -> t.badCal.map(v => "%.1f".formatLocal(java.util.Locale.ROOT, v))
+              .mkString("[", ",", "]") })}""" + suffix(num)
     (stdoutLine, fullLine)
   }
 
@@ -311,7 +369,8 @@ object Bench {
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> timeQuery(() => consume(fn(spark, sfDir)), reps, maxExtra = reps)
+        name -> timeQuery(() => consume(fn(spark, sfDir)), reps,
+          maxExtra = reps, cal0 = cal0)
       } ++ warmErr.map(e =>
         "_warmup" -> Timing(Vector.empty, Vector.empty, Vector.empty,
           Vector.empty, Vector.empty, 0, Some(e)))
