@@ -129,9 +129,19 @@ object TextAnalysis extends QueryModule {
     // PROBES ONLY (the per-merge driver-loop cost measured in
     // NOTES_r13); the default 8 is the pinned catalog definition the
     // golden hash and spec check.
-    "text_bpe_train" -> ((s, dir) =>
-      bpeTrain(Tables.load(s, dir, "documents"),
-        sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt)),
+    // r17: the catalog row runs [[bpeTrainDelta]] — pair-DELTA
+    // maintenance instead of a per-round full recount (integer-exact,
+    // so this oracle and the full-recount [[bpeTrain]] agree
+    // merge-by-merge; TextAnalysisSpec pins it). The full-recount
+    // trainer stays as the differential reference;
+    // SPARK_GRAFT_BPE_FULL=1 routes the row through it for same-box
+    // per-merge probes ONLY (NOTES_r17 64-merge comparison).
+    "text_bpe_train" -> ((s, dir) => {
+      val m = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt
+      if (sys.env.get("SPARK_GRAFT_BPE_FULL").contains("1"))
+        bpeTrain(Tables.load(s, dir, "documents"), m)
+      else bpeTrainDelta(Tables.load(s, dir, "documents"), m)
+    }),
 
     // BPE APPLY — tokenize the corpus with the trained merge table
     // (the other half of the tokenizer: train once, encode at corpus
@@ -151,7 +161,7 @@ object TextAnalysis extends QueryModule {
     // concat-roundtrip invariant, and the trainer's own word table.
     "text_bpe_apply" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val merges = bpeTrain(docs, 8).collect()
+      val merges = bpeTrainDelta(docs, 8).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       docs
         .select(col("doc_id"),
@@ -1107,6 +1117,145 @@ object TextAnalysis extends QueryModule {
           .ckpt
         graft.operators.Dedup.releaseCheckpoints(words)
         words = next
+      }
+    }
+    graft.operators.Dedup.releaseCheckpoints(words)
+    out.toSeq.toDF("it", "pair_a", "pair_b", "merged", "freq")
+  }
+
+  /** [[bpeTrain]] with PAIR-DELTA MAINTENANCE — the production cut
+    * named in the cost-class note above (VERDICT r16 #3), now
+    * implemented. Two structural changes against the full-recount
+    * trainer, both integer-exact (so the argmax sequence — freqs and
+    * (count desc, pair asc) tie-breaks included — is bit-identical,
+    * the unrolled-CTE DuckDB oracle keeps passing unchanged, and
+    * TextAnalysisSpec pins merge-by-merge equality):
+    *
+    *   1. The pair-count table lives on the DRIVER. It is vocab-scale
+    *      metadata — distinct adjacent symbol pairs, the same size
+    *      class as the merge table every BPE trainer already
+    *      collects, and exactly what production tokenizer trainers
+    *      hold in memory — NOT corpus- or word-table-scale. That
+    *      makes the per-round argmax a hash-map scan instead of a
+    *      full explode-shuffle-TakeOrdered job over every adjacent
+    *      pair of every word (the recount bpeTrain pays per merge).
+    *   2. Each round is ONE distributed job. The rewrite is guarded —
+    *      `when(hasPair, fold)` — so rows without the (a,b) adjacency
+    *      pay one cheap `exists` instead of the full fold, the old
+    *      symbols ride along as a nullable `osym` column, and the
+    *      frame is LAZILY localCheckpoint'ed: the round's delta
+    *      aggregation (± pairs of changed rows only) materializes the
+    *      next word table as a side effect of computing the exact
+    *      pair delta, which then folds into the driver map
+    *      (`pc' = pc − pairs(osym) + pairs(sym)`, keys at zero
+    *      removed).
+    *
+    * Plan depth stays CONSTANT per round (one select over the
+    * previous checkpoint — no copy-on-write union chains, whose
+    * branch recompute measured exponential, and no stacked filter
+    * predicates). What stays inherent: one driver round-trip per
+    * merge — BPE's merges are sequentially dependent by definition.
+    * Where the win lands: the per-round full explode+shuffle is gone,
+    * and the scan work drops toward the `exists` floor as merges
+    * progress and affected fractions shrink — the regime a 50k-merge
+    * production vocabulary lives in. Probes (NOTES_r17): ≥3×
+    * per-merge on a 100k-word-vocabulary corpus; parity on the sf0.1
+    * toy corpus (31 distinct words — there the per-merge cost is pure
+    * driver/scheduling floor for both trainers, with nothing for the
+    * delta cut to save).
+    */
+  def bpeTrainDelta(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def adj(sym: Column): Column = zip_with(
+      slice(sym, lit(1), size(sym) - 1), slice(sym, lit(2), size(sym) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+    // the word table CARRIES its adjacency-pair array (`ap`) in the
+    // per-round checkpoint: the round guard is then one
+    // `array_contains` over a cached column — building the pair array
+    // per row per round (two slices + a zip) measured ~2× the whole
+    // per-merge wall on a 100k-word vocabulary, and only CHANGED rows
+    // rebuild it
+    var words: DataFrame = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("sym"), col("cnt"))
+      .withColumn("ap", adj(col("sym")))
+      .coalesce(8)
+      .ckpt
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    words.select(explode(col("ap")).as("p"), col("cnt"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("n")).collect()
+      .foreach(r => pc((r.getString(0), r.getString(1))) = r.getLong(2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to merges) {
+      if (pc.nonEmpty) {
+        // identical tie-break to the distributed argmax / the oracle:
+        // count desc, then (a, b) asc
+        val t0 = System.nanoTime()
+        val ((a, b), n) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((it, a, b, a + b, n))
+        val hasPair = array_contains(col("ap"),
+          struct(lit(a).as("a"), lit(b).as("b")))
+        // the greedy left-to-right non-overlapping fold — bpeTrain's,
+        // verbatim — evaluated only where the guard says it is not
+        // the identity; oap (the pre-rewrite pair array) stays NULL
+        // on untouched rows
+        val next = words
+          .withColumn("oap", when(hasPair, col("ap")))
+          .withColumn("sym", when(col("oap").isNotNull,
+            aggregate(col("sym"),
+              lit(Array.empty[String]).cast("array<string>"),
+              (acc, x) =>
+                when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(x)))))
+            .otherwise(col("sym")))
+          .withColumn("ap", when(col("oap").isNotNull, adj(col("sym")))
+            .otherwise(col("ap")))
+          .ckpt(false)
+        // per-partition local fold + driver merge instead of a
+        // groupBy exchange: the delta is vocab-scale, the exchange +
+        // AQE replanning were a fixed ~50ms/round tax, and this is
+        // exactly the "genuine per-partition imperative logic" RDD
+        // escape hatch exists for — the scan stays 8-way parallel and
+        // the collect carries one small map per partition. This
+        // action is ALSO what materializes `next`'s lazy checkpoint.
+        val parts = next.where(col("oap").isNotNull)
+          .select(col("ap").cast("array<struct<_1:string,_2:string>>"),
+            col("oap").cast("array<struct<_1:string,_2:string>>"),
+            col("cnt"))
+          .as[(Seq[(String, String)], Seq[(String, String)], Long)]
+          .rdd.mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            it.foreach { case (ap, oap, cnt) =>
+              ap.foreach(p => m(p) = m.getOrElse(p, 0L) + cnt)
+              oap.foreach(p => m(p) = m.getOrElse(p, 0L) - cnt)
+            }
+            Iterator.single(m)
+          }.collect()
+        // merge partials into NET deltas before touching pc: applying
+        // per-partition maps directly could see a transiently
+        // negative partial and wrongly evict a key another
+        // partition's positive half restores
+        val net = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        parts.foreach(_.foreach { case (k, d) =>
+          val v = net.getOrElse(k, 0L) + d
+          if (v != 0L) net(k) = v else net.remove(k)
+        })
+        net.foreach { case (k, d) =>
+          val v = pc.getOrElse(k, 0L) + d
+          if (v > 0L) pc(k) = v else pc.remove(k)
+        }
+        graft.operators.Dedup.releaseCheckpoints(words)
+        words = next.select(col("sym"), col("cnt"), col("ap"))
+        // per-round cost visibility for scale probes, never on by
+        // default (NOTES_r17 convention)
+        if (sys.env.contains("SPARK_GRAFT_BPE_TRACE"))
+          println(f"[bpe] it=$it round=${(System.nanoTime() - t0) / 1e6}%.0fms ndelta=${net.size} npc=${pc.size}")
       }
     }
     graft.operators.Dedup.releaseCheckpoints(words)

@@ -326,6 +326,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("bpeTrainDelta == bpeTrain merge-by-merge (pair-delta maintenance is exact)") {
+    import spark.implicits._
+    // the delta trainer replaces the per-round full recount with an
+    // incrementally-maintained driver-side pair table; integers are
+    // exact, so the merge sequences (pairs AND freqs, tie-breaks
+    // included) must be identical across 16 rounds of delta folding,
+    // and the "aaa" doc drives the overlapping-run rewrite through
+    // the delta path (where a wrong delta would corrupt round k+1's
+    // argmax, not round k's — exactly what merge-by-merge equality
+    // catches).
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "low new lower newer lowest newest",
+      "aaa aa aaa aaa aaaa").toDF("text")
+    def seqOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val full = seqOf(TextAnalysis.bpeTrain(docs, 16))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val delta = seqOf(TextAnalysis.bpeTrainDelta(docs, 16))
+    assert(delta == full, s"\ndelta $delta\nfull  $full")
+    // hygiene: the delta trainer's pair-table + COW checkpoints all
+    // released (the bpeTrain convention)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
+    // and on the real corpus (what the catalog row now runs)
+    val realFull = seqOf(TextAnalysis.bpeTrain(Tables.load(spark, sfDir, "documents"), 8))
+    val realDelta = seqOf(TextAnalysis.bpeTrainDelta(Tables.load(spark, sfDir, "documents"), 8))
+    assert(realDelta == realFull)
+  }
+
   test("text_source_divergence equals brute-force TV and Hellinger distances") {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
