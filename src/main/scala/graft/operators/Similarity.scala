@@ -684,18 +684,24 @@ object Similarity extends QueryModule {
           explode(sequence(lit(0), lit(7))).as("m"))
         .select(col("vec_id"), col("c_id"), col("m"),
           slice(col("res"), col("m") * 8 + 1, lit(8)).as("s"))
-      // PQ codewords come from the 16 smallest vec_ids NOT in the
-      // coarse codebook (ranks 17..32): a coarse seed's nearest
-      // centroid is itself, so its residual is exactly zero — seeding
-      // the residual codebook from coarse seeds would make every
-      // codeword the zero vector and the whole residual-PQ stage
-      // vacuous (all codes 0, constant ADC). Non-coarse seeds carry
-      // real nonzero residuals, so codes and ADC distances genuinely
-      // exercise the composition (SimilaritySpec pins non-degeneracy).
+      // PQ codewords come from vec_id ranks 17..32 — spelled as a
+      // row_number window over the 32 smallest ids, the LITERAL
+      // Spark transliteration of the DuckDB twin's LIMIT 16 OFFSET
+      // 16, so the two selections derive from one definition and
+      // cannot silently diverge (ADVICE r16; the previous anti-join
+      // against coarse matched the oracle only while coarse happened
+      // to be exactly ranks 1..16). The ranks are non-coarse BECAUSE
+      // coarse is ranks 1..16: a coarse seed's nearest centroid is
+      // itself, so its residual is exactly zero — seeding the
+      // residual codebook from coarse seeds would make every codeword
+      // the zero vector and the whole residual-PQ stage vacuous (all
+      // codes 0, constant ADC). Non-coarse seeds carry real nonzero
+      // residuals (SimilaritySpec pins non-degeneracy, which also
+      // catches any future coarse change that overlaps these ranks).
       val wCode = Window.partitionBy(col("m")).orderBy(col("vec_id"))
       val seedIds = v.orderBy(col("vec_id")).limit(32)
-        .join(broadcast(coarse.select(col("c_id"))),
-          col("vec_id") === col("c_id"), "left_anti")
+        .withColumn("rk", row_number().over(Window.orderBy(col("vec_id"))))
+        .where(col("rk") > 16)
         .select(col("vec_id").as("seed_id"))
       val cb = sub.join(broadcast(seedIds), col("vec_id") === col("seed_id"))
         .withColumn("code", row_number().over(wCode) - 1)
