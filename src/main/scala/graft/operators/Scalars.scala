@@ -151,6 +151,40 @@ object Scalars extends QueryModule {
           variant_get(col("v"), "$.meta.d", "bigint").as("vmeta"))
     }),
 
+    // F11/VARIANT with HETEROGENEOUS payloads — the schema-on-read
+    // case VARIANT exists for (VERDICT r16 #5): fields present on
+    // some rows and absent on others, and ONE key ("x") carrying a
+    // NUMBER on some rows and a non-numeric STRING on others,
+    // extracted with BOTH target types. try_variant_get gives the
+    // null-on-cast-failure read (the string rows' "x" cannot be
+    // bigint), plain variant_get("string") gives the lossless read
+    // (numbers cast to their decimal text) — the exact pair of
+    // semantics a mixed-type column needs downstream. The DuckDB
+    // oracle restates the per-row payload drift with CASE and the
+    // extractions with json_extract_string + TRY_CAST, hash-pinning
+    // values across all three payload shapes; EdgeCaseSpec pins the
+    // failure semantics themselves (strict variant_get THROWS on the
+    // mixed-type row, try_variant_get nulls).
+    "f11_variant_hetero" -> ((s, dir) => {
+      val c = pmod(col("event_id"), lit(3))
+      val payload =
+        when(c === 0, concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"x\":"), col("user_id") % 1000,
+          lit(",\"extra\":\""), col("event_type"), lit("\"}")))
+        .when(c === 1, concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"x\":\"s"), col("user_id") % 1000, lit("\"}")))
+        .otherwise(concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"note\":\"n\"}")))
+      Tables.load(s, dir, "events")
+        .where(col("event_id") % 89 === 0)
+        .withColumn("v", parse_json(payload))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.id", "bigint").as("vid"),
+          try_variant_get(col("v"), "$.x", "bigint").as("x_long"),
+          variant_get(col("v"), "$.x", "string").as("x_str"),
+          variant_get(col("v"), "$.extra", "string").as("extra"))
+    }),
+
     // F12 + F13: md5 digest and char-class strip
     // (reference wbi.py:26-32).
     "f12_md5_translate" -> ((s, dir) => {
@@ -230,6 +264,22 @@ object Scalars extends QueryModule {
            CAST(json_extract(payload, '$.k') AS BIGINT) AS vk,
            CAST(json_extract(payload, '$.tags[1]') AS BIGINT) AS vtag,
            CAST(json_extract(payload, '$.meta.d') AS BIGINT) AS vmeta
+         FROM j""",
+    "f11_variant_hetero" ->
+      """WITH j AS (
+           SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN
+               '{"id":' || event_id || ',"x":' || (user_id % 1000) ||
+               ',"extra":"' || event_type || '"}'
+             WHEN event_id % 3 = 1 THEN
+               '{"id":' || event_id || ',"x":"s' || (user_id % 1000) || '"}'
+             ELSE '{"id":' || event_id || ',"note":"n"}' END AS payload
+           FROM events WHERE event_id % 89 = 0)
+         SELECT event_id,
+           CAST(json_extract(payload, '$.id') AS BIGINT) AS vid,
+           TRY_CAST(json_extract_string(payload, '$.x') AS BIGINT) AS x_long,
+           json_extract_string(payload, '$.x') AS x_str,
+           json_extract_string(payload, '$.extra') AS extra
          FROM j""",
     "f12_md5_translate" ->
       """SELECT c_custkey, md5(c_name) AS digest,

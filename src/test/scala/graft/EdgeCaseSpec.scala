@@ -205,6 +205,39 @@ class EdgeCaseSpec extends SparkFunSuite {
     assert(r2.isNullAt(2))
   }
 
+  test("mixed-type variant key: strict get throws on cast failure, try_ nulls, string reads all") {
+    // the f11_variant_hetero oracle row hash-pins VALUES across the
+    // three payload shapes; this pins the cast-failure SEMANTICS of a
+    // key carrying a number on one row and a non-numeric string on
+    // another — the schema-on-read hazard VARIANT exists to manage
+    val df = Seq(
+      """{"x": 7}""",
+      """{"x": "s7"}""",
+      """{"note": "n"}"""
+    ).toDF("js").select(parse_json(col("js")).as("v"))
+    // try_variant_get: number casts, bad-cast string nulls, absent nulls
+    val tried = df.select(
+      try_variant_get(col("v"), "$.x", "bigint").as("xl"),
+      variant_get(col("v"), "$.x", "string").as("xs")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)))).toSet
+    assert(tried == Set(
+      (Some(7L), Some("7")),   // number row: casts, and reads as text
+      (None, Some("s7")),      // string row: bigint cast fails -> null
+      (None, None)))           // absent row: both null
+    // strict variant_get must THROW on the uncastable row, not
+    // silently null — the difference between the two spellings is
+    // the contract users pick between
+    val boom = intercept[Exception] {
+      df.select(variant_get(col("v"), "$.x", "bigint")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(boom).exists(e =>
+      String.valueOf(e.getMessage).toLowerCase.contains("cast")),
+      s"expected an invalid-cast error, got: $boom")
+  }
+
   test("labelProp on an empty edge set returns empty, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val labels = graft.operators.Graph.labelProp(empty, rounds = 3)
