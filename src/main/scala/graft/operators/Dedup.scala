@@ -390,28 +390,10 @@ object Dedup extends QueryModule {
     // the kernel (DuckDB's jaro_winkler_similarity — classic Winkler,
     // probed), and the closure (recursive CTE), so the END-TO-END
     // pipeline hash-checks, not just its stages.
-    "er_entity_resolution" -> ((s, dir) => {
-      val p = Tables.load(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"), col("p_brand"),
-          element_at(split(col("p_name"), " "), -1).as("noun"))
-      val a = p.select(col("p_partkey").as("doc_a"), col("p_name").as("nm1"),
-        col("p_brand").as("br"), col("noun"))
-      val b = p.select(col("p_partkey").as("doc_b"), col("p_name").as("nm2"),
-        col("p_brand").as("br"), col("noun"))
-      val jw = graft.functions.JaroWinkler.jaro_winkler(col("nm1"), col("nm2"))
-      val pairs = a.join(b, Seq("br", "noun"))
-        .where(col("doc_a") < col("doc_b"))
-        .withColumn("jw_q", round(jw * 1e6).cast("long"))
-        .where(col("jw_q") >= 900000L)
-        .select(col("doc_a"), col("doc_b"))
-      val cc = connectedComponents(pairs)
-      val labeled = p.select(col("p_partkey").as("doc_id"))
-        .join(cc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
-      labeled.groupBy(col("entity_id")).agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz")).agg(count(lit(1)).as("n_entities"))
-    }),
+    "er_entity_resolution" -> ((s, dir) =>
+      erLabeled(Tables.load(s, dir, "part"))
+        .groupBy(col("entity_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_entities"))),
 
     // CANONICAL SELECTION per duplicate cluster — production dedup
     // keeps the BEST member of each near-dup cluster (longest here;
@@ -487,6 +469,37 @@ object Dedup extends QueryModule {
           coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"))
     })
   )
+
+  /** The entity-resolution labeling stage — every `part` record with
+    * its resolved `entity_id`: (brand, head-noun) blocked candidate
+    * pairs, Jaro-Winkler ≥ 0.9 (quantized to integer micro-units so
+    * the match set is ulp-proof against the oracle), transitive
+    * closure via [[connectedComponents]]. Shared by the
+    * `er_entity_resolution` catalog row (which profiles entity sizes
+    * on top) and [[graft.CcScaleProbe]] (which restricts the labels
+    * to the 1× replica for the 100× invariance check) so the two can
+    * never drift apart.
+    */
+  def erLabeled(parts: DataFrame): DataFrame = {
+    val p = parts
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+    val a = p.select(col("p_partkey").as("doc_a"), col("p_name").as("nm1"),
+      col("p_brand").as("br"), col("noun"))
+    val b = p.select(col("p_partkey").as("doc_b"), col("p_name").as("nm2"),
+      col("p_brand").as("br"), col("noun"))
+    val jw = graft.functions.JaroWinkler.jaro_winkler(col("nm1"), col("nm2"))
+    val pairs = a.join(b, Seq("br", "noun"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jw_q", round(jw * 1e6).cast("long"))
+      .where(col("jw_q") >= 900000L)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(pairs)
+    p.select(col("p_partkey").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
+  }
 
   /** EXACT global near-dup pairs at Jaccard ≥ `t` — prefix filtering
     * with the AllPairs size band, no blocking keys. Same lossless
