@@ -185,6 +185,46 @@ object Scalars extends QueryModule {
           variant_get(col("v"), "$.extra", "string").as("extra"))
     }),
 
+    // F11/PERMISSIVE: malformed-record ingestion semantics — the
+    // production contract a 100 TB JSON ingest actually runs under
+    // (the reference's json.load calls simply throw on bad payloads,
+    // cmdline.py:545 — fine for one file, fatal for a corpus where
+    // 0.1% of rows are truncated uploads). Spark's PERMISSIVE mode
+    // with columnNameOfCorruptRecord: well-formed rows parse to typed
+    // fields, malformed rows yield NULL fields and carry the raw
+    // payload in the corrupt column — the quarantine-table pattern
+    // (route `is_corrupt` rows to a dead-letter sink, keep the scan
+    // flowing). Corruption is CONSTRUCTED deterministically (brace
+    // truncation and non-JSON garbage — invalid under any parser) so
+    // the DuckDB oracle restates the routing with json_valid + CASE,
+    // hash-pinning both the parsed values and the quarantined
+    // payloads. EdgeCaseSpec pins the mode surface itself: FAILFAST
+    // throws on the same rows PERMISSIVE quarantines.
+    "f11_json_malformed" -> ((s, dir) => {
+      val good = concat(lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}"))
+      val payload =
+        when(col("event_id") % 13 === 0, good.substr(lit(1), length(good) - 1))
+        .when(col("event_id") % 17 === 0, lit("not json"))
+        .otherwise(good)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      Tables.load(s, dir, "events")
+        .where(col("event_id") % 7 === 0)
+        .withColumn("j", from_json(payload, schema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("event_id"),
+          col("j.k").as("k"), col("j.t").as("t"),
+          col("j._corrupt").as("corrupt"),
+          col("j._corrupt").isNotNull.cast("int").as("is_corrupt"))
+    }),
+
     // F12 + F13: md5 digest and char-class strip
     // (reference wbi.py:26-32).
     "f12_md5_translate" -> ((s, dir) => {
@@ -281,6 +321,26 @@ object Scalars extends QueryModule {
            json_extract_string(payload, '$.x') AS x_str,
            json_extract_string(payload, '$.extra') AS extra
          FROM j""",
+    "f11_json_malformed" ->
+      """WITH g AS (
+           SELECT event_id,
+             '{"k":' || json_extract_string(props, '$.k') || ',"t":"' ||
+             event_type || '"}' AS good
+           FROM events WHERE event_id % 7 = 0),
+         t AS (
+           SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN substr(good, 1, length(good) - 1)
+                  WHEN event_id % 17 = 0 THEN 'not json'
+                  ELSE good END AS payload
+           FROM g)
+         SELECT event_id,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k,
+           CASE WHEN json_valid(payload)
+                THEN json_extract_string(payload, '$.t') END AS t,
+           CASE WHEN NOT json_valid(payload) THEN payload END AS corrupt,
+           CAST(NOT json_valid(payload) AS INT) AS is_corrupt
+         FROM t""",
     "f12_md5_translate" ->
       """SELECT c_custkey, md5(c_name) AS digest,
            translate(c_name, '#0', '') AS stripped

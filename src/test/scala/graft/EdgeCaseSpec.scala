@@ -238,6 +238,40 @@ class EdgeCaseSpec extends SparkFunSuite {
       s"expected an invalid-cast error, got: $boom")
   }
 
+  test("malformed JSON: PERMISSIVE quarantines the raw payload, FAILFAST throws") {
+    // the f11_json_malformed oracle row hash-pins the routed VALUES;
+    // this pins the mode surface itself — the contract between "keep
+    // the scan flowing, quarantine bad rows" and "abort the job"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    val df = Seq("""{"k": 5}""", """{"k": 6""", "not json").toDF("js")
+    val got = df.select(from_json(col("js"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("j.k"), col("j._corrupt")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)))).toSet
+    // well-formed parses with NO corrupt payload; both malformed
+    // shapes yield null fields and carry the EXACT raw text
+    assert(got == Set(
+      (Some(5L), None),
+      (None, Some("""{"k": 6""")),
+      (None, Some("not json"))))
+    val boom = intercept[Exception] {
+      df.select(from_json(col("js"), schema, Map(
+        "mode" -> "FAILFAST",
+        "columnNameOfCorruptRecord" -> "_corrupt")).as("j")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(boom).exists(e =>
+      String.valueOf(e.getMessage).toLowerCase.contains("malformed")),
+      s"expected a malformed-record error, got: $boom")
+  }
+
   test("labelProp on an empty edge set returns empty, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     val labels = graft.operators.Graph.labelProp(empty, rounds = 3)
