@@ -465,6 +465,102 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("transformWithState state AND timers survive a checkpoint restart") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    // The strm_restart_resume row pins offset/commit recovery for the
+    // MERGE sink; this pins the stateful-processor side: ValueState
+    // (the open session), ListState (closed sessions awaiting drain),
+    // the registered event-time TIMER, and the watermark itself must
+    // all come back from the checkpoint. Session A's rows arrive
+    // entirely in run 1 — which emits NOTHING (no-data batches
+    // disabled, so no batch in run 1 ever runs with wm >= A's expiry).
+    // Run 2 restarts from the same checkpoint with only w3 new: its
+    // one data batch plans against the RESTORED watermark (T+1h) and
+    // the RESTORED timer (T+31m) fires, emitting A — possible only if
+    // every piece of run-1 state survived the restart.
+    val base = 1700000000000000L // micros
+    val h = 3600L * 1000000L
+    val drop = Files.createTempDirectory("sess_restart_waves")
+    val stage = Files.createTempDirectory("sess_restart_stage")
+    val cp = Files.createTempDirectory("sess_restart_cp")
+    def wave(rows: Seq[(Long, Long, Long, Double)], name: String, mtime: Long): Unit = {
+      import spark.implicits._
+      val df = rows.toDF("user_id", "us", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("value"))
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/$name")
+      val part = Files.list(Paths.get(s"$stage/$name")).iterator()
+      var p: java.nio.file.Path = null
+      while (part.hasNext) { val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f }
+      Files.copy(p, drop.resolve(s"$name.parquet"))
+      Files.setLastModifiedTime(drop.resolve(s"$name.parquet"),
+        FileTime.fromMillis(mtime))
+    }
+    // file sink + explicit checkpointLocation: the memory sink refuses
+    // checkpoint recovery by design, and recovery is the whole point —
+    // the parquet sink's manifest commits make run 2 a true RESTART of
+    // run 1's query. Scoped confs bind at start() (the stream clones
+    // the session), restored right after, as drainToMemory does.
+    val outDir = Files.createTempDirectory("sess_restart_out").toString + "/t"
+    def drain(): Set[(Long, Long, Long, Long)] = {
+      val scoped = Map(
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"),
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      val prev = scoped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = try {
+        EventStreams.userSessionsTws(spark,
+          EventStreams.readEventsPaced(spark, drop.toString, Some(1)))
+          .toDF("user_id", "start_us", "n_events", "cents")
+          .writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      try q.awaitTermination()
+      finally org.apache.spark.sql.GraftShims.unloadStateStores()
+      try spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      catch { // zero emitted rows = zero data files under the sink
+        case _: org.apache.spark.sql.AnalysisException =>
+          Set.empty[(Long, Long, Long, Long)]
+      }
+    }
+    val t0 = System.currentTimeMillis()
+    try {
+      wave(Seq((1L, base, 1L, 10.0), (1L, base + 60000000L, 2L, 5.5)),
+        "w1", t0 - 120000)
+      wave(Seq((1L, base + 2L * h, 3L, 1.0)), "w2", t0 - 60000)
+      val run1 = drain()
+      assert(run1.isEmpty,
+        s"run 1 must withhold everything (wm below every expiry at " +
+          s"every data batch): $run1")
+      // w3 extends B from the RESTORED ValueState — if cur had been
+      // lost, w3 would open a fresh session and A's timer would be gone
+      wave(Seq((1L, base + 2L * h + 300000000L, 4L, 2.0)), "w3", t0)
+      val run2 = drain()
+      assert(run2 == Set((1L, base, 2L, 1550L)),
+        s"restart lost state or timers (expected session A only): $run2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(drop.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(cp.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(outDir).getParent.toFile)
+    }
+  }
+
   test("a FAILED drain still drops its memory-sink view and surfaces the error") {
     import org.apache.spark.sql.streaming.OutputMode
     // the r15 finally-teardown pin: the drain's stream fails mid-batch
