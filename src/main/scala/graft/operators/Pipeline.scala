@@ -312,6 +312,42 @@ object Pipeline extends QueryModule {
       out
     }),
 
+    // K2 with TYPE-WIDENING schema evolution (r17) — the OTHER
+    // metadata-only evolution beside add-column: v1 commits cents as
+    // INT (every sf's order fits comfortably); v2's batch carries
+    // cents as BIGINT with values pushed beyond int range (+3e9), so
+    // the widen is semantically forced, not cosmetic. The evolve
+    // rewrites NOTHING: v1's untouched files keep their int32
+    // physical type and Spark 4's vectorized parquet reader upcasts
+    // them natively under the persisted bigint schema
+    // ([[graft.sinks.SnapshotMerge.upsertEvolve]], widerOf). The
+    // oracle restates the widened merge with CASTs; SnapshotMergeSpec
+    // pins the metadata-only claim (untouched partitions keep their
+    // v1 batch files) and that lossy pairs (long vs string,
+    // long → double) still fail fast.
+    "k2_upsert_widen" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), cents.cast("int").as("cents"), pk)
+      val incoming = o.where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (cents.cast("bigint") + lit(3000000000L)).as("cents"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2w_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.readEvolved(s, base)
+          .select(col("o_orderkey"), col("cents"),
+            col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // Time-travel read through the snapshot version log (r11): seed
     // the table (v1), merge an update batch on top (v2), then read AS
     // OF v1 while CURRENT points at v2 — the oracle is simply the
@@ -888,6 +924,23 @@ object Pipeline extends QueryModule {
          FROM incoming
          UNION ALL
          SELECT o_orderkey, o_totalprice, 'NONE' AS prio, pk
+         FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_upsert_widen" ->
+      """WITH target AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS INT) AS cents,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 3000000000 AS cents,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT o_orderkey, cents, pk FROM incoming
+         UNION ALL
+         SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, pk
          FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
     // readAt(v1) after a v2 merge must return exactly the seed

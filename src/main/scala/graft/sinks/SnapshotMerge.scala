@@ -157,17 +157,47 @@ object SnapshotMerge {
   def read(spark: SparkSession, rootDir: String, schema: StructType): DataFrame =
     new SnapshotStore(spark, new Path(rootDir)).read(schema)
 
-  /** K2 with ADD-COLUMN SCHEMA EVOLUTION (the Delta/Iceberg
-    * `mergeSchema` capability): the table's effective schema is the
-    * UNION of the stored schema and `incoming`'s — stored fields keep
-    * their order and types (a common field with a different type
-    * fails fast; silent coercion at 100 TB is how columns rot), new
-    * incoming fields append as nullable. Existing data files are
-    * NEVER rewritten for an evolve: parquet under a declared wider
-    * schema resolves absent columns to NULL, so old partitions keep
-    * their bytes and only the manifest + a schemas/ sidecar move —
-    * evolution is a metadata operation, exactly like the production
-    * table formats. The effective schema persists per version
+  /** Wider member of a SUPPORTED metadata-only type-widening pair —
+    * the pairs Spark 4's vectorized parquet reader upcasts natively
+    * when old files carry the narrow physical type under a wider
+    * declared schema (probed on this build: int32 files read as
+    * bigint/double, float as double): the integral ladder
+    * byte → short → int → long, float → double, and
+    * (byte|short|int) → double (exact — double holds every int32).
+    * long → double is NOT here (lossy above 2^53), nor is any
+    * string/temporal coercion — silent lossy coercion at 100 TB is
+    * how columns rot. None = not widenable, caller fails fast.
+    */
+  private def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val ladder: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    def rank(t: DataType) = ladder.indexOf(t)
+    if (a == b) Some(a)
+    else if (rank(a) >= 0 && rank(b) >= 0) Some(ladder(math.max(rank(a), rank(b))))
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (x, DoubleType) if rank(x) >= 0 && rank(x) <= rank(IntegerType) => Some(DoubleType)
+      case (DoubleType, x) if rank(x) >= 0 && rank(x) <= rank(IntegerType) => Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  /** K2 with ADD-COLUMN + TYPE-WIDENING SCHEMA EVOLUTION (the
+    * Delta/Iceberg `mergeSchema` + type-widening capabilities): the
+    * table's effective schema is the UNION of the stored schema and
+    * `incoming`'s — stored fields keep their order; a common field
+    * with a different type resolves to the WIDER of a supported
+    * widening pair ([[widerOf]]: integral ladder, float→double,
+    * int→double) and fails fast otherwise (silent lossy coercion at
+    * 100 TB is how columns rot); new incoming fields append as
+    * nullable. Existing data files are NEVER rewritten for an evolve:
+    * parquet under a declared wider schema resolves absent columns to
+    * NULL and upcasts narrow physical types natively (Spark 4's
+    * vectorized reader), so old partitions keep their bytes and only
+    * the manifest + a schemas/ sidecar move — both evolutions are
+    * metadata operations, exactly like the production table formats.
+    * The effective schema persists per version
     * ([[SnapshotStore.writeSchemaFile]]); readers use
     * [[readEvolved]] without having to know the table's history.
     */
@@ -196,16 +226,20 @@ object SnapshotMerge {
       case None => incoming.schema
       case Some(s) =>
         val incByName = incoming.schema.fields.map(f => f.name -> f).toMap
-        s.fields.foreach { f =>
-          incByName.get(f.name).foreach { inF =>
-            require(inF.dataType == f.dataType,
-              s"schema evolution type conflict on '${f.name}': " +
-                s"stored ${f.dataType.simpleString} vs " +
-                s"incoming ${inF.dataType.simpleString}")
+        val resolved = s.fields.map { f =>
+          incByName.get(f.name) match {
+            case Some(inF) if inF.dataType != f.dataType =>
+              val w = widerOf(f.dataType, inF.dataType)
+              require(w.isDefined,
+                s"schema evolution type conflict on '${f.name}': " +
+                  s"stored ${f.dataType.simpleString} vs " +
+                  s"incoming ${inF.dataType.simpleString}")
+              f.copy(dataType = w.get, nullable = true)
+            case _ => f.copy(nullable = true)
           }
         }
         val storedNames = s.fieldNames.toSet
-        StructType(s.fields.map(_.copy(nullable = true)) ++
+        StructType(resolved ++
           incoming.schema.fields.filterNot(f => storedNames(f.name))
             .map(_.copy(nullable = true)))
     }
@@ -289,10 +323,18 @@ object SnapshotMerge {
     * already verified equal), absent fields become typed NULLs.
     */
   private def widenTo(df: DataFrame, schema: StructType): DataFrame = {
-    val have = df.schema.fieldNames.toSet
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
     df.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byName.get(f.name) match {
+        // a batch narrower than the (possibly widened) union casts UP
+        // here, so every file written from now on carries the wide
+        // physical type; only pre-evolution files stay narrow and ride
+        // the reader's native upcast
+        case Some(inF) if inF.dataType != f.dataType =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(_) => col(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 

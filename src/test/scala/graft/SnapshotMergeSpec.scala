@@ -216,6 +216,54 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("upsertEvolve widens int->bigint metadata-only; lossy pairs still fail fast") {
+    val dir = tmp("swiden")
+    // v1: cents is INT, two partitions
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, 100, 0L), (1L, 200, 1L), (2L, 300, 0L))
+        .toDF("id", "cents", "pk"), Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().get("cents").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val before = store.currentSized().get._2
+
+    // v2: cents arrives as BIGINT beyond int range, touching pk=1 only
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((1L, 3000000200L, 1L)).toDF("id", "cents", "pk"),
+      Seq("id"), Seq("pk"))
+    assert(store.currentSchema().get("cents").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // metadata-only: the untouched pk=0 partition keeps its v1 batch
+    // (its int32 files are never rewritten for the widen)
+    val after = store.currentSized().get._2
+    before.keys.filter(_.startsWith("pk=0")).foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    // reader upcasts the old int32 files natively under the persisted
+    // bigint schema; the replaced row reads back its long-range value
+    val got = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cents")).toMap
+    assert(got == Map(0L -> 100L, 1L -> 3000000200L, 2L -> 300L))
+    // a NARROWER later batch casts up on write: schema stays bigint
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((2L, 400, 0L)).toDF("id", "cents", "pk"), Seq("id"), Seq("pk"))
+    assert(store.currentSchema().get("cents").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cents")).toMap ==
+      Map(0L -> 100L, 1L -> 3000000200L, 2L -> 400L))
+    // time travel still reads v1 under ITS narrow persisted schema
+    assert(store.schemaAt(1L).get("cents").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // long -> double is LOSSY above 2^53 and must fail fast, exactly
+    // like a string conflict
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertEvolve(spark, dir,
+        Seq((0L, 1.5d, 0L)).toDF("id", "cents", "pk"), Seq("id"), Seq("pk"))
+    }
+    assert(e.getMessage.contains("type conflict"))
+  }
+
   test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
     val dir = tmp("snarrow")
     SnapshotMerge.upsertEvolve(spark, dir,
