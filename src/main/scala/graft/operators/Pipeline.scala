@@ -348,6 +348,42 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // ROW-LEVEL DELETE via positional DELETION VECTORS (r17) — the
+    // GDPR/right-to-erasure shape at warehouse scale: remove a sliver
+    // of rows from a huge table WITHOUT rewriting data files. Two
+    // stacked deleteWhere commits tombstone (file, row-position)
+    // pairs into sidecars; every reader anti-joins them out; the next
+    // full rewrite materializes them ([[SnapshotStore.deleteWhere]]).
+    // The oracle restates both predicates as NOT-filters over the
+    // seed relation, hash-pinning that tombstoning by physical
+    // position equals logical predicate deletion exactly.
+    // DeletionVectorSpec pins the mechanism claims the hash can't
+    // see: zero data files rewritten, byte-identical manifest data
+    // entries across a delete commit, time-travel/CDC version
+    // scoping, no-resurrect under merge, materialization by
+    // compaction, DV vacuum.
+    "k2_snapshot_delete" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2dv_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        store.deleteWhere(target.schema,
+          col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+        store.deleteWhere(target.schema, col("o_totalprice") > 400000.0)
+        store.read(target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // Time-travel read through the snapshot version log (r11): seed
     // the table (v1), merge an update batch on top (v2), then read AS
     // OF v1 while CURRENT points at v2 — the oracle is simply the
@@ -943,6 +979,13 @@ object Pipeline extends QueryModule {
          SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, pk
          FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_snapshot_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders
+         WHERE o_orderkey % 10 = 1
+           AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+           AND NOT (o_totalprice > 400000)""",
     // readAt(v1) after a v2 merge must return exactly the seed
     // relation — the pre-merge table, not the merged one.
     "k2_snapshot_time_travel" ->

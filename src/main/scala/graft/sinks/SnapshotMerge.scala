@@ -157,6 +157,15 @@ object SnapshotMerge {
   def read(spark: SparkSession, rootDir: String, schema: StructType): DataFrame =
     new SnapshotStore(spark, new Path(rootDir)).read(schema)
 
+  /** Row-level DELETE via positional deletion vectors — see
+    * [[SnapshotStore.deleteWhere]] (no data files rewritten; every
+    * read path applies the tombstones; the next full rewrite
+    * materializes them). Returns rows tombstoned.
+    */
+  def deleteWhere(spark: SparkSession, rootDir: String, schema: StructType,
+      pred: org.apache.spark.sql.Column): Long =
+    new SnapshotStore(spark, new Path(rootDir)).deleteWhere(schema, pred)
+
   /** Wider member of a SUPPORTED metadata-only type-widening pair —
     * the pairs Spark 4's vectorized parquet reader upcasts natively
     * when old files carry the narrow physical type under a wider
@@ -452,16 +461,19 @@ object SnapshotMerge {
     requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
-    val cur = store.currentSized()
+    val cur = store.currentResolved()
     val curVersion = cur.map(_._1).getOrElse(0L)
     val curEntries = cur.map(_._2)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
+    val curDvs = cur.map(_._3).getOrElse(Nil)
 
     // Manifest-level prune from the SAME snapshot resolution that the
     // commit below fences on: only the touched partitions' data dirs
     // become scan inputs; untouched partitions are not even listed.
+    // Deletion vectors apply to the target read (a merge must never
+    // see — or resurrect — tombstoned rows).
     val pruned = store.readEntries(
-      curEntries.view.mapValues(_.batch).toMap, incoming.schema, touched)
+      curEntries.view.mapValues(_.batch).toMap, incoming.schema, touched, curDvs)
     val merged = mergeFn(pruned, incoming)
 
     // Stage the replacement partitions into a fresh immutable batch
@@ -492,8 +504,12 @@ object SnapshotMerge {
     }
     // fenced on the exact base this merge read: a concurrent commit
     // in the window above aborts with SnapshotConcurrentWriteException
-    // instead of silently dropping that writer's merge
-    store.commitSized(newVersion, entries, cur.map(_._1))
+    // instead of silently dropping that writer's merge. The base's
+    // deletion vectors carry forward: untouched partitions keep their
+    // files (and so their tombstones); touched partitions were read
+    // DV-filtered and rewritten, so their old tombstones become
+    // harmless no-ops against dead paths.
+    store.commitSized(newVersion, entries, cur.map(_._1), curDvs)
     store.vacuum(retain)
     Some(newVersion)
   }

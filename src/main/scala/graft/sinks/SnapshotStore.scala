@@ -172,6 +172,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private val versionsDir = new Path(root, "versions")
   private val dataDir = new Path(root, "data")
   private val statsDir = new Path(root, "stats")
+  private val deletesDir = new Path(root, "deletes")
   private val lockPath = new Path(root, "LOCK")
 
   private def versionName(v: Long): String = f"v-$v%012d"
@@ -188,6 +189,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private def batchVersion(name: String): Option[Long] =
     scala.util.Try(name.stripPrefix("b-").split('-').head.toLong).toOption
+
+  /** Version prefix of a `dv-<version>-<uuid>` deletion-vector dir
+    * name (the version whose commit introduced it); None when the
+    * name doesn't carry one.
+    */
+  private def dvVersion(name: String): Option[Long] =
+    scala.util.Try(name.stripPrefix("dv-").split('-').head.toLong).toOption
+
+  private[graft] def dvPath(name: String): Path = new Path(deletesDir, name)
 
   def dataPath(batch: String): Path = new Path(dataDir, batch)
 
@@ -263,7 +273,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val header = lines.headOption.getOrElse("")
     require(header == "graft-snapshot 1" || header == "graft-snapshot 2",
       s"unrecognized manifest header in $manifestsDir/$name")
-    lines.drop(1).filter(_.nonEmpty).map { l =>
+    // `#dv` lines reference deletion-vector files, not partitions
+    // (the `#` can never open a real suffix — partition dirs are
+    // `col=val` forms); they parse via [[readManifestDvs]]
+    lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#dv\t")).map { l =>
       l.split('\t') match {
         case Array(suffix, batch) =>
           suffix -> SnapshotStore.SnapshotEntry(batch, -1L)
@@ -274,6 +287,28 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       }
     }.toMap
   }
+
+  /** Deletion-vector references of a manifest: the `dv-…` dir names
+    * (under deletes/) whose tombstones apply to THIS version's reads.
+    * The manifest is the sole source of DV applicability — a DV dir
+    * staged by a crashed or fenced delete is never referenced and so
+    * never applies, and a later version that materialized the
+    * deletes (compaction, full replace) simply lists none.
+    */
+  private def readManifestDvs(name: String): Seq[String] =
+    readSmallFile(new Path(manifestsDir, name))
+      .linesIterator.filter(_.startsWith("#dv\t"))
+      .map(_.split('\t')(1)).toSeq
+
+  /** One-pointer-read resolution of the CURRENT commit: (version,
+    * sized entries, deletion-vector names) all from the same manifest
+    * file — the triple every writer must derive its read AND its
+    * commit fence from (two pointer reads can straddle a concurrent
+    * commit).
+    */
+  def currentResolved(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry], Seq[String])] =
+    currentManifestName().map(n =>
+      (parseVersion(n), readManifestSized(n), readManifestDvs(n)))
 
   /** `(version, manifest)` of the committed snapshot, if any. */
   def current(): Option[(Long, Map[String, String])] =
@@ -316,8 +351,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * they learned from their own post-write walk, so later compactions
     * rank batches from the manifest alone.
     */
+  /** `dvs` — deletion-vector dir names (under deletes/) whose
+    * tombstones apply to this version's reads, written into the
+    * manifest as `#dv` lines. A committer that keeps ANY existing
+    * batch files must carry the base's DV list forward (entries for
+    * rewritten files become harmless no-ops — paths are unique per
+    * batch); a committer that rewrites or replaces the whole table
+    * (compact/compactClustered/compactZOrder/replaceAll) passes the
+    * default Nil, which is what MATERIALIZES deletes.
+    */
   def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
-      expectedBase: Option[Long]): Unit = {
+      expectedBase: Option[Long], dvs: Seq[String] = Nil): Unit = {
     def fence(): Unit = {
       val cur = currentVersion()
       if (cur != expectedBase)
@@ -330,10 +374,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // aborts without ever contending for the lease.
     fence()
     fs.mkdirs(manifestsDir)
-    val body = ("graft-snapshot 2" +:
+    val body = (("graft-snapshot 2" +:
       entries.toSeq.sortBy(_._1).map { case (s, e) =>
         s"$s\t${e.batch}\t${e.bytes}"
-      }).mkString("\n")
+      }) ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
     // clobber the winner's committed manifest (a crashed or fenced
@@ -429,23 +473,27 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * whose log entry exists is readable in full.
     */
   def readAt(version: Long, schema: StructType): DataFrame =
-    readEntries(manifestEntriesAt(version), schema, null)
+    readEntries(manifestEntriesAt(version), schema, null, dvsAt(version))
 
   /** The committed manifest of `version`, resolved through the version
     * log with the same winner proof as [[readAt]] (which is this
     * resolution + [[readEntries]]).
     */
-  private def manifestEntriesAt(version: Long): Map[String, String] = {
+  private def manifestNameAt(version: Long): String = {
     val cur = currentVersion().getOrElse(throw new IllegalArgumentException(
       s"snapshot table $root has no committed version"))
     if (version > cur)
       throw new IllegalArgumentException(
         s"${versionName(version)} has not committed on $root (current is ${versionName(cur)})")
-    val name = versionLogEntry(version)
+    versionLogEntry(version)
       .orElse(if (version == cur) currentManifestName() else None)
       .getOrElse(throw new IllegalArgumentException(
         s"${versionName(version)} is below the vacuum retention window of $root " +
           "(or predates the version log) — no provable winner remains"))
+  }
+
+  private def manifestEntriesAt(version: Long): Map[String, String] = {
+    val name = manifestNameAt(version)
     try readManifestFile(name)
     catch {
       case _: java.io.FileNotFoundException =>
@@ -454,6 +502,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
             "widen vacuum retention to cover the oldest pinned reader")
     }
   }
+
+  /** [[readManifestDvs]] of the winning manifest at `version` — the
+    * deletion vectors a time-travel read of that version applies
+    * (DVs committed after `version` must NOT apply: the files they
+    * reference exist at `version` too, with their rows still live).
+    */
+  private def dvsAt(version: Long): Seq[String] =
+    readManifestDvs(manifestNameAt(version))
 
   /** Partitions whose manifest entry moved between two committed
     * versions — the pruning set for [[readChangesBetween]]. A batch
@@ -466,7 +522,38 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   def changedPartitionsBetween(fromVersion: Long, toVersion: Long): Set[String] = {
     val m1 = manifestEntriesAt(fromVersion)
     val m2 = manifestEntriesAt(toVersion)
-    (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s))
+    (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
+      dvChangedSuffixes(fromVersion, toVersion)
+  }
+
+  /** Partitions whose rows changed between two versions through
+    * DELETION VECTORS alone — a delete commit keeps every manifest
+    * entry identical (that is its whole point), so the entry diff
+    * above is blind to it; the DV files added or dropped between the
+    * versions name the affected data files, whose paths map back to
+    * partition suffixes. Bounded by the files carrying deletes
+    * (driver-side collect of distinct paths — sidecar-scale, like
+    * every other metadata decision here).
+    */
+  private def dvChangedSuffixes(fromVersion: Long, toVersion: Long): Set[String] = {
+    val d1 = dvsAt(fromVersion).toSet
+    val d2 = dvsAt(toVersion).toSet
+    val diff = ((d1 -- d2) ++ (d2 -- d1)).toSeq
+    if (diff.isEmpty) return Set.empty
+    val dataPrefix = dataDir.toUri.getPath + "/"
+    dvFrame(diff).select(col("path")).distinct().collect()
+      .map(_.getString(0)).flatMap { p =>
+        val ix = p.indexOf(dataPrefix)
+        if (ix < 0) None
+        else {
+          // <dataDir>/<batch>/<suffix dirs>/<file> — suffix is the
+          // middle; a file directly under the batch dir (unpartitioned
+          // staging) has none and can't belong to a live partition
+          val segs = p.substring(ix + dataPrefix.length).split('/')
+          if (segs.length < 3) None
+          else Some(segs.drop(1).dropRight(1).mkString("/"))
+        }
+      }.toSet
   }
 
   /** Row-level changes between two committed versions — the
@@ -504,9 +591,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         "(__cdf_* markers, _change output)")
     val m1 = manifestEntriesAt(fromVersion)
     val m2 = manifestEntriesAt(toVersion)
-    val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s))
-    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null)
-    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null)
+    val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
+      dvChangedSuffixes(fromVersion, toVersion)
+    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null,
+      dvsAt(fromVersion))
+    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null,
+      dvsAt(toVersion))
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__cdf_b_$c"))
       .withColumn("__cdf_b", lit(true))
@@ -664,15 +754,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * [[PartitionedMerge]]'s IN-list directory pruning.
     */
   def readPartitions(schema: StructType, suffixes: Set[String]): DataFrame =
-    readEntries(current().map(_._2).getOrElse(Map.empty), schema, suffixes)
+    currentManifestName() match {
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(n) =>
+        readEntries(readManifestFile(n), schema, suffixes, readManifestDvs(n))
+    }
 
   /** [[readPartitions]] against an already-resolved manifest — for
     * callers (the merge path) that must build their read and their
     * commit fence from ONE snapshot resolution instead of racing two
-    * pointer reads.
+    * pointer reads. The 3-arg form applies no deletion vectors (for
+    * callers that resolved a manifest with none); pass the same
+    * manifest's DV names to get the row-level-deleted view.
     */
   def readEntries(entries: Map[String, String], schema: StructType,
-      suffixes: Set[String]): DataFrame = {
+      suffixes: Set[String]): DataFrame =
+    readEntries(entries, schema, suffixes, Nil)
+
+  def readEntries(entries: Map[String, String], schema: StructType,
+      suffixes: Set[String], dvs: Seq[String]): DataFrame = {
     val selected = entries
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
     if (selected.isEmpty)
@@ -687,8 +787,40 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       // directly to the declared types.
       spark.read.option("basePath", base.toString).schema(schema).parquet(paths: _*)
     }
-    frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
+    if (dvs.isEmpty)
+      frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
+    else antiDv(frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
+      .reduce(_.unionByName(_)), schema, dvs)
   }
+
+  /** The file-identity columns a deletion-vector anti-join keys on —
+    * Spark's hidden `_metadata` struct, available on every file-source
+    * frame at zero cost until projected.
+    */
+  private def dvMetaCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("_metadata.file_path").as("__dv_path"),
+    col("_metadata.row_index").as("__dv_pos"))
+
+  /** Deletion vectors as one (path, pos) frame. */
+  private def dvFrame(dvs: Seq[String]): DataFrame =
+    dvs.map(n => spark.read.parquet(dvPath(n).toString))
+      .reduce(_.unionByName(_))
+
+  /** Drop tombstoned rows: LEFT ANTI on (file, row position). The DV
+    * side is parquet with size stats, so AQE broadcasts it when small
+    * (the common case — deletes are sparse) and falls back to a
+    * shuffled anti-join when a table has accumulated bulk deletes;
+    * either way the data side streams once. Tombstones referencing
+    * rewritten (dead) files match nothing — stale entries are
+    * harmless no-ops, which is what lets every carrying committer
+    * forward the whole list.
+    */
+  private def antiDv(withMeta: DataFrame, schema: StructType,
+      dvs: Seq[String]): DataFrame =
+    withMeta.join(
+        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+        Seq("__dv_path", "__dv_pos"), "left_anti")
+      .select(schema.fieldNames.map(col): _*)
 
   /** Write the per-(partition, column) min/max STATS sidecar for a
     * freshly staged batch — the metadata that lets [[readRange]] skip
@@ -986,9 +1118,81 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def readRange(schema: StructType, statsCol: String,
       lo: Double, hi: Double): DataFrame = {
-    val entries = current().map(_._2).getOrElse(Map.empty)
-    readEntries(pruneByStats(entries, statsCol, lo, hi), schema, null)
+    val (entries, dvs) = currentResolved()
+      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
+      .getOrElse((Map.empty[String, String], Nil))
+    // stats sidecars are written at batch-stage time and never
+    // re-tightened by a delete, so post-delete bands can only be
+    // WIDER than the live data — pruning stays sound (never a wrong
+    // skip), merely less selective until the next compaction
+    readEntries(pruneByStats(entries, statsCol, lo, hi), schema, null, dvs)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** ROW-LEVEL DELETE via positional DELETION VECTORS — the
+    * Delta/Iceberg answer to "remove 0.01% of rows from a 100 TB
+    * table without rewriting a byte of data": tombstone (file,
+    * row-position) pairs in a sidecar, applied by every reader as a
+    * LEFT ANTI join, materialized for free by the next full rewrite.
+    * The delete commit is METADATA-SHAPED — it writes one small
+    * parquet of tombstones plus a manifest whose data entries are
+    * byte-identical to the base's (that is the point), fenced through
+    * the same lease/CAS as every commit, so it composes with the
+    * optimistic-concurrency story (a racing writer fences it, a retry
+    * recomputes positions against the winner's state — positions are
+    * only meaningful against the exact base they were read from).
+    *
+    * Row identity is Spark's `_metadata.file_path` + `row_index` —
+    * stable for immutable batch files (this store never appends to a
+    * committed file). Semantics downstream:
+    *  - every read path applies the manifest's DV list (plain reads,
+    *    time travel at the right version, stats-pruned range/box
+    *    reads, the CDC diff — which also treats DV-only commits as
+    *    changes);
+    *  - merges read DV-filtered targets and carry the DV list
+    *    forward, so rewritten partitions materialize their deletes
+    *    while untouched partitions keep tombstoning (a deleted row
+    *    can never resurrect);
+    *  - full rewrites (compact/compactClustered/compactZOrder/
+    *    replaceAll) drop the list — deletes are materialized;
+    *  - vacuum collects DV files no retained manifest references.
+    *
+    * Returns the number of rows tombstoned; 0 = nothing matched and
+    * NO version was committed. Stats sidecars are not re-tightened by
+    * a delete (bands only get wider than live data — pruning stays
+    * sound, less selective until the next compaction).
+    */
+  def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column): Long = {
+    val (version, sized, dvs) = currentResolved().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val entries = sized.view.mapValues(_.batch).toMap
+    if (entries.isEmpty) return 0L
+    val frames = entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, es) =>
+      val base = dataPath(batch)
+      val paths = es.keys.toSeq.sorted.map(s => new Path(base, s).toString)
+      spark.read.option("basePath", base.toString).schema(schema).parquet(paths: _*)
+    }
+    // live view WITH file identity; existing DVs applied so an
+    // already-deleted row is never re-tombstoned (the count stays
+    // honest and DV files never accumulate duplicates)
+    var live = frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
+      .reduce(_.unionByName(_))
+    if (dvs.nonEmpty)
+      live = live.join(
+        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+        Seq("__dv_path", "__dv_pos"), "left_anti")
+    val name = f"dv-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    val out = dvPath(name)
+    live.where(pred)
+      .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+      .write.mode("overwrite").parquet(out.toString)
+    val n = spark.read.parquet(out.toString).count()
+    if (n == 0L) { fs.delete(out, true); return 0L }
+    // fenced like every commit; a fenced loser removes its staged DV
+    // (it was never referenced, so removal is pure hygiene)
+    try commitSized(version + 1, sized, Some(version), dvs :+ name)
+    catch { case t: Throwable => fs.delete(out, true); throw t }
+    n
   }
 
   /** Multi-column [[pruneByStats]]: a partition survives when EVERY
@@ -1054,12 +1258,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     if (nonEmpty.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .where(residual)
-    nonEmpty.map { case (paths, base) =>
+    val dvs = currentManifestName().map(readManifestDvs).getOrElse(Nil)
+    val frames = nonEmpty.map { case (paths, base) =>
       spark.read.option("basePath", base.toString).schema(schema)
         .parquet(paths: _*)
-        .select(schema.fieldNames.map(col): _*)
-    }.reduce(_.unionByName(_))
-      .where(residual)
+    }
+    val joined =
+      if (dvs.isEmpty)
+        frames.map(_.select(schema.fieldNames.map(col): _*))
+          .reduce(_.unionByName(_))
+      else antiDv(frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
+        .reduce(_.unionByName(_)), schema, dvs)
+    joined.where(residual)
   }
 
   /** Fold the SMALLEST live batches together so the manifest
@@ -1087,7 +1297,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val (version, entries) = currentSized().getOrElse(return)
+    val (version, entries, dvs) = currentResolved().getOrElse(return)
     if (entries.values.map(_.batch).toSet.size <= maxBatches) return
     // live bytes per batch: sum the batch's LIVE partition entries, not
     // the whole dir — a batch can also hold stale copies of partitions
@@ -1116,10 +1326,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(written.keySet == foldParts,
       s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
     writeBatchStats(batch, schema, partCols, statsCols)
+    // kept batches' files survive, so their tombstones must too; the
+    // folded partitions' DVs became stale no-ops (their files are
+    // dead), harmless to carry
     commitSized(version + 1,
       sized ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version))
+      }, Some(version), dvs)
     vacuum()
   }
 
@@ -1225,6 +1438,23 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       val b = n.stripPrefix(".tmp-").stripSuffix(".files")
       if (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b))
         fs.delete(st.getPath, false)
+    }
+    // Deletion vectors referenced by any RETAINED manifest stay (time
+    // travel inside the window applies them); a DV below the window
+    // and unreferenced — its deletes were materialized by a full
+    // rewrite, or its delete commit was fenced — is an orphan.
+    if (fs.exists(deletesDir)) {
+      val liveDvs = manifestNames
+        .filter(n => n.startsWith("v-") && parseVersion(n) >= keepMin)
+        .flatMap(n => scala.util.Try(readManifestDvs(n)).getOrElse(Nil)).toSet ++
+        currentManifestName().map(n =>
+          scala.util.Try(readManifestDvs(n)).getOrElse(Nil).toSet)
+          .getOrElse(Set.empty)
+      fs.listStatus(deletesDir).foreach { st =>
+        val n = st.getPath.getName
+        if (dvVersion(n).forall(_ < keepMin) && !liveDvs.contains(n))
+          fs.delete(st.getPath, true)
+      }
     }
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
