@@ -106,6 +106,38 @@ object WarehouseScaleProbe {
         java.nio.file.Paths.get(base).getParent.toFile)
     }
 
+    // --- deletion-vector read overhead at high file count (r17) ---
+    // The claim: a sparse delete's read cost is anti-join-sized (the
+    // DV side is tombstone-count rows), not table-sized — full-scan
+    // wall before vs after tombstoning ~1% of rows should be close,
+    // and the pruned band read stays pruned.
+    {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          least(floor(col("o_totalprice") / (600000.0 / 512)), lit(511L))
+            .cast("long").as("pk"))
+      val base = java.nio.file.Files.createTempDirectory("graft_wspdv").toString + "/t"
+      graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
+        Seq("o_orderkey"), Seq("pk"), statsCols = Seq("o_totalprice"))
+      val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+      def scanAll(): (Long, Double) = timed(store.read(o.schema).count())
+      val (n0, before) = scanAll()
+      val (nDel, delS) = timed(store.deleteWhere(o.schema,
+        col("o_orderkey") % 97 === 0))
+      val (n1, after) = scanAll()
+      val (band, bandS) = timed {
+        val df = store.readRange(o.schema, "o_totalprice", 50000.0, 60000.0)
+        (df.inputFiles.length, df.count())
+      }
+      out += s"""{"probe":"dv_read","rows":$n0,"tombstoned":$nDel,""" +
+        s""""delete_s":${f(delS)},"scan_before_s":${f(before)},""" +
+        s""""scan_after_s":${f(after)},"rows_after":$n1,""" +
+        s""""band_files_read":${band._1},"band_rows":${band._2},""" +
+        s""""band_s":${f(bandS)}}"""
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }
+
     println(out.mkString("[", ",", "]"))
     spark.stop()
   }

@@ -773,6 +773,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
 
   def readEntries(entries: Map[String, String], schema: StructType,
       suffixes: Set[String], dvs: Seq[String]): DataFrame = {
+    if (dvs.nonEmpty)
+      require(!schema.fieldNames.exists(_.startsWith("__dv_")),
+        "schema columns must not collide with the deletion-vector " +
+          "anti-join's working names (__dv_*)")
     val selected = entries
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
     if (selected.isEmpty)
@@ -1183,8 +1187,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         Seq("__dv_path", "__dv_pos"), "left_anti")
     val name = f"dv-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     val out = dvPath(name)
+    // one sidecar file per delete commit: tombstones are
+    // metadata-scale (the sparse-delete contract), and a single file
+    // keeps the reader's anti-join build and `inputFiles` fan-out
+    // proportional to delete COMMITS, not to the writer's parallelism
     live.where(pred)
       .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(out.toString)
     val n = spark.read.parquet(out.toString).count()
     if (n == 0L) { fs.delete(out, true); return 0L }
