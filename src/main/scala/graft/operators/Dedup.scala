@@ -110,6 +110,90 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING NEAR-DUP FILTER — the production crawl-dedup shape: a
+    // stream of incoming documents is filtered against an ACCUMULATED
+    // LSH bucket store (kept docs' md5-lane MinHash band keys), so a
+    // new doc near-duplicating anything already kept is dropped at
+    // ingest, before it ever costs storage or training tokens. Three
+    // mtime-paced waves (doc_id % 3, one file per micro-batch);
+    // foreachBatch computes the batch's band keys ([[md5Bands]] — the
+    // SAME banding as the batch twin dedup_minhash_md5), drops docs
+    // whose ANY key already exists in the store, then appends the
+    // survivors' keys as a batchId-named parquet dir (overwrite ⇒ a
+    // retried batch is idempotent — poor-man's exactly-once for an
+    // accumulating side store; the fenced snapshot store is the
+    // production spelling, upsertStream). Within-wave docs do NOT
+    // dedup against each other (a batch arrives together), which is
+    // what makes the whole run restatable: the DuckDB oracle unrolls
+    // the three waves as CTE rounds (the BPE-unroll technique) —
+    // kept(w) = wave-w docs sharing no (band, key) with buckets of
+    // kept(<w>). State is bucket-count-sized (keys of kept docs),
+    // never corpus²; the ≥3-words guard keeps both engines in the
+    // regime where the twin banding provably agrees.
+    "strm_neardup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_strmnd_")
+      val drop = root.resolve("waves"); java.nio.file.Files.createDirectories(drop)
+      val store = root.resolve("store").toString
+      val kept = root.resolve("kept").toString
+      try {
+        val t0 = System.currentTimeMillis()
+        (0 to 2).foreach { w =>
+          val stage = root.resolve(s"stage$w")
+          docs.where(pmod(col("doc_id"), lit(3)) === w).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).iterator()
+          var p: java.nio.file.Path = null
+          while (part.hasNext) { val f = part.next()
+            if (f.getFileName.toString.endsWith(".parquet")) p = f }
+          val dst = drop.resolve(s"w$w.parquet")
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 - (2 - w) * 60000L))
+        }
+        val fb = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => {
+          val sh = batch.select(col("doc_id"),
+            array_distinct(shingles(col("text"))).as("sh"))
+          val bnd = md5Bands(sh).ckpt(false)
+          val prior =
+            try s.read.parquet(s"$store/*")
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("band",
+                    org.apache.spark.sql.types.IntegerType),
+                  org.apache.spark.sql.types.StructField("key",
+                    org.apache.spark.sql.types.StringType))))
+            }
+          val dropIds = bnd.join(prior.select(col("band"), col("key")), Seq("band", "key"))
+            .select(col("doc_id")).distinct()
+          val keptIds = batch.select(col("doc_id"))
+            .join(dropIds, Seq("doc_id"), "left_anti").ckpt(false)
+          bnd.join(keptIds, Seq("doc_id"))
+            .select(col("band"), col("key")).distinct()
+            .write.mode("overwrite").parquet(s"$store/b$id")
+          keptIds.write.mode("overwrite").parquet(s"$kept/b$id")
+          releaseCheckpoints(bnd); releaseCheckpoints(keptIds)
+          ()
+        }
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("cp").toString)
+          .foreachBatch(fb)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$kept/*")
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(3)).cast("long").as("wave"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }),
+
     // Exact dedup by content fingerprint: keep the smallest doc_id per
     // fingerprint (deterministic survivor), report group size.
     "dedup_exact" -> ((s, dir) => {
@@ -165,18 +249,7 @@ object Dedup extends QueryModule {
       // map-side partial mins, the same one-shuffle scale shape as any
       // sketch build. Lowercase-hex substrings compare identically
       // under Spark's binary ordering and DuckDB's default collation.
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
-        .select(col("doc_id") +: (0 to 3).map(s0 =>
-          md5(concat(lit(s"$s0:"), col("t"))).as(s"h$s0")): _*)
-      val laneAggs = (0 to 15).map(k =>
-        min(expr(s"substr(h${k / 4}, ${1 + (k % 4) * 8}, 8)")).as(s"m$k"))
-      val mins = ex.groupBy(col("doc_id"))
-        .agg(laneAggs.head, laneAggs.tail: _*)
-      val bnd = mins.select(col("doc_id"), posexplode(array(
-        (0 to 3).map(b => concat(
-          col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
-          col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*))
-        .as(Seq("band", "key")))
+      val bnd = md5Bands(sh)
       val cand = bnd.as("l").join(bnd.as("r"),
           col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
             col("l.doc_id") < col("r.doc_id"))
@@ -469,6 +542,29 @@ object Dedup extends QueryModule {
           coalesce(col("n_cov_tokens"), lit(0L)).as("n_cov_tokens"))
     })
   )
+
+  /** The md5-lane MinHash BAND KEYS of a (doc_id, sh) frame — the
+    * oracle-computable twin banding (see `dedup_minhash_md5`'s
+    * scaladoc for the lane spelling and why it is codegen'd
+    * projections + one hash aggregate, not HOFs). 4 bands × 4 lanes
+    * of 32-bit md5 substrings; output (doc_id, band, key). Shared by
+    * the batch twin and the streaming near-dup filter
+    * (`strm_neardup`) so the two bandings can never drift.
+    */
+  def md5Bands(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("t"))
+      .select(col("doc_id") +: (0 to 3).map(s0 =>
+        md5(concat(lit(s"$s0:"), col("t"))).as(s"h$s0")): _*)
+    val laneAggs = (0 to 15).map(k =>
+      min(expr(s"substr(h${k / 4}, ${1 + (k % 4) * 8}, 8)")).as(s"m$k"))
+    val mins = ex.groupBy(col("doc_id"))
+      .agg(laneAggs.head, laneAggs.tail: _*)
+    mins.select(col("doc_id"), posexplode(array(
+      (0 to 3).map(b => concat(
+        col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
+        col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*))
+      .as(Seq("band", "key")))
+  }
 
   /** The entity-resolution labeling stage — every `part` record with
     * its resolved `entity_id`: (brand, head-noun) blocked candidate
@@ -807,6 +903,49 @@ object Dedup extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // the three waves unrolled as CTE rounds: kept(w) = wave-w docs
+    // sharing no (band, key) with the buckets of kept(<w); banding =
+    // the dedup_minhash_md5 twin spelling verbatim
+    "strm_neardup" ->
+      """WITH docs3 AS (
+           SELECT doc_id, text FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         dd AS (
+           SELECT doc_id, list_distinct([array_to_string(tk[i:i+2], ' ')
+                          for i in range(1, greatest(len(tk) - 1, 2))]) AS sh
+           FROM (SELECT *, string_split(text, ' ') AS tk FROM docs3)),
+         hh AS (
+           SELECT doc_id,
+             [[md5('0:' || t), md5('1:' || t),
+               md5('2:' || t), md5('3:' || t)] for t in sh] AS hs
+           FROM dd),
+         sig AS (
+           SELECT doc_id,
+             [list_aggregate([substr(h[k // 4 + 1], 1 + (k % 4) * 8, 8)
+                              for h in hs], 'min')
+              for k in range(0, 16)] AS sig
+           FROM hh),
+         bnd AS (
+           SELECT doc_id, b AS band,
+             array_to_string(sig[b*4+1:b*4+4], '') AS key
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         k0 AS (SELECT doc_id FROM docs3 WHERE doc_id % 3 = 0),
+         b0 AS (SELECT DISTINCT band, key FROM bnd WHERE doc_id % 3 = 0),
+         k1 AS (
+           SELECT d.doc_id FROM docs3 d WHERE d.doc_id % 3 = 1
+             AND NOT EXISTS (SELECT 1 FROM bnd n JOIN b0 USING (band, key)
+                             WHERE n.doc_id = d.doc_id)),
+         b1 AS (
+           SELECT band, key FROM b0
+           UNION
+           SELECT DISTINCT band, key FROM bnd JOIN k1 USING (doc_id)),
+         k2 AS (
+           SELECT d.doc_id FROM docs3 d WHERE d.doc_id % 3 = 2
+             AND NOT EXISTS (SELECT 1 FROM bnd n JOIN b1 USING (band, key)
+                             WHERE n.doc_id = d.doc_id))
+         SELECT doc_id, doc_id % 3 AS wave FROM k0
+         UNION ALL SELECT doc_id, doc_id % 3 FROM k1
+         UNION ALL SELECT doc_id, doc_id % 3 FROM k2""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text)""",

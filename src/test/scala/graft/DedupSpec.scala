@@ -306,4 +306,39 @@ class DedupSpec extends SparkFunSuite {
     // one real merge happened at the 0.9 threshold on this fixture
     assert(got.contains(1L) && got.keys.exists(_ > 1L))
   }
+
+  test("strm_neardup equals a driver-side three-wave fold; drops are cross-wave only") {
+    import org.apache.spark.sql.functions._
+    // The oracle re-derives the banding in SQL; this differential
+    // re-derives the ACCUMULATION in plain Scala from the shared
+    // md5Bands output — if the streaming store/anti-join/append
+    // machinery dropped a wave, reprocessed a batch, or deduped
+    // within a wave, the fold would disagree.
+    val got = SparkEntry.queries("strm_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(size(split(col("text"), " ")) >= 3)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"))).as("sh"))
+    val bands: Map[Long, Seq[(Int, String)]] = Dedup.md5Bands(sh).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val allIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val seen = scala.collection.mutable.Set.empty[(Int, String)]
+    val expected = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 to 2).foreach { w =>
+      val wave = allIds.filter(_ % 3 == w)
+      val kept = wave.filterNot(id =>
+        bands.getOrElse(id, Nil).exists(seen.contains))
+      kept.foreach(id => expected += ((id, w.toLong)))
+      kept.foreach(id => bands.getOrElse(id, Nil).foreach(seen += _))
+    }
+    assert(got == expected.toSet)
+    // the fixture's planted near-dups make at least one cross-wave
+    // drop happen (the filter is not vacuously keeping everything)
+    assert(got.size < allIds.length,
+      s"no doc was ever dropped (${got.size} of ${allIds.length})")
+    // wave 0 is never filtered (the store is empty at batch 0)
+    assert(allIds.filter(_ % 3 == 0).forall(id => got.contains((id, 0L))))
+  }
 }
