@@ -77,6 +77,36 @@ object TextAnalysis extends QueryModule {
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
     }),
 
+    // DIFFERENTIALLY-PRIVATE aggregate release — the shape a corpus
+    // steward publishes per-source statistics under (counts of docs
+    // per (lang, source) with calibrated noise, raw counts withheld).
+    // Mechanism: BINOMIAL noise (Dwork et al.'06) — popcount of 64
+    // fair coin bits minus 32, variance N/4 = 16 — added to each
+    // sensitivity-1 count; (ε, δ)-DP per the standard binomial
+    // analysis at N = 64. The coins come from a PRF over the group
+    // key + a seed: with the seed SECRET this is exactly the
+    // reproducible-release deployment real DP systems use
+    // (noise = PRF(key, cell), so re-running the release never leaks
+    // a fresh sample); with the seed public — as here, necessarily,
+    // for the oracle — it is the deterministic TWIN of that draw.
+    // Pure integer math end-to-end (md5 nibbles → popcount), so the
+    // DuckDB oracle re-derives the noise bit-for-bit and the release
+    // hash-checks. TextAnalysisSpec pins |noise| ≤ 32, a nonzero
+    // noise somewhere, and the exact popcount spelling.
+    "text_dp_release" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("h",
+          md5(concat(col("lang"), lit("|"), col("source"), lit("|dp1"))))
+        .withColumn("noise", expr(
+          "aggregate(transform(sequence(1, 16), i -> " +
+            "bit_count(cast(conv(substring(h, i, 1), 16, 10) AS INT))), " +
+            "0, (a, x) -> a + x) - 32"))
+        .select(col("lang"), col("source"),
+          (col("n") + col("noise")).cast("long").as("noisy_n"))
+    }),
+
     // Language ID: n-gram/charset heuristic (CJK chars → zh; stopword
     // density → en; else unknown), counted per (pred, labeled lang).
     "text_langid" -> ((s, dir) => {
@@ -1345,6 +1375,17 @@ object TextAnalysis extends QueryModule {
            GROUP BY tf.doc_id)"""
 
   def oracle: Map[String, String] = Map(
+    // the binomial noise re-derived bit-for-bit from the md5 nibbles
+    "text_dp_release" ->
+      """WITH g AS (
+           SELECT lang, source, COUNT(*) AS n,
+             md5(lang || '|' || source || '|dp1') AS h
+           FROM documents GROUP BY lang, source)
+         SELECT lang, source,
+           CAST(n + list_sum([bit_count(
+                 strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+               for i in range(1, 17)]) - 32 AS BIGINT) AS noisy_n
+         FROM g""",
     // the whole training loop re-executed as 8 unrolled CTE rounds
     "text_bpe_train" ->
       (s"""WITH $bpeChainSql

@@ -627,4 +627,27 @@ class TextAnalysisSpec extends SparkFunSuite {
       }
     }
   }
+
+  test("text_dp_release: binomial noise is bounded, live, and PRF-exact") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_dp_release")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == truth.keySet)
+    // recompute the PRF noise independently: popcount of the first 64
+    // md5 bits of "<lang>|<source>|dp1", minus 32
+    def noise(k: (String, String)): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"${k._1}|${k._2}|dp1".getBytes("UTF-8"))
+      (0 until 8).map(i => java.lang.Integer.bitCount(d(i) & 0xFF)).sum - 32L
+    }
+    val diffs = got.map { case (k, v) => k -> (v - truth(k)) }
+    diffs.foreach { case (k, dlt) =>
+      assert(dlt == noise(k), s"noise for $k: got $dlt, PRF says ${noise(k)}")
+      assert(math.abs(dlt) <= 32L)
+    }
+    assert(diffs.values.exists(_ != 0L), "noise must be live somewhere")
+  }
 }
