@@ -208,8 +208,32 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   }
 
   /** Manifest file name the CURRENT pointer references, if any. */
-  private def currentManifestName(): Option[String] =
-    if (fs.exists(pointer)) Some(readSmallFile(pointer)) else None
+  /** The CURRENT pointer read tolerates two transient local-FS
+    * artifacts of a RACING writer's swap, both impossible on a real
+    * object store / HDFS (single-op atomic rename there):
+    *  - Hadoop's ChecksumFs renames the data file and its `.crc`
+    *    sidecar as TWO metadata ops, so a read between them sees the
+    *    new bytes verified against the old crc → ChecksumException
+    *    (observed once in ~10³ runs of the k2_concurrent_upsert race);
+    *  - the exists/open pair can straddle the overwrite-rename →
+    *    FileNotFoundException.
+    * Both windows are a racing writer's few metadata ops wide —
+    * bounded retry, then rethrow.
+    */
+  private def currentManifestName(): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try return (if (fs.exists(pointer)) Some(readSmallFile(pointer)) else None)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Current committed version, or None for a table that has never
     * committed.
