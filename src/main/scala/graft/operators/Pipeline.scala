@@ -212,10 +212,20 @@ object Pipeline extends QueryModule {
     // compaction a real multi-file clustered rewrite, not a rename.
     "k2_compact_conflict" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
-      val target = o.where(col("o_orderkey") % 3 =!= 0)
+      // pk = %7, NOT the family's usual %5: keys ≡ 1 (mod 10) all share
+      // key % 5 = 1 (10 ≡ 0 mod 5 would collapse the lean seed to one
+      // partition), while mod 7 cycles them over every residue.
+      val pk = pmod(col("o_orderkey"), lit(7L)).as("pk")
+      // leaner seed than the k2_upsert rows (the k2_snapshot_time_travel
+      // precedent): the row's point is the conflict FENCE between a
+      // racing writer and a clustered OPTIMIZE, not merge throughput —
+      // %10 keeps a real multi-partition table and ~30 clustered files
+      // at maxRecordsPerFile=500 while the race stays genuinely racy.
+      // Incoming mixes UPDATES (%20==1 ⊂ seed keys) and INSERTS
+      // (%20==2, even keys absent from the seed).
+      val target = o.where(col("o_orderkey") % 10 === 1)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
-      val inc = o.where(col("o_orderkey") % 4 === 0)
+      val inc = o.where(pmod(col("o_orderkey"), lit(20)).isin(1, 2))
         .select(col("o_orderkey"),
           (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
             .cast("double").as("o_totalprice"),
@@ -922,14 +932,14 @@ object Pipeline extends QueryModule {
     "k2_compact_conflict" ->
       """WITH target AS (
            SELECT o_orderkey, o_totalprice, o_orderstatus,
-                  o_orderkey % 5 AS pk
-           FROM orders WHERE o_orderkey % 3 <> 0),
+                  o_orderkey % 7 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1),
          a AS (
            SELECT o_orderkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
              'A' AS o_orderstatus,
-             o_orderkey % 5 AS pk
-           FROM orders WHERE o_orderkey % 4 = 0)
+             o_orderkey % 7 AS pk
+           FROM orders WHERE o_orderkey % 20 IN (1, 2))
          SELECT * FROM a
          UNION ALL
          SELECT * FROM target
