@@ -358,6 +358,41 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // METADATA-ONLY DROP COLUMN (r17) — the third evolution beside
+    // add-column and type-widening: v1 seeds (key, price, status,
+    // pk), v2 evolve-adds o_orderpriority for a slice of keys, v3
+    // DROPS o_totalprice — zero files rewritten, the persisted-schema
+    // read simply never projects the column (parquet prunes it), and
+    // time travel below the drop still sees it (per-version schema
+    // history, spec'd). The oracle restates the evolve-merge and
+    // omits the dropped column. pk is %7 for the same reason as
+    // k2_compact_conflict (a %10 lean seed collapses %5).
+    "k2_upsert_drop" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(7L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val incoming = o.where(col("o_orderkey") % 20 === 3)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2dc_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.dropColumn(s, base, "o_totalprice")
+        graft.sinks.SnapshotMerge.readEvolved(s, base)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("NONE")).as("prio"),
+            col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // ROW-LEVEL DELETE via positional DELETION VECTORS (r17) — the
     // GDPR/right-to-erasure shape at warehouse scale: remove a sliver
     // of rows from a huge table WITHOUT rewriting data files. Two
@@ -987,6 +1022,21 @@ object Pipeline extends QueryModule {
          SELECT o_orderkey, cents, pk FROM incoming
          UNION ALL
          SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, pk
+         FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_upsert_drop" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 7 AS pk
+           FROM orders WHERE o_orderkey % 10 = 3),
+         incoming AS (
+           SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                  o_orderkey % 7 AS pk
+           FROM orders WHERE o_orderkey % 20 = 3)
+         SELECT o_orderkey, o_orderstatus,
+           coalesce(o_orderpriority, 'NONE') AS prio, pk
+         FROM incoming
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, 'NONE' AS prio, pk
          FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
     "k2_snapshot_delete" ->

@@ -267,6 +267,52 @@ object SnapshotMerge {
       .foreach(v => store.writeSchemaFile(v, union))
   }
 
+  /** Metadata-only DROP COLUMN — the third evolution beside add and
+    * widen: commits the SAME data entries under a schema without
+    * `colName`. No file is rewritten; [[readEvolved]]'s explicit
+    * schema simply never projects the column, so the parquet scan
+    * prunes it (the bytes stay in old files until the next full
+    * rewrite, exactly like Delta/Iceberg's logical drop). Per-version
+    * schema history is preserved: time travel below the drop still
+    * reads the column.
+    *
+    * Refused for PARTITION columns (their values live in directory
+    * names — dropping one is a physical relayout, not an evolution)
+    * and for the last remaining column. Keys are the caller's
+    * concern, as everywhere in this layer.
+    *
+    * DOCUMENTED LIMIT (name-based store): re-ADDING a dropped name
+    * via [[upsertEvolve]] RESURRECTS the pre-drop values still
+    * physically present in un-rewritten files — the production
+    * formats prevent this with column mapping (immutable physical
+    * ids behind logical names), which this store does not implement.
+    * SnapshotMergeSpec pins the resurrect behavior as the defined
+    * semantics so a user hits documentation, not surprise. Compact
+    * before re-adding a dropped name to get fresh-null semantics.
+    */
+  def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (version, sized, dvs) = store.currentResolved().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val schema = storedSchema(spark, store).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    require(schema.fieldNames.contains(colName),
+      s"column '$colName' does not exist (have: ${schema.fieldNames.mkString(", ")})")
+    val partCols = sized.keys
+      .flatMap(_.split('/').map(_.takeWhile(_ != '='))).toSet
+    require(!partCols.contains(colName),
+      s"cannot drop partition column '$colName' (partition values live in " +
+        "directory names; that is a relayout, not a metadata evolution)")
+    val newSchema = StructType(schema.fields.filterNot(_.name == colName))
+    require(newSchema.nonEmpty, "cannot drop the last column")
+    // same crash contract as upsertEvolve's sidecar: schema written
+    // after the commit it describes; a crash between the two leaves a
+    // committed version whose schema falls back to its predecessor's
+    // (the drop "did not happen") — self-healing, never torn
+    store.commitSized(version + 1, sized, Some(version), dvs)
+    store.writeSchemaFile(version + 1, newSchema)
+  }
+
   /** Read the committed snapshot under its PERSISTED (evolved)
     * schema; falls back to footer inference for a pre-evolution
     * table.

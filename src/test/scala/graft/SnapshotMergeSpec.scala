@@ -264,6 +264,45 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("dropColumn is metadata-only; history, guards, and the re-add limit are pinned") {
+    val dir = tmp("sdrop")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "a", 10L, 0L), (1L, "b", 20L, 1L)).toDF("id", "v", "score", "pk"),
+      Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val before = store.currentSized().get._2
+    SnapshotMerge.dropColumn(spark, dir, "score")
+    // metadata-only: identical data entries, no rewrite
+    assert(store.currentSized().get._2 == before)
+    assert(store.currentSchema().get.fieldNames.toSeq == Seq("id", "v", "pk"))
+    val got = SnapshotMerge.readEvolved(spark, dir)
+    assert(!got.columns.contains("score"))
+    // time travel below the drop still reads the column
+    assert(store.schemaAt(1L).get.fieldNames.contains("score"))
+    assert(store.readAt(1L, store.schemaAt(1L).get).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("score")).toMap ==
+      Map(0L -> 10L, 1L -> 20L))
+    // guards: partition column, missing column, last column
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.dropColumn(spark, dir, "pk")
+    }.getMessage.contains("partition column"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.dropColumn(spark, dir, "nope")
+    }.getMessage.contains("does not exist"))
+    // DOCUMENTED LIMIT (name-based store, no column mapping): re-adding
+    // the dropped name resurrects pre-drop values still physically
+    // present in un-rewritten files — pinned as the defined semantics
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((2L, "c", 99L, 0L)).toDF("id", "v", "score", "pk"),
+      Seq("id"), Seq("pk"))
+    val revived = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("score")))).toMap
+    assert(revived(2L).contains(99L))
+    assert(revived(1L).contains(20L), // pk=1 file untouched since v1
+      "pre-drop bytes resurrect under the re-added name (documented)")
+  }
+
   test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
     val dir = tmp("snarrow")
     SnapshotMerge.upsertEvolve(spark, dir,
