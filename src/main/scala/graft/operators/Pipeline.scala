@@ -358,6 +358,38 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // BLOOM-SIDECAR POINT LOOKUP (r17) — the equality complement of
+    // the min/max stats family: the table partitions by o_custkey%32,
+    // so every partition's o_orderkey band spans the whole key domain
+    // and NO band can prune a key lookup; a per-partition bloom
+    // sketch over o_orderkey skips the partitions that provably
+    // cannot contain any probed key (no false negatives ⇒ pruning is
+    // correctness-invariant; false positives only cost a read). Keys
+    // mix present and absent at every SF (orderkeys are 0..N-1).
+    // Oracle = the plain IN-filter; SnapshotStatsSpec pins the prune
+    // (partitions read < total; result identical to the unpruned
+    // read).
+    "k2_snapshot_bloom_skip" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val target = o.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), pmod(col("o_custkey"), lit(32L)).as("pk"))
+      val base = java.nio.file.Files.createTempDirectory("graft_k2bl_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val batch = store.current().get._2.values.head
+        store.writeBatchBloom(batch, target.schema, Seq("pk"), "o_orderkey")
+        store.readKeyLookup(target.schema, "o_orderkey",
+            Seq(1L, 7L, 33L, 4000L, 55555L))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // METADATA-ONLY DROP COLUMN (r17) — the third evolution beside
     // add-column and type-widening: v1 seeds (key, price, status,
     // pk), v2 evolve-adds o_orderpriority for a slice of keys, v3
@@ -1024,6 +1056,11 @@ object Pipeline extends QueryModule {
          SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, pk
          FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    "k2_snapshot_bloom_skip" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+                o_custkey % 32 AS pk
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 33, 4000, 55555)""",
     "k2_upsert_drop" ->
       """WITH target AS (
            SELECT o_orderkey, o_orderstatus, o_orderkey % 7 AS pk

@@ -911,6 +911,105 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     if (fileStats) writeBatchFileStats(batch, df, partCols, statsCols)
   }
 
+  /** BLOOM sidecar for a batch — the EQUALITY-lookup complement of
+    * the min/max bands (`<batch>.bloom`): one bloom sketch per
+    * partition over an integral column, so a point lookup on a
+    * column UNCORRELATED with the partitioning (where every
+    * partition's min/max band spans the whole domain and bands prune
+    * nothing) skips the partitions that provably cannot contain the
+    * key. No false negatives (bloom contract) ⇒ pruning is
+    * correctness-invariant, exactly like [[readRange]]'s; false
+    * positives only cost a read. A partition whose group aggregates
+    * to a null sketch (all-NULL column) writes no line and is never
+    * pruned — absence degrades to a full read, the stats-sidecar
+    * convention.
+    *
+    * Format (TSV): `suffix<TAB>col<TAB>base64(sketch)`. The sketch is
+    * Spark's own [[org.apache.spark.util.sketch.BloomFilter]]
+    * serialization (built by BloomFilterAggregate over
+    * `xxhash64(cast(col AS bigint))`), so [[readKeyLookup]] probes it
+    * driver-side with the identical hash — sidecar-sized metadata,
+    * numBits/8 bytes per partition regardless of row count.
+    */
+  def writeBatchBloom(batch: String, schema: StructType,
+      partCols: Seq[String], bloomCol: String,
+      expectedItems: Long = 100000L, numBits: Long = 1L << 20): Unit = {
+    val f = schema.fields.find(_.name == bloomCol).getOrElse(
+      throw new IllegalArgumentException(s"bloom column $bloomCol not in schema"))
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(f.dataType),
+      s"bloom column $bloomCol must be integral (probed as xxhash64 of a " +
+        s"bigint), is ${f.dataType.simpleString}")
+    require(!partCols.contains(bloomCol),
+      s"bloom column $bloomCol is a partition column — partition pruning " +
+        "already covers it")
+    val df = spark.read.schema(schema).parquet(dataPath(batch).toString)
+    val rows = df.groupBy(partCols.map(col): _*)
+      .agg(graft.functions.BloomFilterOps.bloom_agg(
+        col(bloomCol).cast("long"), expectedItems, numBits).as("__bf"))
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val i = partCols.size
+      if (!r.isNullAt(i)) {
+        sb.append(SnapshotMerge.partitionSuffix(partCols, r)).append('\t')
+          .append(bloomCol).append('\t')
+          .append(java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](i))).append('\n')
+      }
+    }
+    fs.mkdirs(statsDir)
+    val tmp = new Path(statsDir, s".tmp-$batch.bloom")
+    writeFile(tmp, sb.toString)
+    require(fs.rename(tmp, new Path(statsDir, s"$batch.bloom")),
+      s"bloom sidecar rename failed for $batch")
+  }
+
+  /** Point-lookup read through the bloom sidecars: keep only the
+    * partitions whose sketch says some key in `keys` MIGHT be
+    * present (no sidecar / no line ⇒ keep), then apply the exact
+    * IN-filter as the residual — same prune-plus-residual shape as
+    * [[readRange]], same correctness argument (a bloom cannot
+    * false-negative), deletion vectors applied as everywhere. The
+    * probe is a driver-side sidecar computation: sketches deserialize
+    * via Spark's own BloomFilter.readFrom and are probed with the
+    * exact hash the aggregate inserted (xxhash64 of the bigint value,
+    * seed 42).
+    */
+  def readKeyLookup(schema: StructType, bloomCol: String,
+      keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "point lookup needs at least one key")
+    val (entries, dvs) = currentResolved()
+      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
+      .getOrElse((Map.empty[String, String], Nil))
+    val hashes = keys.map(k =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L))
+    val sketchCache = scala.collection.mutable.Map.empty[
+      String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+    def sketches(batch: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      sketchCache.getOrElseUpdate(batch, {
+        val p = new Path(statsDir, s"$batch.bloom")
+        if (!fs.exists(p)) Map.empty
+        else readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).flatMap { l =>
+          val Array(suffix, c, b64) = l.split('\t')
+          if (c != bloomCol) None
+          else Some(suffix -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64))))
+        }.toMap
+      })
+    val keep = entries.filter { case (suffix, batch) =>
+      sketches(batch).get(suffix) match {
+        case None => true // no sidecar/line: never a wrong skip
+        case Some(bf) => hashes.exists(bf.mightContainLong)
+      }
+    }
+    readEntries(keep, schema, null, dvs)
+      .where(col(bloomCol).isin(keys: _*))
+  }
+
   /** FILE-granularity twin of the partition sidecar (`<batch>.files`):
     * one band per (file, column), keyed by the file's batch-relative
     * path. Per-file bands only pay off after a CLUSTERED write
@@ -1468,7 +1567,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       // read as unreferenced and an IN-FLIGHT writer's above-window
       // .tmp- staging would be swept out from under it, violating
       // vacuum's only-below-the-window invariant)
-      val b = n.stripPrefix(".tmp-").stripSuffix(".files")
+      val b = n.stripPrefix(".tmp-").stripSuffix(".files").stripSuffix(".bloom")
       if (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b))
         fs.delete(st.getPath, false)
     }

@@ -278,4 +278,42 @@ class SnapshotStatsSpec extends SparkFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).sorted
     assert(a.toSeq == (120L to 180L))
   }
+
+  test("bloom sidecar prunes point lookups on an unbandable column; reads stay exact") {
+    val dir = tmp("stats_bloom_")
+    // pk = id % 3: every partition's id band spans the whole domain —
+    // min/max bands prune NOTHING for a key lookup, the exact regime
+    // the bloom sidecar exists for
+    val t = (0L until 300L).map(i => (i, i.toDouble, i % 3L))
+      .toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, t, Seq("id"), Seq("pk"))
+    val st = store(dir)
+    val batch = st.current().get._2.values.head
+    st.writeBatchBloom(batch, t.schema, Seq("pk"), "id")
+    // key 42 lives ONLY in pk=0 (42 % 3): the lookup must read fewer
+    // partition dirs than the table has, and exactly the right rows
+    val hit = st.readKeyLookup(t.schema, "id", Seq(42L))
+    val dirsRead = hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(dirsRead < 3, s"bloom pruned nothing: $dirsRead of 3 partitions read")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // absent keys: no false negatives is the contract, and the
+    // residual filter makes any false-positive partition read
+    // invisible in the result
+    assert(st.readKeyLookup(t.schema, "id", Seq(9999L)).count() == 0L)
+    // multi-key lookup unions the surviving partitions, rows exact
+    assert(st.readKeyLookup(t.schema, "id", Seq(1L, 2L, 9999L)).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // no sidecar for a fresh batch => no pruning, never a wrong skip
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((300L, 300.0, 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    assert(st.readKeyLookup(t.schema, "id", Seq(300L)).collect()
+      .map(_.getLong(0)).toSeq == Seq(300L))
+    // guards: non-integral and partition columns are refused
+    assert(intercept[IllegalArgumentException] {
+      st.writeBatchBloom(batch, t.schema, Seq("pk"), "v")
+    }.getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException] {
+      st.writeBatchBloom(batch, t.schema, Seq("pk"), "pk")
+    }.getMessage.contains("partition column"))
+  }
 }
