@@ -140,19 +140,9 @@ object Dedup extends QueryModule {
       val kept = root.resolve("kept").toString
       try {
         val t0 = System.currentTimeMillis()
-        (0 to 2).foreach { w =>
-          val stage = root.resolve(s"stage$w")
-          docs.where(pmod(col("doc_id"), lit(3)) === w).coalesce(1)
-            .write.mode("overwrite").parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).iterator()
-          var p: java.nio.file.Path = null
-          while (part.hasNext) { val f = part.next()
-            if (f.getFileName.toString.endsWith(".parquet")) p = f }
-          val dst = drop.resolve(s"w$w.parquet")
-          java.nio.file.Files.copy(p, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(t0 - (2 - w) * 60000L))
-        }
+        (0 to 2).foreach(w => graft.streaming.EventStreams.stageWave(
+          docs.where(pmod(col("doc_id"), lit(3)) === w),
+          root, drop, s"w$w.parquet", t0 - (2 - w) * 60000L))
         val fb = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) => {
           val sh = batch.select(col("doc_id"),

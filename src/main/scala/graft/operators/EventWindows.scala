@@ -536,17 +536,8 @@ object EventWindows extends QueryModule {
       val root = Files.createTempDirectory("strm_restart")
       try {
         val drop = root.resolve("drop"); Files.createDirectories(drop)
-        def wave(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = root.resolve(s"stage_$name")
-          df.coalesce(1).write.parquet(tmp.toString)
-          val st = Files.list(tmp)
-          val part =
-            try st.toArray.map(_.toString)
-              .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
-            finally st.close()
-          Files.move(Paths.get(part), drop.resolve(name))
-          Files.setLastModifiedTime(drop.resolve(name), FileTime.fromMillis(mtime))
-        }
+        def wave(df: DataFrame, name: String, mtime: Long): Unit =
+          graft.streaming.EventStreams.stageWave(df, root, drop, name, mtime)
         val t0 = System.currentTimeMillis()
         wave(ev.where(col("event_id") % 3 === 0), "w1.parquet", t0 - 120000)
         wave(ev.where(col("event_id") % 3 === 1).unionAll(upd), "w2.parquet",

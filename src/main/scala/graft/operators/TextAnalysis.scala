@@ -1194,6 +1194,34 @@ object TextAnalysis extends QueryModule {
     * driver/scheduling floor for both trainers, with nothing for the
     * delta cut to save).
     */
+  /** UTF-8 lexicographic string order — Spark's UTF8String binary
+    * comparison, byte-for-byte (unsigned), shared by [[bpeTrainDelta]]'s
+    * driver-side argmax so its tie-break can never diverge from the
+    * distributed `orderBy` in [[bpeTrain]] or the DuckDB oracle.
+    */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val xa = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xa.length, ya.length)
+    var r = 0
+    while (i < n && r == 0) { r = (xa(i) & 0xFF) - (ya(i) & 0xFF); i += 1 }
+    if (r != 0) r else xa.length - ya.length
+  }
+
+  /** (pair, count) argmax order: count DESC, then (a, b) ASC in
+    * UTF-8 byte order.
+    */
+  private val pairCountOrder: Ordering[((String, String), Long)] =
+    (p: ((String, String), Long), q: ((String, String), Long)) => {
+      val c1 = java.lang.Long.compare(q._2, p._2)
+      if (c1 != 0) c1
+      else {
+        val c2 = utf8Order.compare(p._1._1, q._1._1)
+        if (c2 != 0) c2 else utf8Order.compare(p._1._2, q._1._2)
+      }
+    }
+
   def bpeTrainDelta(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1224,9 +1252,14 @@ object TextAnalysis extends QueryModule {
     for (it <- 1 to merges) {
       if (pc.nonEmpty) {
         // identical tie-break to the distributed argmax / the oracle:
-        // count desc, then (a, b) asc
+        // count desc, then (a, b) asc — in UTF-8 BYTE order. JVM
+        // String ordering compares UTF-16 code units, which DISAGREES
+        // with Spark's UTF8String binary sort (and DuckDB) above the
+        // BMP: a supplementary char (lead unit 0xD800–0xDBFF) sorts
+        // BEFORE U+E000..U+FFFF by code unit but AFTER by UTF-8 byte.
+        // TextAnalysisSpec pins the astral tie against bpeTrain.
         val t0 = System.nanoTime()
-        val ((a, b), n) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((a, b), n) = pc.min(pairCountOrder)
         out += ((it, a, b, a + b, n))
         val hasPair = array_contains(col("ap"),
           struct(lit(a).as("a"), lit(b).as("b")))

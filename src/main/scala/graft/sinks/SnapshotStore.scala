@@ -291,16 +291,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * consumers ([[compactIncremental]]'s ranking) never walk the
     * filesystem for sizes the writer already knew.
     */
-  private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] = {
+  /** ONE parse of a manifest file: (sized data entries, deletion-
+    * vector names). `#dv` lines reference deletion-vector files, not
+    * partitions (the `#` can never open a real suffix — partition
+    * dirs are `col=val` forms). The manifest is the sole source of DV
+    * applicability — a DV dir staged by a crashed or fenced delete is
+    * never referenced and so never applies, and a later version that
+    * materialized the deletes (compaction, full replace) simply
+    * lists none.
+    */
+  private def readManifestAll(name: String)
+      : (Map[String, SnapshotStore.SnapshotEntry], Seq[String]) = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
     val header = lines.headOption.getOrElse("")
     require(header == "graft-snapshot 1" || header == "graft-snapshot 2",
       s"unrecognized manifest header in $manifestsDir/$name")
-    // `#dv` lines reference deletion-vector files, not partitions
-    // (the `#` can never open a real suffix — partition dirs are
-    // `col=val` forms); they parse via [[readManifestDvs]]
-    lines.drop(1).filter(l => l.nonEmpty && !l.startsWith("#dv\t")).map { l =>
+    val (dvLines, dataLines) =
+      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#dv\t"))
+    val entries = dataLines.map { l =>
       l.split('\t') match {
         case Array(suffix, batch) =>
           suffix -> SnapshotStore.SnapshotEntry(batch, -1L)
@@ -310,19 +319,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           s"malformed manifest line in $manifestsDir/$name: $l")
       }
     }.toMap
+    (entries, dvLines.map(_.split('\t')(1)))
   }
 
-  /** Deletion-vector references of a manifest: the `dv-…` dir names
-    * (under deletes/) whose tombstones apply to THIS version's reads.
-    * The manifest is the sole source of DV applicability — a DV dir
-    * staged by a crashed or fenced delete is never referenced and so
-    * never applies, and a later version that materialized the
-    * deletes (compaction, full replace) simply lists none.
-    */
+  private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] =
+    readManifestAll(name)._1
+
   private def readManifestDvs(name: String): Seq[String] =
-    readSmallFile(new Path(manifestsDir, name))
-      .linesIterator.filter(_.startsWith("#dv\t"))
-      .map(_.split('\t')(1)).toSeq
+    readManifestAll(name)._2
 
   /** One-pointer-read resolution of the CURRENT commit: (version,
     * sized entries, deletion-vector names) all from the same manifest
@@ -331,8 +335,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * commit).
     */
   def currentResolved(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry], Seq[String])] =
-    currentManifestName().map(n =>
-      (parseVersion(n), readManifestSized(n), readManifestDvs(n)))
+    currentManifestName().map { n =>
+      val (entries, dvs) = readManifestAll(n)
+      (parseVersion(n), entries, dvs)
+    }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
   def current(): Option[(Long, Map[String, String])] =
@@ -496,8 +502,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * retained manifest references is itself retained, so a version
     * whose log entry exists is readable in full.
     */
-  def readAt(version: Long, schema: StructType): DataFrame =
-    readEntries(manifestEntriesAt(version), schema, null, dvsAt(version))
+  def readAt(version: Long, schema: StructType): DataFrame = {
+    val (entries, dvs) = resolvedAt(version)
+    readEntries(entries, schema, null, dvs)
+  }
 
   /** The committed manifest of `version`, resolved through the version
     * log with the same winner proof as [[readAt]] (which is this
@@ -516,10 +524,19 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           "(or predates the version log) — no provable winner remains"))
   }
 
-  private def manifestEntriesAt(version: Long): Map[String, String] = {
+  /** ONE resolution + ONE parse of the winning manifest at `version`:
+    * (entries, deletion-vector names), with the retention-window
+    * error mapping. DVs committed after `version` must NOT apply to a
+    * read of it (the files they reference exist at `version` too,
+    * with their rows still live) — which is why the DV list rides the
+    * per-version manifest rather than a directory listing.
+    */
+  private def resolvedAt(version: Long): (Map[String, String], Seq[String]) = {
     val name = manifestNameAt(version)
-    try readManifestFile(name)
-    catch {
+    try {
+      val (entries, dvs) = readManifestAll(name)
+      (entries.view.mapValues(_.batch).toMap, dvs)
+    } catch {
       case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
           s"${versionName(version)}'s manifest was vacuumed from $root — " +
@@ -527,13 +544,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     }
   }
 
-  /** [[readManifestDvs]] of the winning manifest at `version` — the
-    * deletion vectors a time-travel read of that version applies
-    * (DVs committed after `version` must NOT apply: the files they
-    * reference exist at `version` too, with their rows still live).
-    */
-  private def dvsAt(version: Long): Seq[String] =
-    readManifestDvs(manifestNameAt(version))
+  private def manifestEntriesAt(version: Long): Map[String, String] =
+    resolvedAt(version)._1
 
   /** Partitions whose manifest entry moved between two committed
     * versions — the pruning set for [[readChangesBetween]]. A batch
@@ -544,10 +556,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * batch without changing content — those diff to zero rows.)
     */
   def changedPartitionsBetween(fromVersion: Long, toVersion: Long): Set[String] = {
-    val m1 = manifestEntriesAt(fromVersion)
-    val m2 = manifestEntriesAt(toVersion)
+    val (m1, d1) = resolvedAt(fromVersion)
+    val (m2, d2) = resolvedAt(toVersion)
     (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      dvChangedSuffixes(fromVersion, toVersion)
+      dvChangedSuffixes(d1, d2)
   }
 
   /** Partitions whose rows changed between two versions through
@@ -559,9 +571,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * (driver-side collect of distinct paths — sidecar-scale, like
     * every other metadata decision here).
     */
-  private def dvChangedSuffixes(fromVersion: Long, toVersion: Long): Set[String] = {
-    val d1 = dvsAt(fromVersion).toSet
-    val d2 = dvsAt(toVersion).toSet
+  private def dvChangedSuffixes(dvs1: Seq[String], dvs2: Seq[String]): Set[String] = {
+    val d1 = dvs1.toSet
+    val d2 = dvs2.toSet
     val diff = ((d1 -- d2) ++ (d2 -- d1)).toSeq
     if (diff.isEmpty) return Set.empty
     val dataPrefix = dataDir.toUri.getPath + "/"
@@ -613,14 +625,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(!schema.fieldNames.exists(f => f.startsWith("__cdf_") || f == "_change"),
       "schema columns must not collide with the diff's working names " +
         "(__cdf_* markers, _change output)")
-    val m1 = manifestEntriesAt(fromVersion)
-    val m2 = manifestEntriesAt(toVersion)
+    val (m1, d1) = resolvedAt(fromVersion)
+    val (m2, d2) = resolvedAt(toVersion)
     val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      dvChangedSuffixes(fromVersion, toVersion)
-    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null,
-      dvsAt(fromVersion))
-    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null,
-      dvsAt(toVersion))
+      dvChangedSuffixes(d1, d2)
+    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null, d1)
+    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null, d2)
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__cdf_b_$c"))
       .withColumn("__cdf_b", lit(true))
@@ -781,7 +791,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     currentManifestName() match {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(n) =>
-        readEntries(readManifestFile(n), schema, suffixes, readManifestDvs(n))
+        val (entries, dvs) = readManifestAll(n)
+        readEntries(entries.view.mapValues(_.batch).toMap, schema, suffixes, dvs)
     }
 
   /** [[readPartitions]] against an already-resolved manifest — for
@@ -1101,7 +1112,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compactClustered(schema: StructType, partCols: Seq[String],
       clusterCol: String, maxRecordsPerFile: Long): Unit = {
-    val (version, entries) = current().getOrElse(return)
+    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     read(schema)
@@ -1112,7 +1124,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(written.keySet == entries.keySet,
+    // with deletion vectors, a partition whose rows were ALL
+    // tombstoned legitimately writes no dir — dropping it from the
+    // manifest IS the materialization of that delete; without DVs a
+    // missing partition can only be a writer bug, so stay strict
+    require(if (dvs.isEmpty) written.keySet == entries.keySet
+            else written.keySet.subsetOf(entries.keySet),
       s"clustered compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
     writeBatchStats(batch, schema, partCols, Seq(clusterCol), fileStats = true)
     beforeCompactCommitHook()
@@ -1145,7 +1162,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       zCols: Seq[String], maxRecordsPerFile: Long, bits: Int = 6): Unit = {
     require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
     require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
-    val (version, entries) = current().getOrElse(return)
+    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     val df = read(schema)
@@ -1183,7 +1201,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(written.keySet == entries.keySet,
+    require(if (dvs.isEmpty) written.keySet == entries.keySet
+            else written.keySet.subsetOf(entries.keySet), // see compactClustered
       s"z-order compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
     writeBatchStats(batch, schema, partCols, zCols, fileStats = true)
     commitSized(version + 1,
@@ -1348,8 +1367,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * whole-partition paths, never to silence.
     */
   private[graft] def boxFilePaths(preds: Seq[(String, Double, Double)])
-      : Seq[(Seq[String], Path)] = {
-    val entries = current().map(_._2).getOrElse(Map.empty)
+      : Seq[(Seq[String], Path)] =
+    boxFilePaths(current().map(_._2).getOrElse(Map.empty), preds)
+
+  private[graft] def boxFilePaths(entries: Map[String, String],
+      preds: Seq[(String, Double, Double)]): Seq[(Seq[String], Path)] = {
     val surviving = pruneByStatsBox(entries, preds)
     surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (batch, batchEntries) =>
@@ -1386,11 +1408,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val residual = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    val nonEmpty = boxFilePaths(preds).filter(_._1.nonEmpty)
+    // ONE pointer resolution for both the file set and the DV list: a
+    // second read could straddle a concurrent compaction (old files
+    // resolved at v, v+1's empty DV list read after) and resurrect
+    // tombstoned rows — the exact race currentResolved() exists for.
+    val (entries, dvs) = currentResolved()
+      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
+      .getOrElse((Map.empty[String, String], Nil))
+    val nonEmpty = boxFilePaths(entries, preds).filter(_._1.nonEmpty)
     if (nonEmpty.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .where(residual)
-    val dvs = currentManifestName().map(readManifestDvs).getOrElse(Nil)
     val frames = nonEmpty.map { case (paths, base) =>
       spark.read.option("basePath", base.toString).schema(schema)
         .parquet(paths: _*)
@@ -1455,14 +1483,16 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(written.keySet == foldParts,
+    require(if (dvs.isEmpty) written.keySet == foldParts
+            else written.keySet.subsetOf(foldParts), // see compactClustered
       s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
     writeBatchStats(batch, schema, partCols, statsCols)
     // kept batches' files survive, so their tombstones must too; the
     // folded partitions' DVs became stale no-ops (their files are
-    // dead), harmless to carry
+    // dead), harmless to carry. A folded partition the DV filter
+    // emptied drops from the manifest — its delete materializes here.
     commitSized(version + 1,
-      sized ++ written.map { case (s, sz) =>
+      (sized -- (foldParts -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
       }, Some(version), dvs)
     vacuum()
@@ -1479,14 +1509,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compact(schema: StructType, partCols: Seq[String],
       statsCols: Seq[String] = Nil): Unit = {
-    val (version, entries) = current().getOrElse(return)
-    if (entries.values.toSet.size <= 1) return
+    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val entries = sized.view.mapValues(_.batch).toMap
+    // a single-batch table still compacts when deletion vectors are
+    // outstanding — that rewrite is how they materialize
+    if (entries.values.toSet.size <= 1 && dvs.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     read(schema).repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(written.keySet == entries.keySet,
+    require(if (dvs.isEmpty) written.keySet == entries.keySet
+            else written.keySet.subsetOf(entries.keySet), // see compactClustered
       s"compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
     writeBatchStats(batch, schema, partCols, statsCols)
     commitSized(version + 1,

@@ -73,6 +73,29 @@ object EventStreams {
     * micro-batch — the lever the late-arrival pin (strm_late_drop)
     * uses to place stale files AFTER the watermark has advanced.
     */
+  /** Stage `df` as ONE parquet file named `name` under `dropDir` with
+    * a forced mtime — the mtime-paced micro-batch fixture the wave
+    * rows share (the file source orders by modification time, so
+    * waves arrive as distinct batches under maxFilesPerTrigger=1).
+    * The single shared spelling keeps the pacing convention (staging
+    * layout, part-file match, stream hygiene) from drifting between
+    * rows.
+    */
+  def stageWave(df: DataFrame, stageRoot: java.nio.file.Path,
+      dropDir: java.nio.file.Path, name: String, mtimeMs: Long): Unit = {
+    val tmp = stageRoot.resolve(s"stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st = java.nio.file.Files.list(tmp)
+    val part =
+      try st.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+      finally st.close()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(part), dropDir.resolve(name))
+    java.nio.file.Files.setLastModifiedTime(dropDir.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   def readEventsPaced(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema =

@@ -125,6 +125,34 @@ class DeletionVectorSpec extends SparkFunSuite {
     assert(ids(dir) == Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("a fully-tombstoned partition compacts AWAY instead of wedging OPTIMIZE") {
+    val (dir, store) = seed()
+    // tombstone every row of pk=0 (the evens) — the partition is now
+    // logically empty but physically present
+    assert(store.deleteWhere(rows.schema, col("pk") === 0L) == 5L)
+    assert(ids(dir) == Set(1L, 3L, 5L, 7L, 9L))
+    // compaction writes no dir for it; dropping it from the manifest
+    // IS the materialization of that delete (pre-fix this threw
+    // 'must preserve the partition set' forever, leaving no way to
+    // ever materialize)
+    store.compactClustered(rows.schema, Seq("pk"), "id", maxRecordsPerFile = 100L)
+    val (_, entries, dvs) = store.currentResolved().get
+    assert(entries.keySet == Set("pk=1"))
+    assert(dvs.isEmpty)
+    assert(ids(dir) == Set(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("a single-batch table with outstanding DVs still compacts (materialization path)") {
+    val (dir, store) = seed() // one batch
+    store.deleteWhere(rows.schema, col("id") === 4L)
+    // pre-fix the <=1-batch guard returned early and the DV could
+    // never materialize through compact()
+    store.compact(rows.schema, Seq("pk"))
+    val (_, _, dvs) = store.currentResolved().get
+    assert(dvs.isEmpty)
+    assert(ids(dir) == (0L until 10L).toSet - 4L)
+  }
+
   test("stats-pruned range reads apply tombstones") {
     val dir = tmp("sdvr")
     val t = (0L until 100L).map(i => (i, i.toDouble, i % 4)).toDF("id", "x", "pk")

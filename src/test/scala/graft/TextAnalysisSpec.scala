@@ -326,6 +326,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(leaked.isEmpty, s"leaked RDD blocks: $leaked")
   }
 
+  test("bpe delta tie-break matches the distributed UTF-8 order above the BMP") {
+    import spark.implicits._
+    // two pairs tie on count where one symbol is an astral char
+    // (U+1F600, UTF-16 lead 0xD83D, UTF-8 F0 9F 98 80) and the other
+    // a high-BMP char (U+F901, UTF-8 EF A4 81): JVM String order
+    // picks the emoji first (code-unit compare), Spark's UTF8String
+    // binary sort and DuckDB pick U+F901 — the delta trainer's
+    // driver-side argmax must agree with the distributed one
+    val docs = Seq("😀x 更x").toDF("text")
+    def seqOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val full = seqOf(TextAnalysis.bpeTrain(docs, 2))
+    val delta = seqOf(TextAnalysis.bpeTrainDelta(docs, 2))
+    assert(delta == full, s"\ndelta $delta\nfull  $full")
+    assert(full.head._2 == "更",
+      s"first merge must take the UTF-8-smaller symbol, got ${full.head}")
+  }
+
   test("bpeTrainDelta == bpeTrain merge-by-merge (pair-delta maintenance is exact)") {
     import spark.implicits._
     // the delta trainer replaces the per-round full recount with an
