@@ -166,6 +166,40 @@ object SnapshotMerge {
       pred: org.apache.spark.sql.Column): Long =
     new SnapshotStore(spark, new Path(rootDir)).deleteWhere(schema, pred)
 
+  /** [[deleteWhere]] with the optimistic rebase loop of [[mergeRetry]]
+    * / [[compactClusteredRetry]]: a fenced loser retries, and the
+    * retry IS the rebase — deleteWhere resolves the current commit
+    * afresh on every call, so positions are recomputed against the
+    * winner's committed state (tombstone positions are only
+    * meaningful against the exact base they were read from; the
+    * fenced loser's staged DV file was removed by deleteWhere
+    * itself). Returns (rows tombstoned, conflicts retried).
+    */
+  def deleteWhereRetry(spark: SparkSession, rootDir: String,
+      schema: StructType, pred: org.apache.spark.sql.Column,
+      maxAttempts: Int = 5): (Long, Int) =
+    deleteWhereRetry(new SnapshotStore(spark, new Path(rootDir)),
+      schema, pred, maxAttempts)
+
+  /** Store-instance variant — the seam the forced-race spec drives
+    * (the conflict hooks are per-store-instance).
+    */
+  private[graft] def deleteWhereRetry(store: SnapshotStore,
+      schema: StructType, pred: org.apache.spark.sql.Column,
+      maxAttempts: Int): (Long, Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var conflicts = 0
+    while (true) {
+      try return (store.deleteWhere(schema, pred), conflicts)
+      catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Wider member of a SUPPORTED metadata-only type-widening pair —
     * the pairs Spark 4's vectorized parquet reader upcasts natively
     * when old files carry the narrow physical type under a wider

@@ -167,6 +167,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeCompactCommitHook: () => Unit = () => ()
 
+  /** Test seam: runs in [[deleteWhere]] after the base resolution,
+    * immediately before the tombstone write + fenced commit — the
+    * window where a racing writer invalidates the base the positions
+    * are read from. Lets specs force the delete-loses direction
+    * deterministically. No-op in production.
+    */
+  private[graft] var beforeDeleteCommitHook: () => Unit = () => ()
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
@@ -1327,6 +1335,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       live = live.join(
         dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
         Seq("__dv_path", "__dv_pos"), "left_anti")
+    beforeDeleteCommitHook()
     val name = f"dv-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     val out = dvPath(name)
     // one sidecar file per delete commit: tombstones are

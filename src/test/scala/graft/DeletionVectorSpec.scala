@@ -153,6 +153,35 @@ class DeletionVectorSpec extends SparkFunSuite {
     assert(ids(dir) == (0L until 10L).toSet - 4L)
   }
 
+  test("a fenced delete rebases: forced race, one conflict, both effects land") {
+    val (dir, store) = seed()
+    // writer B (an upsert touching pk=1) commits INSIDE A's conflict
+    // window — after A resolved its base, before A's fenced commit —
+    // so A's first commit provably hits the fence and the retry
+    // recomputes positions against B's committed state
+    var fired = false
+    store.beforeDeleteCommitHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotMerge.upsertUpdate(spark, dir,
+          Seq((11L, "N11", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+      }
+    }
+    try {
+      val (n, conflicts) = SnapshotMerge.deleteWhereRetry(
+        store, rows.schema, col("id") === 3L || col("id") === 11L,
+        maxAttempts = 5)
+      // the retry sees B's new row 11 too: both tombstone
+      assert(conflicts == 1, s"expected exactly one fenced conflict, got $conflicts")
+      assert(n == 2L, s"rebase must see the winner's rows: tombstoned $n")
+      assert(ids(dir) == ((0L until 10L).toSet - 3L),
+        "final state must equal sequential upsert-then-delete")
+      // the loser's staged DV was cleaned: exactly one DV file remains
+      val dvFiles = new java.io.File(dir, "deletes").listFiles()
+      assert(dvFiles.length == 1, s"fenced loser's DV not cleaned: ${dvFiles.toSeq}")
+    } finally store.beforeDeleteCommitHook = () => ()
+  }
+
   test("stats-pruned range reads apply tombstones") {
     val dir = tmp("sdvr")
     val t = (0L until 100L).map(i => (i, i.toDouble, i % 4)).toDF("id", "x", "pk")
