@@ -43,6 +43,146 @@ object SnapshotMerge {
     merge(spark, rootDir, incoming, partCols, retain, statsCols)(
       (target, inc) => Merge.upsertUpdate(target, inc, keys))
 
+  /** K2 via MERGE-ON-READ — [[upsertUpdate]] semantics (incoming wins
+    * on key collision, duplicate incoming keys collapse to one
+    * arbitrary row) WITHOUT rewriting any touched partition: old
+    * versions of updated keys are tombstoned through a positional
+    * deletion vector and the incoming rows append as a `#mor` slice
+    * on top of each touched partition's base entry (brand-new
+    * partitions become base entries in the same commit). This is the
+    * write path for the reference's hottest query — the per-cycle
+    * `ON CONFLICT DO UPDATE` (`db/occurrence.py:22-51`) — at 100 TB:
+    * a cron cycle that changes a handful of rows per partition costs
+    * one batch-sized append plus a sidecar of tombstones, instead of
+    * rewriting every touched partition's full data
+    * ([[upsertUpdate]]'s cost). Reads pay a widening slice fan-out
+    * plus the DV anti-join until the next compaction materializes
+    * both — the classic copy-on-write vs merge-on-read trade, chosen
+    * per table by which path the workload hammers.
+    *
+    * Equivalence contract (the `k2_upsert_mor` oracle pins it):
+    * `read` after upsertMor == `read` after [[upsertUpdate]] of the
+    * same incoming, bit for bit. Same partition-column and
+    * key-determines-partition contracts as [[merge]]. Fenced on the
+    * exact base it read, like every commit; see [[upsertMorRetry]]
+    * for the optimistic rebase loop. Returns the committed version
+    * (None when `incoming` is empty).
+    */
+  def upsertMor(spark: SparkSession, rootDir: String, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Option[Long] =
+    upsertMor(new SnapshotStore(spark, new Path(rootDir)), incoming,
+      keys, partCols, retain)
+
+  /** Store-instance variant — the seam the forced-race spec drives
+    * (the conflict hooks are per-store-instance).
+    */
+  private[graft] def upsertMor(store: SnapshotStore, incoming0: DataFrame,
+      keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    requirePartitionable(incoming0.schema, partCols)
+    val spark = store.spark
+    // dropDuplicates BEFORE the pin: Merge.upsertUpdate's
+    // arbitrary-winner collapse, evaluated once
+    val incoming = incoming0.dropDuplicates(keys).ckpt(true)
+    val parts: Array[Row] =
+      incoming.select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return None
+    requirePartitionValues(parts)
+    val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
+
+    val cur = store.currentResolved()
+    val curVersion = cur.map(_._1).getOrElse(0L)
+    val curEntries = cur.map(_._2)
+      .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
+    val curDvs = cur.map(_._3).getOrElse(Nil)
+    val curMors = cur.map(_._4).getOrElse(Nil)
+    store.beforeMorCommitHook()
+
+    // Positions of the CURRENT copies of incoming keys — across the
+    // touched partitions' base slices AND earlier MoR slices (a key
+    // updated twice tombstones its previous slice copy), already
+    // DV-filtered so nothing is re-tombstoned. Key-determines-
+    // partition bounds the scan to the touched partitions, never the
+    // table.
+    val liveMeta = store.liveWithMeta(
+      curEntries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        curMors.map(m => m._1 -> m._2.batch),
+      incoming.schema, touched, curDvs)
+    val hits = liveMeta
+      .join(incoming.select(keys.map(col): _*), keys, "left_semi")
+      .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+
+    // Stage the append slice (unreferenced until the commit): the
+    // incoming rows themselves, partition-laid-out like any batch.
+    val newVersion = curVersion + 1
+    val batch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
+    val batchPath = store.dataPath(batch)
+    incoming.repartition(partCols.map(col): _*).write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(batchPath.toString)
+    val written = SnapshotStore.partitionSizes(store.fs, batchPath)
+    require(written.keySet.subsetOf(touched),
+      s"upsertMor produced unexpected partitions: ${(written.keySet -- touched).mkString(", ")}")
+
+    // Stage the tombstones (one sidecar file, deleteWhere's contract).
+    val dvName = f"dv-$newVersion%012d-${java.util.UUID.randomUUID()}"
+    val dvOut = store.dvPath(dvName)
+    hits.coalesce(1).write.mode("overwrite").parquet(dvOut.toString)
+    val nTombstoned = spark.read.parquet(dvOut.toString).count()
+    if (nTombstoned == 0L) store.fs.delete(dvOut, true)
+
+    // New partitions become base entries; existing partitions gain a
+    // slice line on top of their (byte-identical) base entry.
+    val (novel, sliced) = written.partition { case (s, _) => !curEntries.contains(s) }
+    val entries = curEntries ++ novel.map { case (s, sz) =>
+      s -> SnapshotStore.SnapshotEntry(batch, sz)
+    }
+    val mors = curMors ++ sliced.map { case (s, sz) =>
+      s -> SnapshotStore.SnapshotEntry(batch, sz)
+    }
+    val dvs = if (nTombstoned == 0L) curDvs else curDvs :+ dvName
+    try store.commitSized(newVersion, entries, cur.map(_._1), dvs, mors)
+    catch {
+      // a fenced loser's staged DV was never referenced — removal is
+      // pure hygiene (the staged batch is versioned above the window
+      // and vacuums later, like every fenced merge's)
+      case t: Throwable =>
+        if (nTombstoned > 0L) store.fs.delete(dvOut, true); throw t
+    }
+    store.vacuum(retain)
+    Some(newVersion)
+  }
+
+  /** [[upsertMor]] with the optimistic rebase loop of [[mergeRetry]]:
+    * a fenced loser retries, and the retry IS the rebase — each
+    * attempt re-resolves the current commit, recomputes tombstone
+    * positions against the winner's committed state (positions are
+    * only meaningful against the exact base they were read from), and
+    * re-stages. The incoming frame is pinned once before the loop.
+    * Returns (committed version, conflicts retried).
+    */
+  def upsertMorRetry(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int = 2, maxAttempts: Int = 5): (Option[Long], Int) =
+    upsertMorRetry(new SnapshotStore(spark, new Path(rootDir)), incoming,
+      keys, partCols, retain, maxAttempts)
+
+  private[graft] def upsertMorRetry(store: SnapshotStore, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String], retain: Int,
+      maxAttempts: Int): (Option[Long], Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val inc = incoming.ckpt(true)
+    var conflicts = 0
+    while (true) {
+      try return (upsertMor(store, inc, keys, partCols, retain), conflicts)
+      catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[upsertUpdate]] with OPTIMISTIC-CONCURRENCY RETRY — the
     * multi-writer contract a real warehouse deployment exercises
     * first (Delta/Iceberg commit-conflict semantics): two writers
@@ -326,7 +466,7 @@ object SnapshotMerge {
     */
   def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val (version, sized, dvs) = store.currentResolved().getOrElse(
+    val (version, sized, dvs, mors) = store.currentResolved().getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
@@ -343,7 +483,7 @@ object SnapshotMerge {
     // after the commit it describes; a crash between the two leaves a
     // committed version whose schema falls back to its predecessor's
     // (the drop "did not happen") — self-healing, never torn
-    store.commitSized(version + 1, sized, Some(version), dvs)
+    store.commitSized(version + 1, sized, Some(version), dvs, mors)
     store.writeSchemaFile(version + 1, newSchema)
   }
 
@@ -365,9 +505,9 @@ object SnapshotMerge {
   private def storedSchema(spark: SparkSession,
       store: SnapshotStore): Option[StructType] =
     store.currentSchema().orElse {
-      store.current().map { case (_, entries) =>
-        val batches = entries.values.toSet.toSeq
-          .map((b: String) => store.dataPath(b).toString)
+      store.currentResolved().map { case (_, entries, _, mors) =>
+        val batches = (entries.values.map(_.batch) ++ mors.map(_._2.batch))
+          .toSet.toSeq.map((b: String) => store.dataPath(b).toString)
         spark.read.parquet(batches: _*).schema
       }
     }
@@ -546,14 +686,19 @@ object SnapshotMerge {
     val curEntries = cur.map(_._2)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
     val curDvs = cur.map(_._3).getOrElse(Nil)
+    val curMors = cur.map(_._4).getOrElse(Nil)
 
     // Manifest-level prune from the SAME snapshot resolution that the
     // commit below fences on: only the touched partitions' data dirs
     // become scan inputs; untouched partitions are not even listed.
     // Deletion vectors apply to the target read (a merge must never
-    // see — or resurrect — tombstoned rows).
-    val pruned = store.readEntries(
-      curEntries.view.mapValues(_.batch).toMap, incoming.schema, touched, curDvs)
+    // see — or resurrect — tombstoned rows), and a touched partition's
+    // merge-on-read slices read WITH its base slice (the rewrite below
+    // materializes them).
+    val pruned = store.readSlices(
+      curEntries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        curMors.map(m => m._1 -> m._2.batch),
+      incoming.schema, touched, curDvs)
     val merged = mergeFn(pruned, incoming)
 
     // Stage the replacement partitions into a fresh immutable batch
@@ -588,8 +733,11 @@ object SnapshotMerge {
     // deletion vectors carry forward: untouched partitions keep their
     // files (and so their tombstones); touched partitions were read
     // DV-filtered and rewritten, so their old tombstones become
-    // harmless no-ops against dead paths.
-    store.commitSized(newVersion, entries, cur.map(_._1), curDvs)
+    // harmless no-ops against dead paths. Touched partitions' MoR
+    // slices drop (the rewrite just materialized them); untouched
+    // partitions keep theirs.
+    store.commitSized(newVersion, entries, cur.map(_._1), curDvs,
+      curMors.filterNot(m => touched(m._1)))
     store.vacuum(retain)
     Some(newVersion)
   }

@@ -175,6 +175,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeDeleteCommitHook: () => Unit = () => ()
 
+  /** Test seam: runs in [[SnapshotMerge.upsertMor]] after the base
+    * resolution, immediately before the slice/DV staging + fenced
+    * commit — the window where a racing writer (a compaction, a
+    * delete, another upsert) invalidates both the carried entries and
+    * the tombstone positions. Lets specs force the MoR-loses
+    * direction deterministically. No-op in production.
+    */
+  private[graft] var beforeMorCommitHook: () => Unit = () => ()
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
@@ -287,36 +296,45 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   def currentSchema(): Option[StructType] =
     currentVersion().flatMap(schemaAt)
 
-  /** Live partition map of the manifest file `name`: suffix -> batch
-    * dir name (sizes dropped).
-    */
-  private def readManifestFile(name: String): Map[String, String] =
-    readManifestSized(name).view.mapValues(_.batch).toMap
 
   /** Live partition map with recorded sizes. Format v1
     * (`graft-snapshot 1`, `suffix\tbatch`) reads with unknown bytes
     * (-1); v2 (`graft-snapshot 2`) appends a bytes column so metadata
     * consumers ([[compactIncremental]]'s ranking) never walk the
-    * filesystem for sizes the writer already knew.
+    * filesystem for sizes the writer already knew; v3
+    * (`graft-snapshot 3`) additionally carries `#mor` append-slice
+    * lines (merge-on-read updates) and is only emitted when some
+    * partition actually has one — tables that never MoR-update stay
+    * byte-identical v2.
     */
-  /** ONE parse of a manifest file: (sized data entries, deletion-
-    * vector names). `#dv` lines reference deletion-vector files, not
-    * partitions (the `#` can never open a real suffix — partition
-    * dirs are `col=val` forms). The manifest is the sole source of DV
-    * applicability — a DV dir staged by a crashed or fenced delete is
-    * never referenced and so never applies, and a later version that
-    * materialized the deletes (compaction, full replace) simply
-    * lists none.
+  /** ONE parse of a manifest file: (sized base entries, deletion-
+    * vector names, merge-on-read append slices). `#dv` lines
+    * reference deletion-vector files and `#mor` lines reference
+    * APPEND SLICES — additional (suffix, batch) pairs whose rows
+    * belong to the partition ON TOP of its base entry (the
+    * merge-on-read write path: updates tombstone old row versions via
+    * a DV and append the new versions as a slice, no partition
+    * rewrite). Neither marker can collide with a real suffix —
+    * partition dirs are `col=val` forms and can never start with `#`.
+    * The manifest is the sole source of DV/slice applicability — a
+    * dir staged by a crashed or fenced writer is never referenced and
+    * so never applies, and a later version that materialized them
+    * (compaction, full replace) simply lists none.
     */
   private def readManifestAll(name: String)
-      : (Map[String, SnapshotStore.SnapshotEntry], Seq[String]) = {
+      : (Map[String, SnapshotStore.SnapshotEntry], Seq[String],
+         Seq[(String, SnapshotStore.SnapshotEntry)]) = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
     val header = lines.headOption.getOrElse("")
-    require(header == "graft-snapshot 1" || header == "graft-snapshot 2",
+    require(header == "graft-snapshot 1" || header == "graft-snapshot 2" ||
+      header == "graft-snapshot 3",
       s"unrecognized manifest header in $manifestsDir/$name")
-    val (dvLines, dataLines) =
-      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#dv\t"))
+    val (markerLines, dataLines) =
+      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
+    val (dvLines, morLines) = markerLines.partition(_.startsWith("#dv\t"))
+    morLines.foreach(l => require(l.startsWith("#mor\t"),
+      s"unrecognized marker line in $manifestsDir/$name: $l"))
     val entries = dataLines.map { l =>
       l.split('\t') match {
         case Array(suffix, batch) =>
@@ -327,7 +345,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           s"malformed manifest line in $manifestsDir/$name: $l")
       }
     }.toMap
-    (entries, dvLines.map(_.split('\t')(1)))
+    val mors = morLines.map { l =>
+      val Array(_, suffix, batch, bytes) = l.split('\t')
+      suffix -> SnapshotStore.SnapshotEntry(batch, bytes.toLong)
+    }
+    (entries, dvLines.map(_.split('\t')(1)), mors)
   }
 
   private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] =
@@ -336,16 +358,28 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private def readManifestDvs(name: String): Seq[String] =
     readManifestAll(name)._2
 
-  /** One-pointer-read resolution of the CURRENT commit: (version,
-    * sized entries, deletion-vector names) all from the same manifest
-    * file — the triple every writer must derive its read AND its
-    * commit fence from (two pointer reads can straddle a concurrent
-    * commit).
+  /** Every batch dir a manifest references — base entries AND
+    * merge-on-read slices — for vacuum's liveness sweep.
     */
-  def currentResolved(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry], Seq[String])] =
+  private def readManifestBatches(name: String): Set[String] = {
+    val (entries, _, mors) = readManifestAll(name)
+    entries.values.map(_.batch).toSet ++ mors.map(_._2.batch)
+  }
+
+  /** One-pointer-read resolution of the CURRENT commit: (version,
+    * sized base entries, deletion-vector names, merge-on-read append
+    * slices) all from the same manifest file — the quadruple every
+    * writer must derive its read AND its commit fence from (two
+    * pointer reads can straddle a concurrent commit). Any committer
+    * that keeps existing batch files must carry the DV list AND the
+    * untouched partitions' slices forward; dropping a slice it didn't
+    * rewrite loses rows.
+    */
+  def currentResolved(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry],
+      Seq[String], Seq[(String, SnapshotStore.SnapshotEntry)])] =
     currentManifestName().map { n =>
-      val (entries, dvs) = readManifestAll(n)
-      (parseVersion(n), entries, dvs)
+      val (entries, dvs, mors) = readManifestAll(n)
+      (parseVersion(n), entries, dvs, mors)
     }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
@@ -398,8 +432,23 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * (compact/compactClustered/compactZOrder/replaceAll) passes the
     * default Nil, which is what MATERIALIZES deletes.
     */
+  /** `mors` — merge-on-read append slices, written as `#mor` lines:
+    * additional (suffix, batch) pairs whose rows belong to the
+    * partition on top of its base entry. Same carry-forward contract
+    * as `dvs`: a committer that keeps a partition's existing files
+    * keeps its slices; a committer that rewrites a partition (or the
+    * whole table) drops that partition's slices — the rewrite IS
+    * their materialization. Every slice suffix must have a base
+    * entry ([[SnapshotMerge.upsertMor]] promotes brand-new partitions
+    * to base entries), so partition-set invariants stay expressible
+    * over `entries` alone.
+    */
   def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
-      expectedBase: Option[Long], dvs: Seq[String] = Nil): Unit = {
+      expectedBase: Option[Long], dvs: Seq[String] = Nil,
+      mors: Seq[(String, SnapshotStore.SnapshotEntry)] = Nil): Unit = {
+    require(mors.forall(m => entries.contains(m._1)),
+      s"merge-on-read slice without a base entry: " +
+        s"${mors.collect { case (s, _) if !entries.contains(s) => s }.mkString(", ")}")
     def fence(): Unit = {
       val cur = currentVersion()
       if (cur != expectedBase)
@@ -412,10 +461,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // aborts without ever contending for the lease.
     fence()
     fs.mkdirs(manifestsDir)
-    val body = (("graft-snapshot 2" +:
+    // header 3 only when a slice exists: tables that never MoR-update
+    // keep writing v2 manifests a pre-slice build can still read
+    val header = if (mors.nonEmpty) "graft-snapshot 3" else "graft-snapshot 2"
+    val body = ((header +:
       entries.toSeq.sortBy(_._1).map { case (s, e) =>
         s"$s\t${e.batch}\t${e.bytes}"
-      }) ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
+      }) ++ mors.sortBy(m => (m._1, m._2.batch)).map { case (s, e) =>
+        s"#mor\t$s\t${e.batch}\t${e.bytes}"
+      } ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
     // clobber the winner's committed manifest (a crashed or fenced
@@ -511,8 +565,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * whose log entry exists is readable in full.
     */
   def readAt(version: Long, schema: StructType): DataFrame = {
-    val (entries, dvs) = resolvedAt(version)
-    readEntries(entries, schema, null, dvs)
+    val (entries, dvs, mors) = resolvedAt(version)
+    readSlices(entries.toSeq ++ mors, schema, null, dvs)
   }
 
   /** The committed manifest of `version`, resolved through the version
@@ -539,11 +593,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * with their rows still live) — which is why the DV list rides the
     * per-version manifest rather than a directory listing.
     */
-  private def resolvedAt(version: Long): (Map[String, String], Seq[String]) = {
+  private def resolvedAt(version: Long)
+      : (Map[String, String], Seq[String], Seq[(String, String)]) = {
     val name = manifestNameAt(version)
     try {
-      val (entries, dvs) = readManifestAll(name)
-      (entries.view.mapValues(_.batch).toMap, dvs)
+      val (entries, dvs, mors) = readManifestAll(name)
+      (entries.view.mapValues(_.batch).toMap, dvs,
+        mors.map(m => m._1 -> m._2.batch))
     } catch {
       case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
@@ -564,10 +620,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * batch without changing content — those diff to zero rows.)
     */
   def changedPartitionsBetween(fromVersion: Long, toVersion: Long): Set[String] = {
-    val (m1, d1) = resolvedAt(fromVersion)
-    val (m2, d2) = resolvedAt(toVersion)
+    val (m1, d1, r1) = resolvedAt(fromVersion)
+    val (m2, d2, r2) = resolvedAt(toVersion)
     (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      dvChangedSuffixes(d1, d2)
+      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2)
+  }
+
+  /** Partitions whose merge-on-read slice LIST differs between two
+    * versions — a MoR update keeps the base entry identical (that is
+    * its point), so the entry diff is blind to it; the slice lines
+    * carry the affected suffix directly.
+    */
+  private def morChangedSuffixes(r1: Seq[(String, String)],
+      r2: Seq[(String, String)]): Set[String] = {
+    val g1 = r1.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val g2 = r2.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    (g1.keySet ++ g2.keySet).filter(s => g1.get(s) != g2.get(s))
   }
 
   /** Partitions whose rows changed between two versions through
@@ -633,12 +701,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(!schema.fieldNames.exists(f => f.startsWith("__cdf_") || f == "_change"),
       "schema columns must not collide with the diff's working names " +
         "(__cdf_* markers, _change output)")
-    val (m1, d1) = resolvedAt(fromVersion)
-    val (m2, d2) = resolvedAt(toVersion)
+    val (m1, d1, r1) = resolvedAt(fromVersion)
+    val (m2, d2, r2) = resolvedAt(toVersion)
     val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      dvChangedSuffixes(d1, d2)
-    val before = readEntries(m1.filter(kv => changed(kv._1)), schema, null, d1)
-    val after = readEntries(m2.filter(kv => changed(kv._1)), schema, null, d2)
+      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2)
+    val before = readSlices((m1.toSeq ++ r1).filter(kv => changed(kv._1)),
+      schema, null, d1)
+    val after = readSlices((m2.toSeq ++ r2).filter(kv => changed(kv._1)),
+      schema, null, d2)
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__cdf_b_$c"))
       .withColumn("__cdf_b", lit(true))
@@ -799,8 +869,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     currentManifestName() match {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(n) =>
-        val (entries, dvs) = readManifestAll(n)
-        readEntries(entries.view.mapValues(_.batch).toMap, schema, suffixes, dvs)
+        val (entries, dvs, mors) = readManifestAll(n)
+        readSlices(entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+          mors.map(m => m._1 -> m._2.batch), schema, suffixes, dvs)
     }
 
   /** [[readPartitions]] against an already-resolved manifest — for
@@ -812,21 +883,33 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def readEntries(entries: Map[String, String], schema: StructType,
       suffixes: Set[String]): DataFrame =
-    readEntries(entries, schema, suffixes, Nil)
+    readSlices(entries.toSeq, schema, suffixes, Nil)
 
   def readEntries(entries: Map[String, String], schema: StructType,
+      suffixes: Set[String], dvs: Seq[String]): DataFrame =
+    readSlices(entries.toSeq, schema, suffixes, dvs)
+
+  /** The general read: `slices` is EVERY row-holding (suffix, batch)
+    * pair of a resolved commit — the base entry per partition plus
+    * any merge-on-read append slices. Grouped by batch so each batch
+    * dir is scanned once with itself as `basePath`; deletion vectors
+    * anti-join out tombstoned rows across ALL slices (a MoR update's
+    * DV may reference base files and earlier slices alike).
+    */
+  def readSlices(slices: Seq[(String, String)], schema: StructType,
       suffixes: Set[String], dvs: Seq[String]): DataFrame = {
     if (dvs.nonEmpty)
       require(!schema.fieldNames.exists(_.startsWith("__dv_")),
         "schema columns must not collide with the deletion-vector " +
           "anti-join's working names (__dv_*)")
-    val selected = entries
+    val selected = slices
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
+      .distinct
     if (selected.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val frames = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, entries) =>
+    val frames = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, pairs) =>
       val base = dataPath(batch)
-      val paths = entries.keys.toSeq.sorted.map(s => new Path(base, s).toString)
+      val paths = pairs.map(_._1).distinct.sorted.map(s => new Path(base, s).toString)
       // The caller's schema governs partition-column TYPES: inference
       // would turn a string partition value like "00123" into int 123
       // (dropping the padding) and widen/narrow numerics batch by
@@ -838,6 +921,40 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
     else antiDv(frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
       .reduce(_.unionByName(_)), schema, dvs)
+  }
+
+  /** DV-filtered live view of `slices` WITH file identity (`__dv_path`,
+    * `__dv_pos`) — what a merge-on-read writer joins against to find
+    * the positions of the row versions it must tombstone. Shared with
+    * [[deleteWhere]].
+    */
+  private[sinks] def liveWithMeta(slices: Seq[(String, String)],
+      schema: StructType, suffixes: Set[String], dvs: Seq[String]): DataFrame = {
+    require(!schema.fieldNames.exists(_.startsWith("__dv_")),
+      "schema columns must not collide with the deletion-vector " +
+        "anti-join's working names (__dv_*)")
+    val selected = slices
+      .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
+      .distinct
+    val cols = schema.fieldNames.map(col) ++ dvMetaCols
+    if (selected.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__dv_path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__dv_pos",
+            org.apache.spark.sql.types.LongType))))
+    var live = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, pairs) =>
+      val base = dataPath(batch)
+      val paths = pairs.map(_._1).distinct.sorted.map(s => new Path(base, s).toString)
+      spark.read.option("basePath", base.toString).schema(schema)
+        .parquet(paths: _*).select(cols: _*)
+    }.reduce(_.unionByName(_))
+    if (dvs.nonEmpty)
+      live = live.join(
+        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+        Seq("__dv_path", "__dv_pos"), "left_anti")
+    live
   }
 
   /** The file-identity columns a deletion-vector anti-join keys on —
@@ -955,19 +1072,24 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       expectedItems: Long = 100000L, numBits: Long = 1L << 20): Unit = {
     val f = schema.fields.find(_.name == bloomCol).getOrElse(
       throw new IllegalArgumentException(s"bloom column $bloomCol not in schema"))
-    require(Set[org.apache.spark.sql.types.DataType](
+    val isStr = f.dataType == org.apache.spark.sql.types.StringType
+    require(isStr || Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
         .contains(f.dataType),
-      s"bloom column $bloomCol must be integral (probed as xxhash64 of a " +
-        s"bigint), is ${f.dataType.simpleString}")
+      s"bloom column $bloomCol must be integral or string (probed as " +
+        s"xxhash64 of a bigint / of the UTF-8 bytes), is ${f.dataType.simpleString}")
     require(!partCols.contains(bloomCol),
       s"bloom column $bloomCol is a partition column — partition pruning " +
         "already covers it")
     val df = spark.read.schema(schema).parquet(dataPath(batch).toString)
+    // integral columns normalize through bigint so every width probes
+    // identically; strings hash their UTF-8 bytes directly
+    // ([[readKeyLookupStr]] mirrors with XxHash64Function.hash)
+    val item = if (isStr) col(bloomCol) else col(bloomCol).cast("long")
     val rows = df.groupBy(partCols.map(col): _*)
       .agg(graft.functions.BloomFilterOps.bloom_agg(
-        col(bloomCol).cast("long"), expectedItems, numBits).as("__bf"))
+        item, expectedItems, numBits).as("__bf"))
       .collect()
     val sb = new StringBuilder
     rows.foreach { r =>
@@ -998,13 +1120,33 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * seed 42).
     */
   def readKeyLookup(schema: StructType, bloomCol: String,
-      keys: Seq[Long]): DataFrame = {
-    require(keys.nonEmpty, "point lookup needs at least one key")
-    val (entries, dvs) = currentResolved()
-      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
-      .getOrElse((Map.empty[String, String], Nil))
-    val hashes = keys.map(k =>
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L))
+      keys: Seq[Long]): DataFrame =
+    readKeyLookupHashed(schema, bloomCol,
+      keys.map(k => org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L)),
+      col(bloomCol).isin(keys: _*))
+
+  /** [[readKeyLookup]] for STRING keys — the reference's natural point
+    * lookup shape (`WHERE bvid = ?`, `db/recording.py:119-138`). The
+    * sidecar sketch was built over `xxhash64(col)` (seed 42 over the
+    * UTF-8 bytes); the driver-side probe hashes each key's UTF8String
+    * bytes with the identical function, so prune decisions agree with
+    * what the aggregate inserted.
+    */
+  def readKeyLookupStr(schema: StructType, bloomCol: String,
+      keys: Seq[String]): DataFrame =
+    readKeyLookupHashed(schema, bloomCol,
+      keys.map(k => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        org.apache.spark.sql.types.StringType, 42L)),
+      col(bloomCol).isin(keys: _*))
+
+  private def readKeyLookupHashed(schema: StructType, bloomCol: String,
+      hashes: Seq[Long], residual: org.apache.spark.sql.Column): DataFrame = {
+    require(hashes.nonEmpty, "point lookup needs at least one key")
+    val (slices, dvs) = currentResolved()
+      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r._4.map(m => m._1 -> m._2.batch), r._3))
+      .getOrElse((Nil, Nil))
     val sketchCache = scala.collection.mutable.Map.empty[
       String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
     def sketches(batch: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
@@ -1019,14 +1161,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
               java.util.Base64.getDecoder.decode(b64))))
         }.toMap
       })
-    val keep = entries.filter { case (suffix, batch) =>
+    // pruning is PER SLICE: a partition's base slice can skip while a
+    // later MoR slice (holding a fresher copy of the key) is read
+    val keep = slices.filter { case (suffix, batch) =>
       sketches(batch).get(suffix) match {
         case None => true // no sidecar/line: never a wrong skip
         case Some(bf) => hashes.exists(bf.mightContainLong)
       }
     }
-    readEntries(keep, schema, null, dvs)
-      .where(col(bloomCol).isin(keys: _*))
+    readSlices(keep, schema, null, dvs).where(residual)
   }
 
   /** FILE-granularity twin of the partition sidecar (`<batch>.files`):
@@ -1120,7 +1263,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compactClustered(schema: StructType, partCols: Seq[String],
       clusterCol: String, maxRecordsPerFile: Long): Unit = {
-    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -1132,13 +1275,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    // with deletion vectors, a partition whose rows were ALL
-    // tombstoned legitimately writes no dir — dropping it from the
-    // manifest IS the materialization of that delete; without DVs a
-    // missing partition can only be a writer bug, so stay strict
-    require(if (dvs.isEmpty) written.keySet == entries.keySet
-            else written.keySet.subsetOf(entries.keySet),
-      s"clustered compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    requirePartitionsPreserved(written.keySet, entries.keySet,
+      sized, mors, dvs, schema, "clustered compaction")
     writeBatchStats(batch, schema, partCols, Seq(clusterCol), fileStats = true)
     beforeCompactCommitHook()
     commitSized(version + 1,
@@ -1170,7 +1308,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       zCols: Seq[String], maxRecordsPerFile: Long, bits: Int = 6): Unit = {
     require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
     require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
-    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -1209,9 +1347,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(if (dvs.isEmpty) written.keySet == entries.keySet
-            else written.keySet.subsetOf(entries.keySet), // see compactClustered
-      s"z-order compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    requirePartitionsPreserved(written.keySet, entries.keySet,
+      sized, mors, dvs, schema, "z-order compaction")
     writeBatchStats(batch, schema, partCols, zCols, fileStats = true)
     commitSized(version + 1,
       written.map { case (s, sz) =>
@@ -1239,16 +1376,55 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * the sidecars of referenced batches, lists no data directory.
     */
   def pruneByStats(entries: Map[String, String], statsCol: String,
-      lo: Double, hi: Double): Map[String, String] = {
+      lo: Double, hi: Double): Map[String, String] =
+    pruneSlicesByStats(entries.toSeq, statsCol, lo, hi).toMap
+
+  /** [[pruneByStats]] over the general (suffix, batch) slice list —
+    * each slice prunes on ITS OWN batch's sidecar band, so a
+    * partition's base slice can skip while a MoR append slice with
+    * in-range rows is still read (and vice versa).
+    */
+  def pruneSlicesByStats(slices: Seq[(String, String)], statsCol: String,
+      lo: Double, hi: Double): Seq[(String, String)] = {
     val cache = scala.collection.mutable.Map[String,
       Map[String, Map[String, (Double, Double)]]]()
-    entries.filter { case (suffix, batch) =>
+    slices.filter { case (suffix, batch) =>
       cache.getOrElseUpdate(batch, readBatchStats(batch))
         .get(suffix).flatMap(_.get(statsCol)) match {
         case Some((mn, mx)) => bandIntersects(mn, mx, lo, hi)
         case None => true
       }
     }
+  }
+
+  /** Full-rewrite lost-partition guard. Without deletion vectors a
+    * rewritten partition set must be EXACTLY the base's — any loss is
+    * a writer bug. With DVs outstanding, a partition the DV filter
+    * emptied legitimately DROPS from the manifest (that drop IS the
+    * materialization of its delete) — but ONLY such a partition may
+    * drop: each lost suffix is re-read DV-filtered (base + MoR
+    * slices) and must come back empty, so a writer bug that loses a
+    * partition with live rows still fails loudly instead of hiding
+    * behind an unrelated DV (ADVICE r17). The verification read is
+    * bounded by the lost set — rare, and fully-tombstoned partitions
+    * scan to nothing past the anti-join.
+    */
+  private def requirePartitionsPreserved(written: Set[String],
+      expected: Set[String], sized: Map[String, SnapshotStore.SnapshotEntry],
+      mors: Seq[(String, SnapshotStore.SnapshotEntry)], dvs: Seq[String],
+      schema: StructType, what: String): Unit = {
+    require((written -- expected).isEmpty,
+      s"$what produced unexpected partitions: ${(written -- expected).mkString(", ")}")
+    val lost = expected -- written
+    if (lost.isEmpty) return
+    require(dvs.nonEmpty,
+      s"$what must preserve the partition set; lost ${lost.mkString(", ")}")
+    val survivors = liveWithMeta(
+      sized.toSeq.collect { case (s, e) if lost(s) => s -> e.batch } ++
+        mors.collect { case (s, e) if lost(s) => s -> e.batch },
+      schema, lost, dvs).limit(1).count()
+    require(survivors == 0L,
+      s"$what lost partitions with live (non-tombstoned) rows: ${lost.mkString(", ")}")
   }
 
   /** A recorded band keeps its partition/file when it may intersect
@@ -1272,14 +1448,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def readRange(schema: StructType, statsCol: String,
       lo: Double, hi: Double): DataFrame = {
-    val (entries, dvs) = currentResolved()
-      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
-      .getOrElse((Map.empty[String, String], Nil))
+    val (slices, dvs) = currentResolved()
+      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r._4.map(m => m._1 -> m._2.batch), r._3))
+      .getOrElse((Nil, Nil))
     // stats sidecars are written at batch-stage time and never
     // re-tightened by a delete, so post-delete bands can only be
     // WIDER than the live data — pruning stays sound (never a wrong
     // skip), merely less selective until the next compaction
-    readEntries(pruneByStats(entries, statsCol, lo, hi), schema, null, dvs)
+    readSlices(pruneSlicesByStats(slices, statsCol, lo, hi), schema, null, dvs)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -1317,24 +1494,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sound, less selective until the next compaction).
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column): Long = {
-    val (version, sized, dvs) = currentResolved().getOrElse(
+    val (version, sized, dvs, mors) = currentResolved().getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val entries = sized.view.mapValues(_.batch).toMap
-    if (entries.isEmpty) return 0L
-    val frames = entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, es) =>
-      val base = dataPath(batch)
-      val paths = es.keys.toSeq.sorted.map(s => new Path(base, s).toString)
-      spark.read.option("basePath", base.toString).schema(schema).parquet(paths: _*)
-    }
-    // live view WITH file identity; existing DVs applied so an
-    // already-deleted row is never re-tombstoned (the count stays
-    // honest and DV files never accumulate duplicates)
-    var live = frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
-      .reduce(_.unionByName(_))
-    if (dvs.nonEmpty)
-      live = live.join(
-        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
-        Seq("__dv_path", "__dv_pos"), "left_anti")
+    if (sized.isEmpty) return 0L
+    // live view WITH file identity across ALL slices (base + MoR
+    // appends); existing DVs applied so an already-deleted row is
+    // never re-tombstoned (the count stays honest and DV files never
+    // accumulate duplicates)
+    val live = liveWithMeta(sized.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+      mors.map(m => m._1 -> m._2.batch), schema, null, dvs)
     beforeDeleteCommitHook()
     val name = f"dv-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     val out = dvPath(name)
@@ -1349,8 +1517,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val n = spark.read.parquet(out.toString).count()
     if (n == 0L) { fs.delete(out, true); return 0L }
     // fenced like every commit; a fenced loser removes its staged DV
-    // (it was never referenced, so removal is pure hygiene)
-    try commitSized(version + 1, sized, Some(version), dvs :+ name)
+    // (it was never referenced, so removal is pure hygiene). Slices
+    // carry forward untouched — a delete rewrites nothing.
+    try commitSized(version + 1, sized, Some(version), dvs :+ name, mors)
     catch { case t: Throwable => fs.delete(out, true); throw t }
     n
   }
@@ -1377,15 +1546,19 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] def boxFilePaths(preds: Seq[(String, Double, Double)])
       : Seq[(Seq[String], Path)] =
-    boxFilePaths(current().map(_._2).getOrElse(Map.empty), preds)
+    boxFilePaths(currentResolved()
+      .map(r => r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r._4.map(m => m._1 -> m._2.batch)).getOrElse(Nil), preds)
 
-  private[graft] def boxFilePaths(entries: Map[String, String],
+  private[graft] def boxFilePaths(slices: Seq[(String, String)],
       preds: Seq[(String, Double, Double)]): Seq[(Seq[String], Path)] = {
-    val surviving = pruneByStatsBox(entries, preds)
+    val surviving = preds.foldLeft(slices) { case (kept, (c, lo, hi)) =>
+      pruneSlicesByStats(kept, c, lo, hi)
+    }
     surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (batch, batchEntries) =>
         val base = dataPath(batch)
-        val suffixes = batchEntries.keys.toSeq.sorted
+        val suffixes = batchEntries.map(_._1).distinct.sorted
         val paths: Seq[String] = readBatchFileStats(batch) match {
           case None =>
             suffixes.map(s => new Path(base, s).toString)
@@ -1421,10 +1594,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // second read could straddle a concurrent compaction (old files
     // resolved at v, v+1's empty DV list read after) and resurrect
     // tombstoned rows — the exact race currentResolved() exists for.
-    val (entries, dvs) = currentResolved()
-      .map(r => (r._2.view.mapValues(_.batch).toMap, r._3))
-      .getOrElse((Map.empty[String, String], Nil))
-    val nonEmpty = boxFilePaths(entries, preds).filter(_._1.nonEmpty)
+    val (slices, dvs) = currentResolved()
+      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r._4.map(m => m._1 -> m._2.batch), r._3))
+      .getOrElse((Nil, Nil))
+    val nonEmpty = boxFilePaths(slices, preds).filter(_._1.nonEmpty)
     if (nonEmpty.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .where(residual)
@@ -1466,8 +1640,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val (version, entries, dvs) = currentResolved().getOrElse(return)
-    if (entries.values.map(_.batch).toSet.size <= maxBatches) return
+    val (version, entries, dvs, mors) = currentResolved().getOrElse(return)
+    if ((entries.values.map(_.batch) ++ mors.map(_._2.batch)).toSet.size
+        <= maxBatches) return
     // live bytes per batch: sum the batch's LIVE partition entries, not
     // the whole dir — a batch can also hold stale copies of partitions
     // later merges superseded, which must not inflate its rank. Sizes
@@ -1479,11 +1654,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       case (s, e) => s -> SnapshotStore.SnapshotEntry(e.batch,
         fs.getContentSummary(new Path(dataPath(e.batch), s)).getLength)
     }
-    val bySize: Map[String, Long] = sized.toSeq.groupBy(_._2.batch)
+    // MoR slices count toward their batch's live bytes (slice writers
+    // always record sizes, no legacy fallback needed)
+    val bySize: Map[String, Long] = (sized.toSeq ++ mors)
+      .groupBy(_._2.batch)
       .view.mapValues(_.map(_._2.bytes).sum).toMap
     val keep = bySize.toSeq.sortBy { case (b, sz) => (-sz, b) }
       .take(maxBatches - 1).map(_._1).toSet
-    val foldParts = sized.collect {
+    // a partition folds when ANY of its slices lives in a non-kept
+    // batch — the fold rewrites the partition whole (base + appends,
+    // DV-filtered), so every one of its slice lines must drop with it
+    val foldParts = (sized.toSeq ++ mors).collect {
       case (suffix, e) if !keep.contains(e.batch) => suffix
     }.toSet
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -1492,18 +1673,20 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(if (dvs.isEmpty) written.keySet == foldParts
-            else written.keySet.subsetOf(foldParts), // see compactClustered
-      s"incremental compaction must preserve the partition set; lost ${foldParts -- written.keySet}")
+    requirePartitionsPreserved(written.keySet, foldParts,
+      sized, mors, dvs, schema, "incremental compaction")
     writeBatchStats(batch, schema, partCols, statsCols)
     // kept batches' files survive, so their tombstones must too; the
     // folded partitions' DVs became stale no-ops (their files are
     // dead), harmless to carry. A folded partition the DV filter
     // emptied drops from the manifest — its delete materializes here.
+    // Unfolded partitions keep their slice lines (all in kept batches
+    // by construction); folded partitions' slices materialized into
+    // the fold batch.
     commitSized(version + 1,
       (sized -- (foldParts -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version), dvs)
+      }, Some(version), dvs, mors.filterNot(m => foldParts(m._1)))
     vacuum()
   }
 
@@ -1518,19 +1701,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compact(schema: StructType, partCols: Seq[String],
       statsCols: Seq[String] = Nil): Unit = {
-    val (version, sized, dvs) = currentResolved().getOrElse(return)
+    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
-    // a single-batch table still compacts when deletion vectors are
-    // outstanding — that rewrite is how they materialize
-    if (entries.values.toSet.size <= 1 && dvs.isEmpty) return
+    // a single-batch table still compacts when deletion vectors or
+    // MoR slices are outstanding — that rewrite is how they materialize
+    if (entries.values.toSet.size <= 1 && dvs.isEmpty && mors.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     read(schema).repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(dataPath(batch).toString)
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
-    require(if (dvs.isEmpty) written.keySet == entries.keySet
-            else written.keySet.subsetOf(entries.keySet), // see compactClustered
-      s"compaction must preserve the partition set; lost ${entries.keySet -- written.keySet}")
+    requirePartitionsPreserved(written.keySet, entries.keySet,
+      sized, mors, dvs, schema, "compaction")
     writeBatchStats(batch, schema, partCols, statsCols)
     commitSized(version + 1,
       written.map { case (s, sz) =>
@@ -1569,15 +1751,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       if (fs.exists(manifestsDir))
         fs.listStatus(manifestsDir).toSeq.map(_.getPath.getName)
       else Nil
-    // Batches referenced by any RETAINED manifest stay. A fenced or
-    // crashed writer's orphan manifest in/above the window keeps its
-    // batches one extra cycle (harmless); a torn orphan must not
-    // abort the sweep (Try); the CURRENT manifest is read strictly.
+    // Batches referenced by any RETAINED manifest stay — base entries
+    // AND merge-on-read slices (a slice batch collected early would
+    // silently lose appended rows). A fenced or crashed writer's
+    // orphan manifest in/above the window keeps its batches one extra
+    // cycle (harmless); a torn orphan must not abort the sweep (Try);
+    // the CURRENT manifest is read strictly.
     val liveBatches = manifestNames
       .filter(n => n.startsWith("v-") && parseVersion(n) >= keepMin)
-      .flatMap(n => scala.util.Try(readManifestFile(n).values.toSet)
+      .flatMap(n => scala.util.Try(readManifestBatches(n))
         .getOrElse(Set.empty[String])).toSet ++
-      current().map(_._2.values.toSet).getOrElse(Set.empty)
+      currentManifestName().map(readManifestBatches).getOrElse(Set.empty)
     manifestNames.foreach { n =>
       val doomed = n.startsWith(".tmp-") ||
         (n.startsWith("v-") && parseVersion(n) < keepMin)
