@@ -112,76 +112,39 @@ object Dedup extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STREAMING NEAR-DUP FILTER — the production crawl-dedup shape: a
     // stream of incoming documents is filtered against an ACCUMULATED
-    // LSH bucket store (kept docs' md5-lane MinHash band keys), so a
-    // new doc near-duplicating anything already kept is dropped at
-    // ingest, before it ever costs storage or training tokens. Three
+    // LSH bucket store (kept docs' md5-lane MinHash band keys) with an
+    // EXACT-VERIFY stage (r18): a new doc drops only when a colliding
+    // kept doc ALSO clears true shingle-Jaccard ≥ 0.8 — an LSH false
+    // positive (bucket collision without real similarity) SURVIVES
+    // instead of being silently discarded, which at crawl scale is
+    // the difference between a dedup filter and a lossy sieve. Three
     // mtime-paced waves (doc_id % 3, one file per micro-batch);
     // foreachBatch computes the batch's band keys ([[md5Bands]] — the
-    // SAME banding as the batch twin dedup_minhash_md5), drops docs
-    // whose ANY key already exists in the store, then appends the
-    // survivors' keys as a batchId-named parquet dir (overwrite ⇒ a
-    // retried batch is idempotent — poor-man's exactly-once for an
-    // accumulating side store; the fenced snapshot store is the
-    // production spelling, upsertStream). Within-wave docs do NOT
-    // dedup against each other (a batch arrives together), which is
-    // what makes the whole run restatable: the DuckDB oracle unrolls
-    // the three waves as CTE rounds (the BPE-unroll technique) —
-    // kept(w) = wave-w docs sharing no (band, key) with buckets of
-    // kept(<w>). State is bucket-count-sized (keys of kept docs),
-    // never corpus²; the ≥3-words guard keeps both engines in the
-    // regime where the twin banding provably agrees.
+    // SAME banding as the batch twin dedup_minhash_md5), joins them
+    // against the store for CANDIDATE (new, kept) pairs — bounded by
+    // bucket occupancy, never corpus² — exact-verifies each against
+    // the kept doc's stored shingle set (the dedup_minhash_md5 verify
+    // join, composed into the stream), then appends the survivors'
+    // keys + shingles as batchId-named parquet dirs (overwrite + the
+    // prior read EXCLUDING the current batch id ⇒ a retried batch is
+    // idempotent even after a partial failure — ADVICE r17; the
+    // fenced snapshot store is the production spelling,
+    // upsertStream). Within-wave docs do NOT dedup against each other
+    // (a batch arrives together), which is what makes the whole run
+    // restatable: the DuckDB oracle unrolls the three waves as CTE
+    // rounds (the BPE-unroll technique) — kept(w) = wave-w docs with
+    // NO verified candidate among kept(<w). State is kept-doc-sized
+    // (keys + shingle sets), never corpus²; the ≥3-words guard keeps
+    // both engines in the regime where the twin banding provably
+    // agrees.
     "strm_neardup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .where(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft_strmnd_")
-      val drop = root.resolve("waves"); java.nio.file.Files.createDirectories(drop)
-      val store = root.resolve("store").toString
-      val kept = root.resolve("kept").toString
-      try {
-        val t0 = System.currentTimeMillis()
-        (0 to 2).foreach(w => graft.streaming.EventStreams.stageWave(
-          docs.where(pmod(col("doc_id"), lit(3)) === w),
-          root, drop, s"w$w.parquet", t0 - (2 - w) * 60000L))
-        val fb = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) => {
-          val sh = batch.select(col("doc_id"),
-            array_distinct(shingles(col("text"))).as("sh"))
-          val bnd = md5Bands(sh).ckpt(false)
-          val prior =
-            try s.read.parquet(s"$store/*")
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("band",
-                    org.apache.spark.sql.types.IntegerType),
-                  org.apache.spark.sql.types.StructField("key",
-                    org.apache.spark.sql.types.StringType))))
-            }
-          val dropIds = bnd.join(prior.select(col("band"), col("key")), Seq("band", "key"))
-            .select(col("doc_id")).distinct()
-          val keptIds = batch.select(col("doc_id"))
-            .join(dropIds, Seq("doc_id"), "left_anti").ckpt(false)
-          bnd.join(keptIds, Seq("doc_id"))
-            .select(col("band"), col("key")).distinct()
-            .write.mode("overwrite").parquet(s"$store/b$id")
-          keptIds.write.mode("overwrite").parquet(s"$kept/b$id")
-          releaseCheckpoints(bnd); releaseCheckpoints(keptIds)
-          ()
-        }
-        val q = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 1).parquet(drop.toString)
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", root.resolve("cp").toString)
-          .foreachBatch(fb)
-          .start()
-        q.awaitTermination()
-        s.read.parquet(s"$kept/*")
-          .select(col("doc_id"),
-            pmod(col("doc_id"), lit(3)).cast("long").as("wave"))
-          .ckpt(true)
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      streamNearDupKept(s, docs)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("long").as("wave"))
+        .ckpt(true)
     }),
 
     // Exact dedup by content fingerprint: keep the smallest doc_id per
@@ -556,6 +519,101 @@ object Dedup extends QueryModule {
       .as(Seq("band", "key")))
   }
 
+  /** The streaming near-dup ingest pipeline behind `strm_neardup`,
+    * factored so specs can plant adversarial corpora: stages `docs`
+    * as three mtime-paced waves (`doc_id % 3`), drains them through
+    * an AvailableNow foreachBatch filter against the accumulated
+    * store, and returns the kept (doc_id) frame. Drop rule per batch:
+    * LSH candidates (band-key collision with a kept doc) are
+    * EXACT-VERIFIED — true shingle Jaccard against the colliding kept
+    * doc must clear `threshold` — so an LSH false positive survives.
+    * The store holds, per batch id, the kept docs' (band, key,
+    * doc_id) triples and their (doc_id, sh) shingle sets; a batch's
+    * prior read enumerates ONLY strictly-smaller batch ids, so a
+    * foreachBatch retry after a partial failure never reads its own
+    * attempt's partial write (ADVICE r17) and every per-batch output
+    * is an idempotent overwrite.
+    */
+  def streamNearDupKept(s: SparkSession, docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_strmnd_")
+    val drop = root.resolve("waves"); java.nio.file.Files.createDirectories(drop)
+    val store = root.resolve("store").toString
+    val shst = root.resolve("shst").toString
+    val kept = root.resolve("kept").toString
+    try {
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach(w => graft.streaming.EventStreams.stageWave(
+        docs.where(pmod(col("doc_id"), lit(3)) === w),
+        root, drop, s"w$w.parquet", t0 - (2 - w) * 60000L))
+      // prior batch dirs STRICTLY BELOW `id`: a retry of batch id must
+      // not glob in its own failed attempt's partial store write
+      def priorDirs(base: String, id: Long): Seq[String] = {
+        val d = new java.io.File(base)
+        if (!d.isDirectory) Nil
+        else d.listFiles().toSeq.map(_.getName)
+          .filter(n => n.startsWith("b") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toLong < id)
+          .sorted.map(n => s"$base/$n")
+      }
+      val fb = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => {
+        val sh = batch.select(col("doc_id"),
+          array_distinct(shingles(col("text"))).as("sh")).ckpt(false)
+        val bnd = md5Bands(sh).ckpt(false)
+        val priorKeys = priorDirs(store, id) match {
+          case Nil => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("band",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))))
+          case ds => s.read.parquet(ds: _*)
+        }
+        val priorSh = priorDirs(shst, id) match {
+          case Nil => sh.limit(0)
+          case ds => s.read.parquet(ds: _*)
+        }
+        // candidates: bucket-collision pairs (new doc, kept doc) —
+        // bounded by bucket occupancy, never all-pairs
+        val cands = bnd.join(
+            priorKeys.select(col("band"), col("key"), col("doc_id").as("kept_id")),
+            Seq("band", "key"))
+          .select(col("doc_id"), col("kept_id")).distinct()
+        // exact verify (the dedup_minhash_md5 verify join): drop only
+        // candidates whose TRUE shingle Jaccard clears the threshold
+        val dropIds = cands
+          .join(sh, Seq("doc_id"))
+          .join(priorSh.select(col("doc_id").as("kept_id"), col("sh").as("kept_sh")),
+            Seq("kept_id"))
+          .where(shingleSetJaccard(col("sh"), col("kept_sh")) >= threshold)
+          .select(col("doc_id")).distinct()
+        val keptIds = batch.select(col("doc_id"))
+          .join(dropIds, Seq("doc_id"), "left_anti").ckpt(false)
+        bnd.join(keptIds, Seq("doc_id"))
+          .select(col("band"), col("key"), col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(s"$store/b$id")
+        sh.join(keptIds, Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$shst/b$id")
+        keptIds.write.mode("overwrite").parquet(s"$kept/b$id")
+        releaseCheckpoints(sh); releaseCheckpoints(bnd); releaseCheckpoints(keptIds)
+        ()
+      }
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", root.resolve("cp").toString)
+        .foreachBatch(fb)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$kept/*").ckpt(true)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
+
   /** The entity-resolution labeling stage — every `part` record with
     * its resolved `entity_id`: (brand, head-noun) blocked candidate
     * pairs, Jaro-Winkler ≥ 0.9 (quantized to integer micro-units so
@@ -893,9 +951,12 @@ object Dedup extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
-    // the three waves unrolled as CTE rounds: kept(w) = wave-w docs
-    // sharing no (band, key) with the buckets of kept(<w); banding =
-    // the dedup_minhash_md5 twin spelling verbatim
+    // the three waves unrolled as CTE rounds WITH the exact-verify
+    // stage (r18): cand(w) = wave-w docs bucket-colliding with a
+    // kept(<w) doc; dropped(w) = candidates whose TRUE shingle
+    // Jaccard against a colliding kept doc clears 0.8; kept(w) =
+    // wave-w docs not dropped. Banding = the dedup_minhash_md5 twin
+    // spelling verbatim, verify = its verify join per wave.
     "strm_neardup" ->
       """WITH docs3 AS (
            SELECT doc_id, text FROM documents
@@ -920,19 +981,35 @@ object Dedup extends QueryModule {
              array_to_string(sig[b*4+1:b*4+4], '') AS key
            FROM sig, (SELECT unnest(range(0, 4)) AS b)),
          k0 AS (SELECT doc_id FROM docs3 WHERE doc_id % 3 = 0),
-         b0 AS (SELECT DISTINCT band, key FROM bnd WHERE doc_id % 3 = 0),
+         c1 AS (
+           SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS kept_id
+           FROM bnd n JOIN bnd p ON n.band = p.band AND n.key = p.key
+           WHERE n.doc_id % 3 = 1
+             AND p.doc_id IN (SELECT doc_id FROM k0)),
+         d1 AS (
+           SELECT DISTINCT c1.new_id FROM c1
+           JOIN dd x ON x.doc_id = c1.new_id
+           JOIN dd y ON y.doc_id = c1.kept_id
+           WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
          k1 AS (
-           SELECT d.doc_id FROM docs3 d WHERE d.doc_id % 3 = 1
-             AND NOT EXISTS (SELECT 1 FROM bnd n JOIN b0 USING (band, key)
-                             WHERE n.doc_id = d.doc_id)),
-         b1 AS (
-           SELECT band, key FROM b0
-           UNION
-           SELECT DISTINCT band, key FROM bnd JOIN k1 USING (doc_id)),
+           SELECT doc_id FROM docs3 WHERE doc_id % 3 = 1
+             AND doc_id NOT IN (SELECT new_id FROM d1)),
+         c2 AS (
+           SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS kept_id
+           FROM bnd n JOIN bnd p ON n.band = p.band AND n.key = p.key
+           WHERE n.doc_id % 3 = 2
+             AND p.doc_id IN (SELECT doc_id FROM k0
+                              UNION ALL SELECT doc_id FROM k1)),
+         d2 AS (
+           SELECT DISTINCT c2.new_id FROM c2
+           JOIN dd x ON x.doc_id = c2.new_id
+           JOIN dd y ON y.doc_id = c2.kept_id
+           WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
          k2 AS (
-           SELECT d.doc_id FROM docs3 d WHERE d.doc_id % 3 = 2
-             AND NOT EXISTS (SELECT 1 FROM bnd n JOIN b1 USING (band, key)
-                             WHERE n.doc_id = d.doc_id))
+           SELECT doc_id FROM docs3 WHERE doc_id % 3 = 2
+             AND doc_id NOT IN (SELECT new_id FROM d2))
          SELECT doc_id, doc_id % 3 AS wave FROM k0
          UNION ALL SELECT doc_id, doc_id % 3 FROM k1
          UNION ALL SELECT doc_id, doc_id % 3 FROM k2""",

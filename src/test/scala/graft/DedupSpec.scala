@@ -307,31 +307,44 @@ class DedupSpec extends SparkFunSuite {
     assert(got.contains(1L) && got.keys.exists(_ > 1L))
   }
 
-  test("strm_neardup equals a driver-side three-wave fold; drops are cross-wave only") {
+  test("strm_neardup equals a driver-side three-wave verified fold; drops are cross-wave only") {
     import org.apache.spark.sql.functions._
-    // The oracle re-derives the banding in SQL; this differential
+    // The oracle re-derives banding + verify in SQL; this differential
     // re-derives the ACCUMULATION in plain Scala from the shared
-    // md5Bands output — if the streaming store/anti-join/append
-    // machinery dropped a wave, reprocessed a batch, or deduped
-    // within a wave, the fold would disagree.
+    // md5Bands output and exact shingle Jaccard — if the streaming
+    // store/candidate-join/verify/append machinery dropped a wave,
+    // reprocessed a batch, deduped within a wave, or dropped an
+    // unverified LSH candidate, the fold would disagree.
     val got = SparkEntry.queries("strm_neardup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.load(spark, sfDir, "documents")
       .where(size(split(col("text"), " ")) >= 3)
     val sh = docs.select(col("doc_id"),
       array_distinct(Dedup.shingles(col("text"))).as("sh"))
+    val shSets: Map[Long, Set[String]] = sh.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val bands: Map[Long, Seq[(Int, String)]] = Dedup.md5Bands(sh).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    def jacc(a: Long, b: Long): Double = {
+      val (x, y) = (shSets(a), shSets(b))
+      x.intersect(y).size.toDouble / x.union(y).size.toDouble
+    }
     val allIds = docs.select(col("doc_id")).collect().map(_.getLong(0))
-    val seen = scala.collection.mutable.Set.empty[(Int, String)]
+    val seenKeys = scala.collection.mutable.Map.empty[(Int, String),
+      scala.collection.mutable.Set[Long]]
     val expected = scala.collection.mutable.Set.empty[(Long, Long)]
     (0 to 2).foreach { w =>
       val wave = allIds.filter(_ % 3 == w)
-      val kept = wave.filterNot(id =>
-        bands.getOrElse(id, Nil).exists(seen.contains))
+      val kept = wave.filterNot { id =>
+        val colliders = bands.getOrElse(id, Nil)
+          .flatMap(k => seenKeys.getOrElse(k, Set.empty)).distinct
+        colliders.exists(kid => jacc(id, kid) >= 0.8)
+      }
       kept.foreach(id => expected += ((id, w.toLong)))
-      kept.foreach(id => bands.getOrElse(id, Nil).foreach(seen += _))
+      kept.foreach(id => bands.getOrElse(id, Nil).foreach(k =>
+        seenKeys.getOrElseUpdate(k,
+          scala.collection.mutable.Set.empty) += id))
     }
     assert(got == expected.toSet)
     // the fixture's planted near-dups make at least one cross-wave
@@ -340,5 +353,62 @@ class DedupSpec extends SparkFunSuite {
       s"no doc was ever dropped (${got.size} of ${allIds.length})")
     // wave 0 is never filtered (the store is empty at batch 0)
     assert(allIds.filter(_ % 3 == 0).forall(id => got.contains((id, 0L))))
+  }
+
+  test("strm_neardup: a planted LSH false positive SURVIVES the exact-verify stage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Doc 0 (wave 0) has exactly ONE shingle s, so each of its four
+    // band keys is built purely from s's md5 lanes. Doc 1 (wave 1)
+    // starts with the same three tokens and appends a searched
+    // 3-token tail such that for SOME band b, every derived extra
+    // shingle's four b-lanes are >= s's — doc 1's band-b minima then
+    // equal s's and its band-b KEY collides with doc 0's (an LSH
+    // candidate), while true Jaccard is 1/4 < 0.8: the textbook LSH
+    // false positive (~2^-12 per trial, found in a few thousand).
+    // Doc 4 (wave 1) is doc 0 verbatim (Jaccard 1.0): a true
+    // duplicate that must drop. Doc 3 (wave 0) is filler so wave 0
+    // isn't a single doc.
+    val base = "alpha beta gamma"
+    val s0 = base // the single shingle of a 3-token doc
+    def lanes(sh: String): Seq[String] = {
+      val md = (0 to 3).map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$s:$sh".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      (0 to 15).map(k => md(k / 4).substring((k % 4) * 8, (k % 4) * 8 + 8))
+    }
+    val l0 = lanes(s0)
+    // deterministic search: a token-triple tail with ONE band whose
+    // four lanes are dominated (>=) by every extra shingle
+    val tail = (1 to 200000).iterator.map(i => s"w${i}a w${i}b w${i}c")
+      .find { t =>
+        val toks = (base + " " + t).split(" ")
+        val shs = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          .filter(_ != s0)
+        val ls = shs.map(lanes)
+        (0 to 3).exists(b => (b * 4 until b * 4 + 4).forall(k =>
+          ls.forall(l => l(k) >= l0(k))))
+      }.getOrElse(fail("no band-dominating tail found in 200000 tries"))
+    val fp = base + " " + tail // 4 shingles, shares only s0 with doc 0
+    val docs = Seq(
+      (0L, base), (3L, "totally different filler words here"),
+      (1L, fp), (4L, base)).toDF("doc_id", "text")
+    val kept = Dedup.streamNearDupKept(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L),
+      "the false-positive collision must SURVIVE exact verification")
+    assert(!kept.contains(4L), "the true duplicate must drop")
+    assert(kept.contains(0L) && kept.contains(3L))
+    // sanity: the plant really is a band-key collision, i.e. the old
+    // LSH-only filter WOULD have dropped it
+    val bnd = Dedup.md5Bands(docs.where(col("doc_id").isin(0L, 1L))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingles(col("text"))).as("sh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val k0 = bnd.filter(_._1 == 0L).map(t => (t._2, t._3)).toSet
+    val k1 = bnd.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    assert(k0.intersect(k1).nonEmpty, "plant must collide on some band key")
   }
 }
