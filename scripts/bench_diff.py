@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Cal-aware cross-round bench differ (r18, VERDICT r17 #8).
+
+Compares two bench artifacts (driver BENCH_r{N}.json or a local
+bench_last.json) per query, and flags a regression ONLY when both
+rounds' reps were calibration-healthy — a per-query uptick whose reps
+ran in a provably degraded window (cal_q spiking vs the file's own
+median calibration) is box drift, not code, and re-adjudicating it
+wastes judge time.
+
+Usage: python3 scripts/bench_diff.py OLD.json NEW.json [--threshold 1.3]
+Exit code is always 0 (a reporting tool, not a gate).
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    """Extract the bench payload from either artifact shape."""
+    d = json.load(open(path))
+    # driver shape: {"n":…, "tail": "...json line...", "parsed": {...}}
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
+    if "queries" in d:
+        return d
+    # last resort: find a JSON object line in "tail"
+    for line in str(d.get("tail", "")).splitlines():
+        line = line.strip().lstrip("[info] ").strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    # driver BENCH_r{N}.json often truncates the JSON line — recover
+    # the per-query medians from the fragment (no cal data survives
+    # truncation; healthy() then marks everything healthy, which is
+    # the right conservative default for a reporting tool)
+    import re
+    pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)',
+                       str(d.get("tail", "")))
+    meta = {"value", "sf", "total", "first_total", "cal0", "cpu_total",
+            "load", "warm_total"}
+    qs = {k: float(v) for k, v in pairs if k not in meta}
+    if qs:
+        return {"queries": qs}
+    raise SystemExit(f"{path}: no bench payload found")
+
+
+def healthy(payload):
+    """Query -> True when every rep's calibration was in the normal
+    band (<= 2x the file-wide median cal) and the query hit no
+    bad_runs/bad_cal record. Files without cal data mark everything
+    healthy (old rounds predate the cal gate)."""
+    cal = payload.get("cal_q") or {}
+    bad = set(payload.get("bad_runs") or {}) | set(payload.get("bad_cal") or {})
+    allcals = [c for reps in cal.values() for c in reps if c and c > 0]
+    med = statistics.median(allcals) if allcals else None
+    out = {}
+    for q in payload.get("queries", {}):
+        if q in bad:
+            out[q] = False
+        elif med and q in cal:
+            out[q] = all(c <= 2 * med for c in cal[q] if c and c > 0)
+        else:
+            out[q] = True
+    return out
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    old, new = load(args[0]), load(args[1])
+    ho, hn = healthy(old), healthy(new)
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    flagged, drift, improved = [], [], []
+    for q in common:
+        a, b = qo[q], qn[q]
+        if not a or a <= 0:
+            continue
+        r = b / a
+        if r >= thr:
+            (flagged if (ho.get(q, True) and hn.get(q, True)) else drift) \
+                .append((q, a, b, r))
+        elif r <= 1 / thr:
+            improved.append((q, a, b, r))
+    to, tn = sum(qo[q] for q in common), sum(qn[q] for q in common)
+    print(f"common queries: {len(common)}  total {to:.1f}s -> {tn:.1f}s "
+          f"({tn / to:.3f}x)")
+    print(f"added: {sorted(set(qn) - set(qo))}")
+    print(f"removed: {sorted(set(qo) - set(qn))}")
+    if flagged:
+        print(f"\nREGRESSIONS (>= {thr}x, both rounds cal-healthy — adjudicate):")
+        for q, a, b, r in sorted(flagged, key=lambda t: -t[3]):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    else:
+        print(f"\nno cal-healthy regressions >= {thr}x")
+    if drift:
+        print(f"\nupticks in CAL-UNHEALTHY windows (box drift, ignore):")
+        for q, a, b, r in sorted(drift, key=lambda t: -t[3]):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+    if improved:
+        print(f"\nimprovements (<= {1/thr:.2f}x):")
+        for q, a, b, r in sorted(improved, key=lambda t: t[3]):
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,13 @@ object WarehouseScaleProbe {
       val (n1, after) = scanAll()
       val (band, bandS) = timed {
         val df = store.readRange(o.schema, "o_totalprice", 50000.0, 60000.0)
-        (df.inputFiles.length, df.count())
+        // count DATA files only: inputFiles also lists the
+        // deletion-vector sidecar parquet the anti-join reads, which
+        // would overstate the "pruned band read stays pruned" metric
+        // (ADVICE r17)
+        val dataPrefix = new Path(base, "data").toUri.getPath
+        (df.inputFiles.count(f =>
+          new java.net.URI(f).getPath.startsWith(dataPrefix)), df.count())
       }
       out += s"""{"probe":"dv_read","rows":$n0,"tombstoned":$nDel,""" +
         s""""delete_s":${f(delS)},"scan_before_s":${f(before)},""" +

@@ -719,7 +719,8 @@ object Graph extends QueryModule {
     * Caller releases the returned frame's checkpoint.
     */
   private[graft] def coreness(edges: DataFrame, maxRounds: Int = 512,
-      requireConverged: Boolean = true): DataFrame = {
+      requireConverged: Boolean = true,
+      broadcastNodeCap: Long = maxBroadcastNodes): DataFrame = {
     // STATS-INHERITANCE TRAP (found live: 1 s rounds degrading to 51 s
     // by round 21 at sf0.1, driver pinned in BigInteger.multiply):
     // a checkpointed Dataset's LogicalRDD INHERITS the origin plan's
@@ -758,6 +759,18 @@ object Graph extends QueryModule {
       .withColumn("chg", lit(true))
       .ckpt(false)
     var changed = stateCk.count()
+    // SIZE-GATED broadcast (r18, the g2_pagerank/labelProp discipline):
+    // state/frontier sides are |nodes|-bounded — metadata next to the
+    // edge table while the graph is dimension-scale, where the
+    // explicit hint keeps every round shuffle-free. On a BILLION-node
+    // graph an unconditional broadcast(state) is a driver/executor
+    // memory bomb; past the cap the hints drop and the joins fall
+    // back to shuffles against the src-partitioned edge table (the
+    // src-keyed joins reuse ep's layout; the dst-keyed gather pays a
+    // real exchange — the honest cost of node-scale state that no
+    // longer fits one machine). `changed` at round 0 IS |nodes|.
+    val small = changed <= broadcastNodeCap
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var round = 0
     var pending: List[DataFrame] = Nil
     while (changed > 0 && round < maxRounds) {
@@ -770,12 +783,12 @@ object Graph extends QueryModule {
       // was measured WORSE here — 2× process-CPU, +10% wall — so the
       // chg-pruned build sides stand.
       val touched = ep
-        .join(broadcast(state.where(col("chg")).select(col("node").as("dst"))),
+        .join(hint(state.where(col("chg")).select(col("node").as("dst"))),
           "dst")
         .select(col("src")).distinct()
-      val gathered = ep.join(broadcast(touched), "src")
+      val gathered = ep.join(hint(touched), "src")
       val nbr = gathered
-        .join(broadcast(state.select(col("node").as("dst"),
+        .join(hint(state.select(col("node").as("dst"),
           col("c").as("cn"))), "dst")
         .select(col("src"), col("cn"))
       // H-index per node: sort the neighbor values desc (ties in any
@@ -797,7 +810,7 @@ object Graph extends QueryModule {
       // this to a sort-merge join that shuffled BOTH node-scale
       // sides every round.
       val next = state.select(col("node"), col("c").as("c0"))
-        .join(broadcast(h), Seq("node"), "left")
+        .join(hint(h), Seq("node"), "left")
         .select(col("node"),
           least(col("c0"), coalesce(col("h"), col("c0"))).cast("int").as("c"),
           (coalesce(col("h"), col("c0")) < col("c0")).as("chg"))

@@ -461,6 +461,167 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // ROW-LEVEL UPDATE via MERGE-ON-READ (r18) — the reference's
+    // hottest write path (`db/occurrence.py:22-51`, the per-cron
+    // ON CONFLICT DO UPDATE) at its 100 TB cost: TWO stacked
+    // upsertMor commits tombstone old row versions through deletion
+    // vectors and append the new versions as #mor slices — zero
+    // partition rewrites (MorUpdateSpec pins the base entries
+    // byte-identical) — and the read assembles base + slices − DVs.
+    // The second commit updates keys the FIRST already updated, so
+    // slice-resident rows get tombstoned too. The oracle restates
+    // sequential upsert semantics; the driver hash pins that
+    // merge-on-read equals copy-on-write bit-for-bit.
+    "k2_upsert_mor" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            (price + lit(1000).cast("decimal(18,2)")).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 1, "U").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val inc2 = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"),
+          (price + lit(3000).cast("decimal(18,2)")).cast("double")
+            .as("o_totalprice"),
+          lit("V").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2mor_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMor(
+          s, base, inc1, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMor(
+          s, base, inc2, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // METADATA-ONLY COLUMN RENAME via column mapping (r18) — the
+    // reference's pic -> cover (`modal/recording.py:47-49`), which a
+    // name-based store could only spell add+backfill+drop: seed v1
+    // carries `pic`, the rename commit moves ONLY metadata (the
+    // schema sidecar maps logical `cover` to physical `pic`), and a
+    // post-rename evolve-upsert writes `cover` values INTO the old
+    // physical column. The read projects old files' pic bytes and
+    // new files' bytes under one logical name — the oracle restates
+    // the merge with the rename applied, so the driver hash pins the
+    // whole logical→physical routing. SnapshotMergeSpec pins the
+    // metadata-only claim (identical data entries), time travel
+    // below the rename, and the guards.
+    "k2_upsert_rename" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 4)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pic"), pk)
+      val incoming = o.where(col("o_orderkey") % 20 === 4 || col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 4, concat(lit("C-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")).as("cover"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2rn_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.renameColumn(s, base, "pic", "cover")
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.readEvolved(s, base)
+          .select(col("o_orderkey"), col("cover"),
+            col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // STRING-KEY bloom-sidecar point lookup (r18) — the reference's
+    // natural lookup is `WHERE bvid = ?` (`db/recording.py:119-138`),
+    // a STRING key: same shape as k2_snapshot_bloom_skip but the
+    // sketch hashes the key's UTF-8 bytes (xxhash64, mirrored
+    // driver-side by XxHash64Function) instead of a bigint. Keys mix
+    // present and absent; oracle = the plain IN-filter.
+    "k2_snapshot_bloom_skip_str" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val skey = concat(lit("BV"), lpad(col("o_orderkey").cast("string"), 10, "0"))
+      val target = o.select(skey.as("bvid"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(32L)).as("pk"))
+      val base = java.nio.file.Files.createTempDirectory("graft_k2bls_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("bvid"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val batch = store.current().get._2.values.head
+        store.writeBatchBloom(batch, target.schema, Seq("pk"), "bvid")
+        store.readKeyLookupStr(target.schema, "bvid",
+            Seq(1L, 7L, 33L, 4000L, 55555L).map(k => f"BV$k%010d"))
+          .select(col("bvid"), col("o_totalprice"),
+            col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // CHANGE-FEED FOLLOWER drain (r18) — the poll-based CDC consumer
+    // ([[graft.streaming.ChangeFeedFollower]]): seed v1, update-merge
+    // v2, deletion-vector delete v3; a follower drains poll 1 after
+    // v2, persists its anchor, is "restarted", and drains poll 2
+    // after v3 — commits delivered strictly in version order, each
+    // stamped with its version. The v3 delete arrives through DV
+    // change detection (the manifest's data entries are
+    // byte-identical across a delete — only the #dv diff names the
+    // affected partitions). The oracle restates both commits' deltas
+    // from the inputs; the deleted keys' pre-images carry the v2
+    // UPDATED values (%40 ⊂ %20), which pins that the feed reads
+    // per-commit state, not the seed.
+    "k2_feed_follow" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val incoming = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (price + lit(1000).cast("decimal(18,2)")).cast("double")
+            .as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2ff_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"), retain = 4)
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val drained = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        def drain(anchor: Long): Long =
+          graft.streaming.ChangeFeedFollower.drainOnce(
+            store, target.schema, Seq("o_orderkey"), anchor) { (v, df) =>
+            drained += df.withColumn("commit_version", lit(v)).ckpt(true)
+          }
+        var anchor = store.currentVersion().get // consumer starts at v1
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, incoming, Seq("o_orderkey"), Seq("pk"), retain = 4)
+        anchor = drain(anchor) // poll 1 delivers v2
+        // "restart": the persisted anchor is all the state a consumer
+        // carries; v3 lands while it was down
+        store.deleteWhere(target.schema, col("o_orderkey") % 40 === 1)
+        anchor = drain(anchor) // poll 2 delivers v3
+        drained.reduce(_.unionByName(_))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"),
+            col("_change"), col("commit_version").cast("long").as("commit_version"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // Time-travel read through the snapshot version log (r11): seed
     // the table (v1), merge an update batch on top (v2), then read AS
     // OF v1 while CURRENT points at v2 — the oracle is simply the
@@ -1083,6 +1244,73 @@ object Pipeline extends QueryModule {
          WHERE o_orderkey % 10 = 1
            AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
            AND NOT (o_totalprice > 400000)""",
+    // sequential upsert semantics restated: the LAST update wins per
+    // key — merge-on-read must equal copy-on-write bit-for-bit
+    "k2_upsert_mor" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(3000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'V' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 10 = 1 AND o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2""",
+    // the rename applied: old rows' pic surfaces as cover, updated
+    // rows carry the new value written under the old physical column
+    "k2_upsert_rename" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderpriority AS pic, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 4),
+         inc AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 20 = 4 THEN 'C-' || o_orderpriority
+                  ELSE o_orderpriority END AS cover,
+             o_orderkey % 5 AS pk
+           FROM orders
+           WHERE o_orderkey % 20 = 4 OR o_orderkey % 10 = 5)
+         SELECT o_orderkey, cover, pk FROM inc
+         UNION ALL
+         SELECT o_orderkey, pic AS cover, pk FROM t
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)""",
+    "k2_snapshot_bloom_skip_str" ->
+      """SELECT 'BV' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS bvid,
+                o_totalprice, o_custkey % 32 AS pk
+         FROM orders
+         WHERE o_orderkey IN (1, 7, 33, 4000, 55555)""",
+    // both polls' deltas: v2 updates (post-images), v3 DV-deletes
+    // whose pre-images carry the v2 UPDATED values (%40 implies %20)
+    "k2_feed_follow" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk, 'update' AS _change,
+           CAST(2 AS BIGINT) AS commit_version
+         FROM t WHERE o_orderkey % 20 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk, 'delete' AS _change,
+           CAST(3 AS BIGINT) AS commit_version
+         FROM t WHERE o_orderkey % 40 = 1""",
     // readAt(v1) after a v2 merge must return exactly the seed
     // relation — the pre-merge table, not the merged one.
     "k2_snapshot_time_travel" ->

@@ -233,8 +233,36 @@ object Scalars extends QueryModule {
         .select(col("c_custkey"),
           md5(col("c_name")).as("digest"),
           translate(col("c_name"), "#0", "").as("stripped"))
+    }),
+
+    // F14: the WBI mixin-key shuffle (reference wbi.py:8-17) — the
+    // LAST in-scope §2 row: chars of the 64-char concatenated key
+    // picked at the fixed index table's first 32 positions. A pure
+    // projection (32 substrings + concat, all codegen'd); the 64-char
+    // input is derived per-row as md5(key)||md5(comment) so both
+    // engines build the identical fixture.
+    "f14_mixin_key" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .where(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"),
+          mixinKey(concat(md5(col("o_orderkey").cast("string")),
+            md5(col("o_orderpriority")))).as("mixin_key"))
     })
   )
+
+  /** `getMixinKey` (reference wbi.py:8-17): the fixed 64-entry index
+    * table, of which only the first 32 survive the `[:32]` truncation.
+    */
+  private val mixinTab = Seq(
+    46, 47, 18, 2, 53, 8, 23, 32, 15, 50, 10, 31, 58, 3, 45, 35,
+    27, 43, 5, 49, 33, 9, 42, 19, 29, 28, 14, 39, 12, 38, 41, 13)
+
+  /** Column spelling of the mixin shuffle: `concat` of one-char
+    * `substring`s at the table's (1-based) positions — Catalyst folds
+    * this into a single codegen'd projection, no UDF.
+    */
+  def mixinKey(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(mixinTab.map(i => substring(key, i + 1, 1)): _*)
 
   def oracle: Map[String, String] = Map(
     "f1_regex_datetime" ->
@@ -339,11 +367,21 @@ object Scalars extends QueryModule {
            CASE WHEN json_valid(payload)
                 THEN json_extract_string(payload, '$.t') END AS t,
            CASE WHEN NOT json_valid(payload) THEN payload END AS corrupt,
-           CAST(NOT json_valid(payload) AS INT) AS is_corrupt
+           CAST(coalesce(NOT json_valid(payload), FALSE) AS INT) AS is_corrupt
          FROM t""",
     "f12_md5_translate" ->
       """SELECT c_custkey, md5(c_name) AS digest,
            translate(c_name, '#0', '') AS stripped
-         FROM customer WHERE c_custkey < 2000"""
+         FROM customer WHERE c_custkey < 2000""",
+    // the same fixed index table, 1-based in DuckDB's substr
+    "f14_mixin_key" ->
+      """SELECT o_orderkey,
+           array_to_string(
+             [substr(md5(CAST(o_orderkey AS VARCHAR)) || md5(o_orderpriority),
+                     i + 1, 1)
+              for i in [46, 47, 18, 2, 53, 8, 23, 32, 15, 50, 10, 31,
+                        58, 3, 45, 35, 27, 43, 5, 49, 33, 9, 42, 19,
+                        29, 28, 14, 39, 12, 38, 41, 13]], '') AS mixin_key
+         FROM orders WHERE o_orderkey < 5000"""
   )
 }

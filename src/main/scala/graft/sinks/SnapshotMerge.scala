@@ -80,6 +80,7 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
+    requireNoMappedLogicalCols(store, incoming0.schema)
     val spark = store.spark
     // dropDuplicates BEFORE the pin: Merge.upsertUpdate's
     // arbitrary-winner collapse, evaluated once
@@ -340,6 +341,118 @@ object SnapshotMerge {
     throw new IllegalStateException("unreachable")
   }
 
+  // --- COLUMN MAPPING (r18) -------------------------------------------
+  //
+  // Logical→physical name indirection, the production-format answer
+  // (Delta column mapping / Iceberg field ids) to two limits of a
+  // name-based store: RENAME needed add+backfill+drop, and re-ADDING
+  // a dropped name resurrected its pre-drop bytes from un-rewritten
+  // files. Each persisted schema field may carry metadata key
+  // `graft.phys` = the IMMUTABLE physical column name its bytes live
+  // under in every data file; absent = the logical name (pre-mapping
+  // tables read identically). Writers write files under physical
+  // names; readers project physical→logical. Partition columns never
+  // map (their values live in directory names — renaming one is a
+  // relayout, refused like dropColumn refuses their drop).
+
+  private[sinks] val PhysKey = "graft.phys"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  private def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
+
+  private def toLogical(df: DataFrame, s: StructType): DataFrame =
+    df.select(s.fields.toSeq.map(f => col(physName(f)).as(f.name)): _*)
+
+  private def toPhys(df: DataFrame, s: StructType): DataFrame =
+    df.select(s.fields.toSeq.map(f => col(f.name).as(physName(f))): _*)
+
+  /** Physical name for `logical` under schema `s` (identity when the
+    * field is unmapped or absent).
+    */
+  private def physOf(s: StructType, logical: String): String =
+    s.fields.find(_.name == logical).map(physName).getOrElse(logical)
+
+  /** Guard for the NON-mapping write paths ([[merge]] front doors,
+    * [[upsertMor]]): once a table has a renamed column, a frame still
+    * carrying the renamed field's LOGICAL name would stage files whose
+    * bytes the mapped reader can never project (it reads the physical
+    * name) — silent data loss. Fail loudly and point at the
+    * mapping-aware path instead.
+    */
+  private def requireNoMappedLogicalCols(store: SnapshotStore,
+      incoming: StructType): Unit =
+    store.currentSchema().foreach { sch =>
+      val offending = sch.fields
+        .filter(f => physName(f) != f.name)
+        .map(_.name).filter(incoming.fieldNames.contains)
+      require(offending.isEmpty,
+        s"table has column mapping for [${offending.mkString(", ")}] " +
+          "(renamed columns); write through upsertEvolve, which routes " +
+          "logical names to their physical columns")
+    }
+
+  /** Metadata-only column RENAME: commits the SAME data entries,
+    * slices, and deletion vectors under a schema whose field is
+    * logically renamed while its `graft.phys` metadata pins the
+    * physical name the existing files already carry — zero bytes
+    * rewritten, reads at or after this version project old files'
+    * physical column under the new logical name, and time travel
+    * below it still reads the old name (per-version schema history).
+    * The reference analogue is `pic` -> `cover`
+    * (`modal/recording.py:47-49`), which a name-based store could
+    * only spell as add+backfill+drop.
+    *
+    * Refused for partition columns (values live in directory names)
+    * and when `newName` already exists. Renaming to a name USED
+    * BEFORE (even dropped) is safe: the schema keeps resolving this
+    * field through its physical name, and a future re-ADD of any
+    * dropped name allocates a fresh physical name
+    * ([[freshPhysName]]), so bytes can never cross-talk.
+    */
+  def renameColumn(spark: SparkSession, rootDir: String,
+      oldName: String, newName: String): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (version, sized, dvs, mors) = store.currentResolved().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val schema = storedSchema(spark, store).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    require(schema.fieldNames.contains(oldName),
+      s"column '$oldName' does not exist (have: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    val partCols = sized.keys
+      .flatMap(_.split('/').map(_.takeWhile(_ != '='))).toSet
+    require(!partCols.contains(oldName),
+      s"cannot rename partition column '$oldName' (partition values live in " +
+        "directory names; that is a relayout, not a metadata evolution)")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name != oldName) f
+      else org.apache.spark.sql.types.StructField(newName, f.dataType, f.nullable,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
+    })
+    // same crash contract as dropColumn: schema written after the
+    // commit it describes; a crash between the two leaves a committed
+    // version whose schema falls back to its predecessor's (the
+    // rename "did not happen") — self-healing, never torn
+    store.commitSized(version + 1, sized, Some(version), dvs, mors)
+    store.writeSchemaFile(version + 1, newSchema)
+  }
+
+  /** A physical name for newly-added logical field `name` that no
+    * schema in the table's history ever used — re-adding a dropped
+    * name must NOT resolve to the dropped column's bytes still
+    * present in un-rewritten files (the resurrect limit column
+    * mapping exists to remove).
+    */
+  private def freshPhysName(name: String, usedPhys: Set[String]): String =
+    if (!usedPhys(name)) name
+    else Iterator.from(1).map(k => s"${name}__r$k").find(!usedPhys(_)).get
+
   /** Wider member of a SUPPORTED metadata-only type-widening pair —
     * the pairs Spark 4's vectorized parquet reader upcasts natively
     * when old files carry the narrow physical type under a wider
@@ -422,11 +535,25 @@ object SnapshotMerge {
           }
         }
         val storedNames = s.fieldNames.toSet
-        StructType(resolved ++
-          incoming.schema.fields.filterNot(f => storedNames(f.name))
-            .map(_.copy(nullable = true)))
+        // a NEW logical name takes a physical name no schema in the
+        // table's history ever used — re-adding a dropped name must
+        // get fresh NULLs, never the dropped column's leftover bytes
+        // (column mapping, r18)
+        val usedPhys: Set[String] =
+          (store.schemaHistory() :+ s).flatMap(_.fields.map(physName)).toSet
+        val newFields = incoming.schema.fields
+          .filterNot(f => storedNames(f.name)).map { f =>
+            val p = freshPhysName(f.name, usedPhys)
+            if (p == f.name) f.copy(nullable = true)
+            else f.copy(nullable = true,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putString(PhysKey, p).build())
+          }
+        StructType(resolved ++ newFields)
     }
-    val widened = widenTo(incoming, union)
+    val widened = toPhys(widenTo(incoming, union), union)
+    val physKeys = keys.map(physOf(union, _))
+    val physStats = statsCols.map(physOf(union, _))
     // The sidecar is written ONLY for the version THIS call committed
     // ([[merge]] returns it; None = empty incoming, nothing committed,
     // nothing to describe). Re-reading currentVersion() here instead
@@ -436,8 +563,8 @@ object SnapshotMerge {
     // schemaAt(v)/time-travel for an existing commit. Written AFTER
     // the commit it describes; see the schemas/ note on SnapshotStore
     // for why the crash window self-heals.
-    merge(spark, rootDir, widened, partCols, retain, statsCols)(
-      (target, inc) => Merge.upsertUpdate(target, inc, keys))
+    merge(spark, rootDir, widened, partCols, retain, physStats)(
+      (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
       .foreach(v => store.writeSchemaFile(v, union))
   }
 
@@ -455,14 +582,13 @@ object SnapshotMerge {
     * and for the last remaining column. Keys are the caller's
     * concern, as everywhere in this layer.
     *
-    * DOCUMENTED LIMIT (name-based store): re-ADDING a dropped name
-    * via [[upsertEvolve]] RESURRECTS the pre-drop values still
-    * physically present in un-rewritten files — the production
-    * formats prevent this with column mapping (immutable physical
-    * ids behind logical names), which this store does not implement.
-    * SnapshotMergeSpec pins the resurrect behavior as the defined
-    * semantics so a user hits documentation, not surprise. Compact
-    * before re-adding a dropped name to get fresh-null semantics.
+    * Re-ADDING a dropped name via [[upsertEvolve]] yields FRESH
+    * NULLs, never the pre-drop values still physically present in
+    * un-rewritten files: the re-added field is assigned a physical
+    * name no schema in the table's history ever used
+    * ([[freshPhysName]] — the column-mapping indirection, r18; the
+    * r17 name-based resurrect limit is gone). SnapshotMergeSpec pins
+    * the fresh-null behavior.
     */
   def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
@@ -489,13 +615,29 @@ object SnapshotMerge {
 
   /** Read the committed snapshot under its PERSISTED (evolved)
     * schema; falls back to footer inference for a pre-evolution
-    * table.
+    * table. Column mapping applies: files are scanned under each
+    * field's PHYSICAL name and projected to its logical name, so a
+    * rename is visible here the instant its metadata commit lands.
     */
   def readEvolved(spark: SparkSession, rootDir: String): DataFrame = {
     val store = new SnapshotStore(spark, new Path(rootDir))
     val schema = storedSchema(spark, store).getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
-    store.read(schema)
+    toLogical(store.read(physSchema(schema)), schema)
+  }
+
+  /** Time-travel [[readEvolved]]: the table AS OF committed `version`,
+    * under the schema THAT version carried — a read below a rename
+    * still sees the old logical name, below a drop still sees the
+    * column (per-version schema history, the MVCC face of the
+    * evolution layer).
+    */
+  def readEvolvedAt(spark: SparkSession, rootDir: String,
+      version: Long): DataFrame = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val schema = store.schemaAt(version).orElse(storedSchema(spark, store))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $rootDir"))
+    toLogical(store.readAt(version, physSchema(schema)), schema)
   }
 
   /** The table's effective schema: the persisted one when present,
@@ -668,6 +810,7 @@ object SnapshotMerge {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
+    requireNoMappedLogicalCols(store, incoming0.schema)
 
     // One evaluation of the incoming plan: the merge runs a distinct
     // collect AND the staged write (whose mergeFn may reference

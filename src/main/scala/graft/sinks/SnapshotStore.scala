@@ -296,6 +296,24 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   def currentSchema(): Option[StructType] =
     currentVersion().flatMap(schemaAt)
 
+  /** EVERY persisted schema, ascending by version — the column-mapping
+    * layer scans it for physical names ever used, so a re-added
+    * logical name can never collide with a dropped column's bytes
+    * still sitting in un-rewritten files. Schema sidecars are never
+    * vacuumed (metadata-sized, one per evolving commit), so the scan
+    * is complete for the table's whole life.
+    */
+  def schemaHistory(): Seq[StructType] = {
+    if (!fs.exists(schemasDir)) return Nil
+    fs.listStatus(schemasDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("schema-v-") && n.endsWith(".json"))
+      .map(n => parseVersion(n.stripPrefix("schema-").stripSuffix(".json")))
+      .sorted.toSeq
+      .map(v => org.apache.spark.sql.types.DataType.fromJson(
+        readSmallFile(new Path(schemasDir,
+          s"schema-${versionName(v)}.json"))).asInstanceOf[StructType])
+  }
+
 
   /** Live partition map with recorded sizes. Format v1
     * (`graft-snapshot 1`, `suffix\tbatch`) reads with unknown bytes

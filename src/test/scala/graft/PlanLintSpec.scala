@@ -176,4 +176,49 @@ class PlanLintSpec extends SparkFunSuite {
       Dedup.releaseCheckpoints(e)
     }
   }
+
+  test("coreness broadcast gate: above the node cap the loop plans ZERO static broadcasts, same answer") {
+    // The r17 verdict's named scale-killer: coreness broadcast
+    // node-scale state unconditionally — fine while |nodes| is
+    // dimension-sized, a driver bomb on a billion-node graph. The
+    // gate (broadcastNodeCap, the pageRank/labelProp discipline) must
+    // flip every per-round join to the shuffle path with the answer
+    // bit-identical on both sides.
+    // autoBroadcastJoinThreshold = -1 removes every STATS-driven
+    // broadcast (the toy fixture's honest few-KB sizes would
+    // otherwise let the planner broadcast on its own and muddy the
+    // signal), so any static broadcast left can only come from the
+    // loop's explicit hints — exactly what the gate must control.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (edges, _, _) = cliqueEdges(s)
+    val e = edges.localCheckpoint(true)
+    try {
+      val probeHinted = new BroadcastProbe(s)
+      val want = try {
+        val hinted = Graph.coreness(e)
+        val w = hinted.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        Dedup.releaseCheckpoints(hinted)
+        // below the cap the hints must fire even with stats-driven
+        // broadcasting off — that is what keeps rounds shuffle-free
+        assert(probeHinted.settle().nonEmpty,
+          "hinted run must broadcast its node-scale sides")
+        w
+      } finally probeHinted.detach()
+      val probe = new BroadcastProbe(s)
+      try {
+        val gated = Graph.coreness(e, broadcastNodeCap = 0L)
+        val got = gated.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        Dedup.releaseCheckpoints(gated)
+        assert(got == want, "gated (shuffle-join) coreness must equal the hinted run")
+        // above the cap NO static broadcast may survive — AQE runtime
+        // conversions (AQEShuffleRead children) are measured-size
+        // decisions that self-correct at scale and stay allowed
+        val planned = probe.settle().filter(_._1 != "AQEShuffleRead")
+        assert(planned.isEmpty,
+          s"above the node cap the loop must plan no static broadcasts: $planned")
+      } finally probe.detach()
+    } finally Dedup.releaseCheckpoints(e)
+  }
 }

@@ -264,7 +264,7 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(e.getMessage.contains("type conflict"))
   }
 
-  test("dropColumn is metadata-only; history, guards, and the re-add limit are pinned") {
+  test("dropColumn is metadata-only; history, guards, and fresh-null re-add are pinned") {
     val dir = tmp("sdrop")
     SnapshotMerge.upsertEvolve(spark, dir,
       Seq((0L, "a", 10L, 0L), (1L, "b", 20L, 1L)).toDF("id", "v", "score", "pk"),
@@ -289,18 +289,84 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(intercept[IllegalArgumentException] {
       SnapshotMerge.dropColumn(spark, dir, "nope")
     }.getMessage.contains("does not exist"))
-    // DOCUMENTED LIMIT (name-based store, no column mapping): re-adding
-    // the dropped name resurrects pre-drop values still physically
-    // present in un-rewritten files — pinned as the defined semantics
+    // COLUMN MAPPING (r18): re-adding the dropped name allocates a
+    // FRESH physical name, so pre-drop bytes still sitting in
+    // un-rewritten files can never resurrect — rows not re-upserted
+    // read NULL under the re-added column (the r17 name-based
+    // resurrect limit is gone)
     SnapshotMerge.upsertEvolve(spark, dir,
       Seq((2L, "c", 99L, 0L)).toDF("id", "v", "score", "pk"),
-      Seq("id"), Seq("pk"))
+      Seq("id"), Seq("pk"), retain = 4)
     val revived = SnapshotMerge.readEvolved(spark, dir).collect()
       .map(r => r.getAs[Long]("id") ->
         Option(r.get(r.fieldIndex("score")))).toMap
     assert(revived(2L).contains(99L))
-    assert(revived(1L).contains(20L), // pk=1 file untouched since v1
-      "pre-drop bytes resurrect under the re-added name (documented)")
+    assert(revived(1L).isEmpty, // pk=1 file untouched since v1
+      "pre-drop bytes must NOT resurrect under the re-added name (column mapping)")
+    assert(revived(0L).isEmpty,
+      "a row re-upserted before the re-add must read NULL too")
+    // ... while time travel below the drop still reads the ORIGINAL
+    // column through its original physical name
+    assert(SnapshotMerge.readEvolvedAt(spark, dir, 1L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("score")).toMap ==
+      Map(0L -> 10L, 1L -> 20L))
+  }
+
+  test("renameColumn is metadata-only; reads, writes, and time travel route through column mapping") {
+    val dir = tmp("srename")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "p0", 0L), (1L, "p1", 1L)).toDF("id", "pic", "pk"),
+      Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v1 = store.currentVersion().get
+    val before = store.currentSized().get._2
+    SnapshotMerge.renameColumn(spark, dir, "pic", "cover")
+    // metadata-only: identical data entries, no rewrite
+    assert(store.currentSized().get._2 == before)
+    assert(store.currentSchema().get.fieldNames.toSeq == Seq("id", "cover", "pk"))
+    // old files' 'pic' bytes project under the new logical name
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cover")).toMap ==
+      Map(0L -> "p0", 1L -> "p1"))
+    // writes with the new logical name land in the OLD physical column
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "c0", 0L), (2L, "c2", 0L)).toDF("id", "cover", "pk"),
+      Seq("id"), Seq("pk"), retain = 4)
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cover")).toMap ==
+      Map(0L -> "c0", 1L -> "p1", 2L -> "c2"))
+    // the staged batch's files physically carry 'pic', not 'cover'
+    val pk0Batch = store.current().get._2("pk=0")
+    assert(spark.read.parquet(store.dataPath(pk0Batch).toString)
+      .schema.fieldNames.contains("pic"))
+    // time travel below the rename still reads 'pic'
+    val pre = SnapshotMerge.readEvolvedAt(spark, dir, v1)
+    assert(pre.columns.contains("pic") && !pre.columns.contains("cover"))
+    assert(pre.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pic"))
+      .toMap == Map(0L -> "p0", 1L -> "p1"))
+    // a second rename keeps routing through the original physical name
+    SnapshotMerge.renameColumn(spark, dir, "cover", "artwork")
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("artwork")).toMap ==
+      Map(0L -> "c0", 1L -> "p1", 2L -> "c2"))
+    // guards: partition column, collision with an existing name
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.renameColumn(spark, dir, "pk", "bucket")
+    }.getMessage.contains("partition column"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.renameColumn(spark, dir, "id", "artwork")
+    }.getMessage.contains("already exists"))
+    // the non-mapping write paths refuse a frame carrying the renamed
+    // LOGICAL name — staging it would write bytes the mapped reader
+    // can never project
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((3L, "x", 0L)).toDF("id", "artwork", "pk"), Seq("id"), Seq("pk"))
+    }.getMessage.contains("column mapping"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertMor(spark, dir,
+        Seq((3L, "x", 0L)).toDF("id", "artwork", "pk"), Seq("id"), Seq("pk"))
+    }.getMessage.contains("column mapping"))
   }
 
   test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
