@@ -29,19 +29,29 @@ import org.apache.spark.sql.types.StructType
   */
 object SnapshotMerge {
 
-  /** K1 on a snapshot table: keep existing rows, add unseen keys. */
+  /** K1 on a snapshot table: keep existing rows, add unseen keys.
+    * Accepts logical names on renamed (column-mapped) tables.
+    */
   def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit =
-    merge(spark, rootDir, incoming, partCols, retain, statsCols)(
-      (target, inc) => Merge.upsertIgnore(target, inc, keys))
+      statsCols: Seq[String] = Nil): Unit = {
+    val (inc, ks, sc) = toPhysIncoming(
+      new SnapshotStore(spark, new Path(rootDir)), incoming, keys, statsCols)
+    merge(spark, rootDir, inc, partCols, retain, sc)(
+      (target, i) => Merge.upsertIgnore(target, i, ks))
+  }
 
-  /** K2 on a snapshot table: incoming wins on key collision. */
+  /** K2 on a snapshot table: incoming wins on key collision.
+    * Accepts logical names on renamed (column-mapped) tables.
+    */
   def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit =
-    merge(spark, rootDir, incoming, partCols, retain, statsCols)(
-      (target, inc) => Merge.upsertUpdate(target, inc, keys))
+      statsCols: Seq[String] = Nil): Unit = {
+    val (inc, ks, sc) = toPhysIncoming(
+      new SnapshotStore(spark, new Path(rootDir)), incoming, keys, statsCols)
+    merge(spark, rootDir, inc, partCols, retain, sc)(
+      (target, i) => Merge.upsertUpdate(target, i, ks))
+  }
 
   /** K2 via MERGE-ON-READ — [[upsertUpdate]] semantics (incoming wins
     * on key collision, duplicate incoming keys collapse to one
@@ -80,11 +90,13 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
-    requireNoMappedLogicalCols(store, incoming0.schema)
+    // renamed (column-mapped) tables: logical incoming routes to the
+    // physical columns, exactly like the CoW fronts
+    val (incMapped, keysPhys, _) = toPhysIncoming(store, incoming0, keys)
     val spark = store.spark
     // dropDuplicates BEFORE the pin: Merge.upsertUpdate's
     // arbitrary-winner collapse, evaluated once
-    val incoming = incoming0.dropDuplicates(keys).ckpt(true)
+    val incoming = incMapped.dropDuplicates(keysPhys).ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     if (parts.isEmpty) return None
@@ -110,7 +122,7 @@ object SnapshotMerge {
         curMors.map(m => m._1 -> m._2.batch),
       incoming.schema, touched, curDvs)
     val hits = liveMeta
-      .join(incoming.select(keys.map(col): _*), keys, "left_semi")
+      .join(incoming.select(keysPhys.map(col): _*), keysPhys, "left_semi")
       .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
 
     // Stage the append slice (unreferenced until the commit): the
@@ -376,12 +388,13 @@ object SnapshotMerge {
   private def physOf(s: StructType, logical: String): String =
     s.fields.find(_.name == logical).map(physName).getOrElse(logical)
 
-  /** Guard for the NON-mapping write paths ([[merge]] front doors,
-    * [[upsertMor]]): once a table has a renamed column, a frame still
-    * carrying the renamed field's LOGICAL name would stage files whose
-    * bytes the mapped reader can never project (it reads the physical
-    * name) — silent data loss. Fail loudly and point at the
-    * mapping-aware path instead.
+  /** Guard for the generic [[merge]] front door: once a table has a
+    * renamed column, a frame still carrying the renamed field's
+    * LOGICAL name would stage files whose bytes the mapped reader can
+    * never project (it reads the physical name) — silent data loss.
+    * Fail loudly and point at a mapping-aware path instead. (The
+    * keyed fronts — [[upsertUpdate]], [[upsertIgnore]], [[upsertMor]]
+    * — translate instead of refusing, via [[toPhysIncoming]].)
     */
   private def requireNoMappedLogicalCols(store: SnapshotStore,
       incoming: StructType): Unit =
@@ -391,8 +404,24 @@ object SnapshotMerge {
         .map(_.name).filter(incoming.fieldNames.contains)
       require(offending.isEmpty,
         s"table has column mapping for [${offending.mkString(", ")}] " +
-          "(renamed columns); write through upsertEvolve, which routes " +
-          "logical names to their physical columns")
+          "(renamed columns); write through upsertEvolve/upsertUpdate/" +
+          "upsertMor, which route logical names to their physical columns")
+    }
+
+  /** Translate a LOGICAL incoming frame + key list to PHYSICAL space
+    * when the table maps any column (identity otherwise, and for
+    * fields outside the persisted schema) — what lets the keyed write
+    * fronts accept logical names on renamed tables.
+    */
+  private def toPhysIncoming(store: SnapshotStore, incoming: DataFrame,
+      keys: Seq[String], statsCols: Seq[String] = Nil)
+      : (DataFrame, Seq[String], Seq[String]) =
+    store.currentSchema() match {
+      case Some(sch) if sch.fields.exists(f => physName(f) != f.name) =>
+        (incoming.select(incoming.columns.toSeq.map(c =>
+          col(c).as(physOf(sch, c))): _*),
+          keys.map(physOf(sch, _)), statsCols.map(physOf(sch, _)))
+      case _ => (incoming, keys, statsCols)
     }
 
   /** Metadata-only column RENAME: commits the SAME data entries,

@@ -1708,6 +1708,42 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     vacuum()
   }
 
+  /** SLICE-TRIGGERED compaction — the merge-on-read maintenance
+    * autopilot: rewrite ONLY the partitions whose `#mor` slice count
+    * has reached `maxSlices` (base + slices, DV-filtered, into one
+    * fresh batch — materializing their slices AND their tombstones),
+    * carrying every other partition forward by reference. A table hot
+    * partitions hammer with MoR commits accumulates slice fan-out
+    * (each slice is one more scan subtree per read) while its cold
+    * bulk needs nothing; full compaction would rewrite the world to
+    * fix fragmentation that lives in a handful of suffixes. Same
+    * crash contract as every rewrite; no-op when nothing is hot.
+    */
+  def compactSlices(schema: StructType, partCols: Seq[String],
+      maxSlices: Int): Unit = {
+    require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
+    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
+    val hot = mors.groupBy(_._1).view.mapValues(_.size).toMap
+      .filter(_._2 >= maxSlices).keySet
+    if (hot.isEmpty) return
+    val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
+    readPartitions(schema, hot)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(dataPath(batch).toString)
+    val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
+    requirePartitionsPreserved(written.keySet, hot,
+      sized, mors, dvs, schema, "slice compaction")
+    // hot partitions' slices materialized; everyone else's carry.
+    // DVs carry whole (kept batches' files still need theirs; the
+    // rewritten files' entries are no-ops against dead paths).
+    commitSized(version + 1,
+      (sized -- (hot -- written.keySet)) ++ written.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(batch, sz)
+      }, Some(version), dvs, mors.filterNot(m => hot(m._1)))
+    vacuum()
+  }
+
   /** Rewrite every live partition into ONE fresh batch and commit it
     * as the next version — bounds read fragmentation (each referenced
     * batch dir costs the reader a scan subtree) after many incremental

@@ -356,17 +356,62 @@ class SnapshotMergeSpec extends SparkFunSuite {
     assert(intercept[IllegalArgumentException] {
       SnapshotMerge.renameColumn(spark, dir, "id", "artwork")
     }.getMessage.contains("already exists"))
-    // the non-mapping write paths refuse a frame carrying the renamed
-    // LOGICAL name — staging it would write bytes the mapped reader
-    // can never project
+    // the keyed write fronts ACCEPT logical names on the renamed
+    // table — upsertUpdate (CoW) and upsertMor (merge-on-read) both
+    // translate to the physical column before staging
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((3L, "x3", 0L)).toDF("id", "artwork", "pk"), Seq("id"), Seq("pk"),
+      retain = 4)
+    SnapshotMerge.upsertMor(spark, dir,
+      Seq((1L, "m1", 1L), (4L, "m4", 1L)).toDF("id", "artwork", "pk"),
+      Seq("id"), Seq("pk"), retain = 4)
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("artwork")).toMap ==
+      Map(0L -> "c0", 1L -> "m1", 2L -> "c2", 3L -> "x3", 4L -> "m4"))
+    // ... while the GENERIC merge front still refuses the logical
+    // name (its mergeFn captures caller column names the layer cannot
+    // translate)
     assert(intercept[IllegalArgumentException] {
-      SnapshotMerge.upsertUpdate(spark, dir,
-        Seq((3L, "x", 0L)).toDF("id", "artwork", "pk"), Seq("id"), Seq("pk"))
+      SnapshotMerge.merge(spark, dir,
+        Seq((9L, "z", 0L)).toDF("id", "artwork", "pk"), Seq("pk"))(
+        (t, i) => t.unionByName(i))
     }.getMessage.contains("column mapping"))
-    assert(intercept[IllegalArgumentException] {
-      SnapshotMerge.upsertMor(spark, dir,
-        Seq((3L, "x", 0L)).toDF("id", "artwork", "pk"), Seq("id"), Seq("pk"))
-    }.getMessage.contains("column mapping"))
+  }
+
+  test("compactSlices folds only slice-hot partitions; content and cold entries untouched") {
+    val dir = tmp("sslice")
+    SnapshotMerge.upsertUpdate(spark, dir,
+      (0L until 10L).map(i => (i, s"t$i", i % 5)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    // pk=0 takes three MoR slices (hot); pk=1 takes one (cold)
+    Seq((0L, "a", 0L), (5L, "b", 0L), (0L, "c", 0L)).zipWithIndex.foreach {
+      case ((id, v, pk), _) =>
+        SnapshotMerge.upsertMor(spark, dir,
+          Seq((id, v, pk)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"),
+          retain = 8)
+    }
+    SnapshotMerge.upsertMor(spark, dir,
+      Seq((1L, "d", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    val schema = (0L until 1L).map(i => (i, "x", i)).toDF("id", "v", "pk").schema
+    val before = SnapshotMerge.read(spark, dir, schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    val (_, entriesB, _, morsB) = store.currentResolved().get
+    assert(morsB.count(_._1 == "pk=0") == 3 && morsB.count(_._1 == "pk=1") == 1)
+    store.compactSlices(schema, Seq("pk"), maxSlices = 3)
+    val (_, entriesA, dvsA, morsA) = store.currentResolved().get
+    assert(morsA.map(_._1) == Seq("pk=1"),
+      "only the slice-hot partition's slices materialize")
+    assert(entriesA("pk=0") != entriesB("pk=0"), "hot partition rewritten")
+    assert((entriesA - "pk=0") == (entriesB - "pk=0"),
+      "cold partitions carried by reference, byte-identical")
+    assert(SnapshotMerge.read(spark, dir, schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap == before)
+    // below the threshold: a no-op commit-wise
+    val vBefore = store.currentVersion().get
+    store.compactSlices(schema, Seq("pk"), maxSlices = 3)
+    assert(store.currentVersion().get == vBefore)
+    assert(dvsA.nonEmpty, "fixture sanity: the MoR updates left tombstones to carry")
   }
 
   test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
