@@ -144,6 +144,64 @@ object WarehouseScaleProbe {
         java.nio.file.Paths.get(base).getParent.toFile)
     }
 
+    // --- MoR vs CoW write amplification (r18) --------------------
+    // The claim upsertMor exists for: a small per-cycle update batch
+    // against a large partitioned table stages bytes proportional to
+    // the BATCH under merge-on-read vs proportional to the TOUCHED
+    // PARTITIONS under copy-on-write. Three cron-shaped cycles
+    // (~0.5% of keys, spread over every partition — the worst CoW
+    // case and the reference's actual update shape) on two tables
+    // seeded identically; per-cycle staged bytes = the new batch
+    // dir's size, read back from the manifest the commit recorded.
+    {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(32L)).as("pk"))
+      def cycle(i: Int) = o.where(col("o_orderkey") % 211 === i)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)")
+            + lit(i).cast("decimal(18,2)")).cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), col("pk"))
+      def newBatchBytes(store: graft.sinks.SnapshotStore,
+          before: Set[String]): Long = {
+        val (_, entries, _, mors) = store.currentResolved().get
+        (entries.values.toSeq ++ mors.map(_._2))
+          .filter(e => !before.contains(e.batch)).map(_.bytes).sum
+      }
+      def run(mor: Boolean): (Double, Seq[Long]) = {
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft_wsp_mor_$mor").toString + "/t"
+        graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
+          Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+        val bytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val (_, s) = timed {
+          (0 until 3).foreach { i =>
+            val before = store.currentResolved().get match {
+              case (_, e, _, m) => e.values.map(_.batch).toSet ++ m.map(_._2.batch)
+            }
+            if (mor) graft.sinks.SnapshotMerge.upsertMor(spark, base,
+              cycle(i), Seq("o_orderkey"), Seq("pk"), retain = 8)
+            else graft.sinks.SnapshotMerge.upsertUpdate(spark, base,
+              cycle(i), Seq("o_orderkey"), Seq("pk"), retain = 8)
+            bytes += newBatchBytes(store, before)
+          }
+        }
+        // pure updates of existing keys: the row count must not move
+        val n = graft.sinks.SnapshotMerge.read(spark, base, o.schema).count()
+        require(n == o.count(), s"row count drifted: $n vs ${o.count()}")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base).getParent.toFile)
+        (s, bytes.toSeq)
+      }
+      val (cowS, cowB) = run(mor = false)
+      val (morS, morB) = run(mor = true)
+      out += s"""{"probe":"mor_write","cycles":3,""" +
+        s""""cow_s":${f(cowS)},"mor_s":${f(morS)},""" +
+        s""""cow_staged_bytes":[${cowB.mkString(",")}],""" +
+        s""""mor_staged_bytes":[${morB.mkString(",")}]}"""
+    }
+
     println(out.mkString("[", ",", "]"))
     spark.stop()
   }

@@ -506,6 +506,56 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // MoR MAINTENANCE: the same two stacked merge-on-read commits as
+    // k2_upsert_mor, then compactSlices folds the slice-hot
+    // partitions (materializing their slices AND tombstones) before
+    // the read — the oracle is IDENTICAL to k2_upsert_mor's, so the
+    // driver hash pins that slice compaction is content-invariant
+    // end-to-end (the spec pins the mechanism: only hot partitions
+    // rewritten, cold entries byte-identical).
+    "k2_mor_compact" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            (price + lit(1000).cast("decimal(18,2)")).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 1, "U").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val inc2 = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"),
+          (price + lit(3000).cast("decimal(18,2)")).cast("double")
+            .as("o_totalprice"),
+          lit("V").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2mc_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMor(
+          s, base, inc1, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMor(
+          s, base, inc2, Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        store.compactSlices(target.schema, Seq("pk"), maxSlices = 2)
+        // fixture shape: target keys ≡1 (mod 10) all land in pk=1 (10
+        // is a multiple of 5), inserts ≡2 (mod 10) in pk=2 — so pk=1
+        // carries both slices (hot at maxSlices=2) and pk=2 none; the
+        // fold must leave ZERO slice lines
+        val (_, _, _, mors) = store.currentResolved().get
+        require(mors.isEmpty, s"slice compaction left slices: $mors")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // METADATA-ONLY COLUMN RENAME via column mapping (r18) — the
     // reference's pic -> cover (`modal/recording.py:47-49`), which a
     // name-based store could only spell add+backfill+drop: seed v1
@@ -1244,6 +1294,31 @@ object Pipeline extends QueryModule {
          WHERE o_orderkey % 10 = 1
            AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
            AND NOT (o_totalprice > 400000)""",
+    // content-invariance of slice compaction: identical oracle to
+    // k2_upsert_mor (the fold only rearranges bytes)
+    "k2_mor_compact" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(3000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'V' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 10 = 1 AND o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2""",
     // sequential upsert semantics restated: the LAST update wins per
     // key — merge-on-read must equal copy-on-write bit-for-bit
     "k2_upsert_mor" ->

@@ -1110,6 +1110,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         item, expectedItems, numBits).as("__bf"))
       .collect()
     val sb = new StringBuilder
+    // MULTI-COLUMN sidecars (r18): a batch's existing sketch lines for
+    // OTHER columns carry forward, so indexing a second lookup column
+    // composes instead of clobbering (same-column lines are replaced —
+    // a re-index with new sizing wins)
+    val existing = new Path(statsDir, s"$batch.bloom")
+    if (fs.exists(existing))
+      readSmallFile(existing).split('\n').filter(_.nonEmpty).foreach { l =>
+        if (l.split('\t')(1) != bloomCol) sb.append(l).append('\n')
+      }
     rows.foreach { r =>
       val i = partCols.size
       if (!r.isNullAt(i)) {
@@ -1122,8 +1131,11 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     fs.mkdirs(statsDir)
     val tmp = new Path(statsDir, s".tmp-$batch.bloom")
     writeFile(tmp, sb.toString)
-    require(fs.rename(tmp, new Path(statsDir, s"$batch.bloom")),
-      s"bloom sidecar rename failed for $batch")
+    // overwrite-rename: a second column's write REPLACES the sidecar
+    // it just merged (plain rename refuses an existing destination);
+    // single metadata op, same atomicity as the pointer swap
+    val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new Path(statsDir, s"$batch.bloom"), Options.Rename.OVERWRITE)
   }
 
   /** Point-lookup read through the bloom sidecars: keep only the

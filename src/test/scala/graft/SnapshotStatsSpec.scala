@@ -308,12 +308,43 @@ class SnapshotStatsSpec extends SparkFunSuite {
       Seq((300L, 300.0, 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
     assert(st.readKeyLookup(t.schema, "id", Seq(300L)).collect()
       .map(_.getLong(0)).toSeq == Seq(300L))
-    // guards: non-integral and partition columns are refused
+    // guards: non-integral-non-string and partition columns are refused
     assert(intercept[IllegalArgumentException] {
       st.writeBatchBloom(batch, t.schema, Seq("pk"), "v")
-    }.getMessage.contains("integral"))
+    }.getMessage.contains("integral or string"))
     assert(intercept[IllegalArgumentException] {
       st.writeBatchBloom(batch, t.schema, Seq("pk"), "pk")
     }.getMessage.contains("partition column"))
+  }
+
+  test("string-key and multi-column bloom sidecars: both columns prune, neither clobbers the other") {
+    val dir = tmp("stats_bloom_str_")
+    // bvid-shaped string key + an integral key on the same batch
+    val t = (0L until 300L).map(i => (i, f"BV$i%06d", i % 3L))
+      .toDF("id", "bvid", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, t, Seq("id"), Seq("pk"))
+    val st = store(dir)
+    val batch = st.current().get._2.values.head
+    st.writeBatchBloom(batch, t.schema, Seq("pk"), "id")
+    st.writeBatchBloom(batch, t.schema, Seq("pk"), "bvid")
+    // the second write must MERGE, not clobber: both columns prune
+    val hitStr = st.readKeyLookupStr(t.schema, "bvid", Seq("BV000042"))
+    val dirsStr = hitStr.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(dirsStr < 3, s"string bloom pruned nothing: $dirsStr of 3")
+    assert(hitStr.collect().map(_.getString(1)).toSeq == Seq("BV000042"))
+    val hitInt = st.readKeyLookup(t.schema, "id", Seq(42L))
+    val dirsInt = hitInt.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(dirsInt < 3, s"integral bloom clobbered by the string write: $dirsInt of 3")
+    assert(hitInt.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // absent string keys: bloom contract, residual exactness
+    assert(st.readKeyLookupStr(t.schema, "bvid", Seq("BV999999")).count() == 0L)
+    // re-indexing the SAME column replaces its lines (no duplicates)
+    st.writeBatchBloom(batch, t.schema, Seq("pk"), "bvid")
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(s"$dir/stats/$batch.bloom"))
+      .getLines().filter(_.nonEmpty).toSeq
+    assert(lines.count(_.split('\t')(1) == "bvid") == 3 &&
+      lines.count(_.split('\t')(1) == "id") == 3,
+      s"sidecar must hold exactly one line per (partition, column): $lines")
   }
 }
