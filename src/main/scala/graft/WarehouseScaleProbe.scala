@@ -168,13 +168,14 @@ object WarehouseScaleProbe {
         (entries.values.toSeq ++ mors.map(_._2))
           .filter(e => !before.contains(e.batch)).map(_.bytes).sum
       }
-      def run(mor: Boolean): (Double, Seq[Long]) = {
+      def run(mor: Boolean): (Double, Seq[Long], Seq[Double], Double) = {
         val base = java.nio.file.Files.createTempDirectory(
           s"graft_wsp_mor_$mor").toString + "/t"
         graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
           Seq("o_orderkey"), Seq("pk"))
         val store = new graft.sinks.SnapshotStore(spark, new Path(base))
         val bytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val readS = scala.collection.mutable.ArrayBuffer.empty[Double]
         val (_, s) = timed {
           (0 until 3).foreach { i =>
             val before = store.currentResolved().get match {
@@ -187,19 +188,34 @@ object WarehouseScaleProbe {
             bytes += newBatchBytes(store, before)
           }
         }
+        // READ DEPTH: full-scan latency as slice depth (or batch
+        // fan-out) accumulates — what the reader pays for MoR's cheap
+        // writes until the autopilot folds
+        (0 until 3).foreach { _ =>
+          val (_, rs) = timed(store.read(o.schema).count())
+          readS += rs
+        }
         // pure updates of existing keys: the row count must not move
         val n = graft.sinks.SnapshotMerge.read(spark, base, o.schema).count()
         require(n == o.count(), s"row count drifted: $n vs ${o.count()}")
+        // the autopilot: fold slice-hot partitions, read again
+        val (_, foldReadS) = timed {
+          store.compactSlices(o.schema, Seq("pk"), maxSlices = 2)
+          store.read(o.schema).count()
+        }
         org.apache.commons.io.FileUtils.deleteQuietly(
           java.nio.file.Paths.get(base).getParent.toFile)
-        (s, bytes.toSeq)
+        (s, bytes.toSeq, readS.toSeq, foldReadS)
       }
-      val (cowS, cowB) = run(mor = false)
-      val (morS, morB) = run(mor = true)
+      val (cowS, cowB, cowR, cowFR) = run(mor = false)
+      val (morS, morB, morR, morFR) = run(mor = true)
       out += s"""{"probe":"mor_write","cycles":3,""" +
         s""""cow_s":${f(cowS)},"mor_s":${f(morS)},""" +
         s""""cow_staged_bytes":[${cowB.mkString(",")}],""" +
-        s""""mor_staged_bytes":[${morB.mkString(",")}]}"""
+        s""""mor_staged_bytes":[${morB.mkString(",")}],""" +
+        s""""cow_read_s":[${cowR.map(f).mkString(",")}],""" +
+        s""""mor_read_s":[${morR.map(f).mkString(",")}],""" +
+        s""""cow_fold_read_s":${f(cowFR)},"mor_fold_read_s":${f(morFR)}}"""
     }
 
     println(out.mkString("[", ",", "]"))

@@ -506,6 +506,36 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // SCHEMA EVOLUTION through MERGE-ON-READ (r18) — the same
+    // int→bigint widening fixture as k2_upsert_widen, but the second
+    // evolve commits via upsertMorEvolve: v1's files stay untouched
+    // (narrow int32, riding the reader's native upcast) AND v2's
+    // update rewrites nothing (DV + slice). Identical oracle to
+    // k2_upsert_widen, so the driver hash pins that the two write
+    // paths converge on the same evolved table bit-for-bit.
+    "k2_upsert_mor_evolve" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), cents.cast("int").as("cents"), pk)
+      val incoming = o.where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (cents.cast("bigint") + lit(3000000000L)).as("cents"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2me_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMorEvolve(
+          s, base, incoming, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.readEvolved(s, base)
+          .select(col("o_orderkey"), col("cents"),
+            col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // MoR MAINTENANCE: the same two stacked merge-on-read commits as
     // k2_upsert_mor, then compactSlices folds the slice-hot
     // partitions (materializing their slices AND tombstones) before
@@ -1294,6 +1324,25 @@ object Pipeline extends QueryModule {
          WHERE o_orderkey % 10 = 1
            AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
            AND NOT (o_totalprice > 400000)""",
+    // CoW-evolve and MoR-evolve must converge: identical oracle to
+    // k2_upsert_widen
+    "k2_upsert_mor_evolve" ->
+      """WITH target AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS INT) AS cents,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         incoming AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + 3000000000 AS cents,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT o_orderkey, cents, pk FROM incoming
+         UNION ALL
+         SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, pk
+         FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
     // content-invariance of slice compaction: identical oracle to
     // k2_upsert_mor (the fold only rearranges bytes)
     "k2_mor_compact" ->

@@ -530,6 +530,52 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
+    val (union, widened, physKeys, physStats) =
+      evolvedPlan(spark, store, incoming, keys, partCols, statsCols)
+    // The sidecar is written ONLY for the version THIS call committed
+    // ([[merge]] returns it; None = empty incoming, nothing committed,
+    // nothing to describe). Re-reading currentVersion() here instead
+    // would race a concurrent commit (attaching this evolve's schema
+    // to someone else's version) and an empty incoming would
+    // retroactively overwrite the CURRENT version's sidecar, changing
+    // schemaAt(v)/time-travel for an existing commit. Written AFTER
+    // the commit it describes; see the schemas/ note on SnapshotStore
+    // for why the crash window self-heals.
+    merge(spark, rootDir, widened, partCols, retain, physStats)(
+      (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
+      .foreach(v => store.writeSchemaFile(v, union))
+  }
+
+  /** [[upsertEvolve]] through the MERGE-ON-READ write path: the same
+    * schema-union/widening/column-mapping resolution, but the commit
+    * is an [[upsertMor]] — old row versions tombstone through a DV
+    * and the (widened, physically-named) incoming rows append as a
+    * slice, zero partition rewrites. Existing files stay narrow/
+    * column-absent and ride the evolved reader's native upcast /
+    * NULL resolution exactly as under the CoW evolve — the two paths
+    * differ only in write amplification. Returns the committed
+    * version (None when `incoming` is empty).
+    */
+  def upsertMorEvolve(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int = 2): Option[Long] = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (union, widened, physKeys, _) =
+      evolvedPlan(spark, store, incoming, keys, partCols, Nil)
+    val v = upsertMor(store, widened, physKeys, partCols, retain)
+    v.foreach(store.writeSchemaFile(_, union))
+    v
+  }
+
+  /** The schema-evolution resolution shared by the CoW and MoR evolve
+    * fronts: (union schema with column-mapping metadata, the incoming
+    * frame widened + renamed to PHYSICAL columns, physical key and
+    * stats column names).
+    */
+  private def evolvedPlan(spark: SparkSession, store: SnapshotStore,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      statsCols: Seq[String])
+      : (StructType, DataFrame, Seq[String], Seq[String]) = {
     // Adopting a pre-evolution table infers its schema from parquet
     // footers — but PARTITION columns only exist as `col=val` dir
     // strings there, so their inferred type is a guess ("0" → int).
@@ -580,21 +626,8 @@ object SnapshotMerge {
           }
         StructType(resolved ++ newFields)
     }
-    val widened = toPhys(widenTo(incoming, union), union)
-    val physKeys = keys.map(physOf(union, _))
-    val physStats = statsCols.map(physOf(union, _))
-    // The sidecar is written ONLY for the version THIS call committed
-    // ([[merge]] returns it; None = empty incoming, nothing committed,
-    // nothing to describe). Re-reading currentVersion() here instead
-    // would race a concurrent commit (attaching this evolve's schema
-    // to someone else's version) and an empty incoming would
-    // retroactively overwrite the CURRENT version's sidecar, changing
-    // schemaAt(v)/time-travel for an existing commit. Written AFTER
-    // the commit it describes; see the schemas/ note on SnapshotStore
-    // for why the crash window self-heals.
-    merge(spark, rootDir, widened, partCols, retain, physStats)(
-      (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
-      .foreach(v => store.writeSchemaFile(v, union))
+    (union, toPhys(widenTo(incoming, union), union),
+      keys.map(physOf(union, _)), statsCols.map(physOf(union, _)))
   }
 
   /** Metadata-only DROP COLUMN — the third evolution beside add and

@@ -1731,12 +1731,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * fix fragmentation that lives in a handful of suffixes. Same
     * crash contract as every rewrite; no-op when nothing is hot.
     */
+  /** `maxSliceBytesFrac` — the BYTES trigger for skewed batch sizes:
+    * a partition is also hot when its slices' recorded bytes reach
+    * that fraction of its base entry's (one fat slice can hurt reads
+    * as much as many thin ones). Defaults to never firing; a base
+    * entry with unknown bytes (legacy -1) never fires it either —
+    * count is the universal trigger, bytes the opt-in refinement.
+    */
   def compactSlices(schema: StructType, partCols: Seq[String],
-      maxSlices: Int): Unit = {
+      maxSlices: Int,
+      maxSliceBytesFrac: Double = Double.PositiveInfinity): Unit = {
     require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
     val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
-    val hot = mors.groupBy(_._1).view.mapValues(_.size).toMap
-      .filter(_._2 >= maxSlices).keySet
+    val bySuffix = mors.groupBy(_._1)
+    val hot = bySuffix.collect { case (suffix, slices)
+        if slices.size >= maxSlices || {
+          val base = sized.get(suffix).map(_.bytes).getOrElse(-1L)
+          base >= 0L && slices.map(_._2.bytes).sum >= maxSliceBytesFrac * base
+        } => suffix
+      }.toSet
     if (hot.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     readPartitions(schema, hot)

@@ -412,6 +412,46 @@ class SnapshotMergeSpec extends SparkFunSuite {
     store.compactSlices(schema, Seq("pk"), maxSlices = 3)
     assert(store.currentVersion().get == vBefore)
     assert(dvsA.nonEmpty, "fixture sanity: the MoR updates left tombstones to carry")
+    // the BYTES trigger: pk=1's single slice is a large fraction of
+    // its one-row base — a tight fraction folds it though its COUNT
+    // (1) is far below maxSlices; content unchanged
+    store.compactSlices(schema, Seq("pk"), maxSlices = 99,
+      maxSliceBytesFrac = 0.1)
+    val (_, _, _, morsC) = store.currentResolved().get
+    assert(morsC.isEmpty, s"bytes trigger must fold the fat-slice partition: $morsC")
+    assert(SnapshotMerge.read(spark, dir, schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap == before)
+  }
+
+  test("upsertMorEvolve: add-column + widening land through a zero-rewrite MoR commit") {
+    val dir = tmp("smorev")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, 10, 0L), (1L, 20, 1L), (5L, 50, 0L)).toDF("id", "score", "pk"),
+      Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    val before = store.currentResolved().get._2
+    // incoming WIDENS score (int -> bigint) and ADDS note — through
+    // merge-on-read: base entries must stay byte-identical
+    SnapshotMerge.upsertMorEvolve(spark, dir,
+      Seq((0L, 9999999999L, "n0", 0L), (2L, 3L, "n2", 1L))
+        .toDF("id", "score", "note", "pk"),
+      Seq("id"), Seq("pk"), retain = 4)
+    val (_, after, dvs, mors) = store.currentResolved().get
+    assert(after == before, "MoR evolve must not move a single base entry")
+    assert(mors.map(_._1).toSet == Set("pk=0", "pk=1"),
+      s"slices land on the touched partitions only: $mors")
+    assert(dvs.size == 1, "the updated key's old version tombstones")
+    assert(store.currentSchema().get.fieldNames.toSeq ==
+      Seq("id", "score", "pk", "note"))
+    assert(store.currentSchema().get("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val got = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("score"), r.getAs[String]("note"))).toMap
+    assert(got == Map(
+      0L -> ((9999999999L, "n0")), 1L -> ((20L, null)),
+      2L -> ((3L, "n2")), 5L -> ((50L, null))),
+      s"old narrow files upcast + NULL-resolve under the evolved read: $got")
   }
 
   test("upsertEvolve with a narrower incoming keeps the schema; replaced rows null the absent column") {
