@@ -556,6 +556,14 @@ object Dedup extends QueryModule {
             n.drop(1).forall(_.isDigit) && n.drop(1).toLong < id)
           .sorted.map(n => s"$base/$n")
       }
+      // the shingle store is hash-BUCKETED by kept doc id (16 `kb=`
+      // partition dirs per batch), so a batch's verify stage reads
+      // only the buckets its CANDIDATES' kept ids hash into — at a
+      // large kept corpus the per-batch verify scan is bounded by
+      // candidate bucket spread, not corpus size (r18, gap #1 of the
+      // mid-round list)
+      val kbOf = (c: org.apache.spark.sql.Column) =>
+        pmod(xxhash64(c), lit(16)).cast("int")
       val fb = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) => {
         val sh = batch.select(col("doc_id"),
@@ -573,33 +581,50 @@ object Dedup extends QueryModule {
                 org.apache.spark.sql.types.LongType))))
           case ds => s.read.parquet(ds: _*)
         }
-        val priorSh = priorDirs(shst, id) match {
-          case Nil => sh.limit(0)
-          case ds => s.read.parquet(ds: _*)
-        }
         // candidates: bucket-collision pairs (new doc, kept doc) —
-        // bounded by bucket occupancy, never all-pairs
+        // bounded by bucket occupancy, never all-pairs. ckpt'd: the
+        // bucket collect AND the verify join both consume it.
         val cands = bnd.join(
             priorKeys.select(col("band"), col("key"), col("doc_id").as("kept_id")),
             Seq("band", "key"))
-          .select(col("doc_id"), col("kept_id")).distinct()
+          .select(col("doc_id"), col("kept_id")).distinct().ckpt(false)
+        // the candidate kept ids' hash buckets — ≤16 small values, the
+        // driver-side prune list for the shingle-store read
+        val buckets = cands.select(kbOf(col("kept_id")).as("kb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
         // exact verify (the dedup_minhash_md5 verify join): drop only
-        // candidates whose TRUE shingle Jaccard clears the threshold
-        val dropIds = cands
-          .join(sh, Seq("doc_id"))
-          .join(priorSh.select(col("doc_id").as("kept_id"), col("sh").as("kept_sh")),
-            Seq("kept_id"))
-          .where(shingleSetJaccard(col("sh"), col("kept_sh")) >= threshold)
-          .select(col("doc_id")).distinct()
+        // candidates whose TRUE shingle Jaccard clears the threshold.
+        // No candidates ⇒ no verify scan at all.
+        val dropIds =
+          if (buckets.isEmpty) cands.select(col("doc_id")).limit(0)
+          else {
+            // explicit schema: a kept-empty prior batch wrote no
+            // partition dirs, and inference over only-_SUCCESS dirs
+            // throws; a declared schema reads them as empty instead
+            val shSchema = sh.schema.add("kb",
+              org.apache.spark.sql.types.IntegerType)
+            val priorSh = priorDirs(shst, id)
+              .map(d => s.read.option("basePath", d).schema(shSchema).parquet(d))
+              .reduce(_.unionByName(_))
+              .where(col("kb").isin(buckets: _*)) // partition-dir prune
+            cands
+              .join(sh, Seq("doc_id"))
+              .join(priorSh.select(col("doc_id").as("kept_id"), col("sh").as("kept_sh")),
+                Seq("kept_id"))
+              .where(shingleSetJaccard(col("sh"), col("kept_sh")) >= threshold)
+              .select(col("doc_id")).distinct()
+          }
         val keptIds = batch.select(col("doc_id"))
           .join(dropIds, Seq("doc_id"), "left_anti").ckpt(false)
         bnd.join(keptIds, Seq("doc_id"))
           .select(col("band"), col("key"), col("doc_id")).distinct()
           .write.mode("overwrite").parquet(s"$store/b$id")
         sh.join(keptIds, Seq("doc_id"))
-          .write.mode("overwrite").parquet(s"$shst/b$id")
+          .withColumn("kb", kbOf(col("doc_id")))
+          .write.mode("overwrite").partitionBy("kb").parquet(s"$shst/b$id")
         keptIds.write.mode("overwrite").parquet(s"$kept/b$id")
-        releaseCheckpoints(sh); releaseCheckpoints(bnd); releaseCheckpoints(keptIds)
+        releaseCheckpoints(sh); releaseCheckpoints(bnd)
+        releaseCheckpoints(cands); releaseCheckpoints(keptIds)
         ()
       }
       val q = s.readStream.schema(docs.schema)
