@@ -154,6 +154,10 @@ object WarehouseScaleProbe {
     // seeded identically; per-cycle staged bytes = the new batch
     // dir's size, read back from the manifest the commit recorded.
     {
+      // SPARK_GRAFT_MOR_CYCLES deepens the slice-depth curve (default
+      // 3 — the per-round record; 10+ shows the read-latency growth
+      // the compactSlices autopilot exists to reset)
+      val nCycles = sys.env.getOrElse("SPARK_GRAFT_MOR_CYCLES", "3").toInt
       val o = Tables.load(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
           pmod(col("o_orderkey"), lit(32L)).as("pk"))
@@ -177,7 +181,7 @@ object WarehouseScaleProbe {
         val bytes = scala.collection.mutable.ArrayBuffer.empty[Long]
         val readS = scala.collection.mutable.ArrayBuffer.empty[Double]
         val (_, s) = timed {
-          (0 until 3).foreach { i =>
+          (0 until nCycles).foreach { i =>
             val before = store.currentResolved().get match {
               case (_, e, _, m) => e.values.map(_.batch).toSet ++ m.map(_._2.batch)
             }
@@ -209,7 +213,7 @@ object WarehouseScaleProbe {
       }
       val (cowS, cowB, cowR, cowFR) = run(mor = false)
       val (morS, morB, morR, morFR) = run(mor = true)
-      out += s"""{"probe":"mor_write","cycles":3,""" +
+      out += s"""{"probe":"mor_write","cycles":$nCycles,""" +
         s""""cow_s":${f(cowS)},"mor_s":${f(morS)},""" +
         s""""cow_staged_bytes":[${cowB.mkString(",")}],""" +
         s""""mor_staged_bytes":[${morB.mkString(",")}],""" +
