@@ -238,6 +238,75 @@ class MorUpdateSpec extends SparkFunSuite {
     assert(vals(0L) == "U0b" && vals(7L) == "U7" && vals.size == 10)
   }
 
+  test("manifest format: v2 until the first slice, v3 after, unknown markers rejected") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    def manifestBody(): String = {
+      val name = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/CURRENT")).trim
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/manifests/$name"))
+    }
+    // a table that never MoR-updates keeps writing v2 — a pre-slice
+    // build can still read it
+    assert(manifestBody().startsWith("graft-snapshot 2\n"))
+    SnapshotMerge.upsertMor(spark, dir,
+      Seq((0L, "U0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    val body = manifestBody()
+    assert(body.startsWith("graft-snapshot 3\n"))
+    assert(body.linesIterator.count(_.startsWith("#mor\t")) == 1)
+    // materializing the slice returns the table to v2
+    store.compact(targetRows.schema, Seq("pk"))
+    assert(manifestBody().startsWith("graft-snapshot 2\n"))
+    // an unknown marker line must fail loudly, never parse as data
+    val name = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/CURRENT")).trim
+    val p = java.nio.file.Paths.get(s"$dir/manifests/$name")
+    java.nio.file.Files.writeString(p,
+      java.nio.file.Files.readString(p) + "\n#xyz\tjunk\tb-1\t0")
+    // the out-of-band edit invalidates ChecksumFs's .crc sidecar —
+    // drop it so the read reaches the parser instead of crc-failing
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/manifests/.$name.crc"))
+    assert(intercept[IllegalArgumentException] {
+      store.currentResolved()
+    }.getMessage.contains("unrecognized marker"))
+  }
+
+  test("two racing upsertMor writers: loser rebases, both effects land exactly once") {
+    val dir = seed()
+    // two threads, two store instances, same base version — the
+    // MoR-vs-MoR direction of the conflict matrix (MoR-vs-delete and
+    // MoR-vs-compact are pinned above). Incomings overlap on key 0,
+    // so the rebase must also tombstone the winner's freshly-sliced
+    // copy when the loser retries.
+    val a = new SnapshotStore(spark, new Path(dir))
+    val b = new SnapshotStore(spark, new Path(dir))
+    val incA = Seq((0L, "A0", 0L), (5L, "A5", 0L)).toDF("id", "v", "pk")
+    val incB = Seq((0L, "B0", 0L), (1L, "B1", 1L)).toDF("id", "v", "pk")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int =
+          SnapshotMerge.upsertMorRetry(a, incA, Seq("id"), Seq("pk"),
+            retain = 6, maxAttempts = 6)._2
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int =
+          SnapshotMerge.upsertMorRetry(b, incB, Seq("id"), Seq("pk"),
+            retain = 6, maxAttempts = 6)._2
+      })
+      fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    val vals = readVals(dir)
+    assert(vals.size == 10, s"no duplicate key copies may surface: $vals")
+    assert(vals(5L) == "A5" && vals(1L) == "B1",
+      "both writers' non-overlapping updates must land")
+    assert(Set("A0", "B0").contains(vals(0L)),
+      "the overlapping key holds exactly the LAST committer's value")
+  }
+
   test("vacuum keeps slice batches alive") {
     val dir = seed()
     SnapshotMerge.upsertMor(spark, dir, incomingRows, Seq("id"), Seq("pk"))
