@@ -35,9 +35,9 @@ object SnapshotMerge {
   def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil): Unit = {
-    val (inc, ks, sc) = toPhysIncoming(
-      new SnapshotStore(spark, new Path(rootDir)), incoming, keys, statsCols)
-    merge(spark, rootDir, inc, partCols, retain, sc)(
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
+    mergePhys(spark, store, inc, partCols, retain, sc)(
       (target, i) => Merge.upsertIgnore(target, i, ks))
   }
 
@@ -47,9 +47,9 @@ object SnapshotMerge {
   def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil): Unit = {
-    val (inc, ks, sc) = toPhysIncoming(
-      new SnapshotStore(spark, new Path(rootDir)), incoming, keys, statsCols)
-    merge(spark, rootDir, inc, partCols, retain, sc)(
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
+    mergePhys(spark, store, inc, partCols, retain, sc)(
       (target, i) => Merge.upsertUpdate(target, i, ks))
   }
 
@@ -88,11 +88,25 @@ object SnapshotMerge {
     */
   private[graft] def upsertMor(store: SnapshotStore, incoming0: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
-    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
-    requirePartitionable(incoming0.schema, partCols)
     // renamed (column-mapped) tables: logical incoming routes to the
     // physical columns, exactly like the CoW fronts
     val (incMapped, keysPhys, _) = toPhysIncoming(store, incoming0, keys)
+    upsertMorPhys(store, incMapped, keysPhys, partCols, retain)
+  }
+
+  /** The PHYSICAL-space MoR commit — callers already in physical
+    * column space ([[upsertMorEvolve]], and [[upsertMor]] after its
+    * translation) enter here. Separate from the translating front
+    * because translating TWICE corrupts on cross-talk names: after
+    * `rename pic→cover` plus a re-ADD of logical `pic` (phys
+    * `pic__r1`), a physical frame legitimately carries a column
+    * named `pic` (cover's bytes) that a second translation would
+    * re-route into `pic__r1`.
+    */
+  private[graft] def upsertMorPhys(store: SnapshotStore, incMapped: DataFrame,
+      keysPhys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    requirePartitionable(incMapped.schema, partCols)
     val spark = store.spark
     // dropDuplicates BEFORE the pin: Merge.upsertUpdate's
     // arbitrary-winner collapse, evaluated once
@@ -541,7 +555,9 @@ object SnapshotMerge {
     // schemaAt(v)/time-travel for an existing commit. Written AFTER
     // the commit it describes; see the schemas/ note on SnapshotStore
     // for why the crash window self-heals.
-    merge(spark, rootDir, widened, partCols, retain, physStats)(
+    // widened is ALREADY physical — enter below the mapped-name guard
+    // (cross-talk names would misfire it; see mergePhys)
+    mergePhys(spark, store, widened, partCols, retain, physStats)(
       (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
       .foreach(v => store.writeSchemaFile(v, union))
   }
@@ -562,7 +578,10 @@ object SnapshotMerge {
     val store = new SnapshotStore(spark, new Path(rootDir))
     val (union, widened, physKeys, _) =
       evolvedPlan(spark, store, incoming, keys, partCols, Nil)
-    val v = upsertMor(store, widened, physKeys, partCols, retain)
+    // widened is ALREADY physical — enter below the translating front
+    // (a second translation corrupts on cross-talk names, see
+    // upsertMorPhys)
+    val v = upsertMorPhys(store, widened, physKeys, partCols, retain)
     v.foreach(store.writeSchemaFile(_, union))
     v
   }
@@ -869,10 +888,24 @@ object SnapshotMerge {
       partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
-    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
-    requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
     requireNoMappedLogicalCols(store, incoming0.schema)
+    mergePhys(spark, store, incoming0, partCols, retain, statsCols)(mergeFn)
+  }
+
+  /** [[merge]] without the mapped-logical-name guard — for callers
+    * already in PHYSICAL column space (the evolve fronts), whose
+    * frames can legitimately carry a renamed field's physical name
+    * even when that name doubles as another field's logical name
+    * (the rename + re-add cross-talk case; see [[upsertMorPhys]]).
+    */
+  private[sinks] def mergePhys(spark: SparkSession, store: SnapshotStore,
+      incoming0: DataFrame, partCols: Seq[String], retain: Int,
+      statsCols: Seq[String])(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    requirePartitionable(incoming0.schema, partCols)
+    val rootDir = store.root.toString
 
     // One evaluation of the incoming plan: the merge runs a distinct
     // collect AND the staged write (whose mergeFn may reference

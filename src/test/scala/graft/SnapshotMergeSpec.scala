@@ -423,6 +423,57 @@ class SnapshotMergeSpec extends SparkFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap == before)
   }
 
+  test("cross-talk names: re-adding a renamed column's OLD name routes every write path correctly") {
+    // rename pic→cover leaves cover's bytes under physical `pic`;
+    // re-adding `pic` as a brand-new logical column allocates a fresh
+    // physical name — and from then on, frames in PHYSICAL space
+    // legitimately contain a column (`pic`) that is ALSO another
+    // field's logical name. A second translation (or the mapped-name
+    // guard) on such frames would corrupt or misfire — this pins that
+    // every front routes correctly through the cross-talk.
+    val dir = tmp("sxtalk")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "p0", 0L), (1L, "p1", 1L)).toDF("id", "pic", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.renameColumn(spark, dir, "pic", "cover")
+    // re-add the OLD name as a new logical column (CoW evolve)
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "c0", "n0", 0L)).toDF("id", "cover", "pic", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    val store = new SnapshotStore(spark, new Path(dir))
+    val sch = store.currentSchema().get
+    assert(sch.fieldNames.toSet == Set("id", "cover", "pk", "pic"))
+    def readAll(): Map[Long, (String, String)] =
+      SnapshotMerge.readEvolved(spark, dir).collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("cover"), r.getAs[String]("pic")))).toMap
+    assert(readAll() == Map(0L -> (("c0", "n0")), 1L -> (("p1", null))),
+      "cover keeps its renamed bytes; re-added pic is fresh, never cover's")
+    // MoR evolve through the cross-talk space (phys frame carries a
+    // column named `pic` that is also a logical name)
+    SnapshotMerge.upsertMorEvolve(spark, dir,
+      Seq((1L, "c1", "n1", 1L)).toDF("id", "cover", "pic", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    assert(readAll() == Map(0L -> (("c0", "n0")), 1L -> (("c1", "n1"))))
+    // the keyed CoW and MoR fronts with LOGICAL names
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((2L, "c2", "n2", 0L)).toDF("id", "cover", "pic", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertMor(spark, dir,
+      Seq((0L, "c0b", "n0b", 0L)).toDF("id", "cover", "pic", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    assert(readAll() == Map(0L -> (("c0b", "n0b")), 1L -> (("c1", "n1")),
+      2L -> (("c2", "n2"))))
+    // physical layout sanity: the latest slice carries `pic` (cover's
+    // physical) AND `pic__r1` (the re-added column's), never a
+    // doubled name
+    val (_, _, _, mors) = store.currentResolved().get
+    val sliceCols = spark.read.parquet(
+      store.dataPath(mors.last._2.batch).toString).schema.fieldNames.toSet
+    assert(sliceCols.contains("pic") && sliceCols.contains("pic__r1") &&
+      !sliceCols.contains("cover"), s"physical slice columns: $sliceCols")
+  }
+
   test("upsertMorEvolve: add-column + widening land through a zero-rewrite MoR commit") {
     val dir = tmp("smorev")
     SnapshotMerge.upsertEvolve(spark, dir,
