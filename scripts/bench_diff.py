@@ -32,10 +32,19 @@ def load(path):
     # driver BENCH_r{N}.json often truncates the JSON line — recover
     # the per-query medians from the fragment (no cal data survives
     # truncation; healthy() then marks everything healthy, which is
-    # the right conservative default for a reporting tool)
+    # the right conservative default for a reporting tool). The
+    # fragment is CUT at the first trailing-metadata marker before the
+    # regex runs: the "reruns"/"first_total" maps that follow the
+    # queries map also match the key:value pattern, and letting them
+    # through OVERWRITES genuine medians with rerun counts (the r18
+    # phantom-regression defect — vec_quantize_int8 reported 3.00s
+    # where the artifact said 0.453s).
     import re
-    pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)',
-                       str(d.get("tail", "")))
+    frag = str(d.get("tail", ""))
+    cut = min((i for i in (frag.find('"reruns"'), frag.find('"first_total"'),
+                           frag.find('"cal_q"'), frag.find('"bad_runs"'))
+               if i >= 0), default=len(frag))
+    pairs = re.findall(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)', frag[:cut])
     meta = {"value", "sf", "total", "first_total", "cal0", "cpu_total",
             "load", "warm_total"}
     qs = {k: float(v) for k, v in pairs if k not in meta}
@@ -65,11 +74,26 @@ def healthy(payload):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    # --threshold accepts both "--threshold=1.3" and "--threshold 1.3"
+    # (the space form used to fall into the positional file list and
+    # the suffix form silently kept the default)
+    argv, args, thr = sys.argv[1:], [], 1.3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--threshold":
+            thr = float(argv[i + 1])
+            i += 2
+        elif a.startswith("--threshold="):
+            thr = float(a.split("=", 1)[1])
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}")
+        else:
+            args.append(a)
+            i += 1
+    if len(args) != 2:
+        raise SystemExit("usage: bench_diff.py [--threshold X] OLD.json NEW.json")
     old, new = load(args[0]), load(args[1])
     ho, hn = healthy(old), healthy(new)
     qo, qn = old["queries"], new["queries"]
