@@ -222,6 +222,63 @@ object WarehouseScaleProbe {
         s""""cow_fold_read_s":${f(cowFR)},"mor_fold_read_s":${f(morFR)}}"""
     }
 
+    // --- COLUMN-SPARSE MoR write amplification (r19) --------------
+    // The next rung: on a WIDE table (12 payload columns) whose cron
+    // cycle changes ONE column, a full-row #mor slice stages the
+    // whole width per updated key; upsertMorSparse stages only
+    // key+partition+changed — staged bytes should drop by roughly
+    // the width fraction while reads stay equal after resolution.
+    {
+      val nCycles = sys.env.getOrElse("SPARK_GRAFT_MOR_CYCLES", "3").toInt
+      val oBase = Tables.load(spark, dir, "orders")
+      val payload = (1 to 12).map(j =>
+        concat(col("o_orderdate").cast("string"), lit(s"#payload-column-$j"),
+          col("o_orderstatus")).as(s"p$j"))
+      val o = oBase.select(Seq(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(32L)).as("pk"),
+        col("o_totalprice").as("p0")) ++ payload: _*)
+      def cycle(i: Int) = o.where(col("o_orderkey") % 211 === i)
+        .withColumn("p0", (col("p0").cast("decimal(18,2)")
+          + lit(i).cast("decimal(18,2)")).cast("double"))
+      def run(sparse: Boolean): (Double, Seq[Long], Double) = {
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft_wsp_smor_$sparse").toString + "/t"
+        graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
+          Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+        val bytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val (_, s) = timed {
+          (0 until nCycles).foreach { i =>
+            val before = {
+              val cur = store.resolveCurrent().get
+              cur.entries.values.map(_.batch).toSet ++
+                cur.mors.map(_._2.batch) ++ cur.smors.map(_.batch)
+            }
+            if (sparse) graft.sinks.SnapshotMerge.upsertMorSparse(spark, base,
+              cycle(i), Seq("o_orderkey"), Seq("pk"), Seq("p0"), retain = 8)
+            else graft.sinks.SnapshotMerge.upsertMor(spark, base,
+              cycle(i), Seq("o_orderkey"), Seq("pk"), retain = 8)
+            val cur = store.resolveCurrent().get
+            bytes += (cur.entries.values.toSeq ++ cur.mors.map(_._2))
+              .filter(e => !before.contains(e.batch)).map(_.bytes).sum +
+              cur.smors.filter(m => !before.contains(m.batch)).map(_.bytes).sum
+          }
+        }
+        val (n, readS) = timed(store.read(o.schema).count())
+        require(n == o.count(), s"row count drifted: $n vs ${o.count()}")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base).getParent.toFile)
+        (s, bytes.toSeq, readS)
+      }
+      val (fullS, fullB, fullR) = run(sparse = false)
+      val (spS, spB, spR) = run(sparse = true)
+      out += s"""{"probe":"smor_write","cycles":$nCycles,"payload_cols":13,""" +
+        s""""full_s":${f(fullS)},"sparse_s":${f(spS)},""" +
+        s""""full_staged_bytes":[${fullB.mkString(",")}],""" +
+        s""""sparse_staged_bytes":[${spB.mkString(",")}],""" +
+        s""""full_read_s":${f(fullR)},"sparse_read_s":${f(spR)}}"""
+    }
+
     println(out.mkString("[", ",", "]"))
     spark.stop()
   }

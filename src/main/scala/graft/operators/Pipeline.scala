@@ -506,6 +506,55 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // COLUMN-SPARSE MERGE-ON-READ UPDATE (r19) — the reference's
+    // hottest write updates 2 of 5 columns per cron cycle
+    // (`db/occurrence.py:46-48` DO UPDATE SET "start"=…, "page"=…);
+    // upsertMorSparse stages ONLY key+partition+changed columns (no
+    // tombstones, no base-entry movement — SparseMorSpec pins both
+    // and the staged-bytes undercut). Two single-column patches
+    // COMPOSE here: the first updates o_totalprice (its
+    // o_orderstatus column carries a sentinel that must NEVER land
+    // for matched keys, while unmatched keys insert whole rows), the
+    // second updates o_orderstatus over the already-patched rows.
+    // The oracle restates the layered result, so the driver hash
+    // pins the version-gated patch-join resolution end-to-end.
+    "k2_upsert_mor_sparse" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            (price + lit(1000).cast("decimal(18,2)")).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 1, "ZZ-SENTINEL").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val inc2 = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), lit(-1.0).as("o_totalprice"),
+          lit("V").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2ms_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMorSparse(
+          s, base, inc1, Seq("o_orderkey"), Seq("pk"), Seq("o_totalprice"))
+        graft.sinks.SnapshotMerge.upsertMorSparse(
+          s, base, inc2, Seq("o_orderkey"), Seq("pk"), Seq("o_orderstatus"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val cur = store.resolveCurrent().get
+        require(cur.dvs.isEmpty, "a pure patch commits no tombstones")
+        require(cur.smors.nonEmpty, "the sparse path must stage #smor slices")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // SCHEMA EVOLUTION through MERGE-ON-READ (r18) — the same
     // int→bigint widening fixture as k2_upsert_widen, but the second
     // evolve commits via upsertMorEvolve: v1's files stay untouched
@@ -1364,6 +1413,33 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT o_orderkey, o_totalprice, o_orderstatus, pk
          FROM t WHERE o_orderkey % 10 = 1 AND o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2""",
+    // the two single-column patches layered: %40==1 keys carry the
+    // FIRST patch's price AND the second's status; the first patch's
+    // sentinel status never lands for matched keys; inserts take
+    // whole rows
+    "k2_upsert_mor_sparse" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'V' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1
          UNION ALL
          SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
                 o_orderkey % 5 AS pk

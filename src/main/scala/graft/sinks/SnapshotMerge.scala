@@ -78,10 +78,21 @@ object SnapshotMerge {
     * for the optimistic rebase loop. Returns the committed version
     * (None when `incoming` is empty).
     */
+  /** `autoCompactMaxSlices` > 0 opts into a post-commit
+    * [[SnapshotStore.compactSlices]] at that depth — the maintenance
+    * autopilot for cron-shaped writers that would otherwise need a
+    * separate compaction schedule. Best-effort: a racing writer
+    * fences the fold, never the committed upsert.
+    */
   def upsertMor(spark: SparkSession, rootDir: String, incoming: DataFrame,
-      keys: Seq[String], partCols: Seq[String], retain: Int = 2): Option[Long] =
-    upsertMor(new SnapshotStore(spark, new Path(rootDir)), incoming,
-      keys, partCols, retain)
+      keys: Seq[String], partCols: Seq[String], retain: Int = 2,
+      autoCompactMaxSlices: Int = 0): Option[Long] = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val v = upsertMor(store, incoming, keys, partCols, retain)
+    if (v.isDefined)
+      autoCompactSlices(store, incoming.schema, partCols, autoCompactMaxSlices)
+    v
+  }
 
   /** Store-instance variant — the seam the forced-race spec drives
     * (the conflict hooks are per-store-instance).
@@ -117,12 +128,13 @@ object SnapshotMerge {
     requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
-    val cur = store.currentResolved()
-    val curVersion = cur.map(_._1).getOrElse(0L)
-    val curEntries = cur.map(_._2)
+    val cur = store.resolveCurrent()
+    val curVersion = cur.map(_.version).getOrElse(0L)
+    val curEntries = cur.map(_.entries)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
-    val curDvs = cur.map(_._3).getOrElse(Nil)
-    val curMors = cur.map(_._4).getOrElse(Nil)
+    val curDvs = cur.map(_.dvs).getOrElse(Nil)
+    val curMors = cur.map(_.mors).getOrElse(Nil)
+    val curSmors = cur.map(_.smors).getOrElse(Nil)
     store.beforeMorCommitHook()
 
     // Positions of the CURRENT copies of incoming keys — across the
@@ -130,7 +142,9 @@ object SnapshotMerge {
     // updated twice tombstones its previous slice copy), already
     // DV-filtered so nothing is re-tombstoned. Key-determines-
     // partition bounds the scan to the touched partitions, never the
-    // table.
+    // table. Sparse patches are NOT resolved here: only key columns
+    // are consumed, and keys are never patched — skipping the patch
+    // joins is free correctness.
     val liveMeta = store.liveWithMeta(
       curEntries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
         curMors.map(m => m._1 -> m._2.batch),
@@ -166,8 +180,12 @@ object SnapshotMerge {
     val mors = curMors ++ sliced.map { case (s, sz) =>
       s -> SnapshotStore.SnapshotEntry(batch, sz)
     }
+    // sparse patches carry forward whole: this commit rewrites no
+    // partition, and an overwritten key's old patches become no-ops
+    // through the version gate (the new slice row post-dates them)
     val dvs = if (nTombstoned == 0L) curDvs else curDvs :+ dvName
-    try store.commitSized(newVersion, entries, cur.map(_._1), dvs, mors)
+    try store.commitSized(newVersion, entries, cur.map(_.version), dvs, mors,
+      curSmors)
     catch {
       // a fenced loser's staged DV was never referenced — removal is
       // pure hygiene (the staged batch is versioned above the window
@@ -208,6 +226,198 @@ object SnapshotMerge {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** K2 via COLUMN-SPARSE merge-on-read — [[upsertMor]] semantics
+    * restricted to `updateCols`: on key collision the incoming row
+    * overwrites ONLY those columns (every other column keeps its
+    * current value); unmatched keys insert WHOLE rows. This is the
+    * exact shape of the reference's hottest write — `ON CONFLICT DO
+    * UPDATE SET "start" = EXCLUDED."start", "page" = EXCLUDED."page"`
+    * (`db/occurrence.py:46-48`) updates 2 of 5 columns per cron cycle
+    * — and at wide schemas it is the next write-amplification rung
+    * below [[upsertMor]]: the staged patch slice holds ONLY
+    * `keys ++ partCols ++ updateCols` for the updated rows (no
+    * tombstones either — the base row stays live as the patch's
+    * value provider), so staged bytes scale with the columns the
+    * workload actually changes, not the table width. Reads resolve
+    * patches with one left join per outstanding sparse slice
+    * (AQE-broadcast — the slice is batch-sized); [[SnapshotStore
+    * .compactSlices]] folds the depth away, and both its triggers
+    * count sparse slices.
+    *
+    * Equivalence contract (the `k2_upsert_mor_sparse` oracle pins
+    * it): when `incoming`'s non-update columns carry the table's
+    * current values for matched keys, `read` after upsertMorSparse ==
+    * `read` after [[upsertUpdate]] of the same incoming, bit for bit.
+    * NULLs in `updateCols` are written through (SQL UPDATE semantics,
+    * not coalesce). Same partition contracts as [[merge]]; logical
+    * names accepted on renamed tables. `autoCompactMaxSlices` > 0
+    * opts into a post-commit [[SnapshotStore.compactSlices]] at that
+    * depth (best-effort: a racing writer aborts the maintenance fold,
+    * never the committed upsert). Returns the committed version.
+    */
+  def upsertMorSparse(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      updateCols: Seq[String], retain: Int = 2,
+      autoCompactMaxSlices: Int = 0): Option[Long] = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val v = upsertMorSparse(store, incoming, keys, partCols, updateCols, retain)
+    if (v.isDefined)
+      autoCompactSlices(store, incoming.schema, partCols, autoCompactMaxSlices)
+    v
+  }
+
+  private[graft] def upsertMorSparse(store: SnapshotStore, incoming0: DataFrame,
+      keys: Seq[String], partCols: Seq[String], updateCols: Seq[String],
+      retain: Int): Option[Long] = {
+    val (incMapped, keysPhys, updPhys) =
+      toPhysIncoming(store, incoming0, keys, updateCols)
+    upsertMorSparsePhys(store, incMapped, keysPhys, updPhys, partCols, retain)
+  }
+
+  private[graft] def upsertMorSparsePhys(store: SnapshotStore,
+      incMapped: DataFrame, keysPhys: Seq[String], updPhys: Seq[String],
+      partCols: Seq[String], retain: Int): Option[Long] = {
+    require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
+    requirePartitionable(incMapped.schema, partCols)
+    require(updPhys.nonEmpty, "updateCols must name at least one column")
+    require(updPhys.intersect(keysPhys ++ partCols).isEmpty,
+      s"updateCols may not include key or partition columns: " +
+        s"${updPhys.intersect(keysPhys ++ partCols).mkString(", ")}")
+    (keysPhys ++ updPhys).foreach(c =>
+      require(!c.exists(",\t\n".contains(_)),
+        s"column name '$c' cannot be manifest-encoded (contains ',', tab, " +
+          "or newline) — rename it before sparse upserts"))
+    ((keysPhys ++ updPhys ++ partCols).distinct).foreach(c =>
+      require(incMapped.columns.contains(c),
+        s"incoming frame is missing column '$c'"))
+    val spark = store.spark
+    val incoming = incMapped.dropDuplicates(keysPhys).ckpt(true)
+    val parts: Array[Row] =
+      incoming.select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return None
+    requirePartitionValues(parts)
+    val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
+
+    val cur = store.resolveCurrent()
+    val curVersion = cur.map(_.version).getOrElse(0L)
+    val curEntries = cur.map(_.entries)
+      .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
+    val curDvs = cur.map(_.dvs).getOrElse(Nil)
+    val curMors = cur.map(_.mors).getOrElse(Nil)
+    val curSmors = cur.map(_.smors).getOrElse(Nil)
+    store.beforeMorCommitHook()
+
+    // Split on LIVE key membership within the touched partitions
+    // (key-determines-partition bounds the scan; column pruning keeps
+    // it to the key columns; patches skipped — keys are never
+    // patched): matched keys become a sparse PATCH, unmatched keys
+    // insert whole rows.
+    val liveKeys = store.readSlices(
+      curEntries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        curMors.map(m => m._1 -> m._2.batch),
+      incoming.schema, touched, curDvs)
+      .select(keysPhys.map(col): _*)
+    val updates = incoming.join(liveKeys, keysPhys, "left_semi").ckpt(true)
+    val inserts = incoming.join(liveKeys, keysPhys, "left_anti").ckpt(true)
+
+    val newVersion = curVersion + 1
+    // PATCH slice: keys + partition layout + changed columns only —
+    // this projection is the whole point
+    var newSmors = Seq.empty[SnapshotStore.SparseSlice]
+    if (!updates.isEmpty) {
+      val sparseCols = (keysPhys ++ partCols).distinct ++ updPhys
+      val sBatch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
+      updates.select(sparseCols.map(col): _*)
+        .repartition(partCols.map(col): _*).write.mode("overwrite")
+        .partitionBy(partCols: _*).parquet(store.dataPath(sBatch).toString)
+      val written = SnapshotStore.partitionSizes(store.fs, store.dataPath(sBatch))
+      require(written.keySet.subsetOf(touched),
+        s"sparse upsert produced unexpected partitions: " +
+          s"${(written.keySet -- touched).mkString(", ")}")
+      require(written.keySet.forall(curEntries.contains),
+        "sparse patch against a partition with no base entry — " +
+          "key-determines-partition violated")
+      newSmors = written.toSeq.map { case (s, sz) =>
+        SnapshotStore.SparseSlice(s, sBatch, sz, keysPhys, updPhys)
+      }
+    }
+    // INSERT slice: full rows, exactly upsertMor's insert handling
+    // (novel partitions become base entries, existing ones gain a
+    // full slice); no tombstones — these keys have no current copy
+    var novel = Map.empty[String, SnapshotStore.SnapshotEntry]
+    var newMors = Seq.empty[(String, SnapshotStore.SnapshotEntry)]
+    if (!inserts.isEmpty) {
+      val iBatch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
+      inserts.repartition(partCols.map(col): _*).write.mode("overwrite")
+        .partitionBy(partCols: _*).parquet(store.dataPath(iBatch).toString)
+      val written = SnapshotStore.partitionSizes(store.fs, store.dataPath(iBatch))
+      require(written.keySet.subsetOf(touched),
+        s"sparse upsert produced unexpected partitions: " +
+          s"${(written.keySet -- touched).mkString(", ")}")
+      val (nov, sliced) = written.partition { case (s, _) => !curEntries.contains(s) }
+      novel = nov.map { case (s, sz) => s -> SnapshotStore.SnapshotEntry(iBatch, sz) }
+      newMors = sliced.toSeq.map { case (s, sz) =>
+        s -> SnapshotStore.SnapshotEntry(iBatch, sz)
+      }
+    }
+    store.commitSized(newVersion, curEntries ++ novel, cur.map(_.version),
+      curDvs, curMors ++ newMors, curSmors ++ newSmors)
+    store.vacuum(retain)
+    Some(newVersion)
+  }
+
+  /** [[upsertMorSparse]] with the optimistic rebase loop of
+    * [[upsertMorRetry]]: the incoming frame pins once; each retry
+    * re-resolves the winner's commit and re-splits update/insert
+    * against it. Returns (committed version, conflicts retried).
+    */
+  def upsertMorSparseRetry(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      updateCols: Seq[String], retain: Int = 2,
+      maxAttempts: Int = 5): (Option[Long], Int) =
+    upsertMorSparseRetry(new SnapshotStore(spark, new Path(rootDir)),
+      incoming, keys, partCols, updateCols, retain, maxAttempts)
+
+  private[graft] def upsertMorSparseRetry(store: SnapshotStore,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      updateCols: Seq[String], retain: Int,
+      maxAttempts: Int): (Option[Long], Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val inc = incoming.ckpt(true)
+    var conflicts = 0
+    while (true) {
+      try return (upsertMorSparse(store, inc, keys, partCols, updateCols,
+        retain), conflicts)
+      catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Post-commit slice-depth check for the MoR write fronts' opt-in
+    * `autoCompactMaxSlices` knob: one manifest read (metadata-scale,
+    * zero data reads) decides; the fold itself is best-effort — a
+    * racing writer fences the MAINTENANCE action, never the already-
+    * committed upsert. The rewrite schema is the table's persisted
+    * (physical) schema when one exists — an evolved table must not be
+    * folded through a narrower caller frame — else the caller's.
+    */
+  private def autoCompactSlices(store: SnapshotStore, fallback: StructType,
+      partCols: Seq[String], maxSlices: Int): Unit = {
+    if (maxSlices <= 0) return
+    val schema = store.currentSchema().map(physSchema).getOrElse(fallback)
+    store.resolveCurrent().foreach { cur =>
+      val depths = (cur.mors.map(_._1) ++ cur.smors.map(_.suffix))
+        .groupBy(identity).values.map(_.size)
+      if (depths.exists(_ >= maxSlices))
+        try store.compactSlices(schema, partCols, maxSlices)
+        catch { case _: SnapshotConcurrentWriteException => () }
+    }
   }
 
   /** [[upsertUpdate]] with OPTIMISTIC-CONCURRENCY RETRY — the
@@ -459,8 +669,9 @@ object SnapshotMerge {
   def renameColumn(spark: SparkSession, rootDir: String,
       oldName: String, newName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val (version, sized, dvs, mors) = store.currentResolved().getOrElse(
-      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+      store.resolveCurrent().getOrElse(
+        throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
     require(schema.fieldNames.contains(oldName),
@@ -481,8 +692,10 @@ object SnapshotMerge {
     // same crash contract as dropColumn: schema written after the
     // commit it describes; a crash between the two leaves a committed
     // version whose schema falls back to its predecessor's (the
-    // rename "did not happen") — self-healing, never torn
-    store.commitSized(version + 1, sized, Some(version), dvs, mors)
+    // rename "did not happen") — self-healing, never torn. Sparse
+    // slices carry: their manifest lines name PHYSICAL columns, which
+    // a rename never moves.
+    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors)
     store.writeSchemaFile(version + 1, newSchema)
   }
 
@@ -673,8 +886,9 @@ object SnapshotMerge {
     */
   def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val (version, sized, dvs, mors) = store.currentResolved().getOrElse(
-      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+      store.resolveCurrent().getOrElse(
+        throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
     require(schema.fieldNames.contains(colName),
@@ -684,13 +898,22 @@ object SnapshotMerge {
     require(!partCols.contains(colName),
       s"cannot drop partition column '$colName' (partition values live in " +
         "directory names; that is a relayout, not a metadata evolution)")
+    // an outstanding SPARSE slice joins on its key columns at every
+    // read — dropping one would break patch resolution for data
+    // already committed. (Dropping a PATCHED column is fine: the
+    // patch of a dropped column is skipped until compaction folds it
+    // away.) Compact the slices first, then drop.
+    val physDoomed = physOf(schema, colName)
+    require(!smors.exists(_.keys.contains(physDoomed)),
+      s"column '$colName' is a join key of outstanding sparse " +
+        "merge-on-read slices — run compactSlices first, then drop")
     val newSchema = StructType(schema.fields.filterNot(_.name == colName))
     require(newSchema.nonEmpty, "cannot drop the last column")
     // same crash contract as upsertEvolve's sidecar: schema written
     // after the commit it describes; a crash between the two leaves a
     // committed version whose schema falls back to its predecessor's
     // (the drop "did not happen") — self-healing, never torn
-    store.commitSized(version + 1, sized, Some(version), dvs, mors)
+    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors)
     store.writeSchemaFile(version + 1, newSchema)
   }
 
@@ -919,24 +1142,25 @@ object SnapshotMerge {
     requirePartitionValues(parts)
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
-    val cur = store.currentResolved()
-    val curVersion = cur.map(_._1).getOrElse(0L)
-    val curEntries = cur.map(_._2)
+    val cur = store.resolveCurrent()
+    val curVersion = cur.map(_.version).getOrElse(0L)
+    val curEntries = cur.map(_.entries)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
-    val curDvs = cur.map(_._3).getOrElse(Nil)
-    val curMors = cur.map(_._4).getOrElse(Nil)
+    val curDvs = cur.map(_.dvs).getOrElse(Nil)
+    val curMors = cur.map(_.mors).getOrElse(Nil)
+    val curSmors = cur.map(_.smors).getOrElse(Nil)
 
     // Manifest-level prune from the SAME snapshot resolution that the
     // commit below fences on: only the touched partitions' data dirs
     // become scan inputs; untouched partitions are not even listed.
     // Deletion vectors apply to the target read (a merge must never
     // see — or resurrect — tombstoned rows), and a touched partition's
-    // merge-on-read slices read WITH its base slice (the rewrite below
-    // materializes them).
+    // merge-on-read slices — full and sparse — read WITH its base
+    // slice (the rewrite below materializes them).
     val pruned = store.readSlices(
       curEntries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
         curMors.map(m => m._1 -> m._2.batch),
-      incoming.schema, touched, curDvs)
+      incoming.schema, touched, curDvs, curSmors)
     val merged = mergeFn(pruned, incoming)
 
     // Stage the replacement partitions into a fresh immutable batch
@@ -972,10 +1196,11 @@ object SnapshotMerge {
     // files (and so their tombstones); touched partitions were read
     // DV-filtered and rewritten, so their old tombstones become
     // harmless no-ops against dead paths. Touched partitions' MoR
-    // slices drop (the rewrite just materialized them); untouched
-    // partitions keep theirs.
-    store.commitSized(newVersion, entries, cur.map(_._1), curDvs,
-      curMors.filterNot(m => touched(m._1)))
+    // slices — full and sparse — drop (the rewrite just materialized
+    // them); untouched partitions keep theirs.
+    store.commitSized(newVersion, entries, cur.map(_.version), curDvs,
+      curMors.filterNot(m => touched(m._1)),
+      curSmors.filterNot(m => touched(m.suffix)))
     store.vacuum(retain)
     Some(newVersion)
   }

@@ -24,6 +24,33 @@ object SnapshotStore {
     */
   final case class SnapshotEntry(batch: String, bytes: Long)
 
+  /** One COLUMN-SPARSE merge-on-read patch slice (manifest `#smor`
+    * line, format v4): the batch dir holds, for `suffix`, only
+    * `keys ++ cols` (plus partition dirs) — the changed columns of
+    * updated rows, NOT full rows. Readers resolve a patched row by
+    * joining the slice onto the partition's full rows on `keys` and
+    * overwriting exactly `cols` (including explicit NULLs) for rows
+    * whose originating slice predates the patch. The reference's
+    * hottest write updates 2 of 5 columns per cycle
+    * (`db/occurrence.py:46-48` `DO UPDATE SET "start" = …, "page" =
+    * …`); at wide schemas a full-row slice re-amplifies exactly what
+    * merge-on-read exists to avoid.
+    */
+  final case class SparseSlice(suffix: String, batch: String, bytes: Long,
+      keys: Seq[String], cols: Seq[String])
+
+  /** One resolution of a committed manifest — everything a writer
+    * must derive BOTH its read and its commit fence from (two pointer
+    * reads can straddle a concurrent commit). Carry-forward contract:
+    * a committer that keeps a partition's existing files keeps its
+    * deletion vectors, `#mor` slices AND `#smor` sparse slices; a
+    * committer that rewrites a partition drops that partition's
+    * slices — the rewrite IS their materialization.
+    */
+  final case class Resolved(version: Long,
+      entries: Map[String, SnapshotEntry], dvs: Seq[String],
+      mors: Seq[(String, SnapshotEntry)], smors: Seq[SparseSlice])
+
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `root` — the parents of its DATA files; dirs holding only
     * hidden/marker files (`_SUCCESS`, `.crc`) are not partitions.
@@ -341,16 +368,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private def readManifestAll(name: String)
       : (Map[String, SnapshotStore.SnapshotEntry], Seq[String],
-         Seq[(String, SnapshotStore.SnapshotEntry)]) = {
+         Seq[(String, SnapshotStore.SnapshotEntry)],
+         Seq[SnapshotStore.SparseSlice]) = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
     val header = lines.headOption.getOrElse("")
     require(header == "graft-snapshot 1" || header == "graft-snapshot 2" ||
-      header == "graft-snapshot 3",
+      header == "graft-snapshot 3" || header == "graft-snapshot 4",
       s"unrecognized manifest header in $manifestsDir/$name")
     val (markerLines, dataLines) =
       lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
-    val (dvLines, morLines) = markerLines.partition(_.startsWith("#dv\t"))
+    val (dvLines, rest) = markerLines.partition(_.startsWith("#dv\t"))
+    val (smorLines, morLines) = rest.partition(_.startsWith("#smor\t"))
     morLines.foreach(l => require(l.startsWith("#mor\t"),
       s"unrecognized marker line in $manifestsDir/$name: $l"))
     val entries = dataLines.map { l =>
@@ -367,7 +396,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       val Array(_, suffix, batch, bytes) = l.split('\t')
       suffix -> SnapshotStore.SnapshotEntry(batch, bytes.toLong)
     }
-    (entries, dvLines.map(_.split('\t')(1)), mors)
+    val smors = smorLines.map { l =>
+      val Array(_, suffix, batch, bytes, keys, cols) = l.split('\t')
+      SnapshotStore.SparseSlice(suffix, batch, bytes.toLong,
+        keys.split(',').toSeq, cols.split(',').toSeq)
+    }
+    (entries, dvLines.map(_.split('\t')(1)), mors, smors)
   }
 
   private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] =
@@ -377,11 +411,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     readManifestAll(name)._2
 
   /** Every batch dir a manifest references — base entries AND
-    * merge-on-read slices — for vacuum's liveness sweep.
+    * merge-on-read slices (full and sparse) — for vacuum's liveness
+    * sweep.
     */
   private def readManifestBatches(name: String): Set[String] = {
-    val (entries, _, mors) = readManifestAll(name)
-    entries.values.map(_.batch).toSet ++ mors.map(_._2.batch)
+    val (entries, _, mors, smors) = readManifestAll(name)
+    entries.values.map(_.batch).toSet ++ mors.map(_._2.batch) ++
+      smors.map(_.batch)
   }
 
   /** One-pointer-read resolution of the CURRENT commit: (version,
@@ -395,9 +431,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def currentResolved(): Option[(Long, Map[String, SnapshotStore.SnapshotEntry],
       Seq[String], Seq[(String, SnapshotStore.SnapshotEntry)])] =
+    resolveCurrent().map(r => (r.version, r.entries, r.dvs, r.mors))
+
+  /** The full resolution INCLUDING column-sparse `#smor` slices —
+    * what every COMMITTER must build from ([[currentResolved]]'s
+    * 4-tuple drops the sparse list and is for inspection only: a
+    * commit derived from it on a table with outstanding sparse
+    * patches would silently lose them).
+    */
+  def resolveCurrent(): Option[SnapshotStore.Resolved] =
     currentManifestName().map { n =>
-      val (entries, dvs, mors) = readManifestAll(n)
-      (parseVersion(n), entries, dvs, mors)
+      val (entries, dvs, mors, smors) = readManifestAll(n)
+      SnapshotStore.Resolved(parseVersion(n), entries, dvs, mors, smors)
     }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
@@ -461,12 +506,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * to base entries), so partition-set invariants stay expressible
     * over `entries` alone.
     */
+  /** `smors` — COLUMN-SPARSE merge-on-read patch slices, written as
+    * `#smor` lines (`suffix, batch, bytes, keys, cols` — key/col
+    * lists comma-joined; the sparse writer refuses names carrying
+    * `,`/tab/newline). Same carry-forward contract as `mors`; a
+    * manifest carrying any bumps the header to v4, which a pre-sparse
+    * build REJECTS — reading a sparse slice as a full slice would
+    * surface NULL for every unpatched column, so loud refusal is the
+    * only safe downgrade.
+    */
   def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
       expectedBase: Option[Long], dvs: Seq[String] = Nil,
-      mors: Seq[(String, SnapshotStore.SnapshotEntry)] = Nil): Unit = {
+      mors: Seq[(String, SnapshotStore.SnapshotEntry)] = Nil,
+      smors: Seq[SnapshotStore.SparseSlice] = Nil): Unit = {
     require(mors.forall(m => entries.contains(m._1)),
       s"merge-on-read slice without a base entry: " +
         s"${mors.collect { case (s, _) if !entries.contains(s) => s }.mkString(", ")}")
+    require(smors.forall(m => entries.contains(m.suffix)),
+      s"sparse slice without a base entry: " +
+        s"${smors.collect { case m if !entries.contains(m.suffix) => m.suffix }.mkString(", ")}")
     def fence(): Unit = {
       val cur = currentVersion()
       if (cur != expectedBase)
@@ -479,14 +537,20 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // aborts without ever contending for the lease.
     fence()
     fs.mkdirs(manifestsDir)
-    // header 3 only when a slice exists: tables that never MoR-update
-    // keep writing v2 manifests a pre-slice build can still read
-    val header = if (mors.nonEmpty) "graft-snapshot 3" else "graft-snapshot 2"
+    // lowest header each reader generation can still parse: v2 until
+    // the first slice, v3 with full slices, v4 only with sparse ones
+    val header =
+      if (smors.nonEmpty) "graft-snapshot 4"
+      else if (mors.nonEmpty) "graft-snapshot 3"
+      else "graft-snapshot 2"
     val body = ((header +:
       entries.toSeq.sortBy(_._1).map { case (s, e) =>
         s"$s\t${e.batch}\t${e.bytes}"
       }) ++ mors.sortBy(m => (m._1, m._2.batch)).map { case (s, e) =>
         s"#mor\t$s\t${e.batch}\t${e.bytes}"
+      } ++ smors.sortBy(m => (m.suffix, m.batch)).map { m =>
+        s"#smor\t${m.suffix}\t${m.batch}\t${m.bytes}\t" +
+          s"${m.keys.mkString(",")}\t${m.cols.mkString(",")}"
       } ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
@@ -583,8 +647,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * whose log entry exists is readable in full.
     */
   def readAt(version: Long, schema: StructType): DataFrame = {
-    val (entries, dvs, mors) = resolvedAt(version)
-    readSlices(entries.toSeq ++ mors, schema, null, dvs)
+    val (entries, dvs, mors, smors) = resolvedAt(version)
+    readSlices(entries.toSeq ++ mors, schema, null, dvs, smors)
   }
 
   /** The committed manifest of `version`, resolved through the version
@@ -612,12 +676,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * per-version manifest rather than a directory listing.
     */
   private def resolvedAt(version: Long)
-      : (Map[String, String], Seq[String], Seq[(String, String)]) = {
+      : (Map[String, String], Seq[String], Seq[(String, String)],
+         Seq[SnapshotStore.SparseSlice]) = {
     val name = manifestNameAt(version)
     try {
-      val (entries, dvs, mors) = readManifestAll(name)
+      val (entries, dvs, mors, smors) = readManifestAll(name)
       (entries.view.mapValues(_.batch).toMap, dvs,
-        mors.map(m => m._1 -> m._2.batch))
+        mors.map(m => m._1 -> m._2.batch), smors)
     } catch {
       case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
@@ -638,10 +703,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * batch without changing content — those diff to zero rows.)
     */
   def changedPartitionsBetween(fromVersion: Long, toVersion: Long): Set[String] = {
-    val (m1, d1, r1) = resolvedAt(fromVersion)
-    val (m2, d2, r2) = resolvedAt(toVersion)
+    val (m1, d1, r1, s1) = resolvedAt(fromVersion)
+    val (m2, d2, r2, s2) = resolvedAt(toVersion)
     (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2)
+      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2) ++
+      smorChangedSuffixes(s1, s2)
+  }
+
+  /** Partitions whose SPARSE slice list differs between two versions —
+    * a sparse patch keeps the base entry AND commits no DV, so both
+    * other diffs are blind to it.
+    */
+  private def smorChangedSuffixes(s1: Seq[SnapshotStore.SparseSlice],
+      s2: Seq[SnapshotStore.SparseSlice]): Set[String] = {
+    val g1 = s1.groupBy(_.suffix).view.mapValues(_.map(_.batch).sorted).toMap
+    val g2 = s2.groupBy(_.suffix).view.mapValues(_.map(_.batch).sorted).toMap
+    (g1.keySet ++ g2.keySet).filter(s => g1.get(s) != g2.get(s))
   }
 
   /** Partitions whose merge-on-read slice LIST differs between two
@@ -719,14 +796,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(!schema.fieldNames.exists(f => f.startsWith("__cdf_") || f == "_change"),
       "schema columns must not collide with the diff's working names " +
         "(__cdf_* markers, _change output)")
-    val (m1, d1, r1) = resolvedAt(fromVersion)
-    val (m2, d2, r2) = resolvedAt(toVersion)
+    val (m1, d1, r1, s1) = resolvedAt(fromVersion)
+    val (m2, d2, r2, s2) = resolvedAt(toVersion)
     val changed = (m1.keySet ++ m2.keySet).filter(s => m1.get(s) != m2.get(s)) ++
-      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2)
+      morChangedSuffixes(r1, r2) ++ dvChangedSuffixes(d1, d2) ++
+      smorChangedSuffixes(s1, s2)
     val before = readSlices((m1.toSeq ++ r1).filter(kv => changed(kv._1)),
-      schema, null, d1)
+      schema, null, d1, s1)
     val after = readSlices((m2.toSeq ++ r2).filter(kv => changed(kv._1)),
-      schema, null, d2)
+      schema, null, d2, s2)
     val nonKey = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     val bRen = nonKey.foldLeft(before)((d, c) => d.withColumnRenamed(c, s"__cdf_b_$c"))
       .withColumn("__cdf_b", lit(true))
@@ -887,9 +965,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     currentManifestName() match {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(n) =>
-        val (entries, dvs, mors) = readManifestAll(n)
+        val (entries, dvs, mors, smors) = readManifestAll(n)
         readSlices(entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-          mors.map(m => m._1 -> m._2.batch), schema, suffixes, dvs)
+          mors.map(m => m._1 -> m._2.batch), schema, suffixes, dvs, smors)
     }
 
   /** [[readPartitions]] against an already-resolved manifest — for
@@ -915,11 +993,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * DV may reference base files and earlier slices alike).
     */
   def readSlices(slices: Seq[(String, String)], schema: StructType,
-      suffixes: Set[String], dvs: Seq[String]): DataFrame = {
-    if (dvs.nonEmpty)
-      require(!schema.fieldNames.exists(_.startsWith("__dv_")),
-        "schema columns must not collide with the deletion-vector " +
-          "anti-join's working names (__dv_*)")
+      suffixes: Set[String], dvs: Seq[String]): DataFrame =
+    readSlices(slices, schema, suffixes, dvs, Nil)
+
+  /** [[readSlices]] with COLUMN-SPARSE patch resolution: after the
+    * base+full-slice union and the DV anti-join, each `#smor` slice
+    * left-joins onto the live rows by its keys and overwrites exactly
+    * its changed columns — but only for rows whose ORIGINATING slice
+    * predates the patch (batch names carry their commit version), so
+    * a full-row overwrite committed after a patch wins entirely and
+    * the stale patch is a no-op. Patches apply in commit order, so
+    * two patches of the same key compose column-wise with the later
+    * writer winning per column.
+    */
+  def readSlices(slices: Seq[(String, String)], schema: StructType,
+      suffixes: Set[String], dvs: Seq[String],
+      smors: Seq[SnapshotStore.SparseSlice]): DataFrame = {
+    val patches = smors
+      .filter(s => suffixes == null || suffixes.contains(s.suffix))
+    requireWorkingNamesFree(schema, dvs.nonEmpty, patches.nonEmpty)
     val selected = slices
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
       .distinct
@@ -933,12 +1025,85 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       // (dropping the padding) and widen/narrow numerics batch by
       // batch. With an explicit schema the `col=val` dir names parse
       // directly to the declared types.
-      spark.read.option("basePath", base.toString).schema(schema).parquet(paths: _*)
+      val f = spark.read.option("basePath", base.toString).schema(schema)
+        .parquet(paths: _*)
+      val extra = (if (dvs.nonEmpty) dvMetaCols else Nil) ++
+        (if (patches.nonEmpty) Seq(sliceVersionCol(batch)) else Nil)
+      f.select(schema.fieldNames.map(col) ++ extra: _*)
     }
-    if (dvs.isEmpty)
-      frames.map(_.select(schema.fieldNames.map(col): _*)).reduce(_.unionByName(_))
-    else antiDv(frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
-      .reduce(_.unionByName(_)), schema, dvs)
+    var out = frames.reduce(_.unionByName(_))
+    if (dvs.nonEmpty)
+      out = out.join(
+        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+        Seq("__dv_path", "__dv_pos"), "left_anti")
+    if (patches.nonEmpty) out = applyPatches(out, schema, patches, Nil)
+    out.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Origin-version column for patch gating: rows read from batch
+    * `b-<version>-<uuid>` carry that version (legacy unversioned
+    * batch names predate sparse slices — version 0, patched by
+    * everything, which is right: any patch was committed after them).
+    */
+  private def sliceVersionCol(batch: String): org.apache.spark.sql.Column =
+    lit(batchVersion(batch).getOrElse(0L)).as("__sv")
+
+  private def requireWorkingNamesFree(schema: StructType,
+      dv: Boolean, patch: Boolean): Unit = {
+    if (dv)
+      require(!schema.fieldNames.exists(_.startsWith("__dv_")),
+        "schema columns must not collide with the deletion-vector " +
+          "anti-join's working names (__dv_*)")
+    if (patch)
+      require(!schema.fieldNames.exists(f =>
+        f.startsWith("__sp_") || f == "__sv"),
+        "schema columns must not collide with the sparse-patch " +
+          "resolution's working names (__sp_*, __sv)")
+  }
+
+  /** Apply sparse patch slices to a live frame carrying `__sv` (and
+    * any `passthrough` working columns that must survive, e.g. the
+    * DV identity pair). One left join per sparse BATCH, ascending by
+    * commit version; the patch side is a freshly staged, small slice,
+    * so AQE broadcasts it in the common case. Columns a later DROP
+    * evolution removed from `schema` are skipped (the patch of a
+    * dropped column is dead weight until compaction); a patch whose
+    * columns are all dropped joins nothing.
+    */
+  private def applyPatches(df0: DataFrame, schema: StructType,
+      patches: Seq[SnapshotStore.SparseSlice],
+      passthrough: Seq[String]): DataFrame = {
+    val keep: Seq[String] = schema.fieldNames.toSeq ++ passthrough :+ "__sv"
+    var out = df0
+    for (((batch, keys, cols), group) <- patches
+           .groupBy(p => (p.batch, p.keys, p.cols)).toSeq.sortBy(_._1._1)) {
+      val v = batchVersion(batch).getOrElse(throw new IllegalStateException(
+        s"sparse slice batch $batch carries no version prefix"))
+      val applied = cols.filter(schema.fieldNames.contains)
+      require(keys.forall(schema.fieldNames.contains),
+        s"sparse slice $batch keys [${keys.mkString(",")}] missing from the " +
+          "read schema — a patch key column cannot be dropped before its " +
+          "slices compact away")
+      if (applied.nonEmpty) {
+        val base = dataPath(batch)
+        val paths = group.map(_.suffix).distinct.sorted
+          .map(s => new Path(base, s).toString)
+        val readSchema = StructType(schema.fields.filter(f =>
+          keys.contains(f.name) || applied.contains(f.name)))
+        val p = spark.read.option("basePath", base.toString)
+          .schema(readSchema).parquet(paths: _*)
+          .select(keys.map(col) ++
+            applied.map(c => col(c).as(s"__sp_$c")): _*)
+          .withColumn("__sp_hit", lit(true))
+        out = out.join(p, keys, "left").select(keep.map { c =>
+          if (applied.contains(c))
+            when(col("__sp_hit") && col("__sv") < v, col(s"__sp_$c"))
+              .otherwise(col(c)).as(c)
+          else col(c)
+        }: _*)
+      }
+    }
+    out
   }
 
   /** DV-filtered live view of `slices` WITH file identity (`__dv_path`,
@@ -947,31 +1112,50 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * [[deleteWhere]].
     */
   private[sinks] def liveWithMeta(slices: Seq[(String, String)],
-      schema: StructType, suffixes: Set[String], dvs: Seq[String]): DataFrame = {
-    require(!schema.fieldNames.exists(_.startsWith("__dv_")),
-      "schema columns must not collide with the deletion-vector " +
-        "anti-join's working names (__dv_*)")
+      schema: StructType, suffixes: Set[String], dvs: Seq[String]): DataFrame =
+    liveWithMeta(slices, schema, suffixes, dvs, Nil)
+
+  /** [[liveWithMeta]] with sparse-patch resolution: patched VALUES
+    * surface (a `deleteWhere` predicate must see the table as a
+    * reader would) while the identity pair stays the UNDERLYING full
+    * row's — tombstoning the base row is what kills a patched row.
+    * Callers that only consume KEY columns (the MoR writers' hit
+    * scans — keys are never patched) pass Nil and skip the joins.
+    */
+  private[sinks] def liveWithMeta(slices: Seq[(String, String)],
+      schema: StructType, suffixes: Set[String], dvs: Seq[String],
+      smors: Seq[SnapshotStore.SparseSlice]): DataFrame = {
+    val patches = smors
+      .filter(s => suffixes == null || suffixes.contains(s.suffix))
+    requireWorkingNamesFree(schema, dv = true, patch = patches.nonEmpty)
     val selected = slices
       .filter { case (s, _) => suffixes == null || suffixes.contains(s) }
       .distinct
-    val cols = schema.fieldNames.map(col) ++ dvMetaCols
+    val metaFields = Seq(
+      org.apache.spark.sql.types.StructField("__dv_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__dv_pos",
+        org.apache.spark.sql.types.LongType))
     if (selected.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("__dv_path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__dv_pos",
-            org.apache.spark.sql.types.LongType))))
+        StructType(schema.fields ++ metaFields))
     var live = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (batch, pairs) =>
       val base = dataPath(batch)
       val paths = pairs.map(_._1).distinct.sorted.map(s => new Path(base, s).toString)
+      val extra = if (patches.nonEmpty) Seq(sliceVersionCol(batch)) else Nil
       spark.read.option("basePath", base.toString).schema(schema)
-        .parquet(paths: _*).select(cols: _*)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.map(col) ++ dvMetaCols ++ extra: _*)
     }.reduce(_.unionByName(_))
     if (dvs.nonEmpty)
       live = live.join(
         dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
         Seq("__dv_path", "__dv_pos"), "left_anti")
+    if (patches.nonEmpty)
+      live = applyPatches(live, schema, patches,
+        Seq("__dv_path", "__dv_pos"))
+        .select(schema.fieldNames.map(col) ++
+          Seq(col("__dv_path"), col("__dv_pos")): _*)
     live
   }
 
@@ -988,21 +1172,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     dvs.map(n => spark.read.parquet(dvPath(n).toString))
       .reduce(_.unionByName(_))
 
-  /** Drop tombstoned rows: LEFT ANTI on (file, row position). The DV
-    * side is parquet with size stats, so AQE broadcasts it when small
-    * (the common case — deletes are sparse) and falls back to a
-    * shuffled anti-join when a table has accumulated bulk deletes;
-    * either way the data side streams once. Tombstones referencing
-    * rewritten (dead) files match nothing — stale entries are
-    * harmless no-ops, which is what lets every carrying committer
-    * forward the whole list.
-    */
-  private def antiDv(withMeta: DataFrame, schema: StructType,
-      dvs: Seq[String]): DataFrame =
-    withMeta.join(
-        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
-        Seq("__dv_path", "__dv_pos"), "left_anti")
-      .select(schema.fieldNames.map(col): _*)
+  // Tombstone application is a LEFT ANTI on (file, row position),
+  // inlined at each read site: the DV side is parquet with size
+  // stats, so AQE broadcasts it when small (the common case — deletes
+  // are sparse) and falls back to a shuffled anti-join when a table
+  // has accumulated bulk deletes; either way the data side streams
+  // once. Tombstones referencing rewritten (dead) files match nothing
+  // — stale entries are harmless no-ops, which is what lets every
+  // carrying committer forward the whole list.
 
   /** Write the per-(partition, column) min/max STATS sidecar for a
     * freshly staged batch — the metadata that lets [[readRange]] skip
@@ -1173,10 +1350,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private def readKeyLookupHashed(schema: StructType, bloomCol: String,
       hashes: Seq[Long], residual: org.apache.spark.sql.Column): DataFrame = {
     require(hashes.nonEmpty, "point lookup needs at least one key")
-    val (slices, dvs) = currentResolved()
-      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-        r._4.map(m => m._1 -> m._2.batch), r._3))
-      .getOrElse((Nil, Nil))
+    val (slices, dvs, smors) = resolveCurrent()
+      .map(r => (r.entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r.mors.map(m => m._1 -> m._2.batch), r.dvs, r.smors))
+      .getOrElse((Nil, Nil, Nil))
+    // a partition with an outstanding sparse patch of the LOOKUP
+    // column is unprunable: its sketches were built over pre-patch
+    // values, so a patch may have moved a probed key INTO it
+    val unprunable = smors.filter(_.cols.contains(bloomCol)).map(_.suffix).toSet
     val sketchCache = scala.collection.mutable.Map.empty[
       String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
     def sketches(batch: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
@@ -1194,12 +1375,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // pruning is PER SLICE: a partition's base slice can skip while a
     // later MoR slice (holding a fresher copy of the key) is read
     val keep = slices.filter { case (suffix, batch) =>
-      sketches(batch).get(suffix) match {
+      unprunable(suffix) || (sketches(batch).get(suffix) match {
         case None => true // no sidecar/line: never a wrong skip
         case Some(bf) => hashes.exists(bf.mightContainLong)
-      }
+      })
     }
-    readSlices(keep, schema, null, dvs).where(residual)
+    readSlices(keep, schema, null, dvs, smors).where(residual)
   }
 
   /** FILE-granularity twin of the partition sidecar (`<batch>.files`):
@@ -1293,7 +1474,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compactClustered(schema: StructType, partCols: Seq[String],
       clusterCol: String, maxRecordsPerFile: Long): Unit = {
-    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
+    // full rewrite: read(schema) resolves DVs, slices and sparse
+    // patches; the commit below lists none — all three materialize
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _) =
+      resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -1338,7 +1522,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       zCols: Seq[String], maxRecordsPerFile: Long, bits: Int = 6): Unit = {
     require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
     require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
-    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
+    // full rewrite like compactClustered: everything materializes
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _) =
+      resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
@@ -1478,15 +1664,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def readRange(schema: StructType, statsCol: String,
       lo: Double, hi: Double): DataFrame = {
-    val (slices, dvs) = currentResolved()
-      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-        r._4.map(m => m._1 -> m._2.batch), r._3))
-      .getOrElse((Nil, Nil))
+    val (slices, dvs, smors) = resolveCurrent()
+      .map(r => (r.entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r.mors.map(m => m._1 -> m._2.batch), r.dvs, r.smors))
+      .getOrElse((Nil, Nil, Nil))
     // stats sidecars are written at batch-stage time and never
     // re-tightened by a delete, so post-delete bands can only be
     // WIDER than the live data — pruning stays sound (never a wrong
-    // skip), merely less selective until the next compaction
-    readSlices(pruneSlicesByStats(slices, statsCol, lo, hi), schema, null, dvs)
+    // skip), merely less selective until the next compaction. A
+    // partition with an outstanding sparse patch of statsCol is
+    // UNPRUNABLE (bands predate the patch, which may have moved a
+    // value into range).
+    val unprunable = smors.filter(_.cols.contains(statsCol)).map(_.suffix).toSet
+    val kept = pruneSlicesByStats(
+        slices.filterNot(s => unprunable(s._1)), statsCol, lo, hi) ++
+      slices.filter(s => unprunable(s._1))
+    readSlices(kept, schema, null, dvs, smors)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -1524,15 +1717,20 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sound, less selective until the next compaction).
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column): Long = {
-    val (version, sized, dvs, mors) = currentResolved().getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+      resolveCurrent().getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root"))
     if (sized.isEmpty) return 0L
     // live view WITH file identity across ALL slices (base + MoR
-    // appends); existing DVs applied so an already-deleted row is
-    // never re-tombstoned (the count stays honest and DV files never
-    // accumulate duplicates)
+    // appends), SPARSE-PATCH-resolved — the predicate must see the
+    // table as a reader would, while the tombstoned identity stays
+    // the underlying full row's (killing the base row kills the
+    // patched row; the orphaned patch is a harmless no-op). Existing
+    // DVs applied so an already-deleted row is never re-tombstoned
+    // (the count stays honest and DV files never accumulate
+    // duplicates).
     val live = liveWithMeta(sized.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-      mors.map(m => m._1 -> m._2.batch), schema, null, dvs)
+      mors.map(m => m._1 -> m._2.batch), schema, null, dvs, smors)
     beforeDeleteCommitHook()
     val name = f"dv-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     val out = dvPath(name)
@@ -1548,8 +1746,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     if (n == 0L) { fs.delete(out, true); return 0L }
     // fenced like every commit; a fenced loser removes its staged DV
     // (it was never referenced, so removal is pure hygiene). Slices
-    // carry forward untouched — a delete rewrites nothing.
-    try commitSized(version + 1, sized, Some(version), dvs :+ name, mors)
+    // (full AND sparse) carry forward untouched — a delete rewrites
+    // nothing.
+    try commitSized(version + 1, sized, Some(version), dvs :+ name, mors, smors)
     catch { case t: Throwable => fs.delete(out, true); throw t }
     n
   }
@@ -1575,16 +1774,30 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * whole-partition paths, never to silence.
     */
   private[graft] def boxFilePaths(preds: Seq[(String, Double, Double)])
-      : Seq[(Seq[String], Path)] =
-    boxFilePaths(currentResolved()
-      .map(r => r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-        r._4.map(m => m._1 -> m._2.batch)).getOrElse(Nil), preds)
+      : Seq[(Seq[String], Path)] = {
+    val r = resolveCurrent()
+    boxFilePaths(r
+      .map(r => r.entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r.mors.map(m => m._1 -> m._2.batch)).getOrElse(Nil), preds,
+      smorUnprunable(r.map(_.smors).getOrElse(Nil), preds))
+  }
+
+  /** Suffixes no band may prune for this predicate set: a sparse
+    * patch of a predicate column post-dates every recorded band.
+    */
+  private def smorUnprunable(smors: Seq[SnapshotStore.SparseSlice],
+      preds: Seq[(String, Double, Double)]): Set[String] = {
+    val cols = preds.map(_._1).toSet
+    smors.filter(_.cols.exists(cols)).map(_.suffix).toSet
+  }
 
   private[graft] def boxFilePaths(slices: Seq[(String, String)],
-      preds: Seq[(String, Double, Double)]): Seq[(Seq[String], Path)] = {
-    val surviving = preds.foldLeft(slices) { case (kept, (c, lo, hi)) =>
+      preds: Seq[(String, Double, Double)],
+      unprunable: Set[String] = Set.empty): Seq[(Seq[String], Path)] = {
+    val surviving = preds.foldLeft(
+        slices.filterNot(s => unprunable(s._1))) { case (kept, (c, lo, hi)) =>
       pruneSlicesByStats(kept, c, lo, hi)
-    }
+    } ++ slices.filter(s => unprunable(s._1))
     surviving.groupBy(_._2).toSeq.sortBy(_._1).map {
       case (batch, batchEntries) =>
         val base = dataPath(batch)
@@ -1595,7 +1808,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           case Some(fileBands) =>
             suffixes.flatMap { s =>
               val mine = fileBands.filter(_._1.startsWith(s + "/"))
-              mine.collect {
+              if (unprunable(s))
+                mine.keys.toSeq.sorted.map(rel => new Path(base, rel).toString)
+              else mine.collect {
                 case (rel, bands)
                     if preds.forall { case (c, lo, hi) =>
                       bands.get(c).forall { case (mn, mx) =>
@@ -1620,29 +1835,35 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val residual = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    // ONE pointer resolution for both the file set and the DV list: a
-    // second read could straddle a concurrent compaction (old files
-    // resolved at v, v+1's empty DV list read after) and resurrect
-    // tombstoned rows — the exact race currentResolved() exists for.
-    val (slices, dvs) = currentResolved()
-      .map(r => (r._2.toSeq.map(kv => kv._1 -> kv._2.batch) ++
-        r._4.map(m => m._1 -> m._2.batch), r._3))
-      .getOrElse((Nil, Nil))
-    val nonEmpty = boxFilePaths(slices, preds).filter(_._1.nonEmpty)
+    // ONE pointer resolution for the file set, the DV list AND the
+    // sparse-patch list: a second read could straddle a concurrent
+    // compaction (old files resolved at v, v+1's empty DV list read
+    // after) and resurrect tombstoned rows — the exact race
+    // resolveCurrent() exists for.
+    val (slices, dvs, smors) = resolveCurrent()
+      .map(r => (r.entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        r.mors.map(m => m._1 -> m._2.batch), r.dvs, r.smors))
+      .getOrElse((Nil, Nil, Nil))
+    requireWorkingNamesFree(schema, dv = dvs.nonEmpty, patch = smors.nonEmpty)
+    val nonEmpty = boxFilePaths(slices, preds, smorUnprunable(smors, preds))
+      .filter(_._1.nonEmpty)
     if (nonEmpty.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .where(residual)
     val frames = nonEmpty.map { case (paths, base) =>
+      val extra = (if (dvs.nonEmpty) dvMetaCols else Nil) ++
+        (if (smors.nonEmpty) Seq(sliceVersionCol(base.getName)) else Nil)
       spark.read.option("basePath", base.toString).schema(schema)
         .parquet(paths: _*)
+        .select(schema.fieldNames.map(col) ++ extra: _*)
     }
-    val joined =
-      if (dvs.isEmpty)
-        frames.map(_.select(schema.fieldNames.map(col): _*))
-          .reduce(_.unionByName(_))
-      else antiDv(frames.map(_.select(schema.fieldNames.map(col) ++ dvMetaCols: _*))
-        .reduce(_.unionByName(_)), schema, dvs)
-    joined.where(residual)
+    var joined = frames.reduce(_.unionByName(_))
+    if (dvs.nonEmpty)
+      joined = joined.join(
+        dvFrame(dvs).select(col("path").as("__dv_path"), col("pos").as("__dv_pos")),
+        Seq("__dv_path", "__dv_pos"), "left_anti")
+    if (smors.nonEmpty) joined = applyPatches(joined, schema, smors, Nil)
+    joined.select(schema.fieldNames.map(col): _*).where(residual)
   }
 
   /** Fold the SMALLEST live batches together so the manifest
@@ -1670,9 +1891,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val (version, entries, dvs, mors) = currentResolved().getOrElse(return)
-    if ((entries.values.map(_.batch) ++ mors.map(_._2.batch)).toSet.size
-        <= maxBatches) return
+    val SnapshotStore.Resolved(version, entries, dvs, mors, smors) =
+      resolveCurrent().getOrElse(return)
+    if ((entries.values.map(_.batch) ++ mors.map(_._2.batch) ++
+        smors.map(_.batch)).toSet.size <= maxBatches) return
     // live bytes per batch: sum the batch's LIVE partition entries, not
     // the whole dir — a batch can also hold stale copies of partitions
     // later merges superseded, which must not inflate its rank. Sizes
@@ -1684,18 +1906,25 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       case (s, e) => s -> SnapshotStore.SnapshotEntry(e.batch,
         fs.getContentSummary(new Path(dataPath(e.batch), s)).getLength)
     }
-    // MoR slices count toward their batch's live bytes (slice writers
-    // always record sizes, no legacy fallback needed)
-    val bySize: Map[String, Long] = (sized.toSeq ++ mors)
-      .groupBy(_._2.batch)
-      .view.mapValues(_.map(_._2.bytes).sum).toMap
+    // MoR slices — full and sparse — count toward their batch's live
+    // bytes (slice writers always record sizes, no legacy fallback
+    // needed)
+    val bySize: Map[String, Long] =
+      (sized.toSeq.map(kv => (kv._2.batch, kv._2.bytes)) ++
+        mors.map(m => (m._2.batch, m._2.bytes)) ++
+        smors.map(m => (m.batch, m.bytes)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
     val keep = bySize.toSeq.sortBy { case (b, sz) => (-sz, b) }
       .take(maxBatches - 1).map(_._1).toSet
     // a partition folds when ANY of its slices lives in a non-kept
     // batch — the fold rewrites the partition whole (base + appends,
-    // DV-filtered), so every one of its slice lines must drop with it
-    val foldParts = (sized.toSeq ++ mors).collect {
-      case (suffix, e) if !keep.contains(e.batch) => suffix
+    // patch-resolved, DV-filtered), so every one of its slice lines
+    // must drop with it
+    val foldParts = (sized.toSeq.map(kv => (kv._1, kv._2.batch)) ++
+      mors.map(m => (m._1, m._2.batch)) ++
+      smors.map(m => (m.suffix, m.batch))).collect {
+      case (suffix, b) if !keep.contains(b) => suffix
     }.toSet
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     readPartitions(schema, foldParts)
@@ -1711,12 +1940,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // dead), harmless to carry. A folded partition the DV filter
     // emptied drops from the manifest — its delete materializes here.
     // Unfolded partitions keep their slice lines (all in kept batches
-    // by construction); folded partitions' slices materialized into
-    // the fold batch.
+    // by construction); folded partitions' slices — full and sparse —
+    // materialized into the fold batch.
     commitSized(version + 1,
       (sized -- (foldParts -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version), dvs, mors.filterNot(m => foldParts(m._1)))
+      }, Some(version), dvs, mors.filterNot(m => foldParts(m._1)),
+      smors.filterNot(m => foldParts(m.suffix)))
     vacuum()
   }
 
@@ -1742,12 +1972,16 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxSlices: Int,
       maxSliceBytesFrac: Double = Double.PositiveInfinity): Unit = {
     require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
-    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
-    val bySuffix = mors.groupBy(_._1)
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+      resolveCurrent().getOrElse(return)
+    // full and sparse slices both count: each is one more scan
+    // subtree (and for sparse, one more patch JOIN) per read
+    val bySuffix = (mors.map(m => (m._1, m._2.bytes)) ++
+      smors.map(m => (m.suffix, m.bytes))).groupBy(_._1)
     val hot = bySuffix.collect { case (suffix, slices)
         if slices.size >= maxSlices || {
           val base = sized.get(suffix).map(_.bytes).getOrElse(-1L)
-          base >= 0L && slices.map(_._2.bytes).sum >= maxSliceBytesFrac * base
+          base >= 0L && slices.map(_._2).sum >= maxSliceBytesFrac * base
         } => suffix
       }.toSet
     if (hot.isEmpty) return
@@ -1759,13 +1993,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val written = SnapshotStore.partitionSizes(fs, dataPath(batch))
     requirePartitionsPreserved(written.keySet, hot,
       sized, mors, dvs, schema, "slice compaction")
-    // hot partitions' slices materialized; everyone else's carry.
-    // DVs carry whole (kept batches' files still need theirs; the
-    // rewritten files' entries are no-ops against dead paths).
+    // hot partitions' slices (full and sparse) materialized; everyone
+    // else's carry. DVs carry whole (kept batches' files still need
+    // theirs; the rewritten files' entries are no-ops against dead
+    // paths).
     commitSized(version + 1,
       (sized -- (hot -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version), dvs, mors.filterNot(m => hot(m._1)))
+      }, Some(version), dvs, mors.filterNot(m => hot(m._1)),
+      smors.filterNot(m => hot(m.suffix)))
     vacuum()
   }
 
@@ -1780,11 +2016,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compact(schema: StructType, partCols: Seq[String],
       statsCols: Seq[String] = Nil): Unit = {
-    val (version, sized, dvs, mors) = currentResolved().getOrElse(return)
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+      resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     // a single-batch table still compacts when deletion vectors or
-    // MoR slices are outstanding — that rewrite is how they materialize
-    if (entries.values.toSet.size <= 1 && dvs.isEmpty && mors.isEmpty) return
+    // MoR slices (full or sparse) are outstanding — that rewrite is
+    // how they materialize
+    if (entries.values.toSet.size <= 1 && dvs.isEmpty && mors.isEmpty &&
+      smors.isEmpty) return
     val batch = f"b-${version + 1}%012d-${java.util.UUID.randomUUID()}"
     read(schema).repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*)
