@@ -115,7 +115,9 @@ object SnapshotMerge {
     * re-route into `pic__r1`.
     */
   private[graft] def upsertMorPhys(store: SnapshotStore, incMapped: DataFrame,
-      keysPhys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
+      keysPhys: Seq[String], partCols: Seq[String], retain: Int,
+      schemaBase: Option[Option[Long]] = None,
+      embedSchema: Option[StructType] = None): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incMapped.schema, partCols)
     val spark = store.spark
@@ -129,6 +131,7 @@ object SnapshotMerge {
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
     val cur = store.resolveCurrent()
+    requireSchemaBase(store, schemaBase, cur.map(_.version))
     val curVersion = cur.map(_.version).getOrElse(0L)
     val curEntries = cur.map(_.entries)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
@@ -185,7 +188,7 @@ object SnapshotMerge {
     // through the version gate (the new slice row post-dates them)
     val dvs = if (nTombstoned == 0L) curDvs else curDvs :+ dvName
     try store.commitSized(newVersion, entries, cur.map(_.version), dvs, mors,
-      curSmors)
+      curSmors, embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)))
     catch {
       // a fenced loser's staged DV was never referenced — removal is
       // pure hygiene (the staged batch is versioned above the window
@@ -363,7 +366,8 @@ object SnapshotMerge {
       }
     }
     store.commitSized(newVersion, curEntries ++ novel, cur.map(_.version),
-      curDvs, curMors ++ newMors, curSmors ++ newSmors)
+      curDvs, curMors ++ newMors, curSmors ++ newSmors,
+      cur.flatMap(_.schemaJson))
     store.vacuum(retain)
     Some(newVersion)
   }
@@ -669,7 +673,7 @@ object SnapshotMerge {
   def renameColumn(spark: SparkSession, rootDir: String,
       oldName: String, newName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _) =
       store.resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
@@ -695,7 +699,8 @@ object SnapshotMerge {
     // rename "did not happen") — self-healing, never torn. Sparse
     // slices carry: their manifest lines name PHYSICAL columns, which
     // a rename never moves.
-    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors)
+    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors,
+      Some(newSchema.json))
     store.writeSchemaFile(version + 1, newSchema)
   }
 
@@ -755,10 +760,18 @@ object SnapshotMerge {
     */
   def upsertEvolve(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit = {
-    val store = new SnapshotStore(spark, new Path(rootDir))
-    val (union, widened, physKeys, physStats) =
+      statsCols: Seq[String] = Nil): Unit =
+    upsertEvolve(new SnapshotStore(spark, new Path(rootDir)), incoming,
+      keys, partCols, retain, statsCols)
+
+  /** Store-instance variant — the seam the forced-race spec drives. */
+  private[graft] def upsertEvolve(store: SnapshotStore, incoming: DataFrame,
+      keys: Seq[String], partCols: Seq[String], retain: Int,
+      statsCols: Seq[String]): Unit = {
+    val spark = store.spark
+    val (union, widened, physKeys, physStats, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, statsCols)
+    store.beforeEvolveCommitHook()
     // The sidecar is written ONLY for the version THIS call committed
     // ([[merge]] returns it; None = empty incoming, nothing committed,
     // nothing to describe). Re-reading currentVersion() here instead
@@ -769,10 +782,42 @@ object SnapshotMerge {
     // the commit it describes; see the schemas/ note on SnapshotStore
     // for why the crash window self-heals.
     // widened is ALREADY physical — enter below the mapped-name guard
-    // (cross-talk names would misfire it; see mergePhys)
-    mergePhys(spark, store, widened, partCols, retain, physStats)(
+    // (cross-talk names would misfire it; see mergePhys). schemaBase
+    // threads the schema-resolution version into the commit fence: a
+    // concurrent commit between the schema read and the merge's own
+    // resolution aborts instead of letting this sidecar union drop it
+    // (ADVICE r18).
+    mergePhys(spark, store, widened, partCols, retain, physStats,
+      Some(schemaBase), Some(union))(
       (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
       .foreach(v => store.writeSchemaFile(v, union))
+  }
+
+  /** [[upsertEvolve]] with the optimistic rebase loop of
+    * [[mergeRetry]]: a fenced loser re-runs the WHOLE evolve — schema
+    * resolution included, so the retry unions against the winner's
+    * committed schema (the sidecar race fix makes the stale-schema
+    * direction abort rather than lose columns). Returns conflicts
+    * retried.
+    */
+  def upsertEvolveRetry(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int = 2, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val inc = incoming.ckpt(true)
+    var conflicts = 0
+    while (true) {
+      try {
+        upsertEvolve(spark, rootDir, inc, keys, partCols, retain, statsCols)
+        return conflicts
+      } catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** [[upsertEvolve]] through the MERGE-ON-READ write path: the same
@@ -787,16 +832,47 @@ object SnapshotMerge {
     */
   def upsertMorEvolve(spark: SparkSession, rootDir: String,
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
-      retain: Int = 2): Option[Long] = {
-    val store = new SnapshotStore(spark, new Path(rootDir))
-    val (union, widened, physKeys, _) =
+      retain: Int = 2): Option[Long] =
+    upsertMorEvolve(new SnapshotStore(spark, new Path(rootDir)), incoming,
+      keys, partCols, retain)
+
+  /** Store-instance variant — the seam the forced-race spec drives. */
+  private[graft] def upsertMorEvolve(store: SnapshotStore,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int): Option[Long] = {
+    val spark = store.spark
+    val (union, widened, physKeys, _, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, Nil)
+    store.beforeEvolveCommitHook()
     // widened is ALREADY physical — enter below the translating front
     // (a second translation corrupts on cross-talk names, see
-    // upsertMorPhys)
-    val v = upsertMorPhys(store, widened, physKeys, partCols, retain)
+    // upsertMorPhys). schemaBase: see upsertEvolve — the sidecar race
+    // fix (ADVICE r18).
+    val v = upsertMorPhys(store, widened, physKeys, partCols, retain,
+      Some(schemaBase), Some(union))
     v.foreach(store.writeSchemaFile(_, union))
     v
+  }
+
+  /** [[upsertMorEvolve]] with the optimistic rebase loop — see
+    * [[upsertEvolveRetry]]. Returns (committed version, conflicts).
+    */
+  def upsertMorEvolveRetry(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
+      retain: Int = 2, maxAttempts: Int = 5): (Option[Long], Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val inc = incoming.ckpt(true)
+    var conflicts = 0
+    while (true) {
+      try return (upsertMorEvolve(spark, rootDir, inc, keys, partCols,
+        retain), conflicts)
+      catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The schema-evolution resolution shared by the CoW and MoR evolve
@@ -804,10 +880,25 @@ object SnapshotMerge {
     * frame widened + renamed to PHYSICAL columns, physical key and
     * stats column names).
     */
+  /** Also returns the table VERSION the schema resolution was derived
+    * from (None = never committed): the evolve fronts pass it down as
+    * the commit paths' `schemaBase`, closing the schema-sidecar
+    * lost-update race (ADVICE r18) — without it, a concurrent evolve
+    * committing between this schema read and the merge's own
+    * resolution would be fenced by NEITHER (the merge re-resolves and
+    * happily commits on top), and the sidecar written after the
+    * commit would union against the STALE schema, silently dropping
+    * the concurrent evolve's column.
+    */
   private def evolvedPlan(spark: SparkSession, store: SnapshotStore,
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       statsCols: Seq[String])
-      : (StructType, DataFrame, Seq[String], Seq[String]) = {
+      : (StructType, DataFrame, Seq[String], Seq[String], Option[Long]) = {
+    // version FIRST, then the schema reads: versions are monotonic
+    // and never reused, so if the commit path later observes this
+    // same version, every read in between provably saw this version's
+    // state
+    val v0 = store.currentVersion()
     // Adopting a pre-evolution table infers its schema from parquet
     // footers — but PARTITION columns only exist as `col=val` dir
     // strings there, so their inferred type is a guess ("0" → int).
@@ -859,7 +950,7 @@ object SnapshotMerge {
         StructType(resolved ++ newFields)
     }
     (union, toPhys(widenTo(incoming, union), union),
-      keys.map(physOf(union, _)), statsCols.map(physOf(union, _)))
+      keys.map(physOf(union, _)), statsCols.map(physOf(union, _)), v0)
   }
 
   /** Metadata-only DROP COLUMN — the third evolution beside add and
@@ -886,7 +977,7 @@ object SnapshotMerge {
     */
   def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _) =
       store.resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
@@ -913,7 +1004,8 @@ object SnapshotMerge {
     // after the commit it describes; a crash between the two leaves a
     // committed version whose schema falls back to its predecessor's
     // (the drop "did not happen") — self-healing, never torn
-    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors)
+    store.commitSized(version + 1, sized, Some(version), dvs, mors, smors,
+      Some(newSchema.json))
     store.writeSchemaFile(version + 1, newSchema)
   }
 
@@ -979,8 +1071,8 @@ object SnapshotMerge {
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
     requirePartitionValues(parts)
-    val cur = store.currentSized()
-    val newVersion = cur.map(_._1).getOrElse(0L) + 1
+    val cur = store.resolveCurrent()
+    val newVersion = cur.map(_.version).getOrElse(0L) + 1
     val batch = f"b-$newVersion%012d-${java.util.UUID.randomUUID()}"
     val batchPath = store.dataPath(batch)
     incoming.repartition(partCols.map(col): _*).write.mode("overwrite")
@@ -990,7 +1082,10 @@ object SnapshotMerge {
     val entries = written.map { case (s, sz) =>
       s -> SnapshotStore.SnapshotEntry(batch, sz)
     }
-    store.commitSized(newVersion, entries, cur.map(_._1))
+    // DVs/slices drop (replaced wholesale); the embedded schema
+    // carries, matching the sidecars it mirrors
+    store.commitSized(newVersion, entries, cur.map(_.version),
+      schemaJson = cur.flatMap(_.schemaJson))
     store.vacuum(retain)
   }
 
@@ -1012,6 +1107,20 @@ object SnapshotMerge {
       }
     }: _*)
   }
+
+  /** The schema-resolution fence shared by the evolve commit paths —
+    * see `schemaBase` on [[mergePhys]].
+    */
+  private def requireSchemaBase(store: SnapshotStore,
+      schemaBase: Option[Option[Long]], cur: Option[Long]): Unit =
+    schemaBase.foreach { sb =>
+      if (cur != sb)
+        throw new SnapshotConcurrentWriteException(
+          s"snapshot table ${store.root} advanced past the schema-resolution " +
+            s"base (${sb.fold("<empty>")(v => s"v$v")} -> " +
+            s"${cur.fold("<empty>")(v => s"v$v")}) — a concurrent commit's " +
+            "schema would be dropped by this evolve's sidecar; re-plan and retry")
+    }
 
   /** Rows of `incoming` whose `joinKeys` are NOT already in the
     * committed snapshot, with the guard's scan pruned to the
@@ -1122,9 +1231,17 @@ object SnapshotMerge {
     * even when that name doubles as another field's logical name
     * (the rename + re-add cross-talk case; see [[upsertMorPhys]]).
     */
+  /** `schemaBase` (the evolve fronts): the table version their schema
+    * resolution was derived from — when the resolution below observes
+    * a DIFFERENT version, a concurrent commit landed in between and
+    * the caller's pending schema sidecar would be stale; abort with
+    * the retryable conflict instead of committing data whose sidecar
+    * silently drops the concurrent evolve's columns (ADVICE r18).
+    */
   private[sinks] def mergePhys(spark: SparkSession, store: SnapshotStore,
       incoming0: DataFrame, partCols: Seq[String], retain: Int,
-      statsCols: Seq[String])(
+      statsCols: Seq[String], schemaBase: Option[Option[Long]] = None,
+      embedSchema: Option[StructType] = None)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
@@ -1143,6 +1260,7 @@ object SnapshotMerge {
     val touched: Set[String] = parts.map(partitionSuffix(partCols, _)).toSet
 
     val cur = store.resolveCurrent()
+    requireSchemaBase(store, schemaBase, cur.map(_.version))
     val curVersion = cur.map(_.version).getOrElse(0L)
     val curEntries = cur.map(_.entries)
       .getOrElse(Map.empty[String, SnapshotStore.SnapshotEntry])
@@ -1198,9 +1316,13 @@ object SnapshotMerge {
     // harmless no-ops against dead paths. Touched partitions' MoR
     // slices — full and sparse — drop (the rewrite just materialized
     // them); untouched partitions keep theirs.
+    // embedded schema: the evolve fronts REPLACE it with their union
+    // (atomic with this commit — the sidecar-lag race closer); every
+    // other merge CARRIES the base's
     store.commitSized(newVersion, entries, cur.map(_.version), curDvs,
       curMors.filterNot(m => touched(m._1)),
-      curSmors.filterNot(m => touched(m.suffix)))
+      curSmors.filterNot(m => touched(m.suffix)),
+      embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)))
     store.vacuum(retain)
     Some(newVersion)
   }

@@ -47,9 +47,20 @@ object SnapshotStore {
     * committer that rewrites a partition drops that partition's
     * slices — the rewrite IS their materialization.
     */
+  /** `schemaJson` — the table schema EMBEDDED in this version's
+    * manifest (`#schema` line), authoritative for exactly this
+    * version. Written atomically WITH the commit, unlike the
+    * post-commit sidecar files, so a racing schema reader can never
+    * observe a committed version whose schema is still in flight
+    * (the r18-ADVICE sidecar-lag window). Every committer carries it
+    * forward like dvs/mors; the evolve/rename/drop paths REPLACE it
+    * with their new schema. Sidecar files are still written for
+    * beyond-retention history ([[SnapshotStore.schemaHistory]]).
+    */
   final case class Resolved(version: Long,
       entries: Map[String, SnapshotEntry], dvs: Seq[String],
-      mors: Seq[(String, SnapshotEntry)], smors: Seq[SparseSlice])
+      mors: Seq[(String, SnapshotEntry)], smors: Seq[SparseSlice],
+      schemaJson: Option[String])
 
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `root` — the parents of its DATA files; dirs holding only
@@ -211,6 +222,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeMorCommitHook: () => Unit = () => ()
 
+  /** Test seam: runs in the evolve fronts AFTER their schema
+    * resolution (`evolvedPlan`) and BEFORE the commit path's own base
+    * resolution — the exact window of the schema-sidecar lost-update
+    * race (ADVICE r18): a concurrent evolve committing here used to
+    * slip past the commit fence and get its column silently dropped
+    * by this writer's stale sidecar union. No-op in production.
+    */
+  private[graft] var beforeEvolveCommitHook: () => Unit = () => ()
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
@@ -302,9 +322,24 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       schema.json)
 
   /** Latest persisted schema at or before `version` (None when the
-    * table has never evolved).
+    * table has never evolved). The schema EMBEDDED in `version`'s own
+    * manifest wins when readable — it was committed atomically with
+    * the version, so it can never lag the commit the way the
+    * post-commit sidecar can (the r18-ADVICE race window); sidecars
+    * remain the beyond-retention history.
     */
-  def schemaAt(version: Long): Option[StructType] = {
+  def schemaAt(version: Long): Option[StructType] =
+    embeddedSchemaAt(version).orElse(sidecarSchemaAt(version))
+
+  private def embeddedSchemaAt(version: Long): Option[StructType] = {
+    val name = versionLogEntry(version).orElse(
+      currentManifestName().filter(parseVersion(_) == version))
+    name.flatMap(n => scala.util.Try(readManifestAll(n)._5).toOption.flatten)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+  }
+
+  private def sidecarSchemaAt(version: Long): Option[StructType] = {
     if (!fs.exists(schemasDir)) return None
     val eligible = fs.listStatus(schemasDir).map(_.getPath.getName)
       .filter(n => n.startsWith("schema-v-") && n.endsWith(".json"))
@@ -319,9 +354,16 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     }
   }
 
-  /** Schema of the current commit, if persisted. */
+  /** Schema of the current commit, if persisted — ONE pointer read;
+    * the current manifest's embedded schema wins (see [[schemaAt]]).
+    */
   def currentSchema(): Option[StructType] =
-    currentVersion().flatMap(schemaAt)
+    currentManifestName().flatMap { n =>
+      scala.util.Try(readManifestAll(n)._5).toOption.flatten
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+        .orElse(sidecarSchemaAt(parseVersion(n)))
+    }
 
   /** EVERY persisted schema, ascending by version — the column-mapping
     * layer scans it for physical names ever used, so a re-added
@@ -369,7 +411,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private def readManifestAll(name: String)
       : (Map[String, SnapshotStore.SnapshotEntry], Seq[String],
          Seq[(String, SnapshotStore.SnapshotEntry)],
-         Seq[SnapshotStore.SparseSlice]) = {
+         Seq[SnapshotStore.SparseSlice], Option[String]) = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
     val header = lines.headOption.getOrElse("")
@@ -378,10 +420,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       s"unrecognized manifest header in $manifestsDir/$name")
     val (markerLines, dataLines) =
       lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
-    val (dvLines, rest) = markerLines.partition(_.startsWith("#dv\t"))
+    val (dvLines, rest0) = markerLines.partition(_.startsWith("#dv\t"))
+    val (schemaLines, rest) = rest0.partition(_.startsWith("#schema\t"))
     val (smorLines, morLines) = rest.partition(_.startsWith("#smor\t"))
     morLines.foreach(l => require(l.startsWith("#mor\t"),
       s"unrecognized marker line in $manifestsDir/$name: $l"))
+    require(schemaLines.size <= 1,
+      s"multiple #schema lines in $manifestsDir/$name")
     val entries = dataLines.map { l =>
       l.split('\t') match {
         case Array(suffix, batch) =>
@@ -401,7 +446,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       SnapshotStore.SparseSlice(suffix, batch, bytes.toLong,
         keys.split(',').toSeq, cols.split(',').toSeq)
     }
-    (entries, dvLines.map(_.split('\t')(1)), mors, smors)
+    (entries, dvLines.map(_.split('\t')(1)), mors, smors,
+      schemaLines.headOption.map(_.stripPrefix("#schema\t")))
   }
 
   private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] =
@@ -415,7 +461,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sweep.
     */
   private def readManifestBatches(name: String): Set[String] = {
-    val (entries, _, mors, smors) = readManifestAll(name)
+    val (entries, _, mors, smors, _) = readManifestAll(name)
     entries.values.map(_.batch).toSet ++ mors.map(_._2.batch) ++
       smors.map(_.batch)
   }
@@ -441,8 +487,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def resolveCurrent(): Option[SnapshotStore.Resolved] =
     currentManifestName().map { n =>
-      val (entries, dvs, mors, smors) = readManifestAll(n)
-      SnapshotStore.Resolved(parseVersion(n), entries, dvs, mors, smors)
+      val (entries, dvs, mors, smors, schemaJson) = readManifestAll(n)
+      SnapshotStore.Resolved(parseVersion(n), entries, dvs, mors, smors,
+        schemaJson)
     }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
@@ -515,10 +562,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * surface NULL for every unpatched column, so loud refusal is the
     * only safe downgrade.
     */
+  /** `schemaJson` — the table schema to EMBED in this manifest
+    * (`#schema` line), atomic with the commit. Committers on an
+    * evolved table must CARRY the resolved base's value (like dvs and
+    * slices — dropping it reopens the sidecar-lag race this field
+    * closes); the evolve/rename/drop paths pass their NEW schema.
+    * None keeps pre-evolution tables byte-identical.
+    */
   def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
       expectedBase: Option[Long], dvs: Seq[String] = Nil,
       mors: Seq[(String, SnapshotStore.SnapshotEntry)] = Nil,
-      smors: Seq[SnapshotStore.SparseSlice] = Nil): Unit = {
+      smors: Seq[SnapshotStore.SparseSlice] = Nil,
+      schemaJson: Option[String] = None): Unit = {
     require(mors.forall(m => entries.contains(m._1)),
       s"merge-on-read slice without a base entry: " +
         s"${mors.collect { case (s, _) if !entries.contains(s) => s }.mkString(", ")}")
@@ -537,10 +592,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // aborts without ever contending for the lease.
     fence()
     fs.mkdirs(manifestsDir)
+    schemaJson.foreach(j => require(!j.exists("\t\n\r".contains(_)),
+      "embedded schema JSON must be single-line (StructType.json is)"))
     // lowest header each reader generation can still parse: v2 until
-    // the first slice, v3 with full slices, v4 only with sparse ones
+    // the first slice, v3 with full slices, v4 with sparse slices or
+    // an embedded schema
     val header =
-      if (smors.nonEmpty) "graft-snapshot 4"
+      if (smors.nonEmpty || schemaJson.isDefined) "graft-snapshot 4"
       else if (mors.nonEmpty) "graft-snapshot 3"
       else "graft-snapshot 2"
     val body = ((header +:
@@ -551,7 +609,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       } ++ smors.sortBy(m => (m.suffix, m.batch)).map { m =>
         s"#smor\t${m.suffix}\t${m.batch}\t${m.bytes}\t" +
           s"${m.keys.mkString(",")}\t${m.cols.mkString(",")}"
-      } ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
+      } ++ schemaJson.map(j => s"#schema\t$j").toSeq
+        ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
     // clobber the winner's committed manifest (a crashed or fenced
@@ -680,7 +739,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
          Seq[SnapshotStore.SparseSlice]) = {
     val name = manifestNameAt(version)
     try {
-      val (entries, dvs, mors, smors) = readManifestAll(name)
+      val (entries, dvs, mors, smors, _) = readManifestAll(name)
       (entries.view.mapValues(_.batch).toMap, dvs,
         mors.map(m => m._1 -> m._2.batch), smors)
     } catch {
@@ -965,7 +1024,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     currentManifestName() match {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(n) =>
-        val (entries, dvs, mors, smors) = readManifestAll(n)
+        val (entries, dvs, mors, smors, _) = readManifestAll(n)
         readSlices(entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
           mors.map(m => m._1 -> m._2.batch), schema, suffixes, dvs, smors)
     }
@@ -1476,7 +1535,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       clusterCol: String, maxRecordsPerFile: Long): Unit = {
     // full rewrite: read(schema) resolves DVs, slices and sparse
     // patches; the commit below lists none — all three materialize
-    val SnapshotStore.Resolved(version, sized, dvs, mors, _) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
@@ -1496,7 +1555,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version))
+      }, Some(version), schemaJson = schemaJson)
     vacuum()
   }
 
@@ -1523,7 +1582,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
     require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
     // full rewrite like compactClustered: everything materializes
-    val SnapshotStore.Resolved(version, sized, dvs, mors, _) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
@@ -1569,7 +1628,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version))
+      }, Some(version), schemaJson = schemaJson)
     vacuum()
   }
 
@@ -1717,7 +1776,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sound, less selective until the next compaction).
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column): Long = {
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
       resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     if (sized.isEmpty) return 0L
@@ -1748,7 +1807,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // (it was never referenced, so removal is pure hygiene). Slices
     // (full AND sparse) carry forward untouched — a delete rewrites
     // nothing.
-    try commitSized(version + 1, sized, Some(version), dvs :+ name, mors, smors)
+    try commitSized(version + 1, sized, Some(version), dvs :+ name, mors,
+      smors, schemaJson)
     catch { case t: Throwable => fs.delete(out, true); throw t }
     n
   }
@@ -1891,7 +1951,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val SnapshotStore.Resolved(version, entries, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, entries, dvs, mors, smors, schemaJson) =
       resolveCurrent().getOrElse(return)
     if ((entries.values.map(_.batch) ++ mors.map(_._2.batch) ++
         smors.map(_.batch)).toSet.size <= maxBatches) return
@@ -1946,7 +2006,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       (sized -- (foldParts -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
       }, Some(version), dvs, mors.filterNot(m => foldParts(m._1)),
-      smors.filterNot(m => foldParts(m.suffix)))
+      smors.filterNot(m => foldParts(m.suffix)), schemaJson)
     vacuum()
   }
 
@@ -1972,7 +2032,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxSlices: Int,
       maxSliceBytesFrac: Double = Double.PositiveInfinity): Unit = {
     require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
       resolveCurrent().getOrElse(return)
     // full and sparse slices both count: each is one more scan
     // subtree (and for sparse, one more patch JOIN) per read
@@ -2001,7 +2061,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       (sized -- (hot -- written.keySet)) ++ written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
       }, Some(version), dvs, mors.filterNot(m => hot(m._1)),
-      smors.filterNot(m => hot(m.suffix)))
+      smors.filterNot(m => hot(m.suffix)), schemaJson)
     vacuum()
   }
 
@@ -2016,7 +2076,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compact(schema: StructType, partCols: Seq[String],
       statsCols: Seq[String] = Nil): Unit = {
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     // a single-batch table still compacts when deletion vectors or
@@ -2035,7 +2095,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     commitSized(version + 1,
       written.map { case (s, sz) =>
         s -> SnapshotStore.SnapshotEntry(batch, sz)
-      }, Some(version))
+      }, Some(version), schemaJson = schemaJson)
     vacuum()
   }
 

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import graft.sinks.{SnapshotConcurrentWriteException, SnapshotMerge, SnapshotStore}
+
+/** Schema-sidecar lost-update race pins (r19, ADVICE r18 medium).
+  *
+  * Window 1 — schema-read → commit: writer A resolves the schema,
+  * writer B's evolve commits, A's merge re-resolves (fence passes —
+  * it never saw A's earlier read) and A's post-commit sidecar unions
+  * against the STALE schema, silently dropping B's column. Closed by
+  * `schemaBase`: the commit paths abort with the retryable conflict
+  * when the table moved past the version the schema was resolved at.
+  *
+  * Window 2 — commit → sidecar write: the sidecar lags its commit, so
+  * a reader (or another evolve) between the two sees the PREVIOUS
+  * schema for a committed version. Closed by embedding the schema
+  * JSON in the manifest itself (`#schema` line, atomic with the
+  * pointer swap); sidecars remain for beyond-retention history.
+  */
+class SchemaRaceSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def seedRows = (0L until 8L).map(i => (i, s"v$i", i % 2))
+    .toDF("id", "v", "pk")
+
+  private def seed(): String = {
+    val dir = tmp("race")
+    SnapshotMerge.upsertEvolve(spark, dir, seedRows, Seq("id"), Seq("pk"))
+    dir
+  }
+
+  test("forced race (CoW): concurrent evolve fenced by schemaBase; retry unions BOTH columns") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val racer = new SnapshotStore(spark, new Path(dir))
+    val incZ = Seq((0L, "v0", 0L, 7)).toDF("id", "v", "pk", "z")
+    val incW = Seq((1L, "v1", 1L, "w!")).toDF("id", "v", "pk", "w")
+    @volatile var fired = false
+    store.beforeEvolveCommitHook = () => {
+      if (!fired) {
+        fired = true
+        // B's evolve adds column w and COMMITS inside A's window
+        SnapshotMerge.upsertEvolve(racer, incW, Seq("id"), Seq("pk"), 4, Nil)
+      }
+    }
+    // A must abort (the old behavior committed fine and silently
+    // dropped w from the sidecar union), then succeed on a re-plan
+    intercept[SnapshotConcurrentWriteException] {
+      SnapshotMerge.upsertEvolve(store, incZ, Seq("id"), Seq("pk"), 4, Nil)
+    }
+    SnapshotMerge.upsertEvolve(store, incZ, Seq("id"), Seq("pk"), 4, Nil)
+    val out = SnapshotMerge.readEvolved(spark, dir)
+    assert(out.columns.toSet == Set("id", "v", "pk", "z", "w"),
+      s"got ${out.columns.toSeq} — BOTH racers' columns must survive")
+    assert(out.where(col("id") === 0L).collect().head.getAs[Int]("z") == 7)
+    assert(out.where(col("id") === 1L).collect().head.getAs[String]("w") == "w!")
+  }
+
+  test("forced race (MoR): same window through upsertMorEvolve") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val racer = new SnapshotStore(spark, new Path(dir))
+    val incZ = Seq((0L, "v0", 0L, 7)).toDF("id", "v", "pk", "z")
+    val incW = Seq((1L, "v1", 1L, "w!")).toDF("id", "v", "pk", "w")
+    @volatile var fired = false
+    store.beforeEvolveCommitHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotMerge.upsertMorEvolve(racer, incW, Seq("id"), Seq("pk"), 4)
+      }
+    }
+    intercept[SnapshotConcurrentWriteException] {
+      SnapshotMerge.upsertMorEvolve(store, incZ, Seq("id"), Seq("pk"), 4)
+    }
+    SnapshotMerge.upsertMorEvolve(store, incZ, Seq("id"), Seq("pk"), 4)
+    val out = SnapshotMerge.readEvolved(spark, dir)
+    assert(out.columns.toSet == Set("id", "v", "pk", "z", "w"))
+    assert(out.where(col("id") === 0L).collect().head.getAs[Int]("z") == 7)
+    assert(out.where(col("id") === 1L).collect().head.getAs[String]("w") == "w!")
+  }
+
+  test("upsertEvolveRetry / upsertMorEvolveRetry spell the recovery loop") {
+    val dir = seed()
+    // no race here — the wrappers must be plain pass-throughs
+    assert(SnapshotMerge.upsertEvolveRetry(spark, dir,
+      Seq((2L, "v2", 0L, 1)).toDF("id", "v", "pk", "z"),
+      Seq("id"), Seq("pk")) == 0)
+    val (v, conflicts) = SnapshotMerge.upsertMorEvolveRetry(spark, dir,
+      Seq((3L, "v3", 1L, "w3")).toDF("id", "v", "pk", "w"), Seq("id"), Seq("pk"))
+    assert(v.isDefined && conflicts == 0)
+    assert(SnapshotMerge.readEvolved(spark, dir).columns.toSet ==
+      Set("id", "v", "pk", "z", "w"))
+  }
+
+  test("embedded schema survives sidecar loss: the manifest is the authority for its version") {
+    val dir = seed()
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "v0", 0L, 9)).toDF("id", "v", "pk", "z"), Seq("id"), Seq("pk"))
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentSchema().get.fieldNames.contains("z"))
+    // simulate the sidecar-lag window (or a sidecar-write crash): the
+    // schemas/ dir vanishes entirely — the embedded copy must carry
+    val schemasDir = java.nio.file.Paths.get(s"$dir/schemas")
+    java.nio.file.Files.walk(schemasDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    assert(store.currentSchema().get.fieldNames.contains("z"),
+      "a committed version's schema must never depend on the lagging sidecar")
+    val out = SnapshotMerge.readEvolved(spark, dir)
+    assert(out.where(col("id") === 0L).collect().head.getAs[Int]("z") == 9)
+  }
+
+  test("rename/drop embed their new schema; time travel resolves per-version embedded schemas") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v1 = store.currentVersion().get
+    SnapshotMerge.renameColumn(spark, dir, "v", "val")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "V0!", 0L)).toDF("id", "val", "pk"), Seq("id"), Seq("pk"),
+      retain = 5)
+    // embedded schema at each version, independent of sidecars
+    assert(store.schemaAt(v1).get.fieldNames.toSeq == Seq("id", "v", "pk"))
+    assert(store.schemaAt(v1 + 1).get.fieldNames.toSeq == Seq("id", "val", "pk"))
+    val below = SnapshotMerge.readEvolvedAt(spark, dir, v1)
+    assert(below.columns.contains("v") && !below.columns.contains("val"))
+    val at = SnapshotMerge.readEvolved(spark, dir)
+    assert(at.where(col("id") === 0L).collect().head.getAs[String]("val") == "V0!")
+  }
+
+  test("pre-embed tables (sidecars only) keep reading: compat fallback") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // strip the #schema lines from the current manifest, emulating a
+    // table last written by the sidecar-only build
+    val name = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/CURRENT")).trim
+    val p = java.nio.file.Paths.get(s"$dir/manifests/$name")
+    val stripped = java.nio.file.Files.readString(p).linesIterator
+      .filterNot(_.startsWith("#schema\t")).mkString("\n")
+      .replace("graft-snapshot 4", "graft-snapshot 2")
+    java.nio.file.Files.writeString(p, stripped)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/manifests/.$name.crc"))
+    assert(store.currentSchema().get.fieldNames.toSeq == Seq("id", "v", "pk"),
+      "sidecar fallback must still resolve")
+    assert(SnapshotMerge.readEvolved(spark, dir).count() == 8L)
+  }
+}
