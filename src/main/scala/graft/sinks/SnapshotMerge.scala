@@ -646,6 +646,21 @@ object SnapshotMerge {
       : (DataFrame, Seq[String], Seq[String]) =
     store.currentSchema() match {
       case Some(sch) if sch.fields.exists(f => physName(f) != f.name) =>
+        // A column OUTSIDE the persisted logical schema passes through
+        // as an identity physical name — but when that name IS some
+        // mapped field's physical column, the stale writer's bytes
+        // would silently land in that field (after rename pic→cover, a
+        // writer still sending `pic` writes INTO cover) — the exact
+        // silent-routing class requireNoMappedLogicalCols fails loudly
+        // on at the generic front (ADVICE r18).
+        val strays = incoming.columns.toSeq
+          .filterNot(sch.fieldNames.contains)
+          .filter(c => sch.fields.exists(f => f.name != c && physName(f) == c))
+        require(strays.isEmpty,
+          s"incoming column(s) [${strays.mkString(", ")}] are not logical " +
+            "fields of the table but collide with a renamed field's physical " +
+            "column — a stale writer using pre-rename names; update it to " +
+            "the current logical names")
         (incoming.select(incoming.columns.toSeq.map(c =>
           col(c).as(physOf(sch, c))): _*),
           keys.map(physOf(sch, _)), statsCols.map(physOf(sch, _)))

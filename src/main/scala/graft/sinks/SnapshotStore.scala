@@ -1346,15 +1346,6 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         item, expectedItems, numBits).as("__bf"))
       .collect()
     val sb = new StringBuilder
-    // MULTI-COLUMN sidecars (r18): a batch's existing sketch lines for
-    // OTHER columns carry forward, so indexing a second lookup column
-    // composes instead of clobbering (same-column lines are replaced —
-    // a re-index with new sizing wins)
-    val existing = new Path(statsDir, s"$batch.bloom")
-    if (fs.exists(existing))
-      readSmallFile(existing).split('\n').filter(_.nonEmpty).foreach { l =>
-        if (l.split('\t')(1) != bloomCol) sb.append(l).append('\n')
-      }
     rows.foreach { r =>
       val i = partCols.size
       if (!r.isNullAt(i)) {
@@ -1364,15 +1355,28 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
             r.getAs[Array[Byte]](i))).append('\n')
       }
     }
+    // PER-COLUMN sidecar file (`<batch>.bloom.<col>`): writers of
+    // different columns never touch the same file, so the r18
+    // combined-sidecar read-merge-rename lost-update race (two
+    // concurrent indexers, last rename drops the other's lines —
+    // ADVICE r18) is gone by construction, not by retry. Same-column
+    // writers last-win whole-file (a re-index with new sizing wins,
+    // as before). Readers union the per-column files with a legacy
+    // combined `<batch>.bloom` when one exists (pre-r19 tables);
+    // per-column wins on conflict.
     fs.mkdirs(statsDir)
-    val tmp = new Path(statsDir, s".tmp-$batch.bloom")
+    val tmp = new Path(statsDir, s".tmp-$batch.bloom.${encodeCol(bloomCol)}")
     writeFile(tmp, sb.toString)
-    // overwrite-rename: a second column's write REPLACES the sidecar
-    // it just merged (plain rename refuses an existing destination);
-    // single metadata op, same atomicity as the pointer swap
     val fc = FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, new Path(statsDir, s"$batch.bloom"), Options.Rename.OVERWRITE)
+    fc.rename(tmp, new Path(statsDir, s"$batch.bloom.${encodeCol(bloomCol)}"),
+      Options.Rename.OVERWRITE)
   }
+
+  /** Column name as a single safe path segment (a column named `a/b`
+    * or `a.bloom` must not escape or collide).
+    */
+  private def encodeCol(c: String): String =
+    java.net.URLEncoder.encode(c, "UTF-8")
 
   /** Point-lookup read through the bloom sidecars: keep only the
     * partitions whose sketch says some key in `keys` MIGHT be
@@ -1419,18 +1423,21 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val unprunable = smors.filter(_.cols.contains(bloomCol)).map(_.suffix).toSet
     val sketchCache = scala.collection.mutable.Map.empty[
       String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+    def parse(p: Path): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      if (!fs.exists(p)) Map.empty
+      else readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).flatMap { l =>
+        val Array(suffix, c, b64) = l.split('\t')
+        if (c != bloomCol) None
+        else Some(suffix -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64))))
+      }.toMap
+    // legacy combined sidecar under the per-column file (r19): the
+    // per-column write wins on conflict
     def sketches(batch: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
-      sketchCache.getOrElseUpdate(batch, {
-        val p = new Path(statsDir, s"$batch.bloom")
-        if (!fs.exists(p)) Map.empty
-        else readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).flatMap { l =>
-          val Array(suffix, c, b64) = l.split('\t')
-          if (c != bloomCol) None
-          else Some(suffix -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              java.util.Base64.getDecoder.decode(b64))))
-        }.toMap
-      })
+      sketchCache.getOrElseUpdate(batch,
+        parse(new Path(statsDir, s"$batch.bloom")) ++
+          parse(new Path(statsDir, s"$batch.bloom.${encodeCol(bloomCol)}")))
     // pruning is PER SLICE: a partition's base slice can skip while a
     // later MoR slice (holding a fresher copy of the key) is read
     val keep = slices.filter { case (suffix, batch) =>
@@ -2167,12 +2174,16 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     if (fs.exists(statsDir)) fs.listStatus(statsDir).foreach { st =>
       val n = st.getPath.getName
       // the sidecar's batch name (file sidecars carry a .files
-      // suffix, tmp stagings a .tmp- prefix — both must strip BEFORE
-      // the version/liveness checks, or live file sidecars would
-      // read as unreferenced and an IN-FLIGHT writer's above-window
-      // .tmp- staging would be swept out from under it, violating
-      // vacuum's only-below-the-window invariant)
-      val b = n.stripPrefix(".tmp-").stripSuffix(".files").stripSuffix(".bloom")
+      // suffix, bloom sidecars `.bloom` or `.bloom.<col>`, tmp
+      // stagings a .tmp- prefix — all must strip BEFORE the
+      // version/liveness checks, or live file sidecars would read as
+      // unreferenced and an IN-FLIGHT writer's above-window .tmp-
+      // staging would be swept out from under it, violating vacuum's
+      // only-below-the-window invariant)
+      val b0 = n.stripPrefix(".tmp-")
+      val bloomAt = b0.indexOf(".bloom")
+      val b = (if (bloomAt >= 0) b0.substring(0, bloomAt) else b0)
+        .stripSuffix(".files")
       if (batchVersion(b).forall(_ < keepMin) && !liveBatches.contains(b))
         fs.delete(st.getPath, false)
     }

@@ -423,6 +423,36 @@ class SnapshotMergeSpec extends SparkFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap == before)
   }
 
+  test("stale writer sending a pre-rename name is refused, not silently routed (ADVICE r18)") {
+    val dir = tmp("sstale")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "p0", 0L)).toDF("id", "pic", "pk"), Seq("id"), Seq("pk"))
+    SnapshotMerge.renameColumn(spark, dir, "pic", "cover")
+    // `pic` is no longer a logical field but IS cover's physical
+    // column — a stale writer's bytes would land INSIDE cover through
+    // the identity pass-through; every keyed front must fail loudly
+    val stale = Seq((1L, "stale!", 1L)).toDF("id", "pic", "pk")
+    Seq(
+      () => SnapshotMerge.upsertUpdate(spark, dir, stale, Seq("id"), Seq("pk")),
+      () => SnapshotMerge.upsertIgnore(spark, dir, stale, Seq("id"), Seq("pk")),
+      () => { SnapshotMerge.upsertMor(spark, dir, stale, Seq("id"), Seq("pk")); () },
+      () => { SnapshotMerge.upsertMorSparse(spark, dir,
+        Seq((0L, "x", 0L)).toDF("id", "pic", "pk"),
+        Seq("id"), Seq("pk"), Seq("pic")); () }
+    ).foreach { f =>
+      assert(intercept[IllegalArgumentException](f())
+        .getMessage.contains("collide with a renamed field's physical"))
+    }
+    // the table is untouched and still reads through the rename
+    assert(SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("cover")).toMap ==
+      Map(0L -> "p0"))
+    // a frame in CURRENT logical names still flows
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((1L, "c1", 1L)).toDF("id", "cover", "pk"), Seq("id"), Seq("pk"))
+    assert(SnapshotMerge.readEvolved(spark, dir).count() == 2L)
+  }
+
   test("cross-talk names: re-adding a renamed column's OLD name routes every write path correctly") {
     // rename pic→cover leaves cover's bytes under physical `pic`;
     // re-adding `pic` as a brand-new logical column allocates a fresh

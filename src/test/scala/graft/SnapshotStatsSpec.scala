@@ -340,11 +340,60 @@ class SnapshotStatsSpec extends SparkFunSuite {
     assert(st.readKeyLookupStr(t.schema, "bvid", Seq("BV999999")).count() == 0L)
     // re-indexing the SAME column replaces its lines (no duplicates)
     st.writeBatchBloom(batch, t.schema, Seq("pk"), "bvid")
-    val lines = scala.io.Source.fromFile(
-      new java.io.File(s"$dir/stats/$batch.bloom"))
+    def colLines(c: String): Seq[String] = scala.io.Source.fromFile(
+      new java.io.File(s"$dir/stats/$batch.bloom.$c"))
       .getLines().filter(_.nonEmpty).toSeq
-    assert(lines.count(_.split('\t')(1) == "bvid") == 3 &&
-      lines.count(_.split('\t')(1) == "id") == 3,
-      s"sidecar must hold exactly one line per (partition, column): $lines")
+    assert(colLines("bvid").size == 3 && colLines("id").size == 3,
+      "per-column sidecars must hold exactly one line per partition")
+  }
+
+  test("concurrent two-column bloom indexers never lose each other's sidecar (ADVICE r18)") {
+    val dir = tmp("stats_bloom_race_")
+    val t = (0L until 300L).map(i => (i, f"BV$i%06d", i % 3L))
+      .toDF("id", "bvid", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, t, Seq("id"), Seq("pk"))
+    val st = store(dir)
+    val batch = st.current().get._2.values.head
+    // the combined-sidecar design lost this race (read-merge-rename:
+    // last rename dropped the other column's lines); per-column files
+    // make it impossible by construction — hammer it anyway
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (0 until 3).foreach { _ =>
+        val fa = pool.submit(new Runnable {
+          def run(): Unit = st.writeBatchBloom(batch, t.schema, Seq("pk"), "id")
+        })
+        val fb = pool.submit(new Runnable {
+          def run(): Unit = st.writeBatchBloom(batch, t.schema, Seq("pk"), "bvid")
+        })
+        fa.get(); fb.get()
+        val hitInt = st.readKeyLookup(t.schema, "id", Seq(42L))
+        val hitStr = st.readKeyLookupStr(t.schema, "bvid", Seq("BV000042"))
+        def dirs(files: Array[String]) =
+          files.map(_.replaceAll("/[^/]*$", "")).distinct.length
+        assert(dirs(hitInt.inputFiles) < 3 && dirs(hitStr.inputFiles) < 3,
+          "both columns must keep pruning after every concurrent round")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("legacy combined .bloom sidecar still prunes; per-column file wins on conflict") {
+    val dir = tmp("stats_bloom_legacy_")
+    val t = (0L until 300L).map(i => (i, i % 3L)).toDF("id", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, t, Seq("id"), Seq("pk"))
+    val st = store(dir)
+    val batch = st.current().get._2.values.head
+    // write the per-column sidecar, then move it to the LEGACY
+    // combined name — exactly what a pre-r19 build left on disk
+    st.writeBatchBloom(batch, t.schema, Seq("pk"), "id")
+    val src = java.nio.file.Paths.get(s"$dir/stats/$batch.bloom.id")
+    java.nio.file.Files.move(src,
+      java.nio.file.Paths.get(s"$dir/stats/$batch.bloom"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/stats/.$batch.bloom.id.crc"))
+    val hit = st.readKeyLookup(t.schema, "id", Seq(42L))
+    assert(hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length < 3,
+      "the legacy combined sidecar must keep pruning")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(42L))
   }
 }
