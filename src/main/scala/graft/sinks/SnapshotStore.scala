@@ -231,6 +231,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeEvolveCommitHook: () => Unit = () => ()
 
+  /** Pluggable atomic-publish primitive — see [[CommitPointerBackend]].
+    * None (default) = the built-in lease + fence + overwrite-rename,
+    * correct wherever exclusive create is atomic (HDFS/posix). Install
+    * an object-store conditional-PUT implementation to commit safely
+    * on stores where it is not.
+    */
+  var pointerBackend: Option[CommitPointerBackend] = None
+
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")
   private val versionsDir = new Path(root, "versions")
@@ -622,6 +630,34 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val manifestFinal = new Path(manifestsDir, manifestName)
     if (!fs.rename(manifestTmp, manifestFinal))
       throw new java.io.IOException(s"rename $manifestTmp -> $manifestFinal failed")
+    // Object-store path: delegate the publish to the backend's
+    // conditional PUT — no LOCK file at all; the loser is fenced by
+    // the CAS result. Body-compare subsumes the version fence
+    // (manifest names are per-writer unique).
+    pointerBackend match {
+      case Some(backend) =>
+        val expectedBody = currentManifestName()
+        if (expectedBody.map(parseVersion) != expectedBase)
+          throw new SnapshotConcurrentWriteException(
+            s"snapshot table $root changed under this writer: expected base " +
+              s"${expectedBase.fold("<empty>")(versionName)}, found " +
+              s"${expectedBody.map(parseVersion).fold("<empty>")(versionName)} — " +
+              "re-read and retry the merge")
+        beforeSwapHook()
+        if (!backend.cas(expectedBody, manifestName))
+          throw new SnapshotConcurrentWriteException(
+            s"conditional-PUT commit on $root lost to a concurrent writer — " +
+              "re-read and retry the merge")
+        // winners only reach here, serialized per version by the CAS:
+        // heal a predecessor's missing log entry, then record this win
+        expectedBase.foreach { base =>
+          if (versionLogEntry(base).isEmpty)
+            expectedBody.foreach(writeVersionLogEntry(base, _))
+        }
+        writeVersionLogEntry(version, manifestName)
+        return
+      case None => ()
+    }
     // fence + swap under the lease: with the lock held no other writer
     // can move CURRENT between this check and the rename, so the pair
     // acts as a CAS (see class doc for the takeover + degradation
