@@ -129,14 +129,17 @@ object Dedup extends QueryModule {
     // prior read EXCLUDING the current batch id ⇒ a retried batch is
     // idempotent even after a partial failure — ADVICE r17; the
     // fenced snapshot store is the production spelling,
-    // upsertStream). Within-wave docs do NOT dedup against each other
-    // (a batch arrives together), which is what makes the whole run
-    // restatable: the DuckDB oracle unrolls the three waves as CTE
-    // rounds (the BPE-unroll technique) — kept(w) = wave-w docs with
-    // NO verified candidate among kept(<w). State is kept-doc-sized
-    // (keys + shingle sets), never corpus²; the ≥3-words guard keeps
-    // both engines in the regime where the twin banding provably
-    // agrees.
+    // upsertStream). Within-wave docs ALSO dedup against each other
+    // (r19 — the reference's within-run set-dedup,
+    // `cmdline.py:289-296`): among a wave's cross-survivors, a
+    // verified colliding pair keeps the SMALLER doc_id
+    // (pair-min-wins). The whole run stays restatable: the DuckDB
+    // oracle unrolls the three waves as CTE rounds (the BPE-unroll
+    // technique) — cross(w) = wave-w docs with NO verified candidate
+    // among kept(<w), kept(w) = cross(w) minus its verified
+    // smaller-id-collision losers. State is kept-doc-sized (keys +
+    // shingle sets), never corpus²; the ≥3-words guard keeps both
+    // engines in the regime where the twin banding provably agrees.
     "strm_neardup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .where(size(split(col("text"), " ")) >= 3)
@@ -523,10 +526,12 @@ object Dedup extends QueryModule {
     * factored so specs can plant adversarial corpora: stages `docs`
     * as three mtime-paced waves (`doc_id % 3`), drains them through
     * an AvailableNow foreachBatch filter against the accumulated
-    * store, and returns the kept (doc_id) frame. Drop rule per batch:
+    * store, and returns the kept (doc_id) frame. Drop rules per batch:
     * LSH candidates (band-key collision with a kept doc) are
     * EXACT-VERIFIED — true shingle Jaccard against the colliding kept
-    * doc must clear `threshold` — so an LSH false positive survives.
+    * doc must clear `threshold` — so an LSH false positive survives;
+    * then the batch dedupes AGAINST ITSELF (same band/verify algebra
+    * over its cross-survivors, keep-first by doc_id — r19).
     * The store holds, per batch id, the kept docs' (band, key,
     * doc_id) triples and their (doc_id, sh) shingle sets; a batch's
     * prior read enumerates ONLY strictly-smaller batch ids, so a
@@ -614,8 +619,33 @@ object Dedup extends QueryModule {
               .where(shingleSetJaccard(col("sh"), col("kept_sh")) >= threshold)
               .select(col("doc_id")).distinct()
           }
-        val keptIds = batch.select(col("doc_id"))
+        val crossKept = batch.select(col("doc_id"))
           .join(dropIds, Seq("doc_id"), "left_anti").ckpt(false)
+        // INTRA-BATCH dedup (r19): two near-duplicates arriving in
+        // the SAME micro-batch used to both survive (the store holds
+        // prior batches only) — the reference's within-run set-dedup
+        // (`cmdline.py:289-296`) says they must not. Same band/verify
+        // algebra, restricted to the batch's cross-surviving docs,
+        // keep-first by doc_id: a doc drops when a verified colliding
+        // partner with a SMALLER id cross-survived the same batch.
+        // Pair-min-wins, not sequential-greedy: in a chain A~B~C
+        // (A<B<C, A≁C) both B and C drop — B loses to A, C to B
+        // (B cross-survived; its own intra drop doesn't resurrect C).
+        // Bounded by intra-batch bucket occupancy, never batch².
+        val bndK = bnd.join(crossKept, Seq("doc_id"))
+        val intraPairs = bndK.as("l").join(bndK.as("r"),
+            col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("keep_id"), col("r.doc_id").as("doc_id"))
+          .distinct()
+        val intraDrop = intraPairs
+          .join(sh, Seq("doc_id"))
+          .join(sh.select(col("doc_id").as("keep_id"), col("sh").as("keep_sh")),
+            Seq("keep_id"))
+          .where(shingleSetJaccard(col("sh"), col("keep_sh")) >= threshold)
+          .select(col("doc_id")).distinct()
+        val keptIds = crossKept.join(intraDrop, Seq("doc_id"), "left_anti")
+          .ckpt(false)
         bnd.join(keptIds, Seq("doc_id"))
           .select(col("band"), col("key"), col("doc_id")).distinct()
           .write.mode("overwrite").parquet(s"$store/b$id")
@@ -624,7 +654,8 @@ object Dedup extends QueryModule {
           .write.mode("overwrite").partitionBy("kb").parquet(s"$shst/b$id")
         keptIds.write.mode("overwrite").parquet(s"$kept/b$id")
         releaseCheckpoints(sh); releaseCheckpoints(bnd)
-        releaseCheckpoints(cands); releaseCheckpoints(keptIds)
+        releaseCheckpoints(cands); releaseCheckpoints(crossKept)
+        releaseCheckpoints(keptIds)
         ()
       }
       val q = s.readStream.schema(docs.schema)
@@ -977,11 +1008,12 @@ object Dedup extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     // the three waves unrolled as CTE rounds WITH the exact-verify
-    // stage (r18): cand(w) = wave-w docs bucket-colliding with a
-    // kept(<w) doc; dropped(w) = candidates whose TRUE shingle
-    // Jaccard against a colliding kept doc clears 0.8; kept(w) =
-    // wave-w docs not dropped. Banding = the dedup_minhash_md5 twin
-    // spelling verbatim, verify = its verify join per wave.
+    // stage (r18) AND the intra-wave stage (r19): cross(w) = wave-w
+    // docs with no verified bucket-collision against kept(<w);
+    // intra(w) = cross(w) docs with a verified colliding SMALLER-id
+    // partner in cross(w) (pair-min-wins); kept(w) = cross(w) minus
+    // intra(w). Banding = the dedup_minhash_md5 twin spelling
+    // verbatim, verify = its verify join per wave.
     "strm_neardup" ->
       """WITH docs3 AS (
            SELECT doc_id, text FROM documents
@@ -1005,7 +1037,19 @@ object Dedup extends QueryModule {
            SELECT doc_id, b AS band,
              array_to_string(sig[b*4+1:b*4+4], '') AS key
            FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         k0 AS (SELECT doc_id FROM docs3 WHERE doc_id % 3 = 0),
+         k0c AS (SELECT doc_id FROM docs3 WHERE doc_id % 3 = 0),
+         i0 AS (
+           SELECT DISTINCT r.doc_id AS new_id
+           FROM bnd l JOIN bnd r
+             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+           JOIN dd x ON x.doc_id = r.doc_id
+           JOIN dd y ON y.doc_id = l.doc_id
+           WHERE l.doc_id IN (SELECT doc_id FROM k0c)
+             AND r.doc_id IN (SELECT doc_id FROM k0c)
+             AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+         k0 AS (SELECT doc_id FROM k0c
+                WHERE doc_id NOT IN (SELECT new_id FROM i0)),
          c1 AS (
            SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS kept_id
            FROM bnd n JOIN bnd p ON n.band = p.band AND n.key = p.key
@@ -1017,9 +1061,21 @@ object Dedup extends QueryModule {
            JOIN dd y ON y.doc_id = c1.kept_id
            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
-         k1 AS (
+         k1c AS (
            SELECT doc_id FROM docs3 WHERE doc_id % 3 = 1
              AND doc_id NOT IN (SELECT new_id FROM d1)),
+         i1 AS (
+           SELECT DISTINCT r.doc_id AS new_id
+           FROM bnd l JOIN bnd r
+             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+           JOIN dd x ON x.doc_id = r.doc_id
+           JOIN dd y ON y.doc_id = l.doc_id
+           WHERE l.doc_id IN (SELECT doc_id FROM k1c)
+             AND r.doc_id IN (SELECT doc_id FROM k1c)
+             AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+         k1 AS (SELECT doc_id FROM k1c
+                WHERE doc_id NOT IN (SELECT new_id FROM i1)),
          c2 AS (
            SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS kept_id
            FROM bnd n JOIN bnd p ON n.band = p.band AND n.key = p.key
@@ -1032,9 +1088,21 @@ object Dedup extends QueryModule {
            JOIN dd y ON y.doc_id = c2.kept_id
            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                  len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
-         k2 AS (
+         k2c AS (
            SELECT doc_id FROM docs3 WHERE doc_id % 3 = 2
-             AND doc_id NOT IN (SELECT new_id FROM d2))
+             AND doc_id NOT IN (SELECT new_id FROM d2)),
+         i2 AS (
+           SELECT DISTINCT r.doc_id AS new_id
+           FROM bnd l JOIN bnd r
+             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+           JOIN dd x ON x.doc_id = r.doc_id
+           JOIN dd y ON y.doc_id = l.doc_id
+           WHERE l.doc_id IN (SELECT doc_id FROM k2c)
+             AND r.doc_id IN (SELECT doc_id FROM k2c)
+             AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+         k2 AS (SELECT doc_id FROM k2c
+                WHERE doc_id NOT IN (SELECT new_id FROM i2))
          SELECT doc_id, doc_id % 3 AS wave FROM k0
          UNION ALL SELECT doc_id, doc_id % 3 FROM k1
          UNION ALL SELECT doc_id, doc_id % 3 FROM k2""",

@@ -307,14 +307,14 @@ class DedupSpec extends SparkFunSuite {
     assert(got.contains(1L) && got.keys.exists(_ > 1L))
   }
 
-  test("strm_neardup equals a driver-side three-wave verified fold; drops are cross-wave only") {
+  test("strm_neardup equals a driver-side three-wave verified fold incl. intra-wave keep-first") {
     import org.apache.spark.sql.functions._
     // The oracle re-derives banding + verify in SQL; this differential
     // re-derives the ACCUMULATION in plain Scala from the shared
     // md5Bands output and exact shingle Jaccard — if the streaming
     // store/candidate-join/verify/append machinery dropped a wave,
-    // reprocessed a batch, deduped within a wave, or dropped an
-    // unverified LSH candidate, the fold would disagree.
+    // reprocessed a batch, mis-ordered the intra-wave keep-first rule,
+    // or dropped an unverified LSH candidate, the fold would disagree.
     val got = SparkEntry.queries("strm_neardup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.load(spark, sfDir, "documents")
@@ -336,10 +336,23 @@ class DedupSpec extends SparkFunSuite {
     val expected = scala.collection.mutable.Set.empty[(Long, Long)]
     (0 to 2).foreach { w =>
       val wave = allIds.filter(_ % 3 == w)
-      val kept = wave.filterNot { id =>
+      // stage 1: cross-batch drops against the accumulated kept store
+      val cross = wave.filterNot { id =>
         val colliders = bands.getOrElse(id, Nil)
           .flatMap(k => seenKeys.getOrElse(k, Set.empty)).distinct
         colliders.exists(kid => jacc(id, kid) >= 0.8)
+      }
+      // stage 2 (r19): intra-wave pair-min-wins among cross-survivors
+      val crossSet = cross.toSet
+      val waveKeys = scala.collection.mutable.Map
+        .empty[(Int, String), scala.collection.mutable.Set[Long]]
+      cross.foreach(id => bands.getOrElse(id, Nil).foreach(k =>
+        waveKeys.getOrElseUpdate(k,
+          scala.collection.mutable.Set.empty) += id))
+      val kept = cross.filterNot { id =>
+        val peers = bands.getOrElse(id, Nil)
+          .flatMap(k => waveKeys.getOrElse(k, Set.empty)).distinct
+        peers.exists(p => p < id && crossSet(p) && jacc(id, p) >= 0.8)
       }
       kept.foreach(id => expected += ((id, w.toLong)))
       kept.foreach(id => bands.getOrElse(id, Nil).foreach(k =>
@@ -347,12 +360,50 @@ class DedupSpec extends SparkFunSuite {
           scala.collection.mutable.Set.empty) += id))
     }
     assert(got == expected.toSet)
-    // the fixture's planted near-dups make at least one cross-wave
-    // drop happen (the filter is not vacuously keeping everything)
+    // the fixture's planted near-dups make at least one drop happen
+    // (the filter is not vacuously keeping everything)
     assert(got.size < allIds.length,
       s"no doc was ever dropped (${got.size} of ${allIds.length})")
-    // wave 0 is never filtered (the store is empty at batch 0)
-    assert(allIds.filter(_ % 3 == 0).forall(id => got.contains((id, 0L))))
+  }
+
+  test("strm_neardup: same-wave duplicates keep-first; a same-wave FP collision survives") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids 1, 4, 7 are all wave 1 (id % 3): 1 and 4 are verbatim
+    // duplicates arriving in the SAME micro-batch — the r18 pipeline
+    // kept both (the store holds prior batches only); keep-first must
+    // now keep 1 and drop 4. id 7 shares a band key with nothing
+    // similar (distinct text), and ids 0, 3 pad waves 0 with
+    // unrelated docs so every batch is non-trivial.
+    val dupText = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, "completely unrelated filler alpha beta gamma"),
+      (3L, "another unrelated wave zero document right here"),
+      (1L, dupText), (4L, dupText),
+      (7L, "seven has its very own unique words entirely"),
+      (2L, "wave two document with its own content too"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.streamNearDupKept(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "the SMALLER same-wave duplicate must be kept")
+    assert(!kept.contains(4L), "the larger same-wave duplicate must drop")
+    assert(kept == Set(0L, 3L, 1L, 7L, 2L),
+      s"got $kept — everything else survives")
+  }
+
+  test("strm_neardup: same-wave chain A~B~C drops both B and C (pair-min-wins, documented)") {
+    import spark.implicits._
+    // three near-identical docs in ONE wave (ids 1, 4, 7): 1~4 and
+    // 4~7 verify; pair-min-wins drops 4 (loses to 1) AND 7 (loses to
+    // cross-surviving 4), pinning the documented non-greedy semantics
+    val t1 = "shared shingle body one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, "unrelated wave zero padding document here"),
+      (1L, t1), (4L, t1), (7L, t1))
+      .toDF("doc_id", "text")
+    val kept = Dedup.streamNearDupKept(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L), s"got $kept")
   }
 
   test("strm_neardup: a planted LSH false positive SURVIVES the exact-verify stage") {
