@@ -24,11 +24,17 @@ def load(path):
         return d["parsed"]
     if "queries" in d:
         return d
-    # last resort: find a JSON object line in "tail"
-    for line in str(d.get("tail", "")).splitlines():
+    # find a complete JSON object line in "tail" — prefer the LAST one
+    # (Bench prints a compact self-contained line last, r19, sized to
+    # survive the driver's 2000-byte tail whole; earlier lines may be
+    # truncated fragments of the full map)
+    for line in reversed(str(d.get("tail", "")).splitlines()):
         line = line.strip().lstrip("[info] ").strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
     # driver BENCH_r{N}.json often truncates the JSON line — recover
     # the per-query medians from the fragment (no cal data survives
     # truncation; healthy() then marks everything healthy, which is

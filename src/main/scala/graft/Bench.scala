@@ -326,6 +326,47 @@ object Bench {
     (stdoutLine, fullLine)
   }
 
+  /** A COMPACT trailing line guaranteed to fit the driver's 2000-byte
+    * stdout tail (r19, VERDICT r18 #6): the full contract line has
+    * carried 200+ queries since r2, so the driver's artifact records
+    * a truncated fragment (`parsed: null` every round) and the differ
+    * falls back to fragile regex recovery. Printing this line LAST
+    * puts one COMPLETE json object in any ≥2000-byte tail: the
+    * heaviest `topN` queries by median (the ones regression
+    * adjudication actually reads) plus every summary field. The full
+    * map still goes to stdout (contract) and `bench_last.json`.
+    */
+  def compactLine(timed: Seq[(String, Timing)], reps: Int, cpus: Int,
+                  sfDir: String, loadStart: Double, loadEnd: Double,
+                  stealStart: Long, stealEnd: Long, cal0: Double,
+                  maxBytes: Int = 1900): String = {
+    val ok = timed.filter(_._2.runs.nonEmpty)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val byCost = ok.sortBy { case (_, t) => -t.median }
+    val total = ok.map(_._2.median).sum
+    val nErr = timed.count(_._2.err.isDefined)
+    def build(topN: Int): String = {
+      val top = byCost.take(topN).sortBy(_._1)
+      s"""{"queries":${top.map { case (n, t) =>
+            "\"" + jsonEscape(n) + "\":" + ms(t.median) }.mkString("{", ",", "}")}""" +
+        s""","top_n":${top.size},"n_queries":${ok.size},"n_err":$nErr""" +
+        s""","first_total":${ms(ok.map(_._2.runs.head).sum)}""" +
+        s""","reps":$reps,"cpus":$cpus,"sf":"$sfDir"""" +
+        s""","load":[${f2(loadStart)},${f2(loadEnd)}]""" +
+        s""","cpu_total":${f2(ok.map(_._2.cpuMedian).sum)}""" +
+        s""","steal":[$stealStart,$stealEnd],"cal0":${ms(cal0)}""" +
+        s""","full_map":"bench_last.json"""" +
+        s""","metric":"total","unit":"sec","value":${ms(total)}}"""
+    }
+    // self-budgeting: shrink the query map until the whole object fits
+    // the tail window — the budget, not a fixed N, is the contract
+    (40 to 0 by -4).iterator
+      .map(build)
+      .find(_.getBytes("UTF-8").length <= maxBytes)
+      .getOrElse(build(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the box's cores, not a fixed 4: a local probe run
@@ -378,6 +419,10 @@ object Bench {
       artifactLines(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg(),
         stealStart, stealJiffies(), cal0)
     println(stdoutLine)
+    // LAST line = the complete compact object the driver's 2000-byte
+    // tail always captures whole (see compactLine's scaladoc)
+    println(compactLine(timed, reps, cpus.toInt, sfDir, loadStart, loadAvg(),
+      stealStart, stealJiffies(), cal0))
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), fullLine + "\n")
     catch { case _: Throwable => }

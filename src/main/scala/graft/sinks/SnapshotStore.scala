@@ -1158,9 +1158,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
 
   /** Apply sparse patch slices to a live frame carrying `__sv` (and
     * any `passthrough` working columns that must survive, e.g. the
-    * DV identity pair). One left join per sparse BATCH, ascending by
-    * commit version; the patch side is a freshly staged, small slice,
-    * so AQE broadcasts it in the common case. Columns a later DROP
+    * DV identity pair). ONE left join per distinct (keys, cols)
+    * SIGNATURE — not per batch: same-signature patches of a key
+    * totally overwrite each other, so only the per-key LATEST matters
+    * (an argmax over the stacked slices, computed on the patch side,
+    * which stays batch-sized and AQE-broadcasts). A steady-state
+    * writer patching the same columns every cron cycle therefore
+    * costs the reader one join at ANY outstanding depth, not depth
+    * joins. Signatures apply ascending by their newest version, so a
+    * column shared between two signatures ends at its newest patch.
+    * Per-row gate: a patch applies only to rows whose originating
+    * slice predates it (`__sv < __pv`), so a full-row overwrite
+    * committed after a patch wins entirely. Columns a later DROP
     * evolution removed from `schema` are skipped (the patch of a
     * dropped column is dead weight until compaction); a patch whose
     * columns are all dropped joins nothing.
@@ -1169,30 +1178,43 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       patches: Seq[SnapshotStore.SparseSlice],
       passthrough: Seq[String]): DataFrame = {
     val keep: Seq[String] = schema.fieldNames.toSeq ++ passthrough :+ "__sv"
-    var out = df0
-    for (((batch, keys, cols), group) <- patches
-           .groupBy(p => (p.batch, p.keys, p.cols)).toSeq.sortBy(_._1._1)) {
-      val v = batchVersion(batch).getOrElse(throw new IllegalStateException(
+    def ver(batch: String): Long =
+      batchVersion(batch).getOrElse(throw new IllegalStateException(
         s"sparse slice batch $batch carries no version prefix"))
+    var out = df0
+    val groups = patches.groupBy(p => (p.keys, p.cols)).toSeq
+      .sortBy { case (_, g) => g.map(s => ver(s.batch)).max }
+    for (((keys, cols), group) <- groups) {
       val applied = cols.filter(schema.fieldNames.contains)
       require(keys.forall(schema.fieldNames.contains),
-        s"sparse slice $batch keys [${keys.mkString(",")}] missing from the " +
-          "read schema — a patch key column cannot be dropped before its " +
+        s"sparse slice keys [${keys.mkString(",")}] missing from the read " +
+          "schema — a patch key column cannot be dropped before its " +
           "slices compact away")
       if (applied.nonEmpty) {
-        val base = dataPath(batch)
-        val paths = group.map(_.suffix).distinct.sorted
-          .map(s => new Path(base, s).toString)
         val readSchema = StructType(schema.fields.filter(f =>
           keys.contains(f.name) || applied.contains(f.name)))
-        val p = spark.read.option("basePath", base.toString)
-          .schema(readSchema).parquet(paths: _*)
+        val all = group.groupBy(_.batch).toSeq.sortBy(_._1)
+          .map { case (batch, slices) =>
+            val base = dataPath(batch)
+            val paths = slices.map(_.suffix).distinct.sorted
+              .map(s => new Path(base, s).toString)
+            spark.read.option("basePath", base.toString)
+              .schema(readSchema).parquet(paths: _*)
+              .withColumn("__pv", lit(ver(batch)))
+          }.reduce(_.unionByName(_))
+        // per-key latest patch: version argmax via a max + self-join
+        // (type-agnostic — a struct-max would refuse map-typed
+        // patched columns). Versions are unique per (key, batch) and
+        // a batch holds a key at most once, so the join picks one row.
+        val latestVer = all.groupBy(keys.map(col): _*)
+          .agg(org.apache.spark.sql.functions.max(col("__pv")).as("__pv"))
+        val p = all.join(latestVer, keys :+ "__pv")
           .select(keys.map(col) ++
-            applied.map(c => col(c).as(s"__sp_$c")): _*)
+            applied.map(c => col(c).as(s"__sp_$c")) :+ col("__pv"): _*)
           .withColumn("__sp_hit", lit(true))
         out = out.join(p, keys, "left").select(keep.map { c =>
           if (applied.contains(c))
-            when(col("__sp_hit") && col("__sv") < v, col(s"__sp_$c"))
+            when(col("__sp_hit") && col("__sv") < col("__pv"), col(s"__sp_$c"))
               .otherwise(col(c)).as(c)
           else col(c)
         }: _*)

@@ -174,4 +174,30 @@ class BenchSpec extends SparkFunSuite {
     assert(stdoutLine.contains(""""err":{}"""))
     assert(stdoutLine.contains(""""reruns":{}"""))
   }
+
+  test("compact trailing line fits the driver's 2000-byte tail at 300 queries") {
+    // the driver records only the LAST 2000 bytes of stdout — the
+    // compact line printed last must be a complete json object inside
+    // that window at ANY catalog size, with the heaviest queries and
+    // the full summary present
+    val timed = (1 to 300).map { i =>
+      f"query_with_a_realistically_long_name_$i%03d" -> Timing(
+        Vector(i * 0.01, i * 0.01, i * 0.01), Vector(0.2, 0.2, 0.2),
+        Vector(0L, 0L, 0L), Vector(100.0, 100.0, 100.0),
+        Vector(1.0, 1.0, 1.0), 0, None)
+    }
+    val line = Bench.compactLine(timed, 3, 32, "/root/testdata/sf0.1",
+      0.5, 0.7, 10L, 20L, 101.3)
+    assert(line.getBytes("UTF-8").length <= 2000,
+      s"compact line is ${line.getBytes("UTF-8").length} bytes")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // heaviest query present, lightest absent (top-40 policy)
+    assert(line.contains("query_with_a_realistically_long_name_300"))
+    assert(!line.contains("query_with_a_realistically_long_name_001\""))
+    assert(line.contains(""""n_queries":300""") &&
+      line.contains(""""metric":"total""""))
+    // parses as a flat json object: balanced braces, no raw newlines
+    assert(!line.contains("\n") &&
+      line.count(_ == '{') == line.count(_ == '}'))
+  }
 }
