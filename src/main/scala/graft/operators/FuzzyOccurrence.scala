@@ -195,9 +195,17 @@ object FuzzyOccurrence extends QueryModule {
     // window scan, short-last-page fallback, and 1-based page
     // arithmetic — trivial in the flagship's 1-page fixture — are all
     // hash-checked. Keep rule in exact integer units:
-    // lev·100 ≤ 55·max(len(lyrics), len(win_text)).
+    // lev·100 ≤ 55·max(len(lyrics), len(win_text)). The transcript
+    // CORPUS is a deterministic subset (doc_id ≡ 1 (mod 8), plus the
+    // probe docs so exact self-matches exist): levenshtein is an
+    // O(m·n) DP with no bit-parallel kernel on either engine, so the
+    // full corpus would make this row cost 10× the flagship it
+    // verifies — the subset keeps every pipeline stage exercised at
+    // flagship-comparable cost on BOTH engines.
     "fuzzy_occurrence_q" -> ((s, dir) => {
       val paged = documentSegments(s, dir)
+        .where(pmod(col("recording_id"), lit(8)) === 1 ||
+          pmod(col("recording_id"), lit(25)) === 0)
         .select(col("recording_id"),
           (col("seg_idx") / 8).cast("int").as("page"),
           (col("seg_idx") % 8).cast("int").as("seg_idx"),
@@ -297,7 +305,9 @@ object FuzzyOccurrence extends QueryModule {
              list(txt ORDER BY gidx) AS texts,
              list(gidx * 5.0 ORDER BY gidx) AS starts,
              count(*) AS page_len
-           FROM segs GROUP BY doc_id, gidx // 8),
+           FROM segs
+           WHERE doc_id % 8 = 1 OR doc_id % 25 = 0
+           GROUP BY doc_id, gidx // 8),
          wins AS (
            SELECT recording_id, page, n, texts, starts,
              unnest(CASE WHEN page_len >= n

@@ -295,6 +295,8 @@ object SnapshotMerge {
     ((keysPhys ++ updPhys ++ partCols).distinct).foreach(c =>
       require(incMapped.columns.contains(c),
         s"incoming frame is missing column '$c'"))
+    require(!incMapped.columns.contains("__sp_live"),
+      "incoming columns must not collide with the split's working name (__sp_live)")
     val spark = store.spark
     val incoming = incMapped.dropDuplicates(keysPhys).ckpt(true)
     val parts: Array[Row] =
@@ -322,8 +324,13 @@ object SnapshotMerge {
         curMors.map(m => m._1 -> m._2.batch),
       incoming.schema, touched, curDvs)
       .select(keysPhys.map(col): _*)
-    val updates = incoming.join(liveKeys, keysPhys, "left_semi").ckpt(true)
-    val inserts = incoming.join(liveKeys, keysPhys, "left_anti").ckpt(true)
+    // ONE membership join + ONE pin, filtered twice from cache (a
+    // semi + anti pair would run the join and the materialization
+    // twice; the flag spelling halves the write path's job count)
+    val marked = incoming.join(
+      liveKeys.withColumn("__sp_live", lit(true)), keysPhys, "left").ckpt(true)
+    val updates = marked.where(col("__sp_live")).drop("__sp_live")
+    val inserts = marked.where(col("__sp_live").isNull).drop("__sp_live")
 
     val newVersion = curVersion + 1
     // PATCH slice: keys + partition layout + changed columns only —
