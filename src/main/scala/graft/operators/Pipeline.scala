@@ -194,6 +194,109 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // MULTI-WRITER CONCURRENCY through the CONDITIONAL-PUT backend
+    // (r19): the k2_concurrent_upsert race re-run with every commit
+    // published via CommitPointerBackend.cas — one server-side
+    // compare-and-swap, NO lock file anywhere (asserted) — the commit
+    // protocol a store without atomic exclusive create runs. Two
+    // threads race MERGE-ON-READ upserts on the same base through one
+    // shared CAS endpoint; the loser is fenced by the CAS result and
+    // upsertMorRetry rebases. Disjoint key sets commute, so the racy
+    // execution is hash-checkable; CasBackendSpec pins the forced
+    // single-window race and the LOCK-free claim.
+    "k2_cas_commit" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      def batch(rem: Int, bump: Int, st: String) =
+        o.where(col("o_orderkey") % 4 === rem)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") + lit(bump).cast("decimal(18,2)"))
+              .cast("double").as("o_totalprice"),
+            lit(st).as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2cas_").toString + "/t"
+      try {
+        val root = new org.apache.hadoop.fs.Path(base)
+        val backend = new graft.sinks.InProcessCasBackend(s, root)
+        def casStore() = {
+          val st = new graft.sinks.SnapshotStore(s, root)
+          st.pointerBackend = Some(backend)
+          st
+        }
+        graft.sinks.SnapshotMerge.upsertMor(casStore(), target,
+          Seq("o_orderkey"), Seq("pk"), retain = 6)
+        val incs = Seq(batch(0, 1000, "A"), batch(2, 2000, "B"))
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = incs.map { inc =>
+          new Thread(() =>
+            try {
+              gate.await()
+              graft.sinks.SnapshotMerge.upsertMorRetry(casStore(), inc,
+                Seq("o_orderkey"), Seq("pk"), retain = 6, maxAttempts = 8)
+            } catch { case t: Throwable => errs.add(t) })
+        }
+        threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        require(!new java.io.File(s"$base/LOCK").exists(),
+          "the CAS path must never create the lease file")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // MoR MAINTENANCE AUTOPILOT (r19): the k2_upsert_mor fixture with
+    // autoCompactMaxSlices=2 — each commit's post-check folds
+    // slice-hot partitions as a side effect, so the caller never
+    // schedules compaction; content must equal the plain sequential
+    // upserts (the knob only rearranges bytes) and the final manifest
+    // must hold fewer than 2 slices per suffix (required in-query;
+    // SparseMorSpec pins the depth bound across 6 stacked commits).
+    "k2_autocompact" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            (price + lit(1000).cast("decimal(18,2)")).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 1, "U").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val inc2 = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"),
+          (price + lit(3000).cast("decimal(18,2)")).cast("double")
+            .as("o_totalprice"),
+          lit("V").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2ac_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMor(s, base, inc1,
+          Seq("o_orderkey"), Seq("pk"), autoCompactMaxSlices = 2)
+        graft.sinks.SnapshotMerge.upsertMor(s, base, inc2,
+          Seq("o_orderkey"), Seq("pk"), autoCompactMaxSlices = 2)
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val cur = store.resolveCurrent().get
+        val depth = (cur.mors.map(_._1) ++ cur.smors.map(_.suffix))
+          .groupBy(identity).values.map(_.size)
+        require(depth.forall(_ < 2),
+          s"autopilot left slice depth >= 2: ${cur.mors}")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // WRITER vs COMPACTION concurrency (VERDICT r16 #4 — the OTHER
     // classic warehouse conflict class): a row-level upsert races an
     // OPTIMIZE (clustered compaction) on the same base version from
@@ -1258,6 +1361,58 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // the CAS-backend race: same commuting fixture as
+    // k2_concurrent_upsert (disjoint key sets), same sequential
+    // restatement — the publish protocol must not change content
+    "k2_cas_commit" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 3 <> 0),
+         a AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice,
+             'A' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 0),
+         b AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 2000 AS DOUBLE) AS o_totalprice,
+             'B' AS o_orderstatus,
+             o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 4 = 2)
+         SELECT * FROM a
+         UNION ALL
+         SELECT * FROM b
+         UNION ALL
+         SELECT * FROM target
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+           AND o_orderkey NOT IN (SELECT o_orderkey FROM b)""",
+    // the autopilot only rearranges bytes: identical oracle to
+    // k2_upsert_mor
+    "k2_autocompact" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(3000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'V' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 10 = 1 AND o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2""",
     // sequential application of the two commuting racers: disjoint
     // key sets (%4==0 / %4==2), so either commit order yields this
     "k2_concurrent_upsert" ->

@@ -36,3 +36,47 @@ package graft.sinks
 trait CommitPointerBackend {
   def cas(expected: Option[String], next: String): Boolean
 }
+
+/** Reference implementation: CAS serialized by a per-root JVM mutex,
+  * pointer I/O as plain (non-exclusive) file ops. Correct for any
+  * number of THREADS in one process — the multi-writer shape local
+  * pipelines and the driver's concurrency rows actually run — and
+  * the executable contract a real object-store client implements
+  * across processes (its server-side If-Match plays the mutex's
+  * role; everything else is identical). NOT safe across JVMs: that
+  * is precisely the gap conditional PUT exists to close.
+  */
+final class InProcessCasBackend(spark: org.apache.spark.sql.SparkSession,
+    root: org.apache.hadoop.fs.Path) extends CommitPointerBackend {
+  private val pointer = new org.apache.hadoop.fs.Path(root, "CURRENT")
+  def cas(expected: Option[String], next: String): Boolean =
+    InProcessCasBackend.mutexFor(root.toString).synchronized {
+      val fs = AtomicDir.fileSystem(spark, root)
+      val cur =
+        if (!fs.exists(pointer)) None
+        else {
+          val in = fs.open(pointer)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        }
+      if (cur != expected) false
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s".CURRENT.cas-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          root.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(tmp, pointer, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      }
+    }
+}
+
+object InProcessCasBackend {
+  private val mutexes =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def mutexFor(root: String): Object =
+    mutexes.getOrElseUpdate(root, new Object)
+}

@@ -270,6 +270,28 @@ class SparseMorSpec extends SparkFunSuite {
     assert(evolved.where(col("id") === 0L).collect().head.getAs[String]("a") == "a0")
   }
 
+  test("MAP-typed patched columns resolve through the latest-patch argmax (struct-max would refuse)") {
+    val dir = tmp("smormap")
+    val rows = Seq((0L, 0L, Map("a" -> 1), "x0"), (1L, 0L, Map("b" -> 2), "x1"))
+      .toDF("id", "pk", "m", "v")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"))
+    def patch(m: Map[String, Int]): Unit =
+      SnapshotMerge.upsertMorSparse(spark, dir,
+        Seq((0L, 0L, m, "IGNORED")).toDF("id", "pk", "m", "v"),
+        Seq("id"), Seq("pk"), Seq("m"))
+    // two stacked SAME-signature patches force the per-key version
+    // argmax over a map column — the case the max+self-join spelling
+    // exists for (map types have no ordering; max(struct(ver, m))
+    // would throw)
+    patch(Map("z" -> 9))
+    patch(Map("z" -> 10, "w" -> 1))
+    val got = SnapshotMerge.read(spark, dir, rows.schema)
+      .where(col("id") === 0L).collect().head
+    assert(got.getAs[Map[String, Int]]("m") == Map("z" -> 10, "w" -> 1),
+      "the LATER patch's whole map value wins")
+    assert(got.getAs[String]("v") == "x0", "unpatched columns keep seed values")
+  }
+
   test("updateCols validation: keys, partition columns, missing columns all refuse") {
     val dir = seed()
     val inc = Seq((0L, 0L, "X", "B!", "X", "X", "X", "X", "X", "X"))
