@@ -194,6 +194,45 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // RESTORE / rollback (r19): three commits mutate the table (CoW
+    // upsert, MoR upsert, row-level DV delete), then
+    // SnapshotStore.restore rolls it back to v1 AS A NEW FENCED
+    // COMMIT — zero data movement (immutable batches re-referenced),
+    // pre-restore history still time-travels (TimeTravelSpec pins
+    // that plus sidecar carry and schema re-persistence). The oracle
+    // is simply the SEED: a correct rollback erases every later
+    // mutation from the current view.
+    "k2_restore" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val inc = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2rs_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"), retain = 8)
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val v1 = store.currentVersion().get
+        graft.sinks.SnapshotMerge.upsertMor(s, base, inc,
+          Seq("o_orderkey"), Seq("pk"), retain = 8)
+        graft.sinks.SnapshotMerge.deleteWhere(s, base, target.schema,
+          col("o_orderkey") % 40 === 11)
+        val newV = store.restore(v1)
+        require(newV == v1 + 3, s"restore must commit as the NEXT version, got $newV")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // MULTI-WRITER CONCURRENCY through the CONDITIONAL-PUT backend
     // (r19): the k2_concurrent_upsert race re-run with every commit
     // published via CommitPointerBackend.cas — one server-side
@@ -1361,6 +1400,12 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // a correct rollback erases every later mutation: the oracle is
+    // the seed, verbatim
+    "k2_restore" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 1""",
     // the CAS-backend race: same commuting fixture as
     // k2_concurrent_upsert (disjoint key sets), same sequential
     // restatement — the publish protocol must not change content

@@ -947,6 +947,46 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     else steps.reduce(_.unionByName(_))
   }
 
+  /** ROLL BACK to committed `version` AS A NEW COMMIT (the Delta
+    * `RESTORE TABLE ... VERSION AS OF` shape): the restored version's
+    * manifest — base entries, deletion vectors, full AND sparse
+    * slices, embedded schema — is re-committed as the next version,
+    * fenced like every commit, so a racing writer aborts instead of
+    * interleaving and the rollback itself stays in the history (a
+    * restore of a bad restore is just another restore). Zero data
+    * movement: batches are immutable, so re-referencing them IS the
+    * rollback; vacuum keeps them alive again because the CURRENT
+    * manifest references them.
+    *
+    * Schema: the restored version's schema is re-persisted (embedded
+    * + sidecar) so `schemaAt(newVersion)` reads it, not a later
+    * evolve's. Restoring BELOW the table's first persisted schema
+    * while later evolutions exist is refused — the sidecar scan could
+    * not represent "no schema yet" at the new version (compact first,
+    * or restore to an at-or-after-evolve version).
+    *
+    * `version` must be inside the vacuum retention window
+    * ([[readAt]]'s rule; below it there is no provable winner).
+    * Returns the NEW version. No-op (returns current) when `version`
+    * is already current.
+    */
+  def restore(version: Long): Long = {
+    val cur = resolveCurrent().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    if (cur.version == version) return cur.version
+    val name = manifestNameAt(version)
+    val (entries, dvs, mors, smors, embedded) = readManifestAll(name)
+    val schema = schemaAt(version)
+    require(schema.isDefined || schemaHistory().isEmpty,
+      s"restoring $root below its first schema evolution would leave " +
+        "schemaAt() resolving a LATER schema for the restored state — " +
+        "restore to a version at or after the first evolve, or compact first")
+    commitSized(cur.version + 1, entries, Some(cur.version), dvs, mors, smors,
+      embedded.orElse(schema.map(_.json)))
+    schema.foreach(writeSchemaFile(cur.version + 1, _))
+    cur.version + 1
+  }
+
   /** Take the commit lease: atomic create-exclusive of `LOCK` with
     * this writer's id as the body. Held lock -> bounded exponential
     * backoff up to `lockWaitMs`, then [[SnapshotConcurrentWriteException]]

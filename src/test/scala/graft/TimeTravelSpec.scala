@@ -309,4 +309,77 @@ class TimeTravelSpec extends SparkFunSuite {
     assert(ChangeFeedFollower.drainOnce(store2, v1Rows.schema, Seq("id"),
       loadAnchor())((_, _) => fail("caught-up drain must not deliver")) == loadAnchor())
   }
+
+  test("restore rolls back to a retained version as a new fenced commit; history intact") {
+    // generous retain from the start: vacuum trims the version log as
+    // it goes, and a post-hoc wide vacuum cannot resurrect v1's entry
+    val dir = tmp("ttrmain")
+    val store = new SnapshotStore(spark, new Path(dir))
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertUpdate(spark, dir, v2Rows, Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertUpdate(spark, dir, v3Rows, Seq("id"), Seq("pk"), retain = 8)
+    val base = vals(v1Rows)
+    val c2 = base ++ Map(0L -> "U0", 10L -> "N10")
+    val want = Seq(base, c2, c2 ++ Map(1L -> "U1", 11L -> "N11"))
+    val v3 = store.currentVersion().get
+    val newV = store.restore(v3 - 2)
+    assert(newV == v3 + 1)
+    assert(vals(SnapshotMerge.read(spark, dir, v1Rows.schema)) == want(0),
+      "the table IS version 1 again")
+    // the pre-restore history is untouched: readAt still resolves it
+    assert(vals(store.readAt(v3, v1Rows.schema)) == want(2))
+    assert(vals(store.readAt(v3 - 1, v1Rows.schema)) == want(1))
+    // restore-of-a-restore: roll forward again
+    store.restore(v3)
+    assert(vals(SnapshotMerge.read(spark, dir, v1Rows.schema)) == want(2))
+    // no-op restore to current returns current, commits nothing
+    val cur = store.currentVersion().get
+    assert(store.restore(cur) == cur && store.currentVersion().get == cur)
+  }
+
+  test("restore carries DVs, MoR slices and sparse slices of the restored version") {
+    val dir = tmp("ttrestore")
+    val store = new SnapshotStore(spark, new Path(dir))
+    SnapshotMerge.upsertUpdate(spark, dir, v1Rows, Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertMor(spark, dir, v2Rows, Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertMorSparse(spark, dir,
+      Seq((1L, "P1", 1L)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"), Seq("v"), retain = 8)
+    SnapshotMerge.deleteWhere(spark, dir, v1Rows.schema,
+      org.apache.spark.sql.functions.col("id") === 5L)
+    val vSliced = store.currentVersion().get
+    val sliced = vals(SnapshotMerge.read(spark, dir, v1Rows.schema))
+    assert(sliced(1L) == "P1" && !sliced.contains(5L))
+    // wreck the table, then restore the slice-carrying version
+    SnapshotMerge.replaceAll(spark, dir,
+      Seq((999L, "X", 0L)).toDF("id", "v", "pk"), Seq("pk"), retain = 8)
+    store.restore(vSliced)
+    assert(vals(SnapshotMerge.read(spark, dir, v1Rows.schema)) == sliced,
+      "DV + full slice + sparse patch must all apply after the restore")
+    val cur = store.resolveCurrent().get
+    assert(cur.dvs.nonEmpty && cur.mors.nonEmpty && cur.smors.nonEmpty,
+      "the restored manifest must carry all three sidecar kinds")
+  }
+
+  test("restore re-persists the restored version's schema; guards hold") {
+    val dir = tmp("ttrschema")
+    val store = new SnapshotStore(spark, new Path(dir))
+    SnapshotMerge.upsertEvolve(spark, dir, v1Rows, Seq("id"), Seq("pk"), retain = 8)
+    val v1 = store.currentVersion().get
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "U0", 0L, 7)).toDF("id", "v", "pk", "z"),
+      Seq("id"), Seq("pk"), retain = 8)
+    store.restore(v1)
+    assert(store.currentSchema().get.fieldNames.toSeq == Seq("id", "v", "pk"),
+      "the restored version's schema wins over the later evolve's")
+    assert(!SnapshotMerge.readEvolved(spark, dir).columns.contains("z"))
+    // below-retention restore fails the readAt way
+    val tight = tmp("ttrtight")
+    val st2 = new SnapshotStore(spark, new Path(tight))
+    SnapshotMerge.upsertUpdate(spark, tight, v1Rows, Seq("id"), Seq("pk"), retain = 1)
+    SnapshotMerge.upsertUpdate(spark, tight, v2Rows, Seq("id"), Seq("pk"), retain = 1)
+    SnapshotMerge.upsertUpdate(spark, tight, v3Rows, Seq("id"), Seq("pk"), retain = 1)
+    assert(intercept[IllegalArgumentException](st2.restore(1L))
+      .getMessage.contains("retention"))
+  }
 }
