@@ -194,6 +194,48 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // CHECK CONSTRAINTS (r19, the Delta ALTER TABLE ADD CONSTRAINT
+    // surface): add `o_totalprice > 0` to a seeded table (validated
+    // against existing rows first), land a conforming MoR update,
+    // then prove enforcement — a batch carrying one negative price is
+    // REFUSED whole (caught in-query; the require pins the message
+    // names the constraint) and the table is byte-identical after.
+    // The oracle restates seed + the conforming update only.
+    "k2_constraint" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val good = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") + lit(1000).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val bad = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), lit(-1.0).as("o_totalprice"),
+          lit("X").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2ck_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"), retain = 8)
+        graft.sinks.SnapshotMerge.addConstraint(s, base,
+          "price_pos", "o_totalprice > 0")
+        graft.sinks.SnapshotMerge.upsertMor(s, base, good,
+          Seq("o_orderkey"), Seq("pk"), retain = 8)
+        val refused =
+          try { graft.sinks.SnapshotMerge.upsertUpdate(
+            s, base, bad, Seq("o_orderkey"), Seq("pk")); None }
+          catch { case e: IllegalArgumentException => Some(e.getMessage) }
+        require(refused.exists(_.contains("price_pos")),
+          s"the violating batch must be refused by name, got: $refused")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
     // RESTORE / rollback (r19): three commits mutate the table (CoW
     // upsert, MoR upsert, row-level DV delete), then
     // SnapshotStore.restore rolls it back to v1 AS A NEW FENCED
@@ -1400,6 +1442,21 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // seed + the conforming update; the refused batch contributes
+    // nothing (enforcement is all-or-nothing per write)
+    "k2_constraint" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1""",
     // a correct rollback erases every later mutation: the oracle is
     // the seed, verbatim
     "k2_restore" ->

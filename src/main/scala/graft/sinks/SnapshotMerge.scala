@@ -36,6 +36,7 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
+    requireConstraints(store, incoming)
     val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
     mergePhys(spark, store, inc, partCols, retain, sc)(
       (target, i) => Merge.upsertIgnore(target, i, ks))
@@ -48,6 +49,7 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
       statsCols: Seq[String] = Nil): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
+    requireConstraints(store, incoming)
     val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
     mergePhys(spark, store, inc, partCols, retain, sc)(
       (target, i) => Merge.upsertUpdate(target, i, ks))
@@ -99,6 +101,7 @@ object SnapshotMerge {
     */
   private[graft] def upsertMor(store: SnapshotStore, incoming0: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
+    requireConstraints(store, incoming0)
     // renamed (column-mapped) tables: logical incoming routes to the
     // physical columns, exactly like the CoW fronts
     val (incMapped, keysPhys, _) = toPhysIncoming(store, incoming0, keys)
@@ -274,6 +277,13 @@ object SnapshotMerge {
   private[graft] def upsertMorSparse(store: SnapshotStore, incoming0: DataFrame,
       keys: Seq[String], partCols: Seq[String], updateCols: Seq[String],
       retain: Int): Option[Long] = {
+    // NOTE: enforced on the WHOLE incoming frame even though matched
+    // keys only land their updateCols — a constraint over untouched
+    // columns sees the caller's (possibly sentinel) values. Callers
+    // using sentinels must keep them constraint-clean; the
+    // alternative (enforcing post-patch resolution) would cost a
+    // table read per write.
+    requireConstraints(store, incoming0)
     val (incMapped, keysPhys, updPhys) =
       toPhysIncoming(store, incoming0, keys, updateCols)
     upsertMorSparsePhys(store, incMapped, keysPhys, updPhys, partCols, retain)
@@ -534,10 +544,17 @@ object SnapshotMerge {
   def applyCdc(spark: SparkSession, rootDir: String, changes: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String,
       partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit =
-    merge(spark, rootDir, changes, partCols, retain, statsCols)(
+      statsCols: Seq[String] = Nil): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    requireNoMappedLogicalCols(store, changes.schema)
+    // CHECK constraints apply to rows being WRITTEN: delete rows only
+    // remove keys (their payload may legitimately be stale/junk), so
+    // they are exempt — the SQL-CHECK shape Delta enforces
+    requireConstraints(store, changes.where(col(opCol) =!= "delete"))
+    mergePhys(spark, store, changes, partCols, retain, statsCols)(
       (target, inc) =>
         Merge.applyCdc(target.drop(seqCol, opCol), inc, keys, seqCol, opCol))
+  }
 
   /** Read the committed snapshot (empty frame with `schema` when the
     * table has never committed).
@@ -791,6 +808,7 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int,
       statsCols: Seq[String]): Unit = {
     val spark = store.spark
+    requireConstraints(store, incoming)
     val (union, widened, physKeys, physStats, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, statsCols)
     store.beforeEvolveCommitHook()
@@ -863,6 +881,7 @@ object SnapshotMerge {
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       retain: Int): Option[Long] = {
     val spark = store.spark
+    requireConstraints(store, incoming)
     val (union, widened, physKeys, _, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, Nil)
     store.beforeEvolveCommitHook()
@@ -1066,9 +1085,14 @@ object SnapshotMerge {
       store: SnapshotStore): Option[StructType] =
     store.currentSchema().orElse {
       store.currentResolved().map { case (_, entries, _, mors) =>
-        val batches = (entries.values.map(_.batch) ++ mors.map(_._2.batch))
-          .toSet.toSeq.map((b: String) => store.dataPath(b).toString)
-        spark.read.parquet(batches: _*).schema
+        // ONE batch dir, scanned with itself as basePath: every batch
+        // of a pre-evolution table carries the caller-contract schema
+        // (evolved tables never reach this fallback), and a multi-dir
+        // read would trip Spark's conflicting-partition-roots check
+        val batch = (entries.values.map(_.batch) ++ mors.map(_._2.batch))
+          .toSeq.sorted.head
+        val p = store.dataPath(batch).toString
+        spark.read.option("basePath", p).parquet(p).schema
       }
     }
 
@@ -1089,6 +1113,7 @@ object SnapshotMerge {
     require(partCols.nonEmpty, "use AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
+    requireConstraints(store, incoming0)
     val incoming = incoming0.ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
@@ -1128,6 +1153,78 @@ object SnapshotMerge {
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)
+  }
+
+  // --- CHECK constraints (r19) ---------------------------------------
+
+  /** ADD a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * shape): `exprSql` is a boolean SQL expression over the table's
+    * LOGICAL columns; from this commit on, every write front refuses
+    * an incoming frame containing a row for which it evaluates
+    * explicitly FALSE (SQL CHECK semantics — NULL passes). The
+    * EXISTING table is validated first, like Delta: a constraint the
+    * current data already violates is refused, so readers can rely
+    * on every committed row having passed. The add is a fenced
+    * metadata commit (same entries under version+1) + a constraints
+    * sidecar keyed to it, so a racing writer aborts rather than
+    * committing unvalidated rows against the half-added constraint.
+    *
+    * Constraints reference logical names AS OF add time; a later
+    * [[renameColumn]] does not rewrite them — the next write fails
+    * LOUDLY on expression resolution (drop and re-add the constraint
+    * under the new name), never silently skips enforcement.
+    */
+  def addConstraint(spark: SparkSession, rootDir: String,
+      name: String, exprSql: String): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val cur = store.resolveCurrent().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val existing = store.constraintsAt(cur.version)
+    require(!existing.contains(name), s"constraint '$name' already exists")
+    // the whole CURRENT table must already satisfy the predicate
+    val table = readEvolved(spark, rootDir)
+    val bad = table.where(coalesce(expr(exprSql).cast("boolean"), lit(true))
+      === lit(false)).limit(1).count()
+    require(bad == 0L,
+      s"existing rows violate constraint '$name' ($exprSql) — clean the " +
+        "data first (CHECK constraints guarantee every committed row passed)")
+    store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
+      cur.dvs, cur.mors, cur.smors, cur.schemaJson)
+    store.writeConstraintsFile(cur.version + 1, existing + (name -> exprSql))
+  }
+
+  /** DROP a CHECK constraint — fenced metadata commit, like the add. */
+  def dropConstraint(spark: SparkSession, rootDir: String, name: String): Unit = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val cur = store.resolveCurrent().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $rootDir"))
+    val existing = store.constraintsAt(cur.version)
+    require(existing.contains(name),
+      s"constraint '$name' does not exist (have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+    store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
+      cur.dvs, cur.mors, cur.smors, cur.schemaJson)
+    store.writeConstraintsFile(cur.version + 1, existing - name)
+  }
+
+  /** Write-front enforcement: refuse `incoming` when any row violates
+    * a constraint in force (explicit FALSE only — NULL passes, SQL
+    * CHECK semantics). Runs on the LOGICAL incoming frame, before any
+    * physical-name translation, because constraints are written
+    * against logical names. One bounded action per constraint; a
+    * violation reports the constraint and one offending row.
+    */
+  private def requireConstraints(store: SnapshotStore,
+      incoming: DataFrame): Unit = {
+    val cs = store.currentConstraints()
+    if (cs.isEmpty) return
+    cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad = incoming.where(
+        coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false)).limit(1)
+      val hit = bad.collect()
+      require(hit.isEmpty,
+        s"incoming rows violate CHECK constraint '$name' ($sql); " +
+          s"example: ${hit.headOption.fold("")(_.toString)}")
+    }
   }
 
   /** The schema-resolution fence shared by the evolve commit paths —
@@ -1244,6 +1341,7 @@ object SnapshotMerge {
       mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
     val store = new SnapshotStore(spark, new Path(rootDir))
     requireNoMappedLogicalCols(store, incoming0.schema)
+    requireConstraints(store, incoming0)
     mergePhys(spark, store, incoming0, partCols, retain, statsCols)(mergeFn)
   }
 

@@ -947,6 +947,51 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     else steps.reduce(_.unionByName(_))
   }
 
+  // --- CHECK constraints (r19) ---------------------------------------
+  //
+  // One TSV (`name<TAB>sql-expr` per line) per constraint-changing
+  // commit under constraints/, resolved "latest at or before version"
+  // exactly like the schema sidecars. Enforcement is SQL CHECK
+  // semantics — a row violates only when the expression is
+  // explicitly FALSE (NULL passes) — applied by the write fronts to
+  // every incoming frame ([[SnapshotMerge.addConstraint]] validates
+  // the EXISTING table once at add time). The sidecar is written
+  // after the fenced commit it describes: the crash window self-heals
+  // (the add "did not happen"), and the racing-writer window is
+  // enforcement-only — a write in the instant between commit and
+  // sidecar write misses the brand-new constraint, never loses data.
+  // Sidecars are never vacuumed (metadata-sized).
+
+  private val constraintsDir = new Path(root, "constraints")
+
+  /** Persist the FULL constraint set effective from `version`. */
+  def writeConstraintsFile(version: Long, cs: Map[String, String]): Unit = {
+    cs.foreach { case (n, e) =>
+      require(!n.exists("\t\n\r".contains(_)) && !e.exists("\t\n\r".contains(_)),
+        s"constraint '$n' name/expression cannot be TSV-encoded") }
+    writeFile(new Path(constraintsDir, s"constraints-${versionName(version)}.tsv"),
+      cs.toSeq.sortBy(_._1).map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  /** Constraint set at or before `version` (empty when never added). */
+  def constraintsAt(version: Long): Map[String, String] = {
+    if (!fs.exists(constraintsDir)) return Map.empty
+    val eligible = fs.listStatus(constraintsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("constraints-v-") && n.endsWith(".tsv"))
+      .map(n => parseVersion(n.stripPrefix("constraints-").stripSuffix(".tsv")))
+      .filter(_ <= version)
+    if (eligible.isEmpty) Map.empty
+    else readSmallFile(new Path(constraintsDir,
+        s"constraints-${versionName(eligible.max)}.tsv"))
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  /** Constraints in force for the current commit. */
+  def currentConstraints(): Map[String, String] =
+    currentVersion().map(constraintsAt).getOrElse(Map.empty)
+
   /** ROLL BACK to committed `version` AS A NEW COMMIT (the Delta
     * `RESTORE TABLE ... VERSION AS OF` shape): the restored version's
     * manifest — base entries, deletion vectors, full AND sparse
@@ -984,6 +1029,10 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     commitSized(cur.version + 1, entries, Some(cur.version), dvs, mors, smors,
       embedded.orElse(schema.map(_.json)))
     schema.foreach(writeSchemaFile(cur.version + 1, _))
+    // constraints roll back with the data they validated (only when
+    // the table ever had any — never materialize an empty sidecar dir)
+    if (fs.exists(constraintsDir))
+      writeConstraintsFile(cur.version + 1, constraintsAt(version))
     cur.version + 1
   }
 
