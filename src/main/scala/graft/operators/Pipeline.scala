@@ -194,6 +194,69 @@ object Pipeline extends QueryModule {
         java.nio.file.Paths.get(base).getParent.toFile)
     }),
 
+    // STREAMING COLUMN-SPARSE MoR INGEST (r19) — the reference's cron
+    // deployment END-TO-END: two mtime-paced waves of updates drain
+    // through a checkpointed AvailableNow stream whose every
+    // micro-batch commits via upsertMorSparse (updateCols =
+    // o_totalprice ONLY; each wave's o_orderstatus carries a sentinel
+    // that must never land for matched keys), with the compaction
+    // autopilot riding along. Wave 2 re-patches wave-1-patched keys
+    // (cross-batch version gate: the LATER absolute value wins) AND
+    // patches keys wave 1 INSERTED (patch-over-full-slice-row). The
+    // oracle folds both waves; status flips only via wave-1 inserts.
+    "strm_mor_sparse" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val wave1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            (price + lit(1000).cast("decimal(18,2)")).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 20 === 1, "Z1-SENTINEL").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val wave2 = o.where(col("o_orderkey") % 40 === 1 || col("o_orderkey") % 20 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 40 === 1,
+            (price + lit(5000).cast("decimal(18,2)")).cast("double"))
+            .otherwise((price + lit(7000).cast("decimal(18,2)")).cast("double"))
+            .as("o_totalprice"),
+          lit("Z2-SENTINEL").as("o_orderstatus"), pk)
+      val root = java.nio.file.Files.createTempDirectory("strm_smor")
+      try {
+        val drop = root.resolve("waves")
+        java.nio.file.Files.createDirectories(drop)
+        val tableDir = root.resolve("table").toString
+        val ckptDir = root.resolve("ckpt").toString
+        def dropFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = root.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val st = java.nio.file.Files.list(tmp)
+          val part =
+            try st.toArray.map(_.toString)
+              .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+            finally st.close()
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(part), drop.resolve(name))
+        }
+        def drain(): Unit = graft.streaming.EventStreams.sparseMorStream(s,
+          s.readStream.schema(target.schema).parquet(drop.toString),
+          tableDir, Seq("o_orderkey"), Seq("o_totalprice"), Seq("pk"), ckptDir)
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, tableDir, target, Seq("o_orderkey"), Seq("pk"))
+        dropFile(wave1, "w1.parquet")
+        drain()
+        dropFile(wave2, "w2.parquet")
+        drain()
+        graft.sinks.SnapshotMerge.read(s, tableDir, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }),
+
     // CHECK CONSTRAINTS (r19, the Delta ALTER TABLE ADD CONSTRAINT
     // surface): add `o_totalprice > 0` to a seeded table (validated
     // against existing rows first), land a conforming MoR update,
@@ -1442,6 +1505,38 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT * FROM target
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)""",
+    // both waves folded: wave-2 absolute prices win for re-patched
+    // keys; wave-1 inserts keep their whole rows (status N) with
+    // wave-2's patch applied on top; sentinels never land
+    "strm_mor_sparse" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(5000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(7000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'N' AS o_orderstatus, o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 20 = 2
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
+                o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2 AND o_orderkey % 20 <> 2""",
     // seed + the conforming update; the refused batch contributes
     // nothing (enforcement is all-or-nothing per write)
     "k2_constraint" ->

@@ -592,6 +592,39 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming COLUMN-SPARSE merge-on-read ingest — the reference's
+    * cron deployment end-to-end (`db/occurrence.py:46-48` updates 2
+    * of 5 columns per cycle; `modal` cron stages the batches): each
+    * micro-batch commits through
+    * [[graft.sinks.SnapshotMerge.upsertMorSparse]] — matched keys
+    * stage ONLY key+partition+`updateCols` as a sparse slice (no
+    * tombstones, no partition rewrites), unmatched keys insert whole
+    * rows — with the compaction autopilot holding slice depth at
+    * `autoCompactMaxSlices`. Checkpointed + AvailableNow: re-drains
+    * process only new files. Retry-idempotent by the sparse path's
+    * own semantics: a batch re-applied after a post-commit crash
+    * re-patches matched keys with the same absolute values and treats
+    * its own previously-inserted keys as patches of identical values
+    * — content converges (SparseMorSpec pins the double-apply).
+    */
+  def sparseMorStream(spark: SparkSession, incoming: DataFrame,
+      targetDir: String, keys: Seq[String], updateCols: Seq[String],
+      partitionCols: Seq[String], checkpointDir: String,
+      autoCompactMaxSlices: Int = 4): Unit = {
+    val q = incoming.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sinks.SnapshotMerge.upsertMorSparse(spark, targetDir, batch,
+            keys, partitionCols, updateCols,
+            autoCompactMaxSlices = autoCompactMaxSlices)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream INNER join with watermarks on BOTH sides: each
     * click matched to the same user's purchases in the preceding
     * hour. The time-interval join condition plus the two watermarks

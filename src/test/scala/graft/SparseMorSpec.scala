@@ -292,6 +292,24 @@ class SparseMorSpec extends SparkFunSuite {
     assert(got.getAs[String]("v") == "x0", "unpatched columns keep seed values")
   }
 
+  test("re-applying the same sparse batch converges (streaming retry idempotence)") {
+    val dir = seed()
+    val wave = Seq(
+      (0L, 0L, "X", "B0!", "X", "X", "X", "X", "X", "X"),
+      (100L, 0L, "A+", "B+", "C+", "D+", "E+", "F+", "G+", "H+"))
+      .toDF("id", "pk", "a", "b", "c", "d", "e", "f", "g", "h")
+    SnapshotMerge.upsertMorSparse(spark, dir, wave, Seq("id"), Seq("pk"), Seq("b"))
+    val once = readAll(dir)
+    // the post-commit-crash retry of a streaming micro-batch: the
+    // previously-INSERTED key is now live, so the retry patches it
+    // with identical values; the previously-patched key re-patches —
+    // content must converge
+    SnapshotMerge.upsertMorSparse(spark, dir, wave, Seq("id"), Seq("pk"), Seq("b"))
+    assert(readAll(dir) == once, "double-apply must be content-idempotent")
+    assert(once(100L) == Seq("A+", "B+", "C+", "D+", "E+", "F+", "G+", "H+"))
+    assert(once(0L)(1) == "B0!")
+  }
+
   test("updateCols validation: keys, partition columns, missing columns all refuse") {
     val dir = seed()
     val inc = Seq((0L, 0L, "X", "B!", "X", "X", "X", "X", "X", "X"))
