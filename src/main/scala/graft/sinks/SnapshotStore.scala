@@ -381,14 +381,29 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * is complete for the table's whole life.
     */
   def schemaHistory(): Seq[StructType] = {
-    if (!fs.exists(schemasDir)) return Nil
-    fs.listStatus(schemasDir).map(_.getPath.getName)
-      .filter(n => n.startsWith("schema-v-") && n.endsWith(".json"))
-      .map(n => parseVersion(n.stripPrefix("schema-").stripSuffix(".json")))
-      .sorted.toSeq
-      .map(v => org.apache.spark.sql.types.DataType.fromJson(
-        readSmallFile(new Path(schemasDir,
-          s"schema-${versionName(v)}.json"))).asInstanceOf[StructType])
+    val sidecars: Seq[StructType] =
+      if (!fs.exists(schemasDir)) Nil
+      else fs.listStatus(schemasDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("schema-v-") && n.endsWith(".json"))
+        .map(n => parseVersion(n.stripPrefix("schema-").stripSuffix(".json")))
+        .sorted.toSeq
+        .map(v => org.apache.spark.sql.types.DataType.fromJson(
+          readSmallFile(new Path(schemasDir,
+            s"schema-${versionName(v)}.json"))).asInstanceOf[StructType])
+    // belt and braces: schemas EMBEDDED in retained manifests too — a
+    // crash between an evolve's commit and its sidecar write must not
+    // hide that evolve's physical names from the resurrect-protection
+    // scan (the embedded copy was committed atomically). Bounded by
+    // the retention window; beyond it the sidecars are the history.
+    val embedded: Seq[StructType] =
+      if (!fs.exists(manifestsDir)) Nil
+      else fs.listStatus(manifestsDir).map(_.getPath.getName)
+        .filter(_.startsWith("v-")).sorted.toSeq
+        .flatMap(n => scala.util.Try(readManifestAll(n)._5).toOption.flatten)
+        .distinct
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+    sidecars ++ embedded.filterNot(sidecars.contains)
   }
 
 

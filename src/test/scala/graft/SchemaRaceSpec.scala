@@ -132,6 +132,30 @@ class SchemaRaceSpec extends SparkFunSuite {
     assert(at.where(col("id") === 0L).collect().head.getAs[String]("val") == "V0!")
   }
 
+  test("embedded-manifest schemas feed the physical-name history: no resurrect after sidecar loss") {
+    val dir = seed()
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((0L, "v0", 0L, 77)).toDF("id", "v", "pk", "z"),
+      Seq("id"), Seq("pk"), retain = 8)
+    // every sidecar lost (the commit→sidecar crash, repeatedly): the
+    // physical-name history must still know `z` was used, via the
+    // schemas embedded in retained manifests
+    val schemasDir = java.nio.file.Paths.get(s"$dir/schemas")
+    java.nio.file.Files.walk(schemasDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    SnapshotMerge.dropColumn(spark, dir, "z")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      Seq((1L, "v1", 1L, 88)).toDF("id", "v", "pk", "z"),
+      Seq("id"), Seq("pk"), retain = 8)
+    val out = SnapshotMerge.readEvolved(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("z"))) None else Some(r.getInt(r.fieldIndex("z"))))).toMap
+    assert(out(1L).contains(88))
+    assert(out(0L).isEmpty,
+      "the re-added column must read fresh NULLs — resolving to the dropped " +
+        "column's physical bytes means the history scan missed the embedded schema")
+  }
+
   test("pre-embed tables (sidecars only) keep reading: compat fallback") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))
