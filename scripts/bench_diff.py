@@ -88,7 +88,12 @@ def main():
     while i < len(argv):
         a = argv[i]
         if a == "--threshold":
-            thr = float(argv[i + 1])
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit("--threshold needs a numeric value")
+            try:
+                thr = float(argv[i + 1])
+            except ValueError:
+                raise SystemExit(f"--threshold: not a number: {argv[i + 1]}")
             i += 2
         elif a.startswith("--threshold="):
             thr = float(a.split("=", 1)[1])

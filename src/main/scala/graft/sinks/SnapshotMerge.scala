@@ -203,6 +203,28 @@ object SnapshotMerge {
     Some(newVersion)
   }
 
+  /** The optimistic-rebase loop shared by every *Retry front: run
+    * `body` until it commits, retrying on the fenced
+    * [[SnapshotConcurrentWriteException]] up to `maxAttempts` total
+    * attempts (at that contention level the caller needs a queue, not
+    * more retries). Returns (result, conflicts retried). `body` must
+    * re-resolve the table afresh per attempt — the retry IS the
+    * rebase.
+    */
+  private def retryLoop[T](maxAttempts: Int)(body: => T): (T, Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var conflicts = 0
+    while (true) {
+      try return (body, conflicts)
+      catch {
+        case e: SnapshotConcurrentWriteException =>
+          conflicts += 1
+          if (conflicts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[upsertMor]] with the optimistic rebase loop of [[mergeRetry]]:
     * a fenced loser retries, and the retry IS the rebase — each
     * attempt re-resolves the current commit, recomputes tombstone
@@ -220,18 +242,8 @@ object SnapshotMerge {
   private[graft] def upsertMorRetry(store: SnapshotStore, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int,
       maxAttempts: Int): (Option[Long], Int) = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val inc = incoming.ckpt(true)
-    var conflicts = 0
-    while (true) {
-      try return (upsertMor(store, inc, keys, partCols, retain), conflicts)
-      catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(upsertMor(store, inc, keys, partCols, retain))
   }
 
   /** K2 via COLUMN-SPARSE merge-on-read — [[upsertMor]] semantics
@@ -299,9 +311,11 @@ object SnapshotMerge {
       s"updateCols may not include key or partition columns: " +
         s"${updPhys.intersect(keysPhys ++ partCols).mkString(", ")}")
     (keysPhys ++ updPhys).foreach(c =>
-      require(!c.exists(",\t\n".contains(_)),
-        s"column name '$c' cannot be manifest-encoded (contains ',', tab, " +
-          "or newline) — rename it before sparse upserts"))
+      require(!c.exists(",\t\n.`".contains(_)),
+        s"column name '$c' cannot be used in sparse upserts (contains ',', " +
+          "tab, newline, '.', or backtick — the manifest encoding and the " +
+          "patch resolver's derived working names need plain identifiers); " +
+          "rename it first"))
     ((keysPhys ++ updPhys ++ partCols).distinct).foreach(c =>
       require(incMapped.columns.contains(c),
         s"incoming frame is missing column '$c'"))
@@ -405,19 +419,9 @@ object SnapshotMerge {
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       updateCols: Seq[String], retain: Int,
       maxAttempts: Int): (Option[Long], Int) = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val inc = incoming.ckpt(true)
-    var conflicts = 0
-    while (true) {
-      try return (upsertMorSparse(store, inc, keys, partCols, updateCols,
-        retain), conflicts)
-      catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(
+      upsertMorSparse(store, inc, keys, partCols, updateCols, retain))
   }
 
   /** Post-commit slice-depth check for the MoR write fronts' opt-in
@@ -431,7 +435,15 @@ object SnapshotMerge {
   private def autoCompactSlices(store: SnapshotStore, fallback: StructType,
       partCols: Seq[String], maxSlices: Int): Unit = {
     if (maxSlices <= 0) return
-    val schema = store.currentSchema().map(physSchema).getOrElse(fallback)
+    // the rewrite schema must be the TABLE's, never a possibly-narrow
+    // caller frame: a patch-only sparse writer legally sends just
+    // keys+partCols+updateCols, and folding hot partitions through
+    // that would silently drop every other column from their new base
+    // entries (r19 close review). Persisted schema first, then footer
+    // inference from a committed batch; the caller frame only backs a
+    // table with no batches to infer from.
+    val schema = store.currentSchema().map(physSchema)
+      .orElse(storedSchema(store.spark, store)).getOrElse(fallback)
     store.resolveCurrent().foreach { cur =>
       val depths = (cur.mors.map(_._1) ++ cur.smors.map(_.suffix))
         .groupBy(identity).values.map(_.size)
@@ -476,7 +488,6 @@ object SnapshotMerge {
       partCols: Seq[String], retain: Int = 2, statsCols: Seq[String] = Nil,
       maxAttempts: Int = 5)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): (Option[Long], Int) = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     // Pin incoming ONCE before the loop: merge() re-checkpoints per
     // attempt, and without this pin each conflict retry would re-run
     // the full upstream plan (and a non-deterministic upstream could
@@ -484,19 +495,10 @@ object SnapshotMerge {
     // ckpt of an already-checkpointed frame only copies cached
     // blocks, never re-executes upstream.
     val inc = incoming.ckpt(true)
-    var conflicts = 0
-    while (true) {
-      try {
-        return (merge(spark, rootDir, inc, partCols, retain,
-          statsCols)(mergeFn), conflicts)
-      } catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(
+      merge(spark, rootDir, inc, partCols, retain, statsCols)(mergeFn))
   }
+
 
   /** OPTIMIZE-vs-writer concurrency: [[SnapshotStore.compactClustered]]
     * with the same optimistic rebase loop as [[mergeRetry]] — the
@@ -514,20 +516,9 @@ object SnapshotMerge {
   def compactClusteredRetry(spark: SparkSession, rootDir: String,
       schema: StructType, partCols: Seq[String], clusterCol: String,
       maxRecordsPerFile: Long, maxAttempts: Int = 5): Int = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val store = new SnapshotStore(spark, new Path(rootDir))
-    var conflicts = 0
-    while (true) {
-      try {
-        store.compactClustered(schema, partCols, clusterCol, maxRecordsPerFile)
-        return conflicts
-      } catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(
+      store.compactClustered(schema, partCols, clusterCol, maxRecordsPerFile))._2
   }
 
   /** CDC apply on a snapshot table ([[Merge.applyCdc]] semantics:
@@ -591,19 +582,8 @@ object SnapshotMerge {
     */
   private[graft] def deleteWhereRetry(store: SnapshotStore,
       schema: StructType, pred: org.apache.spark.sql.Column,
-      maxAttempts: Int): (Long, Int) = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
-    var conflicts = 0
-    while (true) {
-      try return (store.deleteWhere(schema, pred), conflicts)
-      catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+      maxAttempts: Int): (Long, Int) =
+    retryLoop(maxAttempts)(store.deleteWhere(schema, pred))
 
   // --- COLUMN MAPPING (r18) -------------------------------------------
   //
@@ -844,20 +824,9 @@ object SnapshotMerge {
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       retain: Int = 2, statsCols: Seq[String] = Nil,
       maxAttempts: Int = 5): Int = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val inc = incoming.ckpt(true)
-    var conflicts = 0
-    while (true) {
-      try {
-        upsertEvolve(spark, rootDir, inc, keys, partCols, retain, statsCols)
-        return conflicts
-      } catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(
+      upsertEvolve(spark, rootDir, inc, keys, partCols, retain, statsCols))._2
   }
 
   /** [[upsertEvolve]] through the MERGE-ON-READ write path: the same
@@ -901,19 +870,9 @@ object SnapshotMerge {
   def upsertMorEvolveRetry(spark: SparkSession, rootDir: String,
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       retain: Int = 2, maxAttempts: Int = 5): (Option[Long], Int) = {
-    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val inc = incoming.ckpt(true)
-    var conflicts = 0
-    while (true) {
-      try return (upsertMorEvolve(spark, rootDir, inc, keys, partCols,
-        retain), conflicts)
-      catch {
-        case e: SnapshotConcurrentWriteException =>
-          conflicts += 1
-          if (conflicts >= maxAttempts) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    retryLoop(maxAttempts)(
+      upsertMorEvolve(spark, rootDir, inc, keys, partCols, retain))
   }
 
   /** The schema-evolution resolution shared by the CoW and MoR evolve

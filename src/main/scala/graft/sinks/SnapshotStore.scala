@@ -390,19 +390,24 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         .map(v => org.apache.spark.sql.types.DataType.fromJson(
           readSmallFile(new Path(schemasDir,
             s"schema-${versionName(v)}.json"))).asInstanceOf[StructType])
-    // belt and braces: schemas EMBEDDED in retained manifests too — a
-    // crash between an evolve's commit and its sidecar write must not
-    // hide that evolve's physical names from the resurrect-protection
-    // scan (the embedded copy was committed atomically). Bounded by
-    // the retention window; beyond it the sidecars are the history.
-    val embedded: Seq[StructType] =
-      if (!fs.exists(manifestsDir)) Nil
-      else fs.listStatus(manifestsDir).map(_.getPath.getName)
-        .filter(_.startsWith("v-")).sorted.toSeq
-        .flatMap(n => scala.util.Try(readManifestAll(n)._5).toOption.flatten)
-        .distinct
-        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[StructType])
+    // belt and braces: schemas EMBEDDED in retained COMMITTED
+    // manifests too — a crash between an evolve's commit and its
+    // sidecar write must not hide that evolve's physical names from
+    // the resurrect-protection scan (the embedded copy was committed
+    // atomically). Only version-log-proven winners plus the CURRENT
+    // manifest are read: a fenced loser's or crashed writer's orphan
+    // manifest in manifests/ was never committed, and its would-be
+    // schema must not leak into the history (it would spuriously trip
+    // restore's below-first-evolve guard and over-reserve physical
+    // names). Bounded by the retention window; beyond it the sidecars
+    // are the history.
+    val committedNames: Seq[String] =
+      (versions().flatMap(versionLogEntry) ++ currentManifestName().toSeq).distinct
+    val embedded: Seq[StructType] = committedNames
+      .flatMap(n => scala.util.Try(readManifestAll(n)._5).toOption.flatten)
+      .distinct
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
     sidecars ++ embedded.filterNot(sidecars.contains)
   }
 
@@ -1255,9 +1260,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           "anti-join's working names (__dv_*)")
     if (patch)
       require(!schema.fieldNames.exists(f =>
-        f.startsWith("__sp_") || f == "__sv"),
+        f.startsWith("__sp_") || f.startsWith("__sv")),
         "schema columns must not collide with the sparse-patch " +
-          "resolution's working names (__sp_*, __sv)")
+          "resolution's working names (__sp_*, __sv, __sv_*)")
   }
 
   /** Apply sparse patch slices to a live frame carrying `__sv` (and
@@ -1269,60 +1274,80 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * which stays batch-sized and AQE-broadcasts). A steady-state
     * writer patching the same columns every cron cycle therefore
     * costs the reader one join at ANY outstanding depth, not depth
-    * joins. Signatures apply ascending by their newest version, so a
-    * column shared between two signatures ends at its newest patch.
-    * Per-row gate: a patch applies only to rows whose originating
-    * slice predates it (`__sv < __pv`), so a full-row overwrite
-    * committed after a patch wins entirely. Columns a later DROP
-    * evolution removed from `schema` are skipped (the patch of a
-    * dropped column is dead weight until compaction); a patch whose
-    * columns are all dropped joins nothing.
+    * joins.
+    *
+    * Resolution is ORDER-INDEPENDENT across signature groups: every
+    * patched column carries its own EFFECTIVE VERSION through the
+    * chain (`__sv_<c>`, initialized to the row's slice version), and
+    * a group's patch lands on column c only when its version exceeds
+    * c's effective version. When two signatures share a column, a
+    * group's per-key latest can be OLDER than another group's patch
+    * of the same column for the same key — no single global group
+    * order can express that (found in the r19 close review: the
+    * max-version group sort let a stale patch revert a newer one);
+    * the per-column version gate can, and makes the group order
+    * irrelevant. A full-row overwrite committed after a patch wins
+    * entirely (its rows initialize every effective version above the
+    * patch). Columns a later DROP evolution removed from `schema` are
+    * skipped (the patch of a dropped column is dead weight until
+    * compaction); a patch whose columns are all dropped joins
+    * nothing.
     */
   private def applyPatches(df0: DataFrame, schema: StructType,
       patches: Seq[SnapshotStore.SparseSlice],
       passthrough: Seq[String]): DataFrame = {
-    val keep: Seq[String] = schema.fieldNames.toSeq ++ passthrough :+ "__sv"
     def ver(batch: String): Long =
       batchVersion(batch).getOrElse(throw new IllegalStateException(
         s"sparse slice batch $batch carries no version prefix"))
-    var out = df0
     val groups = patches.groupBy(p => (p.keys, p.cols)).toSeq
-      .sortBy { case (_, g) => g.map(s => ver(s.batch)).max }
-    for (((keys, cols), group) <- groups) {
-      val applied = cols.filter(schema.fieldNames.contains)
-      require(keys.forall(schema.fieldNames.contains),
-        s"sparse slice keys [${keys.mkString(",")}] missing from the read " +
-          "schema — a patch key column cannot be dropped before its " +
-          "slices compact away")
-      if (applied.nonEmpty) {
-        val readSchema = StructType(schema.fields.filter(f =>
-          keys.contains(f.name) || applied.contains(f.name)))
-        val all = group.groupBy(_.batch).toSeq.sortBy(_._1)
-          .map { case (batch, slices) =>
-            val base = dataPath(batch)
-            val paths = slices.map(_.suffix).distinct.sorted
-              .map(s => new Path(base, s).toString)
-            spark.read.option("basePath", base.toString)
-              .schema(readSchema).parquet(paths: _*)
-              .withColumn("__pv", lit(ver(batch)))
-          }.reduce(_.unionByName(_))
-        // per-key latest patch: version argmax via a max + self-join
-        // (type-agnostic — a struct-max would refuse map-typed
-        // patched columns). Versions are unique per (key, batch) and
-        // a batch holds a key at most once, so the join picks one row.
-        val latestVer = all.groupBy(keys.map(col): _*)
-          .agg(org.apache.spark.sql.functions.max(col("__pv")).as("__pv"))
-        val p = all.join(latestVer, keys :+ "__pv")
-          .select(keys.map(col) ++
-            applied.map(c => col(c).as(s"__sp_$c")) :+ col("__pv"): _*)
-          .withColumn("__sp_hit", lit(true))
-        out = out.join(p, keys, "left").select(keep.map { c =>
-          if (applied.contains(c))
-            when(col("__sp_hit") && col("__sv") < col("__pv"), col(s"__sp_$c"))
-              .otherwise(col(c)).as(c)
-          else col(c)
-        }: _*)
+      .map { case ((keys, cols), group) =>
+        require(keys.forall(schema.fieldNames.contains),
+          s"sparse slice keys [${keys.mkString(",")}] missing from the read " +
+            "schema — a patch key column cannot be dropped before its " +
+            "slices compact away")
+        (keys, cols.filter(schema.fieldNames.contains), group)
       }
+      .sortBy { case (_, _, g) => g.map(s => ver(s.batch)).max }
+    val patchedCols: Seq[String] = groups.flatMap(_._2).distinct
+    def verCol(c: String): String = s"__sv_$c"
+    var out = patchedCols.foldLeft(df0)((d, c) =>
+      d.withColumn(verCol(c), col("__sv")))
+    val keep: Seq[String] = schema.fieldNames.toSeq ++ passthrough ++
+      ("__sv" +: patchedCols.map(verCol))
+    for ((keys, applied, group) <- groups if applied.nonEmpty) {
+      val readSchema = StructType(schema.fields.filter(f =>
+        keys.contains(f.name) || applied.contains(f.name)))
+      val all = group.groupBy(_.batch).toSeq.sortBy(_._1)
+        .map { case (batch, slices) =>
+          val base = dataPath(batch)
+          val paths = slices.map(_.suffix).distinct.sorted
+            .map(s => new Path(base, s).toString)
+          spark.read.option("basePath", base.toString)
+            .schema(readSchema).parquet(paths: _*)
+            .withColumn("__pv", lit(ver(batch)))
+        }.reduce(_.unionByName(_))
+      // per-key latest patch WITHIN the group: version argmax via a
+      // max + self-join (type-agnostic — a struct-max would refuse
+      // map-typed patched columns). Versions are unique per
+      // (key, batch) and a batch holds a key at most once, so the
+      // join picks one row. Cross-group newest-wins is the
+      // effective-version gate's job, not the argmax's.
+      val latestVer = all.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.max(col("__pv")).as("__pv"))
+      val p = all.join(latestVer, keys :+ "__pv")
+        .select(keys.map(col) ++
+          applied.map(c => col(c).as(s"__sp_$c")) :+ col("__pv"): _*)
+        .withColumn("__sp_hit", lit(true))
+      val appliedSet = applied.toSet
+      out = out.join(p, keys, "left").select(keep.map { c =>
+        if (appliedSet(c))
+          when(col("__sp_hit") && col(verCol(c)) < col("__pv"),
+            col(s"__sp_$c")).otherwise(col(c)).as(c)
+        else if (c.startsWith("__sv_") && appliedSet(c.stripPrefix("__sv_")))
+          when(col("__sp_hit") && col(c) < col("__pv"), col("__pv"))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
     }
     out
   }

@@ -156,6 +156,35 @@ class SchemaRaceSpec extends SparkFunSuite {
         "column's physical bytes means the history scan missed the embedded schema")
   }
 
+  test("orphan manifests never pollute the schema history (fenced loser's embedded schema ignored)") {
+    val dir = tmp("orphan")
+    // a PLAIN table, never evolved
+    val rows = (0L until 4L).map(i => (i, s"v$i", i % 2)).toDF("id", "v", "pk")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"), retain = 8)
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v1 = store.currentVersion().get
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((0L, "U0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    // plant a FENCED LOSER's orphan: a manifest file carrying an
+    // embedded schema that never committed (no version-log entry, not
+    // the pointer) — exactly what a crashed/fenced evolve leaves
+    // until vacuum
+    val fakeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ghost",
+        org.apache.spark.sql.types.IntegerType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/manifests/v-000000000099-deadbeef"),
+      s"graft-snapshot 4\npk=0\tb-bogus\t-1\n#schema\t${fakeSchema.json}")
+    assert(store.schemaHistory().isEmpty,
+      "an uncommitted manifest's schema leaked into the history")
+    // the guard the leak used to trip: restore below the (nonexistent)
+    // first evolve must succeed on a never-evolved table
+    store.restore(v1)
+    assert(SnapshotMerge.read(spark, dir, rows.schema).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(0L -> "v0", 1L -> "v1", 2L -> "v2", 3L -> "v3"))
+  }
+
   test("pre-embed tables (sidecars only) keep reading: compat fallback") {
     val dir = seed()
     val store = new SnapshotStore(spark, new Path(dir))

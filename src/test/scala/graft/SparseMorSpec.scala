@@ -292,6 +292,51 @@ class SparseMorSpec extends SparkFunSuite {
     assert(got.getAs[String]("v") == "x0", "unpatched columns keep seed values")
   }
 
+  test("cross-signature interleave: a group's stale per-key-latest never reverts a newer shared-column patch") {
+    val dir = seed()
+    def patch(cols: Seq[String], rows: DataFrame): Unit =
+      SnapshotMerge.upsertMorSparse(spark, dir, rows, Seq("id"), Seq("pk"), cols)
+    // the r19 close-review scenario: signature {b} patches key 0 at
+    // v2; signature {b,c} patches key 0 at v3 (the NEWEST b for key
+    // 0); signature {b} patches a DIFFERENT key at v4, dragging its
+    // group's max version past v3. A global group order would apply
+    // {b}'s per-key-latest (v2) after {b,c} and revert key 0's b to
+    // the stale value — the per-column effective-version gate must
+    // keep v3's.
+    patch(Seq("b"), Seq((0L, 0L, "X", "B-v2-stale", "X", "X", "X", "X", "X", "X"))
+      .toDF("id", "pk", "a", "b", "c", "d", "e", "f", "g", "h"))
+    patch(Seq("b", "c"), Seq((0L, 0L, "X", "B-v3-newest", "C-v3", "X", "X", "X", "X", "X"))
+      .toDF("id", "pk", "a", "b", "c", "d", "e", "f", "g", "h"))
+    patch(Seq("b"), Seq((4L, 0L, "X", "B4-v4", "X", "X", "X", "X", "X", "X"))
+      .toDF("id", "pk", "a", "b", "c", "d", "e", "f", "g", "h"))
+    val got = readAll(dir)
+    assert(got(0L)(1) == "B-v3-newest",
+      s"key 0's b reverted to a stale patch: ${got(0L)}")
+    assert(got(0L)(2) == "C-v3")
+    assert(got(4L)(1) == "B4-v4")
+  }
+
+  test("autoCompact through a NARROW patch-only frame keeps every table column") {
+    val dir = seed()
+    // a patch-only cron caller legally sends just keys+partCols+
+    // updateCols; the autopilot's fold must rewrite hot partitions
+    // under the TABLE schema (footer-inferred here — never persisted),
+    // not the narrow caller frame (r19 close review: the narrow-frame
+    // fold silently dropped the other columns from the new base)
+    (0 until 3).foreach { i =>
+      SnapshotMerge.upsertMorSparse(spark, dir,
+        Seq((0L, 0L, s"B$i")).toDF("id", "pk", "b"),
+        Seq("id"), Seq("pk"), Seq("b"), autoCompactMaxSlices = 2)
+    }
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.resolveCurrent().get.smors.count(_.suffix == "pk=0") < 2,
+      "the fold must have fired")
+    val got = readAll(dir)
+    assert(got(0L) == Seq("a0", "B2", "c0", "d0", "e0", "f0", "g0", "h0"),
+      s"folded base lost columns: ${got(0L)}")
+    assert(got(4L) == Seq("a4", "b4", "c4", "d4", "e4", "f4", "g4", "h4"))
+  }
+
   test("re-applying the same sparse batch converges (streaming retry idempotence)") {
     val dir = seed()
     val wave = Seq(
