@@ -24,17 +24,22 @@ def load(path):
         return d["parsed"]
     if "queries" in d:
         return d
-    # find a complete JSON object line in "tail" — prefer the LAST one
-    # (Bench prints a compact self-contained line last, r19, sized to
-    # survive the driver's 2000-byte tail whole; earlier lines may be
-    # truncated fragments of the full map)
-    for line in reversed(str(d.get("tail", "")).splitlines()):
+    # find complete JSON object lines in "tail" — prefer the one with
+    # the LARGEST query map (r20, ADVICE r19: preferring the LAST line
+    # always picked Bench's compact top-N map even when the full map
+    # survived the tail whole, blinding the differ to cheap→expensive
+    # regressions that only the full map lists on the old side)
+    candidates = []
+    for line in str(d.get("tail", "")).splitlines():
         line = line.strip().lstrip("[info] ").strip()
         if line.startswith("{") and '"queries"' in line:
             try:
-                return json.loads(line)
+                candidates.append(json.loads(line))
             except json.JSONDecodeError:
                 continue
+    candidates = [c for c in candidates if isinstance(c.get("queries"), dict)]
+    if candidates:
+        return max(candidates, key=lambda c: len(c["queries"]))
     # driver BENCH_r{N}.json often truncates the JSON line — recover
     # the per-query medians from the fragment (no cal data survives
     # truncation; healthy() then marks everything healthy, which is
@@ -123,8 +128,23 @@ def main():
     to, tn = sum(qo[q] for q in common), sum(qn[q] for q in common)
     print(f"common queries: {len(common)}  total {to:.1f}s -> {tn:.1f}s "
           f"({tn / to:.3f}x)")
-    print(f"added: {sorted(set(qn) - set(qo))}")
+    added = sorted(set(qn) - set(qo))
+    print(f"added: {added}")
     print(f"removed: {sorted(set(qo) - set(qn))}")
+    # a query "added" on the new side may really be a cheap→expensive
+    # regression whose old median simply fell below a COMPACT old
+    # artifact's top-N inclusion floor — surface any added query whose
+    # new median clears that floor for adjudication (full-map-vs-
+    # full-map diffs never hit this: added then means genuinely new)
+    if added and qo:
+        floor = min(qo.values())
+        suspicious = [(q, qn[q]) for q in added if qn[q] >= max(floor, 0.01)]
+        if suspicious:
+            print(f"\nadded queries at/above the old artifact's inclusion "
+                  f"floor ({floor:.2f}s) — possible cheap→expensive "
+                  "regressions if the old artifact was a compact tail:")
+            for q, b in sorted(suspicious, key=lambda t: -t[1]):
+                print(f"  {q}: (not in old map) -> {b:.2f}s")
     if flagged:
         print(f"\nREGRESSIONS (>= {thr}x, both rounds cal-healthy — adjudicate):")
         for q, a, b, r in sorted(flagged, key=lambda t: -t[3]):

@@ -279,6 +279,67 @@ object WarehouseScaleProbe {
         s""""full_read_s":${f(fullR)},"sparse_read_s":${f(spR)}}"""
     }
 
+    // --- sparse-resolver SIGNATURE CARDINALITY (r20, VERDICT r19 #5) --
+    // The one-join-per-SIGNATURE collapse is measured for the steady
+    // state (1 signature at any depth) — this block probes MANY
+    // DISTINCT signatures outstanding at once: K cycles each patching
+    // a DIFFERENT updateCols set over the SAME key stripe (the harder
+    // case — per-key chains force the per-column effective-version
+    // gate to compose across every group). Claim under test: read
+    // wall tracks K (one AQE-broadcast join per signature), never
+    // K×depth, and the existing compactSlices fold flattens it back
+    // to base cost — i.e. no separate signature-merge rung is needed
+    // unless this curve inverts.
+    {
+      val oBase = Tables.load(spark, dir, "orders")
+      val payload = (1 to 12).map(j =>
+        concat(col("o_orderdate").cast("string"), lit(s"#payload-column-$j"),
+          col("o_orderstatus")).as(s"p$j"))
+      val o = oBase.select(Seq(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(32L)).as("pk"),
+        col("o_totalprice").as("p0")) ++ payload: _*)
+      // K distinct signatures: single columns first, then pairs — all
+      // over the same hot stripe so every group hits the same keys
+      def sigCols(i: Int): Seq[String] =
+        if (i < 12) Seq(s"p${i + 1}")
+        else Seq(s"p${(i - 12) % 12 + 1}", s"p${(i - 11) % 12 + 1}")
+      sys.env.getOrElse("SPARK_GRAFT_SIG_COUNTS", "1,4,16")
+        .split(",").map(_.trim.toInt).foreach { k =>
+        val base = java.nio.file.Files.createTempDirectory(
+          s"graft_wsp_sig_$k").toString + "/t"
+        graft.sinks.SnapshotMerge.upsertUpdate(spark, base, o,
+          Seq("o_orderkey"), Seq("pk"))
+        val store = new graft.sinks.SnapshotStore(spark, new Path(base))
+        val (_, writeS) = timed {
+          (0 until k).foreach { i =>
+            val cols = sigCols(i)
+            val patch = cols.foldLeft(
+              o.where(col("o_orderkey") % 17 === 1)) { (d, c) =>
+              d.withColumn(c, concat(lit(s"sig$i#"), col(c)))
+            }
+            graft.sinks.SnapshotMerge.upsertMorSparse(spark, base, patch,
+              Seq("o_orderkey"), Seq("pk"), cols, retain = 8)
+          }
+        }
+        val nSigs = store.resolveCurrent().get.smors
+          .map(m => (m.keys, m.cols)).distinct.size
+        val readS = (0 until 3).map { _ =>
+          val (n, rs) = timed(store.read(o.schema).count())
+          require(n == o.count(), s"row count drifted: $n vs ${o.count()}")
+          rs
+        }
+        val (_, foldReadS) = timed {
+          store.compactSlices(o.schema, Seq("pk"), maxSlices = 1)
+          store.read(o.schema).count()
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          java.nio.file.Paths.get(base).getParent.toFile)
+        out += s"""{"probe":"smor_signatures","k":$k,"distinct_sigs":$nSigs,""" +
+          s""""write_s":${f(writeS)},"read_s":[${readS.map(f).mkString(",")}],""" +
+          s""""fold_read_s":${f(foldReadS)}}"""
+      }
+    }
+
     println(out.mkString("[", ",", "]"))
     spark.stop()
   }

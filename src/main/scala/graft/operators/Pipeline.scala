@@ -257,6 +257,144 @@ object Pipeline extends QueryModule {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     }),
 
+    // SHALLOW CLONE (r20, VERDICT r19 #3) — the Delta CREATE TABLE
+    // SHALLOW CLONE shape: a metadata-only commit re-referencing the
+    // source's immutable batches by absolute path (zero data copied —
+    // the require pins the clone's data/ dir ABSENT). The timeline:
+    // seed + MoR patch, CLONE, then one write on EACH side — the
+    // source's update (plus a retain=1 vacuum, exercising the clone
+    // registry's pin end-to-end at driver scale) must be invisible to
+    // the clone, and the clone's own sparse patch invisible to the
+    // source. The oracle restates the clone: state at clone point +
+    // the clone-side patch only.
+    "k2_clone" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), pk)
+      val patch = o.where(col("o_orderkey") % 20 === 1)
+        .select(col("o_orderkey"),
+          (price + lit(1000).cast("decimal(18,2)")).cast("double")
+            .as("o_totalprice"),
+          lit("U").as("o_orderstatus"), pk)
+      val srcWrite = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), lit(-1.0).as("o_totalprice"),
+          lit("S").as("o_orderstatus"), pk)
+      val cloneWrite = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), lit("C").as("o_orderstatus"), pk)
+      val root = java.nio.file.Files.createTempDirectory("graft_k2cl_")
+      try {
+        val src = root.resolve("src").toString
+        val dst = root.resolve("clone").toString
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, src, target, Seq("o_orderkey"), Seq("pk"), retain = 8)
+        graft.sinks.SnapshotMerge.upsertMor(
+          s, src, patch, Seq("o_orderkey"), Seq("pk"), retain = 8)
+        val srcStore = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(src))
+        srcStore.cloneTo(new org.apache.hadoop.fs.Path(dst))
+        require(!new java.io.File(s"$dst/data").exists(),
+          "a shallow clone must copy ZERO data")
+        // source diverges AND vacuums hard — the registry pin must
+        // keep every batch the clone references alive
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, src, srcWrite, Seq("o_orderkey"), Seq("pk"), retain = 1)
+        srcStore.vacuum(1)
+        // clone diverges the other way: a sparse patch of the SAME keys
+        graft.sinks.SnapshotMerge.upsertMorSparse(
+          s, dst, cloneWrite, Seq("o_orderkey"), Seq("pk"),
+          Seq("o_orderstatus"), retain = 8)
+        val srcNow = graft.sinks.SnapshotMerge.read(s, src, target.schema)
+        require(srcNow.where(col("o_orderstatus") === "C").isEmpty,
+          "the clone's write leaked into the source")
+        require(!srcNow.where(col("o_orderstatus") === "S").isEmpty,
+          "the source's own divergent write went missing")
+        graft.sinks.SnapshotMerge.read(s, dst, target.schema)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }),
+
+    // STREAMING SPARSE INGEST × SCHEMA EVOLUTION (r20, VERDICT r19
+    // #4) — the long-lived cron deployment's real-world composition:
+    // wave 1 drains through the checkpointed sparse-MoR stream
+    // (patching o_totalprice, inserting new keys), then a MID-STREAM
+    // upsertMorEvolveRetry adds a `score` column (schemaBase-fenced,
+    // zero rewrites — old files ride NULL resolution), then wave 2
+    // drains through a NEW feed whose schema is the patch-only narrow
+    // frame (keys + partition + score) and sparse-patches the
+    // JUST-ADDED column — over evolve-written rows, wave-1-patched
+    // rows, and wave-1-INSERTED rows alike. The oracle folds all
+    // three stages; a NULL score everywhere else pins that neither
+    // the evolve nor the narrow patches disturbed untouched rows.
+    "strm_mor_sparse_evolve" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val bumped = (price + lit(1000).cast("decimal(18,2)")).cast("double")
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), pk)
+      val wave1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1, bumped)
+            .otherwise(col("o_totalprice")).as("o_totalprice"), pk)
+      // the evolve wave: full rows for %40==1 carrying the NEW column
+      // (price restated at wave 1's patched value — an evolve is an
+      // upsert, its rows overwrite whole)
+      val evolveWave = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), bumped.as("o_totalprice"), pk,
+          (col("o_orderkey") % 100).as("score"))
+      // wave 2: the NARROW patch-only frame (keys+part+score) over
+      // evolve-written (%40==1), wave-1-patched (%20==1) and
+      // wave-1-inserted (%20==2) keys
+      val wave2 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 20 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1, col("o_orderkey") % 100 + 500)
+            .otherwise(col("o_orderkey") % 100 + 700).as("score"), pk)
+      val root = java.nio.file.Files.createTempDirectory("strm_smev")
+      try {
+        val tableDir = root.resolve("table").toString
+        def dropTo(drop: java.nio.file.Path,
+            df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          java.nio.file.Files.createDirectories(drop)
+          val tmp = root.resolve(s"stage_$name")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val st = java.nio.file.Files.list(tmp)
+          val part =
+            try st.toArray.map(_.toString)
+              .filter(p => p.endsWith(".parquet") && p.contains("part-")).head
+            finally st.close()
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(part), drop.resolve(name))
+        }
+        def drain(drop: java.nio.file.Path, ckpt: String,
+            schema: org.apache.spark.sql.types.StructType,
+            updateCols: Seq[String]): Unit =
+          graft.streaming.EventStreams.sparseMorStream(s,
+            s.readStream.schema(schema).parquet(drop.toString),
+            tableDir, Seq("o_orderkey"), updateCols, Seq("pk"),
+            root.resolve(ckpt).toString)
+        graft.sinks.SnapshotMerge.upsertEvolve(
+          s, tableDir, target, Seq("o_orderkey"), Seq("pk"))
+        val drop1 = root.resolve("feed_v1")
+        dropTo(drop1, wave1, "w1.parquet")
+        drain(drop1, "ckpt1", target.schema, Seq("o_totalprice"))
+        // mid-stream schema evolution, fenced + retried like the
+        // production writer would run it
+        graft.sinks.SnapshotMerge.upsertMorEvolveRetry(
+          s, tableDir, evolveWave, Seq("o_orderkey"), Seq("pk"))
+        val drop2 = root.resolve("feed_v2")
+        dropTo(drop2, wave2, "w2.parquet")
+        drain(drop2, "ckpt2", wave2.schema, Seq("score"))
+        graft.sinks.SnapshotMerge.readEvolved(s, tableDir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("pk").cast("long").as("pk"), col("score"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }),
+
     // CHECK CONSTRAINTS (r19, the Delta ALTER TABLE ADD CONSTRAINT
     // surface): add `o_totalprice > 0` to a seeded table (validated
     // against existing rows first), land a conforming MoR update,
@@ -797,6 +935,63 @@ object Pipeline extends QueryModule {
         graft.sinks.SnapshotMerge.read(s, base, target.schema)
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .ckpt(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        java.nio.file.Paths.get(base).getParent.toFile)
+    }),
+
+    // MAP-TYPED COLUMN-SPARSE PATCHES (r20, VERDICT r19 #1) — the
+    // sparse resolver's latest-patch argmax is deliberately
+    // type-agnostic (max + self-join on the version, not a struct-max,
+    // which refuses map-typed columns); this row drives it through the
+    // FULL oracle gate. Two patches with DIFFERENT signatures share
+    // the map column — inc1 patches {attrs} only (its sentinel status
+    // must never land), inc2 patches {attrs, o_orderstatus} — so the
+    // per-column effective-version chain resolves a MAP across
+    // signature groups. Patch semantics replace the WHOLE map value
+    // (column overwrite, not entry merge). The map is canonicalized
+    // for the DuckDB hash gate by EXPLODING to (mkey, mval) rows —
+    // row-set equality is map equality, and the driver sorts rows.
+    "k2_upsert_mor_sparse_map" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pk = pmod(col("o_orderkey"), lit(5L)).as("pk")
+      def baseAttrs = map(
+        lit("a"), col("o_orderkey") % 7,
+        lit("b"), col("o_orderkey") % 11)
+      val target = o.where(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey"), baseAttrs.as("attrs"),
+          col("o_orderstatus"), pk)
+      val inc1 = o.where(col("o_orderkey") % 20 === 1 || col("o_orderkey") % 10 === 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 1,
+            map(lit("a"), col("o_orderkey") % 7 + 100, lit("x"), lit(1L)))
+            .otherwise(baseAttrs).as("attrs"),
+          when(col("o_orderkey") % 20 === 1, "ZZ-SENTINEL").otherwise("N")
+            .as("o_orderstatus"), pk)
+      val inc2 = o.where(col("o_orderkey") % 40 === 1)
+        .select(col("o_orderkey"), map(lit("z"), lit(9L)).as("attrs"),
+          lit("V").as("o_orderstatus"), pk)
+      val base = java.nio.file.Files.createTempDirectory("graft_k2msm_").toString + "/t"
+      try {
+        graft.sinks.SnapshotMerge.upsertUpdate(
+          s, base, target, Seq("o_orderkey"), Seq("pk"))
+        graft.sinks.SnapshotMerge.upsertMorSparse(
+          s, base, inc1, Seq("o_orderkey"), Seq("pk"), Seq("attrs"))
+        graft.sinks.SnapshotMerge.upsertMorSparse(
+          s, base, inc2, Seq("o_orderkey"), Seq("pk"),
+          Seq("attrs", "o_orderstatus"))
+        val store = new graft.sinks.SnapshotStore(
+          s, new org.apache.hadoop.fs.Path(base))
+        val cur = store.resolveCurrent().get
+        require(cur.dvs.isEmpty, "a pure patch commits no tombstones")
+        require(cur.smors.map(_.cols).distinct.size == 2,
+          "the fixture must leave two DISTINCT patch signatures outstanding")
+        graft.sinks.SnapshotMerge.read(s, base, target.schema)
+          .select(col("o_orderkey"),
+            explode(col("attrs")).as(Seq("mkey", "mval")),
+            col("o_orderstatus"), col("pk").cast("long").as("pk"))
+          .select(col("o_orderkey"), col("mkey"), col("mval"),
+            col("o_orderstatus"), col("pk"))
           .ckpt(true)
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         java.nio.file.Paths.get(base).getParent.toFile)
@@ -1537,6 +1732,52 @@ object Pipeline extends QueryModule {
          SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
                 o_orderkey % 5 AS pk
          FROM orders WHERE o_orderkey % 10 = 2 AND o_orderkey % 20 <> 2""",
+    // the CLONE's state: clone point (seed + price patch) + the
+    // clone-side status patch; the source's post-clone write (-1.0
+    // prices, status S) must contribute NOTHING
+    "k2_clone" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'C' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           'U' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1""",
+    // all three stages folded: wave-1 price patches, the evolve's new
+    // column (restating wave-1 prices for its keys), wave-2 patches of
+    // score over every class of row; NULL score everywhere untouched
+    "strm_mor_sparse_evolve" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1),
+         i AS (
+           SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 2)
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(1000 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           pk, o_orderkey % 100 + 500 AS score
+         FROM t WHERE o_orderkey % 20 = 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, pk, CAST(NULL AS BIGINT)
+         FROM t WHERE o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, pk, o_orderkey % 100 + 700
+         FROM i WHERE o_orderkey % 20 = 2
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, pk, CAST(NULL AS BIGINT)
+         FROM i WHERE o_orderkey % 20 <> 2""",
     // seed + the conforming update; the refused batch contributes
     // nothing (enforcement is all-or-nothing per write)
     "k2_constraint" ->
@@ -1795,6 +2036,37 @@ object Pipeline extends QueryModule {
          UNION ALL
          SELECT o_orderkey, o_totalprice, 'N' AS o_orderstatus,
                 o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2""",
+    // the map patches layered and EXPLODED to entry rows (row-set
+    // equality is map equality): %40==1 keys carry the second patch's
+    // whole-map replacement {z:9} plus its status; %20==1 keys the
+    // first patch's map with their ORIGINAL status (the sentinel never
+    // lands — updateCols excluded it); everyone else the seed map;
+    // inserts take whole rows
+    "k2_upsert_mor_sparse_map" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderstatus, o_orderkey % 5 AS pk
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, 'z' AS mkey, CAST(9 AS BIGINT) AS mval,
+                'V' AS o_orderstatus, pk
+         FROM t WHERE o_orderkey % 40 = 1
+         UNION ALL
+         SELECT o_orderkey, 'a', o_orderkey % 7 + 100, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, 'x', CAST(1 AS BIGINT), o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 = 1 AND o_orderkey % 40 <> 1
+         UNION ALL
+         SELECT o_orderkey, 'a', o_orderkey % 7, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, 'b', o_orderkey % 11, o_orderstatus, pk
+         FROM t WHERE o_orderkey % 20 <> 1
+         UNION ALL
+         SELECT o_orderkey, 'a', o_orderkey % 7, 'N', o_orderkey % 5 AS pk
+         FROM orders WHERE o_orderkey % 10 = 2
+         UNION ALL
+         SELECT o_orderkey, 'b', o_orderkey % 11, 'N', o_orderkey % 5 AS pk
          FROM orders WHERE o_orderkey % 10 = 2""",
     // sequential upsert semantics restated: the LAST update wins per
     // key — merge-on-read must equal copy-on-write bit-for-bit

@@ -32,6 +32,17 @@ package graft.sinks
   * race is fenced by the CAS result, not by create-exclusivity.
   * Version-log entries are then written by CAS winners only, which
   * serializes them per version exactly as the lease did.
+  *
+  * EVERY WRITER OF A ROOT MUST USE THE SAME PUBLISH MODE: a lease
+  * writer and a CAS writer are serialized by NEITHER arbiter (the
+  * lease path never consults the CAS, the CAS path never takes the
+  * lease), so a mixed pair racing the same base could each believe it
+  * won and one commit would silently vanish (ADVICE r19). Enforced,
+  * not just documented: the first CAS commit writes a `BACKEND`
+  * sentinel under the root, and the lease path refuses to commit past
+  * it with a loud IllegalStateException. Migrating a table back to
+  * lease commits means quiescing all writers, then deleting the
+  * sentinel.
   */
 trait CommitPointerBackend {
   def cas(expected: Option[String], next: String): Boolean

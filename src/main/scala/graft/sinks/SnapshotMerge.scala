@@ -31,27 +31,46 @@ object SnapshotMerge {
 
   /** K1 on a snapshot table: keep existing rows, add unseen keys.
     * Accepts logical names on renamed (column-mapped) tables.
+    *
+    * CONTRACT: partition columns must be determined by the merge keys
+    * — the scan prunes to the partitions `incoming` touches, so a key
+    * that moved partition values silently DUPLICATES (its old copy is
+    * outside the pruned scan). `checkKeyPartition = true` opts into
+    * the bounded audit ([[keyPartitionViolations]]) and refuses
+    * loudly instead; off by default because the contract holds by
+    * construction when partition values derive from the key, and the
+    * audit reads the untouched partitions' key columns.
     */
   def upsertIgnore(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      checkKeyPartition: Boolean = false): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    requireConstraints(store, incoming)
+    if (checkKeyPartition)
+      requireKeyContract(spark, rootDir, incoming, keys, partCols)
+    val cbase = requireConstraints(store, incoming)
     val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
-    mergePhys(spark, store, inc, partCols, retain, sc)(
+    mergePhys(spark, store, inc, partCols, retain, sc,
+      validated = Some(cbase))(
       (target, i) => Merge.upsertIgnore(target, i, ks))
   }
 
   /** K2 on a snapshot table: incoming wins on key collision.
     * Accepts logical names on renamed (column-mapped) tables.
+    * Key-determines-partition contract and the opt-in
+    * `checkKeyPartition` audit: see [[upsertIgnore]].
     */
   def upsertUpdate(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      checkKeyPartition: Boolean = false): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    requireConstraints(store, incoming)
+    if (checkKeyPartition)
+      requireKeyContract(spark, rootDir, incoming, keys, partCols)
+    val cbase = requireConstraints(store, incoming)
     val (inc, ks, sc) = toPhysIncoming(store, incoming, keys, statsCols)
-    mergePhys(spark, store, inc, partCols, retain, sc)(
+    mergePhys(spark, store, inc, partCols, retain, sc,
+      validated = Some(cbase))(
       (target, i) => Merge.upsertUpdate(target, i, ks))
   }
 
@@ -86,10 +105,19 @@ object SnapshotMerge {
     * separate compaction schedule. Best-effort: a racing writer
     * fences the fold, never the committed upsert.
     */
+  /** Key-determines-partition contract and the opt-in
+    * `checkKeyPartition` audit: see [[upsertIgnore]] — the MoR path
+    * shares the exact silent-duplicate shape (its tombstone scan is
+    * pruned to the touched partitions too, so a moved key's old copy
+    * is never tombstoned).
+    */
   def upsertMor(spark: SparkSession, rootDir: String, incoming: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int = 2,
-      autoCompactMaxSlices: Int = 0): Option[Long] = {
+      autoCompactMaxSlices: Int = 0,
+      checkKeyPartition: Boolean = false): Option[Long] = {
     val store = new SnapshotStore(spark, new Path(rootDir))
+    if (checkKeyPartition)
+      requireKeyContract(spark, rootDir, incoming, keys, partCols)
     val v = upsertMor(store, incoming, keys, partCols, retain)
     if (v.isDefined)
       autoCompactSlices(store, incoming.schema, partCols, autoCompactMaxSlices)
@@ -101,11 +129,12 @@ object SnapshotMerge {
     */
   private[graft] def upsertMor(store: SnapshotStore, incoming0: DataFrame,
       keys: Seq[String], partCols: Seq[String], retain: Int): Option[Long] = {
-    requireConstraints(store, incoming0)
+    val cbase = requireConstraints(store, incoming0)
     // renamed (column-mapped) tables: logical incoming routes to the
     // physical columns, exactly like the CoW fronts
     val (incMapped, keysPhys, _) = toPhysIncoming(store, incoming0, keys)
-    upsertMorPhys(store, incMapped, keysPhys, partCols, retain)
+    upsertMorPhys(store, incMapped, keysPhys, partCols, retain,
+      validated = Some(cbase))
   }
 
   /** The PHYSICAL-space MoR commit — callers already in physical
@@ -120,7 +149,8 @@ object SnapshotMerge {
   private[graft] def upsertMorPhys(store: SnapshotStore, incMapped: DataFrame,
       keysPhys: Seq[String], partCols: Seq[String], retain: Int,
       schemaBase: Option[Option[Long]] = None,
-      embedSchema: Option[StructType] = None): Option[Long] = {
+      embedSchema: Option[StructType] = None,
+      validated: Option[Map[String, String]] = None): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incMapped.schema, partCols)
     val spark = store.spark
@@ -191,7 +221,8 @@ object SnapshotMerge {
     // through the version gate (the new slice row post-dates them)
     val dvs = if (nTombstoned == 0L) curDvs else curDvs :+ dvName
     try store.commitSized(newVersion, entries, cur.map(_.version), dvs, mors,
-      curSmors, embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)))
+      curSmors, embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)),
+      validatedConstraints = validated)
     catch {
       // a fenced loser's staged DV was never referenced — removal is
       // pure hygiene (the staged batch is versioned above the window
@@ -275,11 +306,20 @@ object SnapshotMerge {
     * depth (best-effort: a racing writer aborts the maintenance fold,
     * never the committed upsert). Returns the committed version.
     */
+  /** Key-determines-partition contract and the opt-in
+    * `checkKeyPartition` audit: see [[upsertIgnore]] — the sparse
+    * path's update/insert split joins live keys of the TOUCHED
+    * partitions only, so a moved key both duplicates AND
+    * misclassifies as an insert.
+    */
   def upsertMorSparse(spark: SparkSession, rootDir: String,
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       updateCols: Seq[String], retain: Int = 2,
-      autoCompactMaxSlices: Int = 0): Option[Long] = {
+      autoCompactMaxSlices: Int = 0,
+      checkKeyPartition: Boolean = false): Option[Long] = {
     val store = new SnapshotStore(spark, new Path(rootDir))
+    if (checkKeyPartition)
+      requireKeyContract(spark, rootDir, incoming, keys, partCols)
     val v = upsertMorSparse(store, incoming, keys, partCols, updateCols, retain)
     if (v.isDefined)
       autoCompactSlices(store, incoming.schema, partCols, autoCompactMaxSlices)
@@ -295,15 +335,17 @@ object SnapshotMerge {
     // using sentinels must keep them constraint-clean; the
     // alternative (enforcing post-patch resolution) would cost a
     // table read per write.
-    requireConstraints(store, incoming0)
+    val cbase = requireConstraints(store, incoming0)
     val (incMapped, keysPhys, updPhys) =
       toPhysIncoming(store, incoming0, keys, updateCols)
-    upsertMorSparsePhys(store, incMapped, keysPhys, updPhys, partCols, retain)
+    upsertMorSparsePhys(store, incMapped, keysPhys, updPhys, partCols, retain,
+      validated = Some(cbase))
   }
 
   private[graft] def upsertMorSparsePhys(store: SnapshotStore,
       incMapped: DataFrame, keysPhys: Seq[String], updPhys: Seq[String],
-      partCols: Seq[String], retain: Int): Option[Long] = {
+      partCols: Seq[String], retain: Int,
+      validated: Option[Map[String, String]] = None): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incMapped.schema, partCols)
     require(updPhys.nonEmpty, "updateCols must name at least one column")
@@ -321,6 +363,9 @@ object SnapshotMerge {
         s"incoming frame is missing column '$c'"))
     require(!incMapped.columns.contains("__sp_live"),
       "incoming columns must not collide with the split's working name (__sp_live)")
+    require(!incMapped.columns.exists(c => c == "__pv" || c.startsWith("__sv")),
+      "incoming columns must not collide with the patch resolver's working " +
+        "names (__pv, __sv, __sv_*)")
     val spark = store.spark
     val incoming = incMapped.dropDuplicates(keysPhys).ckpt(true)
     val parts: Array[Row] =
@@ -398,7 +443,7 @@ object SnapshotMerge {
     }
     store.commitSized(newVersion, curEntries ++ novel, cur.map(_.version),
       curDvs, curMors ++ newMors, curSmors ++ newSmors,
-      cur.flatMap(_.schemaJson))
+      cur.flatMap(_.schemaJson), validatedConstraints = validated)
     store.vacuum(retain)
     Some(newVersion)
   }
@@ -541,8 +586,9 @@ object SnapshotMerge {
     // CHECK constraints apply to rows being WRITTEN: delete rows only
     // remove keys (their payload may legitimately be stale/junk), so
     // they are exempt — the SQL-CHECK shape Delta enforces
-    requireConstraints(store, changes.where(col(opCol) =!= "delete"))
-    mergePhys(spark, store, changes, partCols, retain, statsCols)(
+    val cbase = requireConstraints(store, changes.where(col(opCol) =!= "delete"))
+    mergePhys(spark, store, changes, partCols, retain, statsCols,
+      validated = Some(cbase))(
       (target, inc) =>
         Merge.applyCdc(target.drop(seqCol, opCol), inc, keys, seqCol, opCol))
   }
@@ -692,7 +738,7 @@ object SnapshotMerge {
   def renameColumn(spark: SparkSession, rootDir: String,
       oldName: String, newName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _, _) =
       store.resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
@@ -788,7 +834,7 @@ object SnapshotMerge {
       keys: Seq[String], partCols: Seq[String], retain: Int,
       statsCols: Seq[String]): Unit = {
     val spark = store.spark
-    requireConstraints(store, incoming)
+    val cbase = requireConstraints(store, incoming)
     val (union, widened, physKeys, physStats, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, statsCols)
     store.beforeEvolveCommitHook()
@@ -808,7 +854,7 @@ object SnapshotMerge {
     // resolution aborts instead of letting this sidecar union drop it
     // (ADVICE r18).
     mergePhys(spark, store, widened, partCols, retain, physStats,
-      Some(schemaBase), Some(union))(
+      Some(schemaBase), Some(union), validated = Some(cbase))(
       (target, inc) => Merge.upsertUpdate(target, inc, physKeys))
       .foreach(v => store.writeSchemaFile(v, union))
   }
@@ -850,7 +896,7 @@ object SnapshotMerge {
       incoming: DataFrame, keys: Seq[String], partCols: Seq[String],
       retain: Int): Option[Long] = {
     val spark = store.spark
-    requireConstraints(store, incoming)
+    val cbase = requireConstraints(store, incoming)
     val (union, widened, physKeys, _, schemaBase) =
       evolvedPlan(spark, store, incoming, keys, partCols, Nil)
     store.beforeEvolveCommitHook()
@@ -859,7 +905,7 @@ object SnapshotMerge {
     // upsertMorPhys). schemaBase: see upsertEvolve — the sidecar race
     // fix (ADVICE r18).
     val v = upsertMorPhys(store, widened, physKeys, partCols, retain,
-      Some(schemaBase), Some(union))
+      Some(schemaBase), Some(union), validated = Some(cbase))
     v.foreach(store.writeSchemaFile(_, union))
     v
   }
@@ -977,7 +1023,7 @@ object SnapshotMerge {
     */
   def dropColumn(spark: SparkSession, rootDir: String, colName: String): Unit = {
     val store = new SnapshotStore(spark, new Path(rootDir))
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, _, _) =
       store.resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $rootDir"))
     val schema = storedSchema(spark, store).getOrElse(
@@ -1072,7 +1118,7 @@ object SnapshotMerge {
     require(partCols.nonEmpty, "use AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
     val store = new SnapshotStore(spark, new Path(rootDir))
-    requireConstraints(store, incoming0)
+    val cbase = requireConstraints(store, incoming0)
     val incoming = incoming0.ckpt(true)
     val parts: Array[Row] =
       incoming.select(partCols.map(col): _*).distinct().collect()
@@ -1091,7 +1137,8 @@ object SnapshotMerge {
     // DVs/slices drop (replaced wholesale); the embedded schema
     // carries, matching the sidecars it mirrors
     store.commitSized(newVersion, entries, cur.map(_.version),
-      schemaJson = cur.flatMap(_.schemaJson))
+      schemaJson = cur.flatMap(_.schemaJson),
+      validatedConstraints = Some(cbase))
     store.vacuum(retain)
   }
 
@@ -1138,7 +1185,7 @@ object SnapshotMerge {
     val store = new SnapshotStore(spark, new Path(rootDir))
     val cur = store.resolveCurrent().getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
-    val existing = store.constraintsAt(cur.version)
+    val existing = cur.constraints.getOrElse(Map.empty)
     require(!existing.contains(name), s"constraint '$name' already exists")
     // the whole CURRENT table must already satisfy the predicate
     val table = readEvolved(spark, rootDir)
@@ -1147,8 +1194,12 @@ object SnapshotMerge {
     require(bad == 0L,
       s"existing rows violate constraint '$name' ($exprSql) — clean the " +
         "data first (CHECK constraints guarantee every committed row passed)")
+    // the new set is EMBEDDED in the fenced commit (atomic — no
+    // commit-vs-sidecar window); the sidecar after it is the
+    // beyond-retention history mirror, so its ordering is harmless
     store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
-      cur.dvs, cur.mors, cur.smors, cur.schemaJson)
+      cur.dvs, cur.mors, cur.smors, cur.schemaJson,
+      constraints = Some(existing + (name -> exprSql)))
     store.writeConstraintsFile(cur.version + 1, existing + (name -> exprSql))
   }
 
@@ -1157,11 +1208,14 @@ object SnapshotMerge {
     val store = new SnapshotStore(spark, new Path(rootDir))
     val cur = store.resolveCurrent().getOrElse(
       throw new IllegalStateException(s"no snapshot at $rootDir"))
-    val existing = store.constraintsAt(cur.version)
+    val existing = cur.constraints.getOrElse(Map.empty)
     require(existing.contains(name),
       s"constraint '$name' does not exist (have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+    // embedded like the add: Some(empty) after the last drop stays
+    // authoritative (never falls back to the sidecar history)
     store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
-      cur.dvs, cur.mors, cur.smors, cur.schemaJson)
+      cur.dvs, cur.mors, cur.smors, cur.schemaJson,
+      constraints = Some(existing - name))
     store.writeConstraintsFile(cur.version + 1, existing - name)
   }
 
@@ -1171,11 +1225,19 @@ object SnapshotMerge {
     * physical-name translation, because constraints are written
     * against logical names. One bounded action per constraint; a
     * violation reports the constraint and one offending row.
+    *
+    * Returns the set VALIDATED against — the caller threads it into
+    * its commit as [[SnapshotStore.commitSized]]'s
+    * `validatedConstraints`, which aborts (retryably) when the set in
+    * force at commit time differs: a concurrent addConstraint landing
+    * anywhere inside the write front can then never be bypassed
+    * (ADVICE r19 — the old check-at-front-top left the WHOLE write as
+    * the race window).
     */
   private def requireConstraints(store: SnapshotStore,
-      incoming: DataFrame): Unit = {
+      incoming: DataFrame): Map[String, String] = {
     val cs = store.currentConstraints()
-    if (cs.isEmpty) return
+    if (cs.isEmpty) return cs
     cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       val bad = incoming.where(
         coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false)).limit(1)
@@ -1184,6 +1246,7 @@ object SnapshotMerge {
         s"incoming rows violate CHECK constraint '$name' ($sql); " +
           s"example: ${hit.headOption.fold("")(_.toString)}")
     }
+    cs
   }
 
   /** The schema-resolution fence shared by the evolve commit paths —
@@ -1199,6 +1262,66 @@ object SnapshotMerge {
             s"${cur.fold("<empty>")(v => s"v$v")}) — a concurrent commit's " +
             "schema would be dropped by this evolve's sidecar; re-plan and retry")
     }
+
+  /** AUDIT for the key-determines-partition contract: live rows whose
+    * keys `incoming` carries but which sit OUTSIDE the partitions
+    * `incoming` itself touches — each is a contract violation (the
+    * caller moved a key to a different partition value), and merging
+    * such a batch produces a SILENT DUPLICATE: every keyed front
+    * prunes its scan to the touched partitions, so the old copy is
+    * never seen, never tombstoned, never rewritten (the documented
+    * outcome; KeyContractSpec pins it). Returns the violating live
+    * rows under `keys ++ partCols` (their CURRENT partition values —
+    * point the caller at what to clean).
+    *
+    * Cost: ONE key-and-partition-column-pruned job over the UNTOUCHED
+    * partitions (at 100 TB that is an audit-tier scan of two thin
+    * columns, which is why the fronts run it only behind the opt-in
+    * `checkKeyPartition` flag: the contract normally holds by
+    * construction — partition values derived from the key — and the
+    * steady-state write must not pay a table-wide read per cycle).
+    * DV-filtered (a deleted old copy is not a duplicate); sparse
+    * patches skipped (keys are never patched). Advisory under
+    * concurrency like any read: a racing writer moving keys mid-audit
+    * is caught by its own commit's fence, not this scan.
+    */
+  def keyPartitionViolations(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String],
+      partCols: Seq[String]): DataFrame = {
+    val store = new SnapshotStore(spark, new Path(rootDir))
+    val (inc, keysPhys, _) = toPhysIncoming(store, incoming, keys)
+    val narrow = StructType(inc.schema.fields.filter(f =>
+      keysPhys.contains(f.name) || partCols.contains(f.name)))
+    require(narrow.fieldNames.toSet == (keysPhys ++ partCols).toSet,
+      s"incoming frame is missing key/partition columns: " +
+        s"${((keysPhys ++ partCols).toSet -- inc.columns.toSet).mkString(", ")}")
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], narrow)
+    val cur = store.resolveCurrent().getOrElse(return empty)
+    val parts = inc.select(partCols.map(col): _*).distinct().collect()
+    val touched = parts.map(partitionSuffix(partCols, _)).toSet
+    val outside = cur.entries.keySet -- touched
+    if (outside.isEmpty) return empty
+    store.readSlices(
+      cur.entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
+        cur.mors.map(m => m._1 -> m._2.batch),
+      narrow, outside, cur.dvs)
+      .join(inc.select(keysPhys.map(col): _*).distinct(), keysPhys, "left_semi")
+  }
+
+  /** The fronts' opt-in enforcement of [[keyPartitionViolations]]:
+    * loud refusal (table untouched) instead of the silent duplicate.
+    */
+  private def requireKeyContract(spark: SparkSession, rootDir: String,
+      incoming: DataFrame, keys: Seq[String], partCols: Seq[String]): Unit = {
+    val hit = keyPartitionViolations(spark, rootDir, incoming, keys, partCols)
+      .limit(1).collect()
+    require(hit.isEmpty,
+      s"key-determines-partition contract violated: incoming carries key(s) " +
+        s"already live in a DIFFERENT partition (e.g. ${hit.headOption
+          .fold("")(_.toString)}); merging would duplicate them — fix the " +
+        "partition derivation or delete the old copies first")
+  }
 
   /** Rows of `incoming` whose `joinKeys` are NOT already in the
     * committed snapshot, with the guard's scan pruned to the
@@ -1300,8 +1423,9 @@ object SnapshotMerge {
       mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
     val store = new SnapshotStore(spark, new Path(rootDir))
     requireNoMappedLogicalCols(store, incoming0.schema)
-    requireConstraints(store, incoming0)
-    mergePhys(spark, store, incoming0, partCols, retain, statsCols)(mergeFn)
+    val cbase = requireConstraints(store, incoming0)
+    mergePhys(spark, store, incoming0, partCols, retain, statsCols,
+      validated = Some(cbase))(mergeFn)
   }
 
   /** [[merge]] without the mapped-logical-name guard — for callers
@@ -1320,7 +1444,8 @@ object SnapshotMerge {
   private[sinks] def mergePhys(spark: SparkSession, store: SnapshotStore,
       incoming0: DataFrame, partCols: Seq[String], retain: Int,
       statsCols: Seq[String], schemaBase: Option[Option[Long]] = None,
-      embedSchema: Option[StructType] = None)(
+      embedSchema: Option[StructType] = None,
+      validated: Option[Map[String, String]] = None)(
       mergeFn: (DataFrame, DataFrame) => DataFrame): Option[Long] = {
     require(partCols.nonEmpty, "use Merge + AtomicDir for unpartitioned targets")
     requirePartitionable(incoming0.schema, partCols)
@@ -1401,7 +1526,8 @@ object SnapshotMerge {
     store.commitSized(newVersion, entries, cur.map(_.version), curDvs,
       curMors.filterNot(m => touched(m._1)),
       curSmors.filterNot(m => touched(m.suffix)),
-      embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)))
+      embedSchema.map(_.json).orElse(cur.flatMap(_.schemaJson)),
+      validatedConstraints = validated)
     store.vacuum(retain)
     Some(newVersion)
   }

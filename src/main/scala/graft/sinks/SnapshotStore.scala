@@ -57,10 +57,23 @@ object SnapshotStore {
     * with their new schema. Sidecar files are still written for
     * beyond-retention history ([[SnapshotStore.schemaHistory]]).
     */
+  /** `constraints` — the CHECK-constraint set in force from this
+    * version on, EMBEDDED in the manifest (`#constraintset` marker +
+    * one `#constraint` line per entry) exactly like the schema, so
+    * add/drop/restore publish data and the constraint set governing
+    * it in ONE atomic pointer swap (the r19 sidecar ordering had two
+    * non-atomic windows: addConstraint's commit→sidecar lag and
+    * restore's data-first rollback). None = the table never carried
+    * constraints (pre-constraint manifests resolve through the
+    * sidecar fallback in [[SnapshotStore.resolveCurrent]], migrating
+    * to embedded on their next commit); Some(empty) after a drop is
+    * authoritative emptiness, never a fallback trigger.
+    */
   final case class Resolved(version: Long,
       entries: Map[String, SnapshotEntry], dvs: Seq[String],
       mors: Seq[(String, SnapshotEntry)], smors: Seq[SparseSlice],
-      schemaJson: Option[String])
+      schemaJson: Option[String],
+      constraints: Option[Map[String, String]])
 
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `root` — the parents of its DATA files; dirs holding only
@@ -245,7 +258,18 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private val dataDir = new Path(root, "data")
   private val statsDir = new Path(root, "stats")
   private val deletesDir = new Path(root, "deletes")
+  // clone registry: one file per shallow clone taken FROM this root,
+  // listing the batch/DV names the clone references — vacuum treats
+  // them as live (see cloneTo's pinning contract)
+  private val clonesDir = new Path(root, "clones")
   private val lockPath = new Path(root, "LOCK")
+  // written once by the first conditional-PUT commit; the lease path
+  // refuses to commit past it (mixed publish modes are unserialized —
+  // a lease writer never touches the CAS arbiter and vice versa, so
+  // one of two racing commits could be lost silently). Delete the
+  // sentinel only as part of a deliberate, quiesced migration back to
+  // lease commits.
+  private val backendSentinel = new Path(root, "BACKEND")
 
   private def versionName(v: Long): String = f"v-$v%012d"
 
@@ -256,22 +280,55 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private def parseVersion(name: String): Long =
     name.stripPrefix("v-").split('-').head.toLong
 
+  /** A batch/DV reference that lives OUTSIDE this root — a shallow
+    * clone's manifest references its source's immutable batch dirs by
+    * ABSOLUTE path (the Delta SHALLOW CLONE shape: zero data
+    * movement, the manifest is the indirection). Plain tables only
+    * ever carry bare names.
+    */
+  private def isExternalRef(name: String): Boolean =
+    name.startsWith("/") || name.contains("://")
+
+  /** Last path segment — the bare `b-…`/`dv-…` name of a possibly
+    * external reference (version parsing and sidecar lookups key on
+    * the bare name; external dirs keep their source names, so the
+    * version ordering the sparse-patch gate relies on is preserved
+    * across a clone).
+    */
+  private def leafName(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+
   /** Version prefix of a `b-<version>-<uuid>` batch dir name; None
     * when the name doesn't carry one.
     */
   private def batchVersion(name: String): Option[Long] =
-    scala.util.Try(name.stripPrefix("b-").split('-').head.toLong).toOption
+    scala.util.Try(leafName(name).stripPrefix("b-").split('-').head.toLong).toOption
 
   /** Version prefix of a `dv-<version>-<uuid>` deletion-vector dir
     * name (the version whose commit introduced it); None when the
     * name doesn't carry one.
     */
   private def dvVersion(name: String): Option[Long] =
-    scala.util.Try(name.stripPrefix("dv-").split('-').head.toLong).toOption
+    scala.util.Try(leafName(name).stripPrefix("dv-").split('-').head.toLong).toOption
 
-  private[graft] def dvPath(name: String): Path = new Path(deletesDir, name)
+  private[graft] def dvPath(name: String): Path =
+    if (isExternalRef(name)) new Path(name) else new Path(deletesDir, name)
 
-  def dataPath(batch: String): Path = new Path(dataDir, batch)
+  def dataPath(batch: String): Path =
+    if (isExternalRef(batch)) new Path(batch) else new Path(dataDir, batch)
+
+  /** Where a batch's stats sidecar lives: under THIS root's stats/
+    * for local batches; for an external (cloned) reference, under the
+    * SOURCE root's stats/ next to the data it describes — sidecars
+    * are immutable once the batch is committed and the clone registry
+    * pins them alive with the batch, so reading them in place is both
+    * correct and free.
+    */
+  private def statsPath(batch: String, suffix: String = ""): Path =
+    if (isExternalRef(batch))
+      new Path(new Path(new Path(batch).getParent.getParent, "stats"),
+        leafName(batch) + suffix)
+    else new Path(statsDir, batch + suffix)
 
   private def readSmallFile(p: Path): String = {
     val in = fs.open(p)
@@ -439,16 +496,33 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
   private def readManifestAll(name: String)
       : (Map[String, SnapshotStore.SnapshotEntry], Seq[String],
          Seq[(String, SnapshotStore.SnapshotEntry)],
-         Seq[SnapshotStore.SparseSlice], Option[String]) = {
+         Seq[SnapshotStore.SparseSlice], Option[String],
+         Option[Map[String, String]]) = {
     val lines = readSmallFile(new Path(manifestsDir, name))
       .linesIterator.toList
     val header = lines.headOption.getOrElse("")
     require(header == "graft-snapshot 1" || header == "graft-snapshot 2" ||
-      header == "graft-snapshot 3" || header == "graft-snapshot 4",
+      header == "graft-snapshot 3" || header == "graft-snapshot 4" ||
+      header == "graft-snapshot 5",
       s"unrecognized manifest header in $manifestsDir/$name")
     val (markerLines, dataLines) =
       lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
-    val (dvLines, rest0) = markerLines.partition(_.startsWith("#dv\t"))
+    val (dvLines, rest00) = markerLines.partition(_.startsWith("#dv\t"))
+    // the bare `#constraintset` marker distinguishes an authoritative
+    // EMPTY set (post-drop) from a pre-constraint manifest (sidecar
+    // fallback) — see Resolved.constraints
+    val (csetLines, rest01) = rest00.partition(_.startsWith("#constraintset"))
+    val (conLines, rest0) = rest01.partition(_.startsWith("#constraint\t"))
+    require(csetLines.size <= 1,
+      s"multiple #constraintset lines in $manifestsDir/$name")
+    require(csetLines.nonEmpty || conLines.isEmpty,
+      s"#constraint lines without a #constraintset marker in $manifestsDir/$name")
+    val constraints: Option[Map[String, String]] =
+      if (csetLines.isEmpty) None
+      else Some(conLines.map { l =>
+        val Array(_, n, sql) = l.split('\t')
+        n -> sql
+      }.toMap)
     val (schemaLines, rest) = rest0.partition(_.startsWith("#schema\t"))
     val (smorLines, morLines) = rest.partition(_.startsWith("#smor\t"))
     morLines.foreach(l => require(l.startsWith("#mor\t"),
@@ -475,7 +549,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         keys.split(',').toSeq, cols.split(',').toSeq)
     }
     (entries, dvLines.map(_.split('\t')(1)), mors, smors,
-      schemaLines.headOption.map(_.stripPrefix("#schema\t")))
+      schemaLines.headOption.map(_.stripPrefix("#schema\t")), constraints)
   }
 
   private def readManifestSized(name: String): Map[String, SnapshotStore.SnapshotEntry] =
@@ -489,7 +563,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sweep.
     */
   private def readManifestBatches(name: String): Set[String] = {
-    val (entries, _, mors, smors, _) = readManifestAll(name)
+    val (entries, _, mors, smors, _, _) = readManifestAll(name)
     entries.values.map(_.batch).toSet ++ mors.map(_._2.batch) ++
       smors.map(_.batch)
   }
@@ -515,9 +589,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def resolveCurrent(): Option[SnapshotStore.Resolved] =
     currentManifestName().map { n =>
-      val (entries, dvs, mors, smors, schemaJson) = readManifestAll(n)
-      SnapshotStore.Resolved(parseVersion(n), entries, dvs, mors, smors,
-        schemaJson)
+      val (entries, dvs, mors, smors, schemaJson, cons) = readManifestAll(n)
+      val version = parseVersion(n)
+      // pre-embedding manifests on a table that DID use constraints
+      // resolve through the sidecar history (and migrate to embedded
+      // on their next commit); Some(empty) post-drop never falls back
+      val effective = cons.orElse(
+        if (fs.exists(constraintsDir)) Some(constraintsAt(version)) else None)
+      SnapshotStore.Resolved(version, entries, dvs, mors, smors,
+        schemaJson, effective)
     }
 
   /** `(version, manifest)` of the committed snapshot, if any. */
@@ -597,11 +677,33 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * closes); the evolve/rename/drop paths pass their NEW schema.
     * None keeps pre-evolution tables byte-identical.
     */
+  /** `constraints` — the CHECK-constraint set to EMBED in this
+    * manifest (see [[SnapshotStore.Resolved.constraints]]). None
+    * (default) = CARRY the base's effective set forward, resolved
+    * here so no committer can forget it (dropping the set would
+    * silently stop enforcement); the add/drop/restore metadata paths
+    * pass Some with their new set. On a table that never carried
+    * constraints the carry resolves to None and the manifest stays
+    * byte-identical to the pre-constraint format.
+    *
+    * `validatedConstraints` — the constraint set this writer
+    * VALIDATED its incoming rows against ([[SnapshotMerge]]'s write
+    * fronts thread it): the commit aborts with
+    * [[SnapshotConcurrentWriteException]] when the set that will be
+    * in force at the new version differs, closing the
+    * validate-then-commit race (a concurrent addConstraint landing
+    * anywhere inside the write front — reading constraints, staging,
+    * resolving the base — can no longer let unvalidated rows commit
+    * under the new constraint's "every committed row passed"
+    * guarantee; the retry re-validates against the new set).
+    */
   def commitSized(version: Long, entries: Map[String, SnapshotStore.SnapshotEntry],
       expectedBase: Option[Long], dvs: Seq[String] = Nil,
       mors: Seq[(String, SnapshotStore.SnapshotEntry)] = Nil,
       smors: Seq[SnapshotStore.SparseSlice] = Nil,
-      schemaJson: Option[String] = None): Unit = {
+      schemaJson: Option[String] = None,
+      constraints: Option[Map[String, String]] = None,
+      validatedConstraints: Option[Map[String, String]] = None): Unit = {
     require(mors.forall(m => entries.contains(m._1)),
       s"merge-on-read slice without a base entry: " +
         s"${mors.collect { case (s, _) if !entries.contains(s) => s }.mkString(", ")}")
@@ -619,14 +721,39 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // Cheap pre-lock fence: a writer whose view is already stale
     // aborts without ever contending for the lease.
     fence()
+    // The set in force from `version` on: the caller's replacement
+    // set, else the base's effective set carried forward. Resolved
+    // AFTER the pre-lock fence passed, so it reads the expectedBase
+    // manifest (a commit racing in after this read is caught by the
+    // in-lock fence / CAS body-compare, and the loser re-resolves).
+    val effectiveConstraints: Option[Map[String, String]] =
+      constraints.orElse(
+        if (expectedBase.isEmpty) None
+        else resolveCurrent().flatMap(_.constraints))
+    // the constraint-validation fence (ADVICE r19): unvalidated rows
+    // must never commit under a set the writer did not check
+    validatedConstraints.foreach { v =>
+      if (effectiveConstraints.getOrElse(Map.empty) != v)
+        throw new SnapshotConcurrentWriteException(
+          s"snapshot table $root's CHECK-constraint set changed under this " +
+            s"writer (validated against {${v.keys.toSeq.sorted.mkString(", ")}}, " +
+            s"committing would publish {${effectiveConstraints.getOrElse(Map.empty)
+              .keys.toSeq.sorted.mkString(", ")}}) — re-read, re-validate and " +
+            "retry the merge")
+    }
     fs.mkdirs(manifestsDir)
     schemaJson.foreach(j => require(!j.exists("\t\n\r".contains(_)),
       "embedded schema JSON must be single-line (StructType.json is)"))
+    effectiveConstraints.foreach(_.foreach { case (n, sql) =>
+      require(!(n + sql).exists("\t\n\r".contains(_)),
+        s"constraint '$n' name/expression cannot be embedded (tab/newline)")
+    })
     // lowest header each reader generation can still parse: v2 until
     // the first slice, v3 with full slices, v4 with sparse slices or
-    // an embedded schema
+    // an embedded schema, v5 with an embedded constraint set
     val header =
-      if (smors.nonEmpty || schemaJson.isDefined) "graft-snapshot 4"
+      if (effectiveConstraints.isDefined) "graft-snapshot 5"
+      else if (smors.nonEmpty || schemaJson.isDefined) "graft-snapshot 4"
       else if (mors.nonEmpty) "graft-snapshot 3"
       else "graft-snapshot 2"
     val body = ((header +:
@@ -638,6 +765,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         s"#smor\t${m.suffix}\t${m.batch}\t${m.bytes}\t" +
           s"${m.keys.mkString(",")}\t${m.cols.mkString(",")}"
       } ++ schemaJson.map(j => s"#schema\t$j").toSeq
+        ++ effectiveConstraints.toSeq.flatMap(cs =>
+          s"#constraintset\t${cs.size}" +:
+            cs.toSeq.sortBy(_._1).map { case (n, sql) => s"#constraint\t$n\t$sql" })
         ++ dvs.sorted.map(d => s"#dv\t$d\t-1")).mkString("\n")
     // Per-writer unique manifest name: two racing writers of the same
     // next version write DIFFERENT files, so the loser can never
@@ -663,6 +793,15 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
               s"${expectedBase.fold("<empty>")(versionName)}, found " +
               s"${expectedBody.map(parseVersion).fold("<empty>")(versionName)} — " +
               "re-read and retry the merge")
+        // mark the table as CAS-committed BEFORE the first swap, so a
+        // lease-mode writer racing this very commit already refuses
+        // (best-effort exclusive create; exists = already marked)
+        if (!scala.util.Try(fs.exists(backendSentinel)).getOrElse(false))
+          scala.util.Try {
+            val out = fs.create(backendSentinel, false)
+            try out.write("conditional-put".getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
         beforeSwapHook()
         if (!backend.cas(expectedBody, manifestName))
           throw new SnapshotConcurrentWriteException(
@@ -678,6 +817,20 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         return
       case None => ()
     }
+    // Publish-mode exclusion: every writer of a root must use the SAME
+    // commit mode — a lease commit racing a conditional-PUT commit is
+    // serialized by NEITHER arbiter (the lease writer never consults
+    // the CAS, the CAS writer never takes the lease), so one of the
+    // two could silently vanish. The first CAS commit writes the
+    // sentinel; from then on a backend-less writer fails loudly here
+    // instead (ADVICE r19).
+    if (fs.exists(backendSentinel))
+      throw new IllegalStateException(
+        s"snapshot table $root is committed through a conditional-PUT " +
+          "pointer backend (BACKEND sentinel present) — configure the same " +
+          "CommitPointerBackend for this writer; mixed publish modes are " +
+          "unserialized. (Migrating back to lease commits requires quiescing " +
+          "all writers and deleting the sentinel.)")
     // fence + swap under the lease: with the lock held no other writer
     // can move CURRENT between this check and the rename, so the pair
     // acts as a CAS (see class doc for the takeover + degradation
@@ -795,7 +948,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
          Seq[SnapshotStore.SparseSlice]) = {
     val name = manifestNameAt(version)
     try {
-      val (entries, dvs, mors, smors, _) = readManifestAll(name)
+      val (entries, dvs, mors, smors, _, _) = readManifestAll(name)
       (entries.view.mapValues(_.batch).toMap, dvs,
         mors.map(m => m._1 -> m._2.batch), smors)
     } catch {
@@ -967,20 +1120,26 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     else steps.reduce(_.unionByName(_))
   }
 
-  // --- CHECK constraints (r19) ---------------------------------------
+  // --- CHECK constraints (r19; manifest-embedded r20) -----------------
   //
-  // One TSV (`name<TAB>sql-expr` per line) per constraint-changing
-  // commit under constraints/, resolved "latest at or before version"
-  // exactly like the schema sidecars. Enforcement is SQL CHECK
-  // semantics — a row violates only when the expression is
-  // explicitly FALSE (NULL passes) — applied by the write fronts to
-  // every incoming frame ([[SnapshotMerge.addConstraint]] validates
-  // the EXISTING table once at add time). The sidecar is written
-  // after the fenced commit it describes: the crash window self-heals
-  // (the add "did not happen"), and the racing-writer window is
-  // enforcement-only — a write in the instant between commit and
-  // sidecar write misses the brand-new constraint, never loses data.
-  // Sidecars are never vacuumed (metadata-sized).
+  // The AUTHORITATIVE constraint set is EMBEDDED in each manifest
+  // (`#constraintset` + `#constraint` lines, format v5) — atomic with
+  // the data it governs, carried forward by every commit inside
+  // [[commitSized]] and replaced by the add/drop/restore metadata
+  // paths, so there is no commit-vs-sidecar ordering window at all
+  // (ADVICE r19: the old post-commit sidecar left addConstraint's
+  // guarantee unfenced for the whole of a concurrent write, and
+  // restore's rollback non-atomic). The TSV sidecars under
+  // constraints/ (`name<TAB>sql-expr` per line, "latest at or before
+  // version") remain as the BEYOND-RETENTION history mirror and the
+  // resolution path for pre-embedding manifests, exactly like the
+  // schema sidecars vs `#schema`. Enforcement is SQL CHECK semantics
+  // — a row violates only when the expression is explicitly FALSE
+  // (NULL passes) — applied by the write fronts to every incoming
+  // frame ([[SnapshotMerge.addConstraint]] validates the EXISTING
+  // table once at add time), and fenced at commit through
+  // [[commitSized]]'s `validatedConstraints`. Sidecars are never
+  // vacuumed (metadata-sized).
 
   private val constraintsDir = new Path(root, "constraints")
 
@@ -1008,9 +1167,12 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       }.toMap
   }
 
-  /** Constraints in force for the current commit. */
+  /** Constraints in force for the current commit — the CURRENT
+    * manifest's embedded set (atomic with the data it governs);
+    * pre-embedding manifests resolve through the sidecar history.
+    */
   def currentConstraints(): Map[String, String] =
-    currentVersion().map(constraintsAt).getOrElse(Map.empty)
+    resolveCurrent().flatMap(_.constraints).getOrElse(Map.empty)
 
   /** ROLL BACK to committed `version` AS A NEW COMMIT (the Delta
     * `RESTORE TABLE ... VERSION AS OF` shape): the restored version's
@@ -1040,20 +1202,129 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       throw new IllegalStateException(s"no snapshot at $root"))
     if (cur.version == version) return cur.version
     val name = manifestNameAt(version)
-    val (entries, dvs, mors, smors, embedded) = readManifestAll(name)
+    val (entries, dvs, mors, smors, embedded, embeddedCons) =
+      readManifestAll(name)
     val schema = schemaAt(version)
     require(schema.isDefined || schemaHistory().isEmpty,
       s"restoring $root below its first schema evolution would leave " +
         "schemaAt() resolving a LATER schema for the restored state — " +
         "restore to a version at or after the first evolve, or compact first")
+    // constraints roll back with the data they validated, ATOMICALLY
+    // with it (embedded in the restore's manifest — the post-commit
+    // sidecar alone left a crash window where restored rows predating
+    // an addConstraint were governed by the post-restore set, ADVICE
+    // r19): the target version's embedded set when it has one, else
+    // its sidecar resolution. When the target manifest predates
+    // embedding AND the sidecar history is gone, but the table
+    // currently KNOWS constraints (cur carries a set), the target's
+    // best-knowledge set is empty — carrying the current set forward
+    // would silently keep governing restored rows that never passed
+    // it. None only when the table never had constraints at all.
+    val restoredCons: Option[Map[String, String]] = embeddedCons.orElse(
+      if (fs.exists(constraintsDir)) Some(constraintsAt(version))
+      else if (cur.constraints.isDefined) Some(Map.empty)
+      else None)
     commitSized(cur.version + 1, entries, Some(cur.version), dvs, mors, smors,
-      embedded.orElse(schema.map(_.json)))
+      embedded.orElse(schema.map(_.json)), restoredCons)
     schema.foreach(writeSchemaFile(cur.version + 1, _))
-    // constraints roll back with the data they validated (only when
-    // the table ever had any — never materialize an empty sidecar dir)
-    if (fs.exists(constraintsDir))
-      writeConstraintsFile(cur.version + 1, constraintsAt(version))
+    // sidecar mirror for beyond-retention history only — the embedded
+    // set above is authoritative, so the ordering no longer matters
+    restoredCons.foreach(writeConstraintsFile(cur.version + 1, _))
     cur.version + 1
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape,
+    * VERDICT r19 #3): commit, under `targetRoot`, a manifest that
+    * re-references THIS table's current immutable batches (and DVs,
+    * MoR slices, sparse slices) by ABSOLUTE path — zero data
+    * movement, metadata-sized cost at ANY table size. From that
+    * commit on the two tables diverge independently: writes to either
+    * side land in that side's own data/ dir and are invisible to the
+    * other (batches are immutable, the clone's manifest pins the
+    * exact files it saw); compaction on the clone gradually
+    * materializes the external references away into local batches.
+    *
+    * The clone keeps the SOURCE's version number (not 1): inherited
+    * batch names carry their source commit versions, and the
+    * sparse-patch resolver orders patches by those versions — a clone
+    * restarting at 1 would let an inherited patch at source-v100
+    * overwrite the clone's own later full-row writes. Continuing the
+    * counter preserves the monotonicity the gate relies on.
+    *
+    * VACUUM SEMANTICS (the pinned choice — registry, not
+    * copy-on-vacuum): before the clone commit, the referenced batch/
+    * DV names are recorded in a `clones/<id>` registry file at each
+    * origin root (this root; for a clone-of-a-clone, the ORIGINAL
+    * roots its external references point into), and [[vacuum]] treats
+    * registered names as live forever after. A source vacuum
+    * therefore never breaks a clone; the cost is over-retention of
+    * exactly the pinned files until [[dropCloneRegistry]] releases
+    * them (crash between registry write and clone commit leaves an
+    * orphan registry — over-retention, the safe direction).
+    *
+    * Schema and constraint SIDECAR histories (metadata-sized) are
+    * copied so evolution history, time-travel schema resolution and
+    * the resurrect-protection scan work on the clone; the constraint
+    * set itself rides the manifest. Time travel BELOW the clone point
+    * is a source-side question (the clone has one manifest) — ask the
+    * source. Refused when `targetRoot` already has a snapshot.
+    *
+    * Returns the registry id (pass to [[dropCloneRegistry]] on the
+    * SOURCE store when the clone is deleted).
+    */
+  def cloneTo(targetRoot: Path): String = {
+    val cur = resolveCurrent().getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val tgt = new SnapshotStore(spark, targetRoot)
+    require(tgt.currentVersion().isEmpty,
+      s"refusing to clone onto $targetRoot: it already has a snapshot")
+    def ext(ref: String): String = dataPath(ref).toString
+    val entries = cur.entries.view.mapValues(e =>
+      SnapshotStore.SnapshotEntry(ext(e.batch), e.bytes)).toMap
+    val mors = cur.mors.map { case (s, e) =>
+      s -> SnapshotStore.SnapshotEntry(ext(e.batch), e.bytes) }
+    val smors = cur.smors.map(m => m.copy(batch = ext(m.batch)))
+    val dvs = cur.dvs.map(d => dvPath(d).toString)
+    // pin at each ORIGIN root (grouped by the dir the absolute ref
+    // lives under): registry lines are bare names, what that root's
+    // vacuum liveness sets contain
+    val cloneId = java.util.UUID.randomUUID().toString.take(12)
+    val byOrigin: Map[Path, Seq[String]] =
+      (entries.values.map(_.batch) ++ mors.map(_._2.batch) ++
+        smors.map(_.batch) ++ dvs).toSeq.distinct
+        .groupBy(r => new Path(r).getParent.getParent)
+        .map { case (origin, refs) => origin -> refs.map(leafName) }
+    byOrigin.foreach { case (origin, names) =>
+      val originStore =
+        if (origin.toUri.getPath == root.toUri.getPath) this
+        else new SnapshotStore(spark, origin)
+      originStore.writeFile(
+        new Path(originStore.clonesDir, s"clone-$cloneId"),
+        names.sorted.mkString("\n"))
+    }
+    // metadata-sized sidecar histories travel with the clone
+    Seq("schemas", "constraints").foreach { d =>
+      val src = new Path(root, d)
+      if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+        if (!st.getPath.getName.startsWith("."))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+            tgt.fs, new Path(new Path(targetRoot, d), st.getPath.getName),
+            false, spark.sessionState.newHadoopConf())
+      }
+    }
+    tgt.commitSized(cur.version, entries, None, dvs, mors, smors,
+      cur.schemaJson, cur.constraints)
+    cloneId
+  }
+
+  /** Release a clone's vacuum pins on THIS root (call on the SOURCE
+    * after deleting the clone): its registered batches become
+    * ordinary vacuum candidates again.
+    */
+  def dropCloneRegistry(cloneId: String): Unit = {
+    val p = new Path(clonesDir, s"clone-$cloneId")
+    require(fs.exists(p), s"no clone registry clone-$cloneId at $root")
+    fs.delete(p, false)
   }
 
   /** Take the commit lease: atomic create-exclusive of `LOCK` with
@@ -1169,7 +1440,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     currentManifestName() match {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       case Some(n) =>
-        val (entries, dvs, mors, smors, _) = readManifestAll(n)
+        val (entries, dvs, mors, smors, _, _) = readManifestAll(n)
         readSlices(entries.toSeq.map(kv => kv._1 -> kv._2.batch) ++
           mors.map(m => m._1 -> m._2.batch), schema, suffixes, dvs, smors)
     }
@@ -1260,9 +1531,9 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
           "anti-join's working names (__dv_*)")
     if (patch)
       require(!schema.fieldNames.exists(f =>
-        f.startsWith("__sp_") || f.startsWith("__sv")),
+        f.startsWith("__sp_") || f.startsWith("__sv") || f == "__pv"),
         "schema columns must not collide with the sparse-patch " +
-          "resolution's working names (__sp_*, __sv, __sv_*)")
+          "resolution's working names (__sp_*, __sv, __sv_*, __pv)")
   }
 
   /** Apply sparse patch slices to a live frame carrying `__sv` (and
@@ -1623,8 +1894,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // per-column write wins on conflict
     def sketches(batch: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
       sketchCache.getOrElseUpdate(batch,
-        parse(new Path(statsDir, s"$batch.bloom")) ++
-          parse(new Path(statsDir, s"$batch.bloom.${encodeCol(bloomCol)}")))
+        parse(statsPath(batch, ".bloom")) ++
+          parse(statsPath(batch, s".bloom.${encodeCol(bloomCol)}")))
     // pruning is PER SLICE: a partition's base slice can skip while a
     // later MoR slice (holding a fresher copy of the key) is read
     val keep = slices.filter { case (suffix, batch) =>
@@ -1690,7 +1961,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def readBatchFileStats(batch: String):
       Option[Map[String, Map[String, (Double, Double)]]] = {
-    val p = new Path(statsDir, s"$batch.files")
+    val p = statsPath(batch, ".files")
     if (!fs.exists(p)) return None
     val parsed = readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).map { l =>
       val Array(rel, c, mn, mx) = l.split('\t')
@@ -1729,7 +2000,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       clusterCol: String, maxRecordsPerFile: Long): Unit = {
     // full rewrite: read(schema) resolves DVs, slices and sparse
     // patches; the commit below lists none — all three materialize
-    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson, _) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
@@ -1776,7 +2047,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     require(zCols.size >= 2, "z-order needs at least two columns (use compactClustered for one)")
     require(bits * zCols.size <= 62, s"${zCols.size} cols × $bits bits overflows a long")
     // full rewrite like compactClustered: everything materializes
-    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, _, schemaJson, _) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     if (entries.isEmpty) return
@@ -1831,7 +2102,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * merge that opted out) — readers then cannot prune it.
     */
   def readBatchStats(batch: String): Map[String, Map[String, (Double, Double)]] = {
-    val p = new Path(statsDir, batch)
+    val p = statsPath(batch)
     if (!fs.exists(p)) return Map.empty
     readSmallFile(p).split('\n').toSeq.filter(_.nonEmpty).map { line =>
       val Array(suffix, c, mn, mx) = line.split('\t')
@@ -1970,7 +2241,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * sound, less selective until the next compaction).
     */
   def deleteWhere(schema: StructType, pred: org.apache.spark.sql.Column): Long = {
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson, _) =
       resolveCurrent().getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     if (sized.isEmpty) return 0L
@@ -2145,7 +2416,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxBatches: Int, statsCols: Seq[String] = Nil): Unit = {
     require(maxBatches >= 2,
       "maxBatches must leave room for kept batches plus the fold target")
-    val SnapshotStore.Resolved(version, entries, dvs, mors, smors, schemaJson) =
+    val SnapshotStore.Resolved(version, entries, dvs, mors, smors, schemaJson, _) =
       resolveCurrent().getOrElse(return)
     if ((entries.values.map(_.batch) ++ mors.map(_._2.batch) ++
         smors.map(_.batch)).toSet.size <= maxBatches) return
@@ -2226,7 +2497,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       maxSlices: Int,
       maxSliceBytesFrac: Double = Double.PositiveInfinity): Unit = {
     require(maxSlices >= 1, s"maxSlices must be >= 1, got $maxSlices")
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson, _) =
       resolveCurrent().getOrElse(return)
     // full and sparse slices both count: each is one more scan
     // subtree (and for sparse, one more patch JOIN) per read
@@ -2270,7 +2541,7 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   def compact(schema: StructType, partCols: Seq[String],
       statsCols: Seq[String] = Nil): Unit = {
-    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson) =
+    val SnapshotStore.Resolved(version, sized, dvs, mors, smors, schemaJson, _) =
       resolveCurrent().getOrElse(return)
     val entries = sized.view.mapValues(_.batch).toMap
     // a single-batch table still compacts when deletion vectors or
@@ -2329,11 +2600,23 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // orphan manifest in/above the window keeps its batches one extra
     // cycle (harmless); a torn orphan must not abort the sweep (Try);
     // the CURRENT manifest is read strictly.
+    // batches/DVs a shallow clone references stay live regardless of
+    // version windows: the clone's manifest points at these exact
+    // files forever (until dropCloneRegistry) — see cloneTo's pinned
+    // vacuum contract. A torn registry must not abort the sweep.
+    val clonePinned: Set[String] =
+      if (!fs.exists(clonesDir)) Set.empty
+      else fs.listStatus(clonesDir).toSeq
+        .filter(_.getPath.getName.startsWith("clone-"))
+        .flatMap(st =>
+          scala.util.Try(readSmallFile(st.getPath).linesIterator
+            .filter(_.nonEmpty).toList).getOrElse(Nil)).toSet
     val liveBatches = manifestNames
       .filter(n => n.startsWith("v-") && parseVersion(n) >= keepMin)
       .flatMap(n => scala.util.Try(readManifestBatches(n))
         .getOrElse(Set.empty[String])).toSet ++
-      currentManifestName().map(readManifestBatches).getOrElse(Set.empty)
+      currentManifestName().map(readManifestBatches).getOrElse(Set.empty) ++
+      clonePinned
     manifestNames.foreach { n =>
       val doomed = n.startsWith(".tmp-") ||
         (n.startsWith("v-") && parseVersion(n) < keepMin)
@@ -2384,7 +2667,8 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
         .flatMap(n => scala.util.Try(readManifestDvs(n)).getOrElse(Nil)).toSet ++
         currentManifestName().map(n =>
           scala.util.Try(readManifestDvs(n)).getOrElse(Nil).toSet)
-          .getOrElse(Set.empty)
+          .getOrElse(Set.empty) ++
+        clonePinned // clone registries list DV names too (dv- prefix)
       fs.listStatus(deletesDir).foreach { st =>
         val n = st.getPath.getName
         if (dvVersion(n).forall(_ < keepMin) && !liveDvs.contains(n))

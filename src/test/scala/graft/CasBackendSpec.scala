@@ -111,6 +111,29 @@ class CasBackendSpec extends SparkFunSuite {
     assert(vals.size == 10)
   }
 
+  test("mixed publish modes refuse loudly: a lease writer cannot commit past a CAS-committed table") {
+    val dir = tmp("cas")
+    val backend = new CasDouble(dir)
+    SnapshotMerge.upsertMor(casStore(dir, backend), targetRows,
+      Seq("id"), Seq("pk"), retain = 2)
+    assert(new java.io.File(s"$dir/BACKEND").exists(),
+      "the first CAS commit must leave the mode sentinel")
+    // a backend-less writer of the same root is unserialized against
+    // CAS swaps (it never consults the arbiter) — it must fail loudly
+    // instead of racing, and the table must be untouched
+    val e = intercept[IllegalStateException] {
+      SnapshotMerge.upsertMor(new SnapshotStore(spark, new Path(dir)),
+        Seq((0L, "LEASE", 0L)).toDF("id", "v", "pk"),
+        Seq("id"), Seq("pk"), retain = 2)
+    }
+    assert(e.getMessage.contains("BACKEND"), e.getMessage)
+    assert(readVals(dir)(0L) == "t0")
+    // reads and further CAS commits are unaffected
+    SnapshotMerge.upsertMor(casStore(dir, backend),
+      Seq((0L, "C0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 2)
+    assert(readVals(dir)(0L) == "C0")
+  }
+
   test("two-thread hammer through one CAS endpoint: every effect lands exactly once") {
     val dir = tmp("cas")
     val backend = new CasDouble(dir)

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import graft.sinks.{SnapshotMerge, SnapshotStore}
+
+/** Shallow CLONE pins (r20, VERDICT r19 #3): a metadata-only commit
+  * under a new root that re-references the source's immutable batches
+  * by absolute path — clone reads = source at clone point, both sides
+  * diverge independently, and the pinned vacuum contract (clone
+  * registry at the source) keeps a source vacuum from ever breaking a
+  * clone.
+  */
+class CloneSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def rows = (0L until 20L).map(i => (i, s"v$i", i % 4)).toDF("id", "v", "pk")
+
+  private def seed(): (String, SnapshotStore) = {
+    val dir = tmp("clsrc")
+    SnapshotMerge.upsertUpdate(spark, dir, rows, Seq("id"), Seq("pk"), retain = 8)
+    // leave a DV, a MoR slice and a sparse patch outstanding so the
+    // clone must carry ALL reference kinds
+    val store = new SnapshotStore(spark, new Path(dir))
+    store.deleteWhere(rows.schema, col("id") === 19L)
+    SnapshotMerge.upsertMor(spark, dir,
+      Seq((3L, "m3", 3L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.upsertMorSparse(spark, dir,
+      Seq((4L, "p4", 0L)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"), Seq("v"), retain = 8)
+    (dir, store)
+  }
+
+  private def vals(dir: String): Map[Long, String] =
+    SnapshotMerge.read(spark, dir, rows.schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+
+  test("clone reads = source at clone point (DVs, slices, sparse patches carried); zero data copied") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    store.cloneTo(new Path(dst))
+    val expected = vals(src)
+    assert(vals(dst) == expected)
+    assert(expected(3L) == "m3" && expected(4L) == "p4" && !expected.contains(19L))
+    // shallow: the clone's data dir holds NOTHING (all refs external)
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "a shallow clone must not copy data")
+    // and the clone keeps the source's version counter (sparse-gate
+    // monotonicity), not 1
+    val tgt = new SnapshotStore(spark, new Path(dst))
+    assert(tgt.currentVersion() == store.currentVersion())
+  }
+
+  test("post-clone writes diverge: invisible to the other side; clone's own writes win its sparse gate") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    store.cloneTo(new Path(dst))
+    SnapshotMerge.upsertUpdate(spark, src,
+      Seq((0L, "SRC", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    // the clone overwrites the key the SOURCE had sparse-patched: the
+    // clone's commit version must postdate the inherited patch or the
+    // patch would revert it (the version-counter continuation pin)
+    SnapshotMerge.upsertMor(spark, dst,
+      Seq((4L, "CLONE", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    assert(vals(src)(0L) == "SRC" && vals(src)(4L) == "p4")
+    assert(vals(dst)(0L) == "v0" && vals(dst)(4L) == "CLONE")
+  }
+
+  test("source vacuum never breaks a clone (registry pin); dropCloneRegistry releases; clone vacuum never reaches source") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    val cloneId = store.cloneTo(new Path(dst))
+    val expected = vals(dst)
+    // rewrite the WHOLE source and vacuum hard: without the registry
+    // the old batches (all external refs of the clone) would die
+    SnapshotMerge.replaceAll(spark, src,
+      Seq((100L, "NEW", 0L)).toDF("id", "v", "pk"), Seq("pk"))
+    (1 to 3).foreach(_ => SnapshotMerge.upsertUpdate(spark, src,
+      Seq((100L, "NEW", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"),
+      retain = 1))
+    store.vacuum(1)
+    assert(vals(dst) == expected,
+      "source vacuum deleted batches a clone references — the registry pin failed")
+    // clone-side writes + vacuum stay inside the clone's root
+    SnapshotMerge.upsertUpdate(spark, dst,
+      Seq((0L, "D", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 1)
+    new SnapshotStore(spark, new Path(dst)).vacuum(1)
+    assert(vals(dst)(1L) == "v1", "clone must keep reading source batches")
+    // release the pin: the next source vacuum may collect — the clone
+    // is now (deliberately) broken, which is the documented contract
+    store.dropCloneRegistry(cloneId)
+    store.vacuum(1)
+    assert(!new java.io.File(s"$dst/clones").exists())
+  }
+
+  test("clone of a CLONE pins at the ORIGINAL root; evolved schema + constraints travel") {
+    val dir = tmp("clev")
+    SnapshotMerge.upsertEvolve(spark, dir,
+      (0L until 8L).map(i => (i, i * 1.0, i % 2)).toDF("id", "x", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    SnapshotMerge.addConstraint(spark, dir, "x_pos", "x >= 0")
+    val store = new SnapshotStore(spark, new Path(dir))
+    val c1 = tmp("clc1"); val c2 = tmp("clc2")
+    store.cloneTo(new Path(c1))
+    new SnapshotStore(spark, new Path(c1)).cloneTo(new Path(c2))
+    // grandchild's refs point at the ORIGINAL batches and its registry
+    // pin landed at the ORIGINAL root (c1 has no data of its own)
+    def regList(d: String): Seq[String] =
+      Option(new java.io.File(s"$d/clones").list()).fold(Seq.empty[String])(
+        _.toSeq.filter(_.startsWith("clone-")))
+    assert(regList(dir).length == 2,
+      s"both clones must pin at the origin, got ${regList(dir)}")
+    assert(regList(c1).isEmpty)
+    assert(SnapshotMerge.readEvolved(spark, c2).count() == 8)
+    // the constraint rides the cloned manifest: violating writes refuse
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, c2,
+        Seq((1L, -5.0, 1L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"))
+    }.getMessage.contains("x_pos"))
+    // schema evolution works independently on the clone
+    SnapshotMerge.upsertEvolve(spark, c2,
+      Seq((9L, 1.0, 1L, "w")).toDF("id", "x", "pk", "w"),
+      Seq("id"), Seq("pk"), retain = 8)
+    assert(SnapshotMerge.readEvolved(spark, c2).columns.toSet ==
+      Set("id", "x", "pk", "w"))
+    assert(SnapshotMerge.readEvolved(spark, dir).columns.toSet ==
+      Set("id", "x", "pk"), "the source must not see the clone's evolve")
+  }
+
+  test("refuses a non-empty target; compaction on the clone materializes external refs away") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    store.cloneTo(new Path(dst))
+    intercept[IllegalArgumentException](store.cloneTo(new Path(dst)))
+    val tgt = new SnapshotStore(spark, new Path(dst))
+    val expected = vals(dst)
+    tgt.compact(rows.schema, Seq("pk"))
+    assert(vals(dst) == expected)
+    assert(new java.io.File(s"$dst/data").exists(),
+      "compaction must localize the clone's data")
+    // after localization + registry release + source vacuum, the clone
+    // stands alone
+    val cur = tgt.resolveCurrent().get
+    assert(cur.entries.values.forall(e => !e.batch.startsWith("/")),
+      s"post-compact entries must be local: ${cur.entries.values.take(3)}")
+  }
+}

@@ -117,6 +117,126 @@ class ConstraintSpec extends SparkFunSuite {
     }
   }
 
+  // --- manifest-embedded constraint set (r20) -------------------------
+
+  private def currentManifestText(dir: String): String = {
+    val fs = graft.sinks.AtomicDir.fileSystem(spark, new Path(dir))
+    def slurp(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    slurp(new Path(new Path(dir), "manifests/" + slurp(new Path(dir, "CURRENT"))))
+  }
+
+  test("the constraint set is EMBEDDED in the manifest (v5), atomic with the commit; sidecar loss changes nothing") {
+    val dir = seed()
+    SnapshotMerge.addConstraint(spark, dir, "x_pos", "x > 0")
+    val m = currentManifestText(dir)
+    assert(m.startsWith("graft-snapshot 5"), m.linesIterator.next())
+    assert(m.contains("#constraintset\t1") && m.contains("#constraint\tx_pos\tx > 0"), m)
+    // the sidecar history is a MIRROR, not the authority: wipe it
+    val fs = graft.sinks.AtomicDir.fileSystem(spark, new Path(dir))
+    fs.delete(new Path(dir, "constraints"), true)
+    val store = new SnapshotStore(spark, new Path(dir))
+    assert(store.currentConstraints() == Map("x_pos" -> "x > 0"))
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((200L, -1.0, 0L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"))
+    }
+    // data commits CARRY the embedded set forward without being told
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((201L, 1.0, 0L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    assert(currentManifestText(dir).contains("#constraint\tx_pos\tx > 0"))
+    // drop embeds authoritative EMPTINESS (never falls back to stale
+    // sidecar history — there is none left to fall back to anyway)
+    SnapshotMerge.dropConstraint(spark, dir, "x_pos")
+    assert(currentManifestText(dir).contains("#constraintset\t0"))
+    assert(store.currentConstraints().isEmpty)
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((202L, -1.0, 0L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"), retain = 8)
+  }
+
+  test("validate-then-commit fence: a commit publishing a set the writer did not validate aborts retryably") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // the ADVICE-r19 end state: the writer validated {} at the front
+    // top, a concurrent addConstraint landed, the writer resolved the
+    // POST-add version as its base (so the plain version fence
+    // passes) — the constraint fence must abort it
+    SnapshotMerge.addConstraint(spark, dir, "x_pos", "x > 0")
+    val cur = store.resolveCurrent().get
+    val e = intercept[graft.sinks.SnapshotConcurrentWriteException] {
+      store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
+        cur.dvs, cur.mors, cur.smors, cur.schemaJson,
+        validatedConstraints = Some(Map.empty))
+    }
+    assert(e.getMessage.contains("constraint set changed"), e.getMessage)
+    // validated the set actually in force -> commits
+    store.commitSized(cur.version + 1, cur.entries, Some(cur.version),
+      cur.dvs, cur.mors, cur.smors, cur.schemaJson,
+      validatedConstraints = Some(Map("x_pos" -> "x > 0")))
+    assert(store.currentVersion().contains(cur.version + 1))
+  }
+
+  test("a constraint added inside the write window aborts the write; the retry re-validates") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val bad = Seq((500L, -1.0, 0L)).toDF("id", "x", "pk")
+    var fired = false
+    store.beforeEvolveCommitHook = () => if (!fired) {
+      fired = true
+      SnapshotMerge.addConstraint(spark, dir, "x_pos", "x > 0")
+    }
+    // first attempt: validated {} (pre-add), then the add lands inside
+    // the window -> fenced abort, NOT a silent commit of unvalidated rows
+    intercept[graft.sinks.SnapshotConcurrentWriteException] {
+      SnapshotMerge.upsertEvolve(store, bad, Seq("id"), Seq("pk"), 8, Nil)
+    }
+    // the retry (what upsertEvolveRetry does) re-validates against the
+    // NEW set and now refuses the rows loudly
+    assert(intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertEvolve(store, bad, Seq("id"), Seq("pk"), 8, Nil)
+    }.getMessage.contains("x_pos"))
+    assert(SnapshotMerge.read(spark, dir, rows.schema)
+      .where(col("x") < 0).count() == 0, "unvalidated rows must never land")
+  }
+
+  test("restore rolls the constraint set back ATOMICALLY (embedded), even with the sidecar history gone") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val v1 = store.currentVersion().get
+    SnapshotMerge.addConstraint(spark, dir, "x_pos", "x > 0")
+    val fs = graft.sinks.AtomicDir.fileSystem(spark, new Path(dir))
+    fs.delete(new Path(dir, "constraints"), true)
+    store.restore(v1)
+    assert(store.currentConstraints().isEmpty,
+      "restore below the add must publish the rolled-back (empty) set " +
+        "in its own manifest, not depend on a post-commit sidecar")
+    assert(currentManifestText(dir).contains("#constraintset\t0"))
+  }
+
+  test("pre-embedding tables resolve through the sidecar history and migrate to embedded on their next commit") {
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    // simulate an r19-format table: constraint exists ONLY as a sidecar
+    store.writeConstraintsFile(store.currentVersion().get, Map("x_pos" -> "x > 0"))
+    assert(!currentManifestText(dir).contains("#constraintset"))
+    assert(store.currentConstraints() == Map("x_pos" -> "x > 0"))
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((200L, -1.0, 0L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"))
+    }
+    // first write migrates the set into the manifest…
+    SnapshotMerge.upsertUpdate(spark, dir,
+      Seq((201L, 1.0, 0L)).toDF("id", "x", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    assert(currentManifestText(dir).contains("#constraint\tx_pos\tx > 0"))
+    // …after which the sidecars are pure history
+    val fs = graft.sinks.AtomicDir.fileSystem(spark, new Path(dir))
+    fs.delete(new Path(dir, "constraints"), true)
+    assert(store.currentConstraints() == Map("x_pos" -> "x > 0"))
+  }
+
   test("a renamed column referenced by a constraint fails writes LOUDLY, never silently skips") {
     val dir = tmp("chkrn")
     SnapshotMerge.upsertEvolve(spark, dir,

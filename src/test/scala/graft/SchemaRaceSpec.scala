@@ -85,6 +85,43 @@ class SchemaRaceSpec extends SparkFunSuite {
     assert(out.where(col("id") === 1L).collect().head.getAs[String]("w") == "w!")
   }
 
+  test("forced race (r20): an evolve races a sparse-MoR micro-batch commit; the retry lands BOTH") {
+    // the strm_mor_sparse_evolve composition's race shape: the cron
+    // stream's upsertMorSparse commits INSIDE the evolve's window
+    // (schema resolved, batch staged, base not yet re-resolved). The
+    // evolve must abort retryably — its schemaBase predates the
+    // micro-batch's commit — and the retry must union on top of the
+    // patched table, losing neither the patch nor the new column.
+    val dir = seed()
+    val store = new SnapshotStore(spark, new Path(dir))
+    val racer = new SnapshotStore(spark, new Path(dir))
+    val evolveInc = Seq((0L, "v0", 0L, 7)).toDF("id", "v", "pk", "z")
+    val patch = Seq((1L, "PATCHED", 1L)).toDF("id", "v", "pk")
+    @volatile var fired = false
+    store.beforeEvolveCommitHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotMerge.upsertMorSparse(racer, patch,
+          Seq("id"), Seq("pk"), Seq("v"), 4)
+      }
+    }
+    intercept[SnapshotConcurrentWriteException] {
+      SnapshotMerge.upsertMorEvolve(store, evolveInc, Seq("id"), Seq("pk"), 4)
+    }
+    SnapshotMerge.upsertMorEvolve(store, evolveInc, Seq("id"), Seq("pk"), 4)
+    val out = SnapshotMerge.readEvolved(spark, dir)
+    assert(out.columns.toSet == Set("id", "v", "pk", "z"))
+    assert(out.where(col("id") === 1L).head().getAs[String]("v") == "PATCHED",
+      "the racing micro-batch's sparse patch must survive the evolve retry")
+    assert(out.where(col("id") === 0L).head().getAs[Int]("z") == 7)
+    // and the new column patches through the narrow frame afterwards
+    // (the strm_mor_sparse_evolve wave-2 shape, unit-scale)
+    SnapshotMerge.upsertMorSparse(spark, dir,
+      Seq((1L, 42, 1L)).toDF("id", "z", "pk"), Seq("id"), Seq("pk"), Seq("z"))
+    assert(SnapshotMerge.readEvolved(spark, dir)
+      .where(col("id") === 1L).head().getAs[Int]("z") == 42)
+  }
+
   test("upsertEvolveRetry / upsertMorEvolveRetry spell the recovery loop") {
     val dir = seed()
     // no race here — the wrappers must be plain pass-throughs

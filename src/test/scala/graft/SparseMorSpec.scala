@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sinks.{SnapshotMerge, SnapshotStore}
 
 /** COLUMN-SPARSE merge-on-read pins (r19): an update restricted to
@@ -368,5 +368,18 @@ class SparseMorSpec extends SparkFunSuite {
     assert(intercept[IllegalArgumentException](SnapshotMerge.upsertMorSparse(
       spark, dir, inc.drop("b"), Seq("id"), Seq("pk"), Seq("b")))
       .getMessage.contains("missing column"))
+    // the patch resolver's OWN working columns (__pv carries the patch
+    // version through the argmax join, __sv_* the per-column effective
+    // versions) must refuse like every other working name — a real
+    // column named __pv would be silently overwritten during
+    // resolution instead (ADVICE r19)
+    assert(intercept[IllegalArgumentException](SnapshotMerge.upsertMorSparse(
+      spark, dir, inc.withColumn("__pv", lit(1L)),
+      Seq("id"), Seq("pk"), Seq("b")))
+      .getMessage.contains("__pv"))
+    assert(intercept[IllegalArgumentException](SnapshotMerge.upsertMorSparse(
+      spark, dir, inc.withColumn("__sv_b", lit(1L)),
+      Seq("id"), Seq("pk"), Seq("b")))
+      .getMessage.contains("__sv"))
   }
 }
