@@ -520,8 +520,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     val constraints: Option[Map[String, String]] =
       if (csetLines.isEmpty) None
       else Some(conLines.map { l =>
-        val Array(_, n, sql) = l.split('\t')
-        n -> sql
+        // bounded split: the SQL body is one field (tabs are refused
+        // at write time, but a malformed line must fail loudly here,
+        // not MatchError)
+        val parts = l.split("\t", 3)
+        require(parts.length == 3,
+          s"malformed #constraint line in $manifestsDir/$name: $l")
+        parts(1) -> parts(2)
       }.toMap)
     val (schemaLines, rest) = rest0.partition(_.startsWith("#schema\t"))
     val (smorLines, morLines) = rest.partition(_.startsWith("#smor\t"))
