@@ -33,6 +33,12 @@ package graft.sinks
   * Version-log entries are then written by CAS winners only, which
   * serializes them per version exactly as the lease did.
   *
+  * Deployment wiring: install `SnapshotStore.backendProvider` once at
+  * session setup (root path → backend) and every store — including
+  * the ones the path-based write fronts construct internally — picks
+  * the backend up automatically; `store.pointerBackend` remains the
+  * per-instance override.
+  *
   * EVERY WRITER OF A ROOT MUST USE THE SAME PUBLISH MODE: a lease
   * writer and a CAS writer are serialized by NEITHER arbiter (the
   * lease path never consults the CAS, the CAS path never takes the

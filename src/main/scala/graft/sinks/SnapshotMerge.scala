@@ -1238,13 +1238,25 @@ object SnapshotMerge {
       incoming: DataFrame): Map[String, String] = {
     val cs = store.currentConstraints()
     if (cs.isEmpty) return cs
-    cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      val bad = incoming.where(
-        coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false)).limit(1)
-      val hit = bad.collect()
-      require(hit.isEmpty,
-        s"incoming rows violate CHECK constraint '$name' ($sql); " +
-          s"example: ${hit.headOption.fold("")(_.toString)}")
+    // ONE bounded job for the whole set, not one per constraint: the
+    // disjunction of violations filters, and a per-constraint pass
+    // vector names the first offender (a table with N constraints
+    // must not cost N scans of an expensive incoming plan per write)
+    def violated(sql: String) =
+      coalesce(expr(sql).cast("boolean"), lit(true)) === lit(false)
+    val ordered = cs.toSeq.sortBy(_._1)
+    val hit = incoming
+      .where(ordered.map(c => violated(c._2)).reduce(_ || _))
+      .select(struct(incoming.columns.map(col): _*).as("__row") +:
+        ordered.map { case (name, sql) => violated(sql).as(s"__viol_$name") }: _*)
+      .limit(1).collect()
+    hit.headOption.foreach { r =>
+      val name = ordered.collectFirst {
+        case (n, _) if r.getAs[Boolean](s"__viol_$n") => n
+      }.getOrElse(ordered.head._1)
+      require(false,
+        s"incoming rows violate CHECK constraint '$name' (${cs(name)}); " +
+          s"example: ${r.getAs[Row]("__row")}")
     }
     cs
   }

@@ -75,6 +75,20 @@ object SnapshotStore {
       schemaJson: Option[String],
       constraints: Option[Map[String, String]])
 
+  /** Deployment-wide commit-backend wiring: every [[SnapshotStore]]
+    * constructed from now on initializes its `pointerBackend` from
+    * this function (root path → backend). Install ONCE at session
+    * setup (e.g. route every `s3://…` root through the store's
+    * conditional-PUT client) so the path-based write fronts — which
+    * construct stores internally — commit through the same arbiter as
+    * everyone else; per-root consistency is then automatic instead of
+    * a per-callsite obligation. Default: no backend anywhere (the
+    * lease machinery). Reassignment only affects stores constructed
+    * afterwards.
+    */
+  @volatile var backendProvider: Path => Option[CommitPointerBackend] =
+    _ => None
+
   /** Relative `col=val[/col=val…]` paths of the partition leaf dirs
     * under `root` — the parents of its DATA files; dirs holding only
     * hidden/marker files (`_SUCCESS`, `.crc`) are not partitions.
@@ -249,8 +263,17 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     * correct wherever exclusive create is atomic (HDFS/posix). Install
     * an object-store conditional-PUT implementation to commit safely
     * on stores where it is not.
+    *
+    * Initialized from [[SnapshotStore.backendProvider]] so the
+    * PATH-BASED write fronts ([[SnapshotMerge.upsertUpdate]] and
+    * friends construct their own store from a rootDir string) pick up
+    * the deployment's backend uniformly — without the provider, a CAS
+    * table would be unwritable through the public fronts (the BACKEND
+    * sentinel refuses their lease commits, by design). Still
+    * assignable per instance for tests and special cases.
     */
-  var pointerBackend: Option[CommitPointerBackend] = None
+  var pointerBackend: Option[CommitPointerBackend] =
+    SnapshotStore.backendProvider(root)
 
   private val pointer = new Path(root, "CURRENT")
   private val manifestsDir = new Path(root, "manifests")

@@ -134,6 +134,43 @@ class CasBackendSpec extends SparkFunSuite {
     assert(readVals(dir)(0L) == "C0")
   }
 
+  test("backendProvider wires the PUBLIC path-based fronts onto the CAS arbiter") {
+    val dir = tmp("cas")
+    val backend = new CasDouble(dir)
+    SnapshotMerge.upsertMor(casStore(dir, backend), targetRows,
+      Seq("id"), Seq("pk"), retain = 4)
+    // without the provider, the sentinel refuses the path-based front
+    // (it constructs a backend-less store internally)
+    intercept[IllegalStateException] {
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((1L, "X", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"))
+    }
+    // with it, every internally-constructed store commits through the
+    // SAME arbiter — the deployment-wide wiring a real object-store
+    // client installs once at session setup
+    val before = backend.casCalls.get()
+    SnapshotStore.backendProvider =
+      root => if (root.toUri.getPath == new Path(dir).toUri.getPath)
+        Some(backend) else None
+    try {
+      SnapshotMerge.upsertUpdate(spark, dir,
+        Seq((1L, "PUB", 1L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"),
+        retain = 4)
+      SnapshotMerge.upsertMorSparse(spark, dir,
+        Seq((2L, "SP", 2L)).toDF("id", "v", "pk"),
+        Seq("id"), Seq("pk"), Seq("v"), retain = 4)
+    } finally SnapshotStore.backendProvider = _ => None
+    assert(backend.casCalls.get() > before,
+      "the public fronts must have committed through the CAS arbiter")
+    assert(!new java.io.File(s"$dir/LOCK").exists())
+    assert(readVals(dir)(1L) == "PUB" && readVals(dir)(2L) == "SP")
+    // and an unrelated root stays on the lease machinery
+    val other = tmp("caso")
+    SnapshotMerge.upsertUpdate(spark, other, targetRows,
+      Seq("id"), Seq("pk"), retain = 4)
+    assert(readVals(other).size == 10)
+  }
+
   test("two-thread hammer through one CAS endpoint: every effect lands exactly once") {
     val dir = tmp("cas")
     val backend = new CasDouble(dir)

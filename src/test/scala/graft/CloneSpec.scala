@@ -131,6 +131,44 @@ class CloneSpec extends SparkFunSuite {
       Set("id", "x", "pk"), "the source must not see the clone's evolve")
   }
 
+  test("time travel and the change feed work on the clone from its clone-point version") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    store.cloneTo(new Path(dst))
+    val tgt = new SnapshotStore(spark, new Path(dst))
+    val v0 = tgt.currentVersion().get
+    val atClone = vals(dst)
+    SnapshotMerge.upsertUpdate(spark, dst,
+      Seq((0L, "D0", 0L), (50L, "NEW", 2L)).toDF("id", "v", "pk"),
+      Seq("id"), Seq("pk"), retain = 8)
+    // time travel back to the clone point (the clone's version log
+    // starts there — the commit wrote its winning manifest entry)
+    val travelled = tgt.readAt(v0, rows.schema).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(travelled == atClone)
+    // the change feed across the clone's own first write: exactly the
+    // clone-side changes, nothing from the inherited history
+    val changes = tgt.readChangesBetween(v0, v0 + 1, rows.schema, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change"))).toSet
+    assert(changes == Set((0L, "update"), (50L, "insert")), changes)
+  }
+
+  test("restore on the clone works at/after the clone point and fails clearly below it") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    store.cloneTo(new Path(dst))
+    val tgt = new SnapshotStore(spark, new Path(dst))
+    val v0 = tgt.currentVersion().get
+    val atClone = vals(dst)
+    SnapshotMerge.upsertUpdate(spark, dst,
+      Seq((0L, "D0", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 8)
+    tgt.restore(v0)
+    assert(vals(dst) == atClone)
+    // below the clone point there is no provable winner in the
+    // clone's own history — the source is the place to time travel
+    intercept[Exception](tgt.restore(v0 - 1))
+  }
+
   test("refuses a non-empty target; compaction on the clone materializes external refs away") {
     val (src, store) = seed()
     val dst = tmp("cldst")
