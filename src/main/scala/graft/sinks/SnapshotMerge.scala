@@ -1311,6 +1311,7 @@ object SnapshotMerge {
       spark.sparkContext.emptyRDD[Row], narrow)
     val cur = store.resolveCurrent().getOrElse(return empty)
     val parts = inc.select(partCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return empty
     val touched = parts.map(partitionSuffix(partCols, _)).toSet
     val outside = cur.entries.keySet -- touched
     if (outside.isEmpty) return empty
