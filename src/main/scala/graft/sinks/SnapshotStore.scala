@@ -1355,6 +1355,22 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     fs.delete(p, false)
   }
 
+  /** The clone registries pinning THIS root's files: id → pinned
+    * batch/DV names. The operator's view for auditing over-retention
+    * (a registry whose clone directory was deleted out-of-band keeps
+    * pinning until [[dropCloneRegistry]] releases it — the safe
+    * direction, but disk someone should reclaim).
+    */
+  def cloneRegistries(): Map[String, Seq[String]] =
+    if (!fs.exists(clonesDir)) Map.empty
+    else fs.listStatus(clonesDir).toSeq
+      .filter(_.getPath.getName.startsWith("clone-"))
+      .map { st =>
+        st.getPath.getName.stripPrefix("clone-") ->
+          scala.util.Try(readSmallFile(st.getPath).linesIterator
+            .filter(_.nonEmpty).toList).getOrElse(Nil).toSeq
+      }.toMap
+
   /** Take the commit lease: atomic create-exclusive of `LOCK` with
     * this writer's id as the body. Held lock -> bounded exponential
     * backoff up to `lockWaitMs`, then [[SnapshotConcurrentWriteException]]

@@ -90,9 +90,13 @@ class CloneSpec extends SparkFunSuite {
       Seq((0L, "D", 0L)).toDF("id", "v", "pk"), Seq("id"), Seq("pk"), retain = 1)
     new SnapshotStore(spark, new Path(dst)).vacuum(1)
     assert(vals(dst)(1L) == "v1", "clone must keep reading source batches")
+    // the operator's audit view lists the pin with its names
+    val regs = store.cloneRegistries()
+    assert(regs.keySet == Set(cloneId) && regs(cloneId).nonEmpty)
     // release the pin: the next source vacuum may collect — the clone
     // is now (deliberately) broken, which is the documented contract
     store.dropCloneRegistry(cloneId)
+    assert(store.cloneRegistries().isEmpty)
     store.vacuum(1)
     assert(!new java.io.File(s"$dst/clones").exists())
   }
