@@ -258,6 +258,14 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     */
   private[graft] var beforeEvolveCommitHook: () => Unit = () => ()
 
+  /** Test seam: runs in [[cloneTo]] after the source snapshot
+    * resolution and immediately before the registry pins are written
+    * — the window where a concurrent source rewrite + vacuum can
+    * collect a resolved batch. Lets specs force the clone-loses
+    * direction deterministically. No-op in production.
+    */
+  private[graft] var beforeClonePinHook: () => Unit = () => ()
+
   /** Pluggable atomic-publish primitive — see [[CommitPointerBackend]].
     * None (default) = the built-in lease + fence + overwrite-rename,
     * correct wherever exclusive create is atomic (HDFS/posix). Install
@@ -1317,11 +1325,13 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
     // lives under): registry lines are bare names, what that root's
     // vacuum liveness sets contain
     val cloneId = java.util.UUID.randomUUID().toString.take(12)
-    val byOrigin: Map[Path, Seq[String]] =
+    val refs: Seq[String] =
       (entries.values.map(_.batch) ++ mors.map(_._2.batch) ++
         smors.map(_.batch) ++ dvs).toSeq.distinct
-        .groupBy(r => new Path(r).getParent.getParent)
-        .map { case (origin, refs) => origin -> refs.map(leafName) }
+    val byOrigin: Map[Path, Seq[String]] =
+      refs.groupBy(r => new Path(r).getParent.getParent)
+        .map { case (origin, rs) => origin -> rs.map(leafName) }
+    beforeClonePinHook()
     byOrigin.foreach { case (origin, names) =>
       val originStore =
         if (origin.toUri.getPath == root.toUri.getPath) this
@@ -1329,6 +1339,28 @@ final class SnapshotStore(val spark: SparkSession, val root: Path,
       originStore.writeFile(
         new Path(originStore.clonesDir, s"clone-$cloneId"),
         names.sorted.mkString("\n"))
+    }
+    // Pin-then-verify closes the resolve→pin race: a source writer
+    // that rewrote and VACUUMED between this clone's snapshot
+    // resolution and the registry write may already have collected a
+    // referenced batch — committing would publish a broken clone. A
+    // reference that exists AFTER its pin landed can never be
+    // collected later (vacuum honors registries from the moment they
+    // appear), so existence here proves the clone sound; a missing
+    // one aborts retryably with the just-written pins released.
+    val gone = refs.filterNot(r => fs.exists(dataPath(r)))
+    if (gone.nonEmpty) {
+      byOrigin.keys.foreach { origin =>
+        val originStore =
+          if (origin.toUri.getPath == root.toUri.getPath) this
+          else new SnapshotStore(spark, origin)
+        scala.util.Try(originStore.fs.delete(
+          new Path(originStore.clonesDir, s"clone-$cloneId"), false))
+      }
+      throw new SnapshotConcurrentWriteException(
+        s"source $root was rewritten and vacuumed during the clone " +
+          s"(missing: ${gone.take(3).map(leafName).mkString(", ")}…) — " +
+          "re-resolve and retry the clone")
     }
     // metadata-sized sidecar histories travel with the clone
     Seq("schemas", "constraints").foreach { d =>

@@ -157,6 +157,32 @@ class CloneSpec extends SparkFunSuite {
     assert(changes == Set((0L, "update"), (50L, "insert")), changes)
   }
 
+  test("forced race: a source rewrite+vacuum inside the clone's pin window aborts retryably, never a broken clone") {
+    val (src, store) = seed()
+    val dst = tmp("cldst")
+    @volatile var fired = false
+    store.beforeClonePinHook = () => if (!fired) {
+      fired = true
+      // the hostile interleave: between the clone's snapshot
+      // resolution and its registry pins, the source rewrites
+      // EVERYTHING and vacuums the resolved batches away
+      SnapshotMerge.replaceAll(spark, src,
+        Seq((100L, "NEW", 0L)).toDF("id", "v", "pk"), Seq("pk"), retain = 1)
+      store.vacuum(1)
+    }
+    val e = intercept[graft.sinks.SnapshotConcurrentWriteException] {
+      store.cloneTo(new Path(dst))
+    }
+    assert(e.getMessage.contains("vacuumed during the clone"), e.getMessage)
+    // no half-clone left behind, and the failed attempt's pins are
+    // released (no over-retention leak from the aborted clone)
+    assert(!new java.io.File(s"$dst/CURRENT").exists())
+    assert(store.cloneRegistries().isEmpty, store.cloneRegistries())
+    // the retry resolves the winner's state and lands
+    store.cloneTo(new Path(dst))
+    assert(vals(dst) == Map(100L -> "NEW"))
+  }
+
   test("restore on the clone works at/after the clone point and fails clearly below it") {
     val (src, store) = seed()
     val dst = tmp("cldst")
