@@ -290,6 +290,17 @@ class SparseMorSpec extends SparkFunSuite {
     assert(got.getAs[Map[String, Int]]("m") == Map("z" -> 10, "w" -> 1),
       "the LATER patch's whole map value wins")
     assert(got.getAs[String]("v") == "x0", "unpatched columns keep seed values")
+    // the fold materializes map patches content-invariantly (the
+    // rewrite path writes the resolved map column) and leaves zero
+    // slice lines behind
+    val store = new SnapshotStore(spark, new org.apache.hadoop.fs.Path(dir))
+    store.compactSlices(rows.schema, Seq("pk"), maxSlices = 1)
+    val cur = store.resolveCurrent().get
+    assert(cur.smors.isEmpty && cur.mors.isEmpty)
+    val folded = SnapshotMerge.read(spark, dir, rows.schema)
+      .where(col("id") === 0L).collect().head
+    assert(folded.getAs[Map[String, Int]]("m") == Map("z" -> 10, "w" -> 1))
+    assert(folded.getAs[String]("v") == "x0")
   }
 
   test("cross-signature interleave: a group's stale per-key-latest never reverts a newer shared-column patch") {
