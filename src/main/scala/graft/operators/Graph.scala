@@ -752,7 +752,37 @@ object Graph extends QueryModule {
     // multiple downstream consumers from cache), and superseded
     // states release only after the probe materializes the newest.
     val probeEvery = 4
-    val ep = edges.repartition(col("src")).ckpt(false)
+    // ONE-SCAN ROUND (r20 optimization pass): the r19 spelling
+    // recomputed the frontier with a dedicated semi-join pass —
+    // `touched` = distinct srcs with a changed neighbor (ep scan #1,
+    // broadcast build #1), then `gathered` = ep ⋈ touched (scan #2,
+    // build #2), then the value annotation (build #3) and the h left
+    // join (build #4): per round 2 full edge scans + 4 broadcast
+    // builds, measured 0.57–0.58 s/round FLAT whether the frontier
+    // was 17k nodes or 34 — pure fixed overhead at bench scale, and
+    // 2× the scan work at any scale. The round is now ONE pass: edges
+    // are annotated with (neighbor value, neighbor chg) in a single
+    // node-scale broadcast join, the touched flag is a sortless
+    // unbounded window over the src partitioning (ep is sorted by src
+    // ONCE at build; the broadcast join preserves streamed-side order
+    // and partitioning, so the window's Sort AND Exchange both
+    // elide), and only the flagged (frontier-adjacent) rows reach the
+    // h-index rank sort — the frontier-bounded sort is unchanged.
+    // Per round: 1 edge scan + 2 broadcast builds (annotation, h).
+    //
+    // WHY ep is a CACHE, not a localCheckpoint: a checkpoint's
+    // LogicalRDD leaf DROPS the physical partitioning and ordering
+    // (plain `Scan ExistingRDD` — verified in the executed plan), so
+    // every round paid an Exchange + full Sort to re-establish the
+    // src clustering the build already produced. An InMemoryRelation
+    // keeps the cached plan's outputPartitioning AND outputOrdering
+    // (and `canChangeCachedPlanOutputPartitioning` defaults to false,
+    // so AQE cannot coalesce it away), so the per-round window/agg
+    // run with Exchange and Sort both elided. ep is built ONCE and
+    // read-only — no iterative lineage to truncate, which is the only
+    // thing localCheckpoint bought here.
+    val ep = edges.repartition(col("src"))
+      .sortWithinPartitions(col("src")).persist(graft.Ckpt.level)
     var stateCk = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("int").as("c"))
       .toDF("node", "c")
@@ -776,29 +806,28 @@ object Graph extends QueryModule {
     while (changed > 0 && round < maxRounds) {
       round += 1
       val state = rebase(stateCk)
-      // nodes that must re-score: those with a changed neighbor
-      // (everyone, round 1 — state starts all-chg, so no special
-      // case: touched is then every src). A shared-full-state
-      // broadcast variant (one exchange probed by all three joins)
-      // was measured WORSE here — 2× process-CPU, +10% wall — so the
-      // chg-pruned build sides stand.
-      val touched = ep
-        .join(hint(state.where(col("chg")).select(col("node").as("dst"))),
-          "dst")
-        .select(col("src")).distinct()
-      val gathered = ep.join(hint(touched), "src")
-      val nbr = gathered
-        .join(hint(state.select(col("node").as("dst"),
-          col("c").as("cn"))), "dst")
-        .select(col("src"), col("cn"))
+      // ONE annotation pass (see the ep scaladoc above): every edge
+      // picks up its neighbor's current value AND chg flag from one
+      // node-scale broadcast. Round 1 starts all-chg, so no special
+      // case: every src is touched.
+      val ann = ep.join(hint(state.select(col("node").as("dst"),
+          col("c").as("cn"), col("chg"))), "dst")
+        .select(col("src"), col("cn"), col("chg"))
+      // nodes that must re-score: those with ≥1 changed neighbor —
+      // an unbounded max over the src partitioning. No orderBy, so
+      // the window needs only clustering+sort by src, which ep's
+      // build-time layout already provides: Sort and Exchange elide.
+      val wAll = Window.partitionBy(col("src"))
+      val flagged = ann
+        .withColumn("touch", max(when(col("chg"), 1).otherwise(0)).over(wAll))
+        .where(col("touch") === 1)
       // H-index per node: sort the neighbor values desc (ties in any
       // order — max of min(value, rank) is tie-order invariant), then
-      // h = max(min(value_i, i)). ep is src-partitioned and the
-      // broadcast joins preserve that layout, so the window sort and
-      // the agg both run with their Exchange elided — zero corpus
-      // shuffles per round.
+      // h = max(min(value_i, i)). Only the FLAGGED (frontier-adjacent)
+      // rows reach this sort, and the agg runs with its Exchange
+      // elided on ep's partitioning — zero corpus shuffles per round.
       val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
-      val h = nbr.withColumn("rn", row_number().over(w))
+      val h = flagged.withColumn("rn", row_number().over(w))
         .groupBy(col("src"))
         .agg(max(least(col("cn"), col("rn"))).cast("int").as("h"))
         .toDF("node", "h")
@@ -809,6 +838,8 @@ object Graph extends QueryModule {
       // round); unhinted, the default-stat LogicalRDD leaves pushed
       // this to a sort-merge join that shuffled BOTH node-scale
       // sides every round.
+      if (round == 2 && sys.env.contains("GRAFT_KCORE_EXPLAIN"))
+        println(h.queryExecution.executedPlan.toString())
       val next = state.select(col("node"), col("c").as("c0"))
         .join(hint(h), Seq("node"), "left")
         .select(col("node"),
@@ -835,7 +866,7 @@ object Graph extends QueryModule {
     out.count()
     pending.foreach(Dedup.releaseCheckpoints)
     Dedup.releaseCheckpoints(stateCk)
-    Dedup.releaseCheckpoints(ep)
+    ep.unpersist(blocking = false)
     out
   }
 
@@ -902,7 +933,13 @@ object Graph extends QueryModule {
     // re-shuffles no matter what the artifact's on-disk size makes
     // the estimator believe. PlanLintSpec walks the executed rounds
     // and fails on any broadcast bigger than the node set.
-    val ep = edges.repartition(col("src")).ckpt(false)
+    // CACHE, not checkpoint (r20, the coreness lesson): a
+    // localCheckpoint's LogicalRDD drops the physical partitioning,
+    // so the per-round agg re-shuffled edge-scale rows the build had
+    // already clustered; an InMemoryRelation keeps outputPartitioning
+    // (AQE can't change cached-plan partitioning by default), so the
+    // src-keyed agg below runs with its Exchange elided.
+    val ep = edges.repartition(col("src")).persist(graft.Ckpt.level)
     val deg = ep.groupBy(col("src"))
       .agg(count(lit(1)).cast("decimal(10,0)").as("deg"))
       .ckpt(false)
@@ -930,8 +967,28 @@ object Graph extends QueryModule {
       val r0 = if (rank eq lastCk) rebase(rank) else rank
       val shares = r0.select(col("node"),
         (col("rank") / col("deg")).cast(dec).as("share"))
-      val contrib = ep.join(hint(shares), ep("src") === shares("node"))
-        .groupBy(col("dst")).agg(sum(col("share")).cast(dec).as("in_share"))
+      // GATHER DIRECTION (r20): the edge table is bidirectional, so
+      // in_share(v) = Σ share over v's neighbors can be grouped on
+      // EITHER endpoint — the sums range over the same multiset and
+      // decimal addition is order-independent, so the two spellings
+      // are bit-identical. In the broadcast regime, keying the share
+      // lookup on dst and grouping on src keeps BOTH the join and the
+      // agg on ep's cached src layout: zero edge-scale exchanges per
+      // iteration (measured 0.53 → 0.32 s/iter at sf0.1). Past
+      // [[maxBroadcastNodes]] the shuffled join would have to
+      // re-shuffle edges by dst AND back by src — there the r19
+      // spelling (join on src preserving ep's layout, one honest
+      // dst-keyed agg exchange) pays one edge exchange instead of
+      // two, so it stands.
+      val contrib =
+        if (small)
+          ep.join(broadcast(shares.select(col("node").as("dst"),
+              col("share"))), "dst")
+            .groupBy(col("src")).agg(sum(col("share")).cast(dec).as("in_share"))
+            .select(col("src").as("dst"), col("in_share"))
+        else
+          ep.join(shares, ep("src") === shares("node"))
+            .groupBy(col("dst")).agg(sum(col("share")).cast(dec).as("in_share"))
       var next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"), nodes("deg"),
           (teleport + damp * coalesce(col("in_share"), lit(0).cast(dec)))
@@ -945,7 +1002,7 @@ object Graph extends QueryModule {
       rank = next
     }
     Dedup.releaseCheckpoints(deg)
-    Dedup.releaseCheckpoints(ep)
+    ep.unpersist(blocking = false)
     rank.select(col("node"), col("rank"))
   }
 
@@ -968,7 +1025,9 @@ object Graph extends QueryModule {
   private[graft] def pageRankQ(edges: DataFrame, iters: Int): DataFrame = {
     def rebase(df: DataFrame): DataFrame =
       org.apache.spark.sql.GraftShims.rebase(df)
-    val ep = edges.repartition(col("src")).ckpt(false)
+    // cache (not checkpoint) to keep the src partitioning visible —
+    // see [[pageRank]]'s ep note
+    val ep = edges.repartition(col("src")).persist(graft.Ckpt.level)
     val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .ckpt(false)
     val nodes = deg.select(col("src").as("node"), col("deg"))
@@ -988,8 +1047,20 @@ object Graph extends QueryModule {
       val r0 = if (rank eq lastCk) rebase(rank) else rank
       val shares = r0.select(col("node"),
         expr("rank_q div deg").as("share"))
-      val contrib = ep.join(hint(shares), ep("src") === shares("node"))
-        .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
+      // gather keyed on dst + grouped on src in the broadcast regime
+      // (bit-identical: integer sums over the same neighbor multiset;
+      // see [[pageRank]]'s gather-direction note)
+      val contrib =
+        if (small)
+          ep.join(broadcast(shares.select(col("node").as("dst"),
+              col("share"))), "dst")
+            .groupBy(col("src")).agg(sum(col("share")).as("in_share"))
+            .select(col("src").as("dst"), col("in_share"))
+        else
+          ep.join(shares, ep("src") === shares("node"))
+            .groupBy(col("dst")).agg(sum(col("share")).as("in_share"))
+      if (i == 2 && sys.env.contains("GRAFT_KCORE_EXPLAIN"))
+        println(contrib.queryExecution.executedPlan.toString())
       var next = nodes.join(hint(contrib), nodes("node") === contrib("dst"), "left")
         .select(nodes("node"), nodes("deg"),
           (lit(teleportQ) +
@@ -1004,7 +1075,7 @@ object Graph extends QueryModule {
       rank = next
     }
     Dedup.releaseCheckpoints(deg)
-    Dedup.releaseCheckpoints(ep)
+    ep.unpersist(blocking = false)
     rank.select(col("node"), col("rank_q"))
   }
 
