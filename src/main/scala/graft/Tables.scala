@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
@@ -65,6 +65,34 @@ object Tables {
       (children.map(_.getLen).sum,
         if (children.isEmpty) 0L else children.map(_.getModificationTime).max)
     } else (st.getLen, st.getModificationTime)
+  }
+
+  /** Input-parallelism restoration for compute-heavy kernels
+    * (optimization guide §2.5 input skew / §6 input split size): a
+    * small parquet export is ONE file with ONE row group, so the scan
+    * gets a single task and every expression evaluated before the
+    * first exchange — shingle/signature kernels, regex tokenization,
+    * pairwise similarity after a broadcast join — runs on one core
+    * while the rest of the session idles (measured at local[32]:
+    * dedup_simhash_md5 spent 1.9 s of its 2.4 s wall in a 1-task scan
+    * stage). When the frame has fewer partitions than the session's
+    * default parallelism, redistribute by `key` (hash — no
+    * sort-before-repartition cost, deterministic layout) or
+    * round-robin before the heavy projection. When the scan is
+    * already parallel — the 100 TB case, thousands of splits — this
+    * is the IDENTITY: no exchange is added, so it never pays a
+    * corpus-scale shuffle where parallelism already exists.
+    *
+    * Precondition: `df` must be a scan-stage frame (no exchange
+    * beneath). The partition probe reads the physical RDD's partition
+    * count, which is static for a scan but would force AQE stage
+    * materialization (i.e. run jobs) through an exchange.
+    */
+  def spread(df: DataFrame, key: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (key.nonEmpty) df.repartition(p, key: _*)
+    else df.repartition(p)
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -162,7 +162,9 @@ object Dedup extends QueryModule {
     // exact shingle-Jaccard ≥ 0.8. Rows-only check (not expressible in
     // DuckDB); DedupSpec pins recall vs brute force on sf0.001.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      // spread: the MinHash/shingle kernels otherwise run on the
+      // single scan task of the one-file export (opt guide §2.5)
+      val docs = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
       val cands = minhashCandidates(docs, k = 32, bands = 8)
       // shingle sets computed once per doc (narrow), joined to pairs
       val byId = docs.select(col("doc_id"),
@@ -190,7 +192,7 @@ object Dedup extends QueryModule {
     // keys on (band, key) — bounded by bucket occupancy, never
     // all-pairs — and the verify join touches candidates only.
     "dedup_minhash_md5" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
       val sh = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       // 16 string minima per doc, derived from FOUR md5s per shingle
@@ -223,7 +225,8 @@ object Dedup extends QueryModule {
     // index a 100 TB pipeline would persist; near-Hamming pairs share
     // a band bucket). Rows-only; semantics pinned in DedupSpec. The
     // query stage over this index is dedup_simhash_pairs below.
-    "dedup_simhash" -> ((s, dir) => simhashSignatures(Tables.load(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => simhashSignatures(
+      Tables.spread(Tables.load(s, dir, "documents"), col("doc_id")))),
 
     // FULL-ORACLE SimHash twin: a 32-bit signature whose bit b is the
     // majority vote over distinct tokens of bit b of md5(token) —
@@ -237,7 +240,7 @@ object Dedup extends QueryModule {
     // on (doc, bit); the production kernel does the same vote in one
     // codegen pass per row.
     "dedup_simhash_md5" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
       val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       val bits = toks
@@ -270,7 +273,8 @@ object Dedup extends QueryModule {
     // pairs — the same scale shape as minhash LSH. Rows-only;
     // DedupSpec pins exact agreement with a brute-force Hamming scan.
     "dedup_simhash_pairs" -> ((s, dir) =>
-      simhashPairs(simhashSignatures(Tables.load(s, dir, "documents")), maxHamming = 3)),
+      simhashPairs(simhashSignatures(
+        Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))), maxHamming = 3)),
 
     // Oracle-checkable shingle-Jaccard inside tight blocks (same lang,
     // source, length bucket): ground truth for near-dup detection.
@@ -329,7 +333,8 @@ object Dedup extends QueryModule {
     // Keep this twin for seed sets of a few hundred where broadcast
     // latency beats building the postings index.
     "dedup_containment_broadcast" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+      val d = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       val seeds = d.where(col("doc_id") < 50)
         .select(col("doc_id").as("seed_id"), col("sh").as("seed_sh"))
@@ -358,7 +363,8 @@ object Dedup extends QueryModule {
     // throughout; neither side is ever collected or broadcast.
     "dedup_containment" -> ((s, dir) => {
       val t = 0.6
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+      val d = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
       val dfTbl = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -467,7 +473,9 @@ object Dedup extends QueryModule {
     // corpus-repetition-bounded subset), never the whole corpus.
     "dedup_span_coverage" -> ((s, dir) => {
       val n = 5
-      val docs = Tables.load(s, dir, "documents")
+      // spread: the gram explode otherwise runs on the single scan
+      // task of the one-file export (opt guide §2.5)
+      val docs = Tables.spread(Tables.load(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       // sequence(1, k) with k < 1 would generate a DESCENDING ramp,
       // so short docs guard to an empty gram array explicitly
@@ -681,7 +689,10 @@ object Dedup extends QueryModule {
     * never drift apart.
     */
   def erLabeled(parts: DataFrame): DataFrame = {
-    val p = parts
+    // spread: the blocked pairs + JaroWinkler kernel otherwise run in
+    // the single-task scan stage of the one-file export (§2.5); input
+    // must be a scan frame (all callers pass the raw part table)
+    val p = Tables.spread(parts, col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         element_at(split(col("p_name"), " "), -1).as("noun"))
     val a = p.select(col("p_partkey").as("doc_a"), col("p_name").as("nm1"),
@@ -721,7 +732,7 @@ object Dedup extends QueryModule {
     // releases them once the edge set is materialized
     // ([[connectedComponents]] does, via [[releaseCheckpoints]]) — a
     // long-lived session must not accumulate dead shingle tables.
-    val d = docs.select(col("doc_id"),
+    val d = Tables.spread(docs, col("doc_id")).select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
       .ckpt
     val byId = d.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
@@ -904,9 +915,12 @@ object Dedup extends QueryModule {
     * variants.
     */
   private def blocked(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), col("source"),
-      expr("n_chars div 100").as("len_bucket"),
-      array_distinct(shingles(col("text"))).as("sh"))
+    // spread: the shingle kernel otherwise runs on the single scan
+    // task of the one-file export (§2.5); callers pass a scan frame
+    Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"),
+        array_distinct(shingles(col("text"))).as("sh"))
 
   /** Ground-truth all-pairs Jaccard within tight blocks (eval-only at
     * scale — see the `dedup_jaccard_block` query comment).
@@ -976,7 +990,7 @@ object Dedup extends QueryModule {
     */
   def jaccardIncremental(docs: DataFrame): DataFrame = {
     val t = 0.5
-    val d = docs.select(col("doc_id"),
+    val d = Tables.spread(docs, col("doc_id")).select(col("doc_id"),
       array_distinct(shingles(col("text"))).as("sh"))
     val byId = d.select(col("doc_id"), col("sh"))
     val thr = d.agg((max(col("doc_id")).cast("double") * 0.9).as("thr"))

@@ -87,6 +87,17 @@ object FuzzyOccurrence extends QueryModule {
     * song_id, lyrics)`.
     */
   private[graft] def windowed(segments: DataFrame, songs: DataFrame): DataFrame = {
+    // spread (opt guide §2.5): the window explode × song join × scoring
+    // kernel is the pipeline's dominant compute, and it runs in the
+    // stage fed by the tiny per-page exchange — which AQE coalesces to
+    // ONE partition at fixture scale (measured: 3.2 s of
+    // fuzzy_occurrence_q's 4.1 s in that single-task stage). Hashing
+    // the segments onto defaultParallelism partitions BY the page key
+    // is reused by the pages groupBy (same clustering, no second
+    // exchange) and, being user-specified, is exempt from AQE
+    // coalescing — so the window stage keeps its parallelism. At scale
+    // the segments scan is already parallel and this is the identity.
+    val segs = Tables.spread(segments, col("recording_id"), col("page"))
     val songsN = songs
       .where(col("lyrics").isNotNull && col("lyrics") =!= "")
       .withColumn("n", greatest(lit(1), size(split(col("lyrics"), "\n"))))
@@ -95,7 +106,7 @@ object FuzzyOccurrence extends QueryModule {
     val ns = songsN.select(col("n")).distinct()
 
     // (1) one page = one row: sorted texts + starts arrays.
-    val pages = segments
+    val pages = segs
       .groupBy(col("recording_id"), col("page"))
       .agg(sort_array(collect_list(struct(col("seg_idx"), col("start"), col("text"))))
         .as("segs"))

@@ -310,7 +310,9 @@ object Relational extends QueryModule {
     // differ per engine); the wide single row then melts via stack()
     // into the long (col_name, stats) shape.
     "profile_summary" -> ((s, dir) => {
-      val o = Tables.load(s, dir, "orders")
+      // spread: the Expand (rows × profiled columns) + partial agg
+      // otherwise run on the single scan task of the one-file export
+      val o = Tables.spread(Tables.load(s, dir, "orders"), col("o_orderkey"))
         .withColumn("price_d", col("o_totalprice").cast("decimal(18,2)"))
       o.agg(
         count(lit(1)).as("n"),
