@@ -26,6 +26,11 @@ object CrossoverBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
+      // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.FastLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.hadoop.FastLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try Tables.names.foreach(n => consume(Tables.load(spark, dir, n)))

@@ -15,6 +15,11 @@ object ExplainAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.FastLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.hadoop.FastLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

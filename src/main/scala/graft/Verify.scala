@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.FastLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        classOf[graft.hadoop.FastLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

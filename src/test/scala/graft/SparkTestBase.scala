@@ -12,6 +12,11 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
+    .config("spark.hadoop.fs.file.impl",
+      classOf[graft.hadoop.FastLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      classOf[graft.hadoop.FastLocalFs].getName)
     .getOrCreate()
 }
 
