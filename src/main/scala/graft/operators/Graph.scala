@@ -803,9 +803,24 @@ object Graph extends QueryModule {
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var round = 0
     var pending: List[DataFrame] = Nil
+    // LAZY STATE CHAIN between probes (r20 optimization pass, second
+    // cut): the previous spelling checkpointed `next` EVERY round,
+    // whose materialization was a third per-round job (~60 ms + its
+    // driver gap) on top of the two broadcast builds — measured 40
+    // rounds × ~3 jobs at sf0.1 with ~50% of wall in driver-side
+    // gaps between jobs. What actually needs per-round
+    // materialization is only `h` (the edge-pipeline output): its
+    // broadcast build runs the edge pass anyway, so checkpointing
+    // h LAZILY rides that same job for free, and the node-scale
+    // state chain (segment base ⋈ b(h₁) ⋈ … ⋈ b(h_k), all
+    // frontier-bounded materialized blocks) stays LAZY until the
+    // probe checkpoints it — per round: 2 jobs, zero extra passes.
+    // Stats discipline: the chain is ≤ probeEvery joins over a
+    // rebased fresh leaf, so inherited-stat growth is bounded per
+    // segment instead of compounding across rounds.
+    var state = rebase(stateCk)
     while (changed > 0 && round < maxRounds) {
       round += 1
-      val state = rebase(stateCk)
       // ONE annotation pass (see the ep scaladoc above): every edge
       // picks up its neighbor's current value AND chg flag from one
       // node-scale broadcast. Round 1 starts all-chg, so no special
@@ -826,11 +841,16 @@ object Graph extends QueryModule {
       // h = max(min(value_i, i)). Only the FLAGGED (frontier-adjacent)
       // rows reach this sort, and the agg runs with its Exchange
       // elided on ep's partitioning — zero corpus shuffles per round.
+      // The LAZY checkpoint materializes inside h's own broadcast
+      // build (the first consumer), truncating the edge pipeline out
+      // of every later round's state chain — without it, round r's
+      // chain would re-run all r−1 prior edge passes per broadcast.
       val w = Window.partitionBy(col("src")).orderBy(col("cn").desc)
       val h = flagged.withColumn("rn", row_number().over(w))
         .groupBy(col("src"))
         .agg(max(least(col("cn"), col("rn"))).cast("int").as("h"))
         .toDF("node", "h")
+        .ckpt(false)
       // untouched nodes keep their value (left join + coalesce); the
       // monotone least() guards the theorem's non-increasing path.
       // h is frontier-bounded (≤ |nodes| rows of (node, int) — the
@@ -840,20 +860,22 @@ object Graph extends QueryModule {
       // sides every round.
       if (round == 2 && sys.env.contains("GRAFT_KCORE_EXPLAIN"))
         println(h.queryExecution.executedPlan.toString())
-      val next = state.select(col("node"), col("c").as("c0"))
+      pending ::= h
+      state = state.select(col("node"), col("c").as("c0"))
         .join(hint(h), Seq("node"), "left")
         .select(col("node"),
           least(col("c0"), coalesce(col("h"), col("c0"))).cast("int").as("c"),
           (coalesce(col("h"), col("c0")) < col("c0")).as("chg"))
-        .ckpt(false)
-      pending ::= stateCk
-      stateCk = next
-      // ONE action per SEGMENT: materializes every pending round's
-      // checkpoint and counts the newest frontier in the same job.
+      // ONE action per SEGMENT: checkpoints the chained state, counts
+      // the newest frontier, and only then releases the superseded
+      // segment base and the segment's h blocks.
       if (round % probeEvery == 0 || round == maxRounds) {
+        val next = state.ckpt(false)
         changed = next.where(col("chg")).count()
         pending.foreach(Dedup.releaseCheckpoints)
-        pending = Nil
+        pending = List(stateCk)
+        stateCk = next
+        state = rebase(stateCk)
         if (sys.env.contains("GRAFT_KCORE_LOG"))
           println(s"[kcore] probe round $round changed=$changed " +
             s"t=${System.nanoTime() / 1000000}")
