@@ -1174,9 +1174,14 @@ object Graph extends QueryModule {
     // instead (|nodes| ≪ m on any co-occurrence graph — the g4/g5
     // convention).
     val pairsR = org.apache.spark.sql.GraftShims.rebase(pairs)
+    // deg checkpointed ONCE (r20 optimization pass): the two broadcast
+    // builds below each re-ran the full union+agg pass over the edge
+    // table (two parallel ~1.1 s 16-task jobs at sf0.1); materializing
+    // deg first makes both builds block reads.
     val deg = pairsR.select(col("u").as("node"))
       .union(pairsR.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .ckpt(false)
     val uFirst = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
     val od = pairsR
@@ -1187,6 +1192,10 @@ object Graph extends QueryModule {
         when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
       .ckpt(false)
     val odR = org.apache.spark.sql.GraftShims.rebase(od)
+    // materialize od (pairs and deg ride the same action), then drop
+    // deg's blocks — od is the only thing downstream reads
+    val nEdges = od.count()
+    Dedup.releaseCheckpoints(deg)
     // wedges (v, w) from a common src, ordered by (deg, id) so each
     // candidate triangle is generated exactly once; a (v, w) pair
     // reached from DIFFERENT srcs is a different triangle, so the
@@ -1197,11 +1206,46 @@ object Graph extends QueryModule {
       .where(col("dv2") < col("dw2") ||
         (col("dv2") === col("dw2") && col("v") < col("w")))
       .select(col("v"), col("w"))
-    val closing = wedges
+    // BLOOM PRE-FILTER on the wedge exchange (opt guide §3.2): the
+    // wedge set is O(m^1.5) and dominated the stage timeline — at
+    // sf0.1 the semi join shuffled a 345 MB wedge write + 357 MB read
+    // while the closing edges are 2.4M rows. A Bloom filter over
+    // od's (src, dst) — built in one pass over the materialized od
+    // blocks, bitwise-OR so insertion-order invariant — drops
+    // non-closing wedges BEFORE the exchange; false positives only
+    // add a little shuffle and are removed by the unchanged semi
+    // join, so the result is identical (no false negatives). The
+    // filter is embedded as a plan literal, so it is GATED on edge
+    // count: past [[bloomMaxEdges]] the literal would be tens of MB
+    // (a billion-edge graph needs GBs) and the plain semi join is
+    // the honest plan — at that scale the runtime-filter machinery
+    // with real stats is the production lever, not a plan constant.
+    val closing0 =
+      if (nEdges > 0 && nEdges <= bloomMaxEdges) {
+        val bf = odR.stat.bloomFilter(
+          xxhash64(col("src"), col("dst")), nEdges, 0.03)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val mightClose = org.apache.spark.sql.GraftShims.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bos.toByteArray,
+              org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.GraftShims.expression(
+              xxhash64(col("v"), col("w")))))
+        wedges.where(mightClose)
+      } else wedges
+    val closing = closing0
       .join(odR.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"), "left_semi")
     (pairs, od, closing)
   }
+
+  /** Edge-count cap for embedding the triangle-closing Bloom filter
+    * as a plan literal (~7.3 bits/edge at fpp 0.03 → ≤ ~7 MB at the
+    * cap). Past it the closing semi join runs unfiltered.
+    */
+  private[graft] val bloomMaxEdges = 8000000L
 
   def oracle: Map[String, String] = Map(
     // from-scratch restatement of the stored edge table's derivation;
