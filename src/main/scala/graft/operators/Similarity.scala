@@ -94,11 +94,19 @@ object Similarity extends QueryModule {
   private def pqCodebook(e: DataFrame, sliced: DataFrame): DataFrame = {
     val seedIds = e.orderBy(col("vec_id")).limit(PqK)
       .select(col("vec_id").as("c_id"))
-    var codebook = sliced.join(broadcast(seedIds),
+    // LOCALIZED codebook rounds (r20 optimization pass): the m·k-row
+    // codebook was eagerly checkpointed per Lloyd iteration — a
+    // blocking job PLUS a broadcast-build job per consumer, in a
+    // query family that is per-job-overhead bound (49 single-task
+    // jobs in ann_ivf_pq at sf0.1). Collecting the SAME pipeline's
+    // ≤ m·k rows into a LocalRelation costs the same single job and
+    // makes every later broadcast(codebook) free (LocalTableScan —
+    // no job, no exchange); every arithmetic op stays in Catalyst,
+    // so the values are bit-identical to the checkpointed spelling.
+    var codebook = localized(sliced.join(broadcast(seedIds),
         col("vec_id") === col("c_id"))
       .select(col("s"), col("c_id"), col("svd").as("c_vd"),
-        col("snrm").as("c_nrm"))
-      .ckpt(true)
+        col("snrm").as("c_nrm")))
     for (_ <- 1 to PqIters) {
       val assigned = sliced.join(broadcast(codebook), Seq("s"))
         .withColumn("c_cos",
@@ -112,13 +120,24 @@ object Similarity extends QueryModule {
           count(lit(1)).as("cnt"))
         .select(col("s"), col("c_id"),
           transform(col("sum_vd"), x => x / col("cnt")).as("new_vd"))
-      codebook = codebook.join(means, Seq("s", "c_id"), "left")
+      codebook = localized(codebook.join(means, Seq("s", "c_id"), "left")
         .select(col("s"), col("c_id"),
           coalesce(col("new_vd"), col("c_vd")).as("c_vd"))
-        .withColumn("c_nrm", subNorm(col("c_vd")))
-        .ckpt(true)
+        .withColumn("c_nrm", subNorm(col("c_vd"))))
     }
     codebook
+  }
+
+  /** Collect a K-BOUNDED frame (codebooks: ≤ m·k rows by
+    * construction) into a LocalRelation-backed frame with identical
+    * rows: consumers broadcast it without a build job and iterative
+    * lineage resets to a leaf without a checkpoint barrier. The
+    * collect is the same single job the eager checkpoint cost.
+    */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Nearest centroid per (vector, subspace):
@@ -482,7 +501,12 @@ object Similarity extends QueryModule {
     */
   def ivfTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val base = e.select(col("vec_id").as("__aid"), col("vd"), col("nrm"))
-    var cents = seedCodebook(e, k)
+    // localized (see [[pqCodebook]]): the k-row codebook collects to a
+    // LocalRelation each iteration — same single job the eager
+    // checkpoint cost, but every broadcast of it afterwards is free
+    // (no build job) and lineage resets without a barrier. Values
+    // bit-identical: the whole update stays in Catalyst.
+    var cents = localized(seedCodebook(e, k))
     for (_ <- 1 to iters) {
       val means = assignToCentroid(base, cents)
         .groupBy(col("c_id"))
@@ -490,15 +514,11 @@ object Similarity extends QueryModule {
           count(lit(1)).as("cnt"))
         .select(col("c_id"),
           transform(col("sum_vd"), x => x / col("cnt")).as("new_vd"))
-      cents = cents.join(means, Seq("c_id"), "left")
+      cents = localized(cents.join(means, Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("new_vd"), col("c_vd")).as("c_vd"))
         .withColumn("c_nrm", sqrt(aggregate(
-          transform(col("c_vd"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-        // materialize the k-row codebook so each iteration's plan
-        // doesn't nest the previous one (lineage would grow
-        // exponentially across iterations)
-        .ckpt(true)
+          transform(col("c_vd"), x => x * x), lit(0.0), (acc, x) => acc + x))))
     }
     cents
   }
