@@ -45,6 +45,10 @@ object CcScaleProbe {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 64k coalesce floor: keep compute-dense small shuffles parallel
+      // (see OPTIMIZATION_r20.md; scale-inert — parallelism-first AQE
+      // sizing dominates once shuffles exceed a few MB)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.hadoop.FastLocalFileSystem].getName)

@@ -15,6 +15,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 64k coalesce floor: keep compute-dense small shuffles parallel
+      // (see OPTIMIZATION_r20.md; scale-inert — parallelism-first AQE
+      // sizing dominates once shuffles exceed a few MB)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // fork-free local fs (graft.hadoop.FastLocalFileSystem scaladoc)
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.hadoop.FastLocalFileSystem].getName)

@@ -244,9 +244,16 @@ object Relational extends QueryModule {
     "j11_bucketed_join" -> ((s, dir) => {
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
       val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
-      val o = Tables.load(s, dir, "orders")
+      // spread (§2.5): the one-row-group exports give the bucketed
+      // WRITES ~1-3 real tasks each — the lineitem write alone was a
+      // 3 s 3-task stage (per-task sort + 8 bucket files). Bucket
+      // membership is hash(key) — input partitioning can't move a row
+      // across buckets — and the join+agg the oracle checks is
+      // bucket-content-defined, so the redistribution only
+      // parallelizes the setup write.
+      val o = Tables.spread(Tables.load(s, dir, "orders"), col("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"))
-      val l = Tables.load(s, dir, "lineitem")
+      val l = Tables.spread(Tables.load(s, dir, "lineitem"), col("l_orderkey"))
         .select(col("l_orderkey"), col("l_extendedprice"))
       o.write.format("parquet").bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").option("path", s"$base/o")
@@ -1007,7 +1014,12 @@ object Relational extends QueryModule {
     // moment statistic at 100 TB.
     "a9_cov_corr" -> ((s, dir) => {
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      val m = Tables.load(s, dir, "lineitem")
+      // spread (opt guide §2.5): the one-row-group export gives this
+      // scan ~1 real task; the per-row decimal products then run
+      // single-threaded (measured 1.85 s of the 2.0 s wall in that
+      // stage). DECIMAL sums are order-exact, so redistribution
+      // cannot move the hash.
+      val m = Tables.spread(Tables.load(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(x.cast("decimal(38,6)")).cast("double").as("sx"),
